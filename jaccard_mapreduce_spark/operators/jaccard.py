@@ -1,0 +1,290 @@
+"""All-pairs Jaccard document similarity — the reference's one real query.
+
+Reference pipeline (3 chained MapReduce jobs, DocumentSimilarityDriver.java:29-94):
+  Job 1 "DocSizes":          doc -> |unique tokens|
+  Job 2 "PairIntersections": word -> co-occurring doc pairs, one vote per shared word
+  Job 3 "Jaccard":           sum votes = |A∩B|; J = |A∩B| / (|A|+|B|-|A∩B|)
+
+Here the whole pipeline is ONE lazy DataFrame expression (SURVEY.md §3,
+"Spark lifecycle target"): Catalyst fuses the stages, inserts partial
+aggregation (the reference's rejected combiner, Reducer:53-63), pushes
+filters, and broadcasts the doc-size side (the reference's
+DistributedCache HashMap, Reducer:67-88). The corpus is scanned ONCE
+(the reference tokenizes it twice, Driver:42,65).
+
+Semantics preserved exactly (SURVEY.md §7.0):
+  * tokenization regex + per-doc set dedup (Mapper:80-89)
+  * pairs exist only when |A∩B| >= 1 (co-occurrence-driven generation)
+  * canonical pair order doc_a < doc_b (Reducer:42-47; string order for
+    string ids — "Document10" < "Document2")
+  * inner-join size lookup (missing size drops the pair, Reducer:101)
+  * divide guard: union == 0 -> 0.0 (Reducer:103-104)
+
+Two physical strategies, chosen adaptively:
+  * ``join``   — self-equi-join the inverted index on token and count
+    votes per pair. Scales with Σ C(df_t, 2) over tokens t; AQE
+    skew-join splitting absorbs hot tokens. The 100 TB path (combined
+    with threshold / top-k / MinHash-LSH pruning — all-pairs output is
+    inherently quadratic, SURVEY.md §7.3).
+  * ``bitmask`` — when the vocabulary is small, encode each document's
+    token set as a fixed-width bitmask (array<long>) and score pairs
+    with bitwise AND + popcount on a broadcast nested-loop join. No
+    token-level shuffle at all; pair generation is embarrassingly
+    parallel over the left side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jaccard_mapreduce_spark.functions.text import tokenize_unique
+from jaccard_mapreduce_spark.sources.corpus import read_corpus_text, write_formatted_text
+
+# bitmask strategy limits: masks of <= 32 longs, pair matrix <= ~1.25e9
+_BITMASK_MAX_VOCAB = 2048
+_BITMASK_MAX_DOCS = 50_000
+
+
+def doc_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Inverted-index relation ``(doc_id, token)``, distinct per doc.
+
+    Fuses reference O4 (normalize) + O5 (set dedup) + O6 (explode):
+    DocumentSimilarityMapper.java:80-89, 28-31, 51-56.
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_unique(text_col)).alias("token"),
+    )
+
+
+def doc_sizes(tokens: DataFrame) -> DataFrame:
+    """``|A|`` per document — reference Job 1 (DocSizeReducer, Reducer:15-25)."""
+    return tokens.groupBy("doc_id").agg(F.count("*").alias("size"))
+
+
+def pair_intersections(tokens: DataFrame) -> DataFrame:
+    """``|A∩B|`` per co-occurring pair — reference Job 2 + Job 3's sum
+    (Reducer:33-48, 91-93), as a self-equi-join on token.
+
+    The ``<`` predicate canonicalizes pairs (each unordered pair once),
+    exactly the reference's sorted nested loop (Reducer:42-47).
+    """
+    a = tokens.alias("a")
+    b = tokens.alias("b")
+    return (
+        a.join(b, "token")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("intersection"))
+    )
+
+
+def _score(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Join |A|,|B| (broadcast — the DistributedCache analog, Reducer:67-88;
+    inner join drops pairs with missing sizes, Reducer:101) and compute
+    the guarded Jaccard score (Reducer:103-104)."""
+    sa = F.broadcast(sizes).alias("sa")
+    sb = F.broadcast(sizes).alias("sb")
+    joined = (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"), "inner")
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"), "inner")
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection",
+            F.col("sa.size").alias("size_a"),
+            F.col("sb.size").alias("size_b"),
+        )
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("intersection")
+    return joined.withColumn(
+        "similarity",
+        F.when(union > 0, F.col("intersection") / union).otherwise(F.lit(0.0)),
+    )
+
+
+def _jaccard_pairs_join(tokens: DataFrame) -> DataFrame:
+    return _score(pair_intersections(tokens), doc_sizes(tokens))
+
+
+def _jaccard_pairs_bitmask(tokens: DataFrame, vocab_size: int) -> DataFrame:
+    """Small-vocabulary fast path: token set -> bitmask array<long>;
+    pair scoring = popcount(AND) on a broadcast nested-loop join.
+
+    Avoids the token-level shuffle entirely: Σ C(df,2) pair-vote rows
+    (224M at sf0.1 for the 31-token documents table) never materialize.
+    """
+    n_words = (vocab_size + 63) // 64
+
+    # Dense token ids. The vocab is tiny by construction (strategy gate),
+    # so a single-partition window over it is safe and cheap.
+    vocab = (
+        tokens.select("token")
+        .distinct()
+        .withColumn(
+            "tid", F.row_number().over(Window.orderBy("token")) - F.lit(1)
+        )
+    )
+
+    with_tid = tokens.join(F.broadcast(vocab), "token").select(
+        "doc_id",
+        (F.col("tid") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))").alias("bit"),
+    )
+
+    # Per-doc mask: OR bits within each 64-bit word, then assemble the
+    # fixed-width array (missing words -> 0).
+    masks = (
+        with_tid.groupBy("doc_id", "word")
+        .agg(F.bit_or("bit").alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("word"), F.col("w")))
+            ).alias("wm"),
+            F.sum(F.bit_count("w")).alias("size"),
+        )
+        .select(
+            "doc_id",
+            "size",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("wm", i), F.lit(0).cast("long")
+                ),
+            ).alias("mask"),
+        )
+    )
+
+    a = masks.alias("a")
+    b = F.broadcast(masks).alias("b")
+    inter = F.aggregate(
+        F.zip_with(
+            F.col("a.mask"), F.col("b.mask"), lambda x, y: F.bit_count(x.bitwiseAND(y))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    union = F.col("size_a") + F.col("size_b") - F.col("intersection")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("intersection"),
+            F.col("a.size").alias("size_a"),
+            F.col("b.size").alias("size_b"),
+        )
+        # co-occurring pairs only — reference pairs exist solely via
+        # shared-word votes (Reducer:43-48)
+        .where(F.col("intersection") >= 1)
+        .withColumn(
+            "similarity",
+            F.when(union > 0, F.col("intersection") / union).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Full Jaccard relation
+    ``(doc_a, doc_b, intersection, size_a, size_b, similarity)``.
+
+    ``strategy``: ``'join'`` | ``'bitmask'`` | ``'auto'`` (inspect vocab /
+    doc counts and pick; the two are semantically identical — tested).
+    """
+    tokens = doc_tokens(documents, id_col, text_col)
+    if strategy == "join":
+        return _jaccard_pairs_join(tokens)
+
+    if strategy in ("bitmask", "auto"):
+        stats = tokens.agg(
+            F.countDistinct("token").alias("v"),
+            F.countDistinct("doc_id").alias("d"),
+        ).first()
+        vocab_size, n_docs = stats["v"], stats["d"]
+        if strategy == "bitmask" or (
+            vocab_size <= _BITMASK_MAX_VOCAB and n_docs <= _BITMASK_MAX_DOCS
+        ):
+            return _jaccard_pairs_bitmask(tokens, max(int(vocab_size), 1))
+        return _jaccard_pairs_join(tokens)
+
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def jaccard_threshold(pairs: DataFrame, min_similarity: float) -> DataFrame:
+    """Similarity-threshold filter — the scale-friendly output mode."""
+    return pairs.where(F.col("similarity") >= min_similarity)
+
+
+def jaccard_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Top-k most-similar neighbors per document (both directions of each
+    canonical pair), deterministic tie-break on neighbor id.
+
+    Returns ``(doc_id, neighbor_id, similarity, rank)``.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "similarity",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "similarity",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def format_output(pairs: DataFrame) -> DataFrame:
+    """Reference output formatting: ``"A, B\\tSimilarity: 0.XX"``
+    (Reducer:105-107 + TextOutputFormat). ``format_string`` runs Java's
+    ``String.format`` — bit-identical HALF_UP tie rounding (SURVEY.md §2 O16).
+    """
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.format_string(
+            "%s, %s\tSimilarity: %.2f", "doc_a", "doc_b", F.col("similarity")
+        ).alias("line"),
+    )
+
+
+def run_reference_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """End-to-end reference-parity run: text corpus in, formatted +
+    globally sorted lines out (single file, like the reference's one
+    reducer). Returns the sorted line DataFrame; writes if a path given.
+    """
+    corpus = read_corpus_text(spark, input_path)
+    pairs = jaccard_pairs(corpus, strategy=strategy)
+    # global lexicographic order on the pair key — framework behavior in
+    # the reference (single reducer; SURVEY.md §2 O18)
+    lines = (
+        format_output(pairs)
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+        .select("line")
+    )
+    if output_path is not None:
+        write_formatted_text(lines, output_path)
+    return lines

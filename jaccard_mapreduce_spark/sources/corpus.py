@@ -1,0 +1,54 @@
+"""Corpus sources and sinks.
+
+The reference's only source is a line-oriented text file, one document per
+line, ``DocumentID <text...>`` (README.md:8; TextInputFormat at
+DocumentSimilarityDriver.java:42-44). Its only sink is tab-separated text
+(TextOutputFormat, Driver:45). We support both for byte-parity, plus
+Parquet-first columnar documents tables (the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_corpus_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-format corpus into ``(doc_id string, text string)``.
+
+    Replicates the reference's silent-drop semantics as *declarative
+    filters* (visible in the plan, SURVEY.md §1.3): blank lines and lines
+    without a doc-id prefix are dropped (DocumentSimilarityMapper.java:19-25:
+    ``firstSpace <= 0`` ⇒ skip; docId trimmed).
+    """
+    lines = spark.read.text(path)
+    v = F.col("value")
+    first_space = F.instr(v, " ")
+    return (
+        lines
+        # O2: non-empty, well-formed (space exists and is not char 1)
+        .filter((F.trim(v) != "") & (first_space > 1))
+        # O3: split at first space
+        .select(
+            F.trim(F.substring_index(v, " ", 1)).alias("doc_id"),
+            F.expr("substring(value, instr(value, ' ') + 1)").alias("text"),
+        )
+    )
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar documents table (doc_id, text, lang, source, n_chars)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def write_formatted_text(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """Text sink for the formatted output relation (column ``line``).
+
+    ``coalesce(1)`` only in golden-parity mode (single ``part-`` file like
+    the reference's one-reducer run); normal mode keeps natural
+    partitioning (SURVEY.md §4.3).
+    """
+    out = df.select(F.col("line").alias("value"))
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
