@@ -3,13 +3,14 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
 LLM-data-pipeline extensions); each callable takes (spark, sf_dir).
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key (built in
+``jaccard_mapreduce_spark.oracles`` so constants stay in lockstep with
+the engine).
 
 Column names are aliased identically on both sides (the driver's compare
 sorts columns by name before hashing). Float columns are built from exact
-integer/decimal arithmetic wherever possible so value-hashes match
-bit-for-bit across engines; genuinely float-accumulating ops (cosine) use
-order-fixed double accumulation on both sides.
+integer arithmetic with identical operand order in both engines so
+value-hashes match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -22,93 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
+from jaccard_mapreduce_spark import oracles  # noqa: E402
+from jaccard_mapreduce_spark.operators import dedup as D  # noqa: E402
 from jaccard_mapreduce_spark.operators import jaccard as J  # noqa: E402
+from jaccard_mapreduce_spark.operators import text_analysis as TA  # noqa: E402
 from jaccard_mapreduce_spark.sources.corpus import read_documents  # noqa: E402
 
-# ---------------------------------------------------------------------------
-# Shared oracle SQL fragments (DuckDB dialect)
-# ---------------------------------------------------------------------------
 
-# Tokenization identical to the engine (and the reference's
-# DocumentSimilarityMapper.java:80-89): lowercase, [^a-z0-9\s] -> space,
-# split \s+, drop empties, per-doc dedup.
-_TOK_CTE = r"""
-tok AS (
-    SELECT doc_id,
-           unnest(list_distinct(list_filter(
-               regexp_split_to_array(
-                   lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')),
-                   '\s+'),
-               t -> t <> ''))) AS token
-    FROM documents
-)
-"""
-
-_SIZES_CTE = """
-sizes AS (
-    SELECT doc_id, count(*) AS size FROM tok GROUP BY doc_id
-)
-"""
-
-_PAIRS_CTE = """
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
-    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-)
-"""
-
-_SCORED_CTE = """
-scored AS (
-    SELECT p.doc_a, p.doc_b, p.intersection,
-           sa.size AS size_a, sb.size AS size_b,
-           CASE WHEN sa.size + sb.size - p.intersection > 0
-                THEN p.intersection / (sa.size + sb.size - p.intersection)
-                ELSE 0.0 END AS similarity
-    FROM pairs p
-    JOIN sizes sa ON p.doc_a = sa.doc_id
-    JOIN sizes sb ON p.doc_b = sb.doc_id
-)
-"""
-
-_JACCARD_PRELUDE = f"WITH {_TOK_CTE.strip()}, {_SIZES_CTE.strip()}, {_PAIRS_CTE.strip()}, {_SCORED_CTE.strip()}"
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_documents(spark, sf_dir)
 
 
-# ---------------------------------------------------------------------------
-# Query implementations
-# ---------------------------------------------------------------------------
-
-
-def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return J.doc_tokens(read_documents(spark, sf_dir))
-
-
-def _q_doc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return J.doc_sizes(J.doc_tokens(read_documents(spark, sf_dir)))
-
-
-def _q_pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return J.pair_intersections(J.doc_tokens(read_documents(spark, sf_dir)))
-
-
-def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return J.jaccard_pairs(read_documents(spark, sf_dir), strategy="auto")
-
-
-def _q_jaccard_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return J.jaccard_threshold(
-        J.jaccard_pairs(read_documents(spark, sf_dir), strategy="auto"), 0.5
-    )
-
-
-def _q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    out = J.jaccard_topk(
-        J.jaccard_pairs(read_documents(spark, sf_dir), strategy="auto"), 5
-    )
-    # row_number is int32 in Spark, int64 in DuckDB — align for schema compare
-    return out.withColumn("rank", F.col("rank").cast("long"))
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.doc_tokens(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -118,43 +47,53 @@ def _q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full all-pairs Jaccard relation on the sf0.001 corpus."""
-    return J.jaccard_pairs(
-        read_documents(spark, "/root/testdata/sf0.001"), strategy="auto"
-    )
+    return J.jaccard_pairs(_docs(spark, "/root/testdata/sf0.001"), strategy="auto")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "doc_tokens": _q_doc_tokens,
-        "doc_sizes": _q_doc_sizes,
-        "pair_intersections": _q_pair_intersections,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "jaccard_threshold": _q_jaccard_threshold,
-        "jaccard_topk": _q_jaccard_topk,
+        # --- Jaccard family (the reference's pipeline, SURVEY.md §2) ---
+        "doc_tokens": lambda s, d: _tokens(s, d),
+        "doc_sizes": lambda s, d: J.doc_sizes(_tokens(s, d)),
+        "pair_intersections": lambda s, d: J.pair_intersections(_tokens(s, d)),
+        "jaccard_pairs": lambda s, d: J.jaccard_pairs(_docs(s, d), strategy="auto"),
+        "jaccard_threshold": lambda s, d: J.jaccard_threshold(
+            J.jaccard_pairs(_docs(s, d), strategy="auto"), 0.5
+        ),
+        "jaccard_topk": lambda s, d: J.jaccard_topk(
+            J.jaccard_pairs(_docs(s, d), strategy="auto"), 5
+        ).withColumn("rank", F.col("rank").cast("long")),
+        # --- Text analysis ---
+        "text_stats": lambda s, d: TA.text_stats(_docs(s, d)),
+        "lang_id": lambda s, d: TA.lang_id(_docs(s, d)),
+        "token_counts": lambda s, d: TA.token_counts(_docs(s, d)),
+        "fingerprints": lambda s, d: TA.fingerprints(_docs(s, d)),
+        # --- Deduplication ---
+        "dedup_exact": lambda s, d: D.exact_duplicates(_docs(s, d)),
+        "dedup_ngram": lambda s, d: D.ngram_duplicates(_docs(s, d), n=3, threshold=0.8),
+        "minhash_signatures": lambda s, d: D.minhash_signatures_long(_tokens(s, d)),
+        "dedup_minhash_lsh": lambda s, d: D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
+        "simhash": lambda s, d: D.simhash(_tokens(s, d)),
+        "dedup_simhash": lambda s, d: D.simhash_duplicates(_tokens(s, d), max_distance=3),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "doc_tokens": f"WITH {_TOK_CTE.strip()} SELECT doc_id, token FROM tok",
-        "doc_sizes": f"WITH {_TOK_CTE.strip()}, {_SIZES_CTE.strip()} "
-        "SELECT doc_id, size FROM sizes",
-        "pair_intersections": f"WITH {_TOK_CTE.strip()}, {_PAIRS_CTE.strip()} "
-        "SELECT doc_a, doc_b, intersection FROM pairs",
-        "jaccard_pairs": f"{_JACCARD_PRELUDE} SELECT * FROM scored",
-        "jaccard_threshold": f"{_JACCARD_PRELUDE} "
-        "SELECT * FROM scored WHERE similarity >= 0.5",
-        "jaccard_topk": f"""{_JACCARD_PRELUDE},
-sym AS (
-    SELECT doc_a AS doc_id, doc_b AS neighbor_id, similarity FROM scored
-    UNION ALL
-    SELECT doc_b AS doc_id, doc_a AS neighbor_id, similarity FROM scored
-),
-ranked AS (
-    SELECT doc_id, neighbor_id, similarity,
-           row_number() OVER (PARTITION BY doc_id
-                              ORDER BY similarity DESC, neighbor_id) AS rank
-    FROM sym
-)
-SELECT doc_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5""",
+        "doc_tokens": oracles.doc_tokens_sql(),
+        "doc_sizes": oracles.doc_sizes_sql(),
+        "pair_intersections": oracles.pair_intersections_sql(),
+        "jaccard_pairs": oracles.jaccard_pairs_sql(),
+        "jaccard_threshold": oracles.jaccard_threshold_sql(0.5),
+        "jaccard_topk": oracles.jaccard_topk_sql(5),
+        "text_stats": oracles.text_stats_sql(),
+        "lang_id": oracles.lang_id_sql(),
+        "token_counts": oracles.token_counts_sql(),
+        "fingerprints": oracles.fingerprints_sql(),
+        "dedup_exact": oracles.exact_duplicates_sql(),
+        "dedup_ngram": oracles.ngram_duplicates_sql(3, 0.8),
+        "minhash_signatures": oracles.minhash_signatures_sql(),
+        "dedup_minhash_lsh": oracles.minhash_lsh_dedup_sql(0.7),
+        "simhash": oracles.simhash_sql(),
+        "dedup_simhash": oracles.simhash_duplicates_sql(3),
     }

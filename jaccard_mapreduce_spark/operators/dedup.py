@@ -1,0 +1,309 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The near-dup family is the scale path for the reference's all-pairs
+similarity idea: instead of Σ C(df,2) pair votes (quadratic in posting
+lists), LSH banding makes candidate generation ~linear in the corpus and
+skew-free, then an exact verify pass bounds false positives.
+
+All hashes use ``portable_hash64`` (md5-prefix, identical in Spark and
+DuckDB) so every operator here is oracle-checkable end-to-end; a
+production deployment would flip ``hash_mode='fast'`` (xxhash64) with the
+same plan shape.
+
+Design notes for 100 TB:
+  * MinHash signatures are computed with a single hash-agg (k min
+    columns, map-side partial aggregation) — no per-hash explode/shuffle.
+  * LSH candidate generation self-joins on (band, bucket) — AQE
+    skew-split absorbs hot buckets; the verify join is an equi-join on
+    the candidate pair keys.
+  * SimHash blocking is exact for a Hamming budget d: split the
+    fingerprint into d+1 blocks; by pigeonhole any pair within distance d
+    agrees on >= 1 whole block, so candidates = union of d+1 equi-joins.
+"""
+
+from __future__ import annotations
+
+import random
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jaccard_mapreduce_spark.functions.text import (
+    normalize_text,
+    portable_hash64,
+    tokenize,
+    word_ngrams,
+)
+from jaccard_mapreduce_spark.operators.jaccard import (
+    doc_tokens,
+    jaccard_from_tokens,
+    jaccard_threshold,
+)
+
+# Mersenne prime 2^31-1: keeps a*h+b within int64 (ANSI-safe, no overflow)
+MINHASH_PRIME = 2_147_483_647
+DEFAULT_NUM_HASHES = 32
+DEFAULT_SEED = 42
+SIMHASH_BITS = 60  # portable_hash64 yields 60 bits
+
+
+def minhash_params(k: int = DEFAULT_NUM_HASHES, seed: int = DEFAULT_SEED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for h_i(x) = (a*x + b) mod P."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(k)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact (normalized-content) duplicate groups.
+
+    fingerprint = md5(normalized text); keeper = min doc_id per group.
+    Returns ``(doc_id, fingerprint, keeper, is_dup)`` — filtering
+    ``is_dup`` deduplicates the corpus; at scale this is one hash
+    shuffle on a short digest key.
+    """
+    fp = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(text_col).cast("binary")).alias("fingerprint"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("keeper"),
+    ).withColumn("is_dup", F.col("doc_id") != F.col("keeper"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(doc_id, token)``."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(tokenize(text_col), n))).alias("token"),
+    )
+
+
+def ngram_duplicates(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by word n-gram Jaccard >= threshold (exact)."""
+    return jaccard_threshold(
+        jaccard_from_tokens(shingles(documents, n, id_col, text_col)), threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures_long(
+    tokens: DataFrame, k: int = DEFAULT_NUM_HASHES, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """MinHash signature in long format ``(doc_id, h_idx, min_hash)``.
+
+    One hash-aggregate with k ``min`` columns — map-side partial
+    aggregation shrinks the shuffle to k longs per doc per partition
+    (no per-hash-function explode).
+    """
+    params = minhash_params(k, seed)
+    hv = portable_hash64(F.col("token")) % MINHASH_PRIME
+    hashed = tokens.select("doc_id", hv.alias("hv"))
+    aggs = [
+        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
+    stacked = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("h_idx"), F.col(f"mh_{i}").alias("min_hash"))
+            for i in range(k)
+        ])
+    )
+    return wide.select("doc_id", stacked.alias("s")).select(
+        "doc_id", F.col("s.h_idx").cast("long").alias("h_idx"), F.col("s.min_hash")
+    )
+
+
+def minhash_signatures(
+    tokens: DataFrame, k: int = DEFAULT_NUM_HASHES, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """MinHash signature as ``(doc_id, sig array<long>)`` (index-ordered)."""
+    params = minhash_params(k, seed)
+    hv = portable_hash64(F.col("token")) % MINHASH_PRIME
+    hashed = tokens.select("doc_id", hv.alias("hv"))
+    aggs = [
+        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_buckets(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Band the signature: ``(doc_id, band, bucket)`` where bucket is the
+    concatenated band slice (the join key; hashing it is an optional
+    space optimization, not semantics)."""
+    slices = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    return (
+        signatures.select("doc_id", F.explode(slices).alias("s"))
+        .select("doc_id", F.col("s.band").cast("long").alias("band"), F.col("s.bucket"))
+    )
+
+
+def minhash_lsh_candidates(
+    tokens: DataFrame,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Distinct candidate pairs sharing >= 1 LSH band bucket."""
+    assert k % bands == 0, "num hashes must divide evenly into bands"
+    r = k // bands
+    buckets = lsh_buckets(minhash_signatures(tokens, k, seed), bands, r)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates verified with *exact* token Jaccard >= threshold.
+
+    Returns ``(doc_a, doc_b, similarity)``. At scale the verify join
+    touches only candidate pairs (≈ linear), never the full pair matrix.
+    """
+    tokens = doc_tokens(documents, id_col, text_col)
+    cands = minhash_lsh_candidates(tokens, k, bands, seed)
+    scored = jaccard_from_tokens(tokens)
+    return (
+        cands.join(scored, ["doc_a", "doc_b"])
+        .where(F.col("similarity") >= threshold)
+        .select("doc_a", "doc_b", "similarity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(tokens: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash fingerprint ``(doc_id, simhash)``.
+
+    bit j of the fingerprint is set iff Σ_tokens (2*((h>>j)&1) - 1) > 0 —
+    computed as ``bits`` sum-aggregate columns in ONE hash aggregate
+    (partial aggregation map-side; no explode)."""
+    hv = portable_hash64(F.col("token"))
+    hashed = tokens.select("doc_id", hv.alias("hv"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
+    fingerprint = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return wide.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_duplicates(
+    tokens: DataFrame,
+    max_distance: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= max_distance — EXACT,
+    via pigeonhole blocking: d+1 blocks, any qualifying pair agrees on a
+    whole block, so the union of d+1 equi-joins has full recall; verify
+    popcount(xor) <= d to drop false positives.
+
+    Returns ``(doc_a, doc_b, hamming)``.
+    """
+    n_blocks = max_distance + 1
+    width = (bits + n_blocks - 1) // n_blocks
+    sh = simhash(tokens, bits)
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("block"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("val"),
+        )
+        for i in range(n_blocks)
+    ])
+    keyed = sh.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.block").alias("block"), F.col("b.val").alias("val")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= max_distance)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -107,8 +107,15 @@ def _score(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_pairs_join(tokens: DataFrame) -> DataFrame:
+def jaccard_from_tokens(tokens: DataFrame) -> DataFrame:
+    """Scored Jaccard relation from any ``(doc_id, item)`` set relation —
+    the same machinery works for word tokens, n-gram shingles (near-dup),
+    or any other set representation."""
     return _score(pair_intersections(tokens), doc_sizes(tokens))
+
+
+def _jaccard_pairs_join(tokens: DataFrame) -> DataFrame:
+    return jaccard_from_tokens(tokens)
 
 
 def _jaccard_pairs_bitmask(tokens: DataFrame, vocab_size: int) -> DataFrame:

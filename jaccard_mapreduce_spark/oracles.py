@@ -1,0 +1,335 @@
+"""DuckDB oracle SQL for every oracle-checkable operator.
+
+Each builder mirrors the corresponding Spark operator *expression by
+expression* — same integer arithmetic, same operand order for float
+divisions, same hash family (md5-prefix ``portable_hash64``) — so the
+driver's order-insensitive value-hash matches bit-for-bit.
+
+These strings are ANSI-ish SQL in the DuckDB dialect (list lambdas,
+``regexp_split_to_array``, ``string_agg ... ORDER BY``).
+"""
+
+from __future__ import annotations
+
+from jaccard_mapreduce_spark.operators.dedup import (
+    DEFAULT_NUM_HASHES,
+    DEFAULT_SEED,
+    MINHASH_PRIME,
+    SIMHASH_BITS,
+    minhash_params,
+)
+from jaccard_mapreduce_spark.functions.text import ENGLISH_STOPWORDS
+
+# ---------------------------------------------------------------------------
+# Tokenization fragments (mirror functions/text.py exactly)
+# ---------------------------------------------------------------------------
+
+# token list with duplicates (functions.text.tokenize)
+TOKS_EXPR = (
+    r"list_filter(regexp_split_to_array("
+    r"lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '')"
+)
+
+# normalized text (functions.text.normalize_text)
+NORM_EXPR = r"trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'))"
+
+# 60-bit portable hash of an arbitrary expression
+def hash64(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+TOK_CTE = f"""
+tok AS (
+    SELECT doc_id, unnest(list_distinct({TOKS_EXPR})) AS token
+    FROM documents
+)
+"""
+
+
+def _shingle_cte(n: int) -> str:
+    """Distinct word n-gram shingles per doc (mirror dedup.shingles)."""
+    parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+sh_tok AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= {n}
+             THEN list_transform(range(1, len(toks) - {n - 2}),
+                                 i -> concat_ws(' ', {parts}))
+             ELSE []::VARCHAR[] END)) AS token
+    FROM (SELECT doc_id, {TOKS_EXPR} AS toks FROM documents)
+)
+"""
+
+
+def scored_ctes(tok_name: str = "tok") -> str:
+    """sizes + pairs + scored CTEs over an already-defined token CTE."""
+    return f"""sizes AS (
+    SELECT doc_id, count(*) AS size FROM {tok_name} GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+    FROM {tok_name} a JOIN {tok_name} b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.doc_a, p.doc_b, p.intersection,
+           sa.size AS size_a, sb.size AS size_b,
+           CASE WHEN sa.size + sb.size - p.intersection > 0
+                THEN p.intersection / (sa.size + sb.size - p.intersection)
+                ELSE 0.0 END AS similarity
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+)"""
+
+
+def jaccard_scored_sql(tok_cte: str, tok_name: str = "tok") -> str:
+    """sizes + pairs + scored CTE chain over any (doc_id, token) CTE."""
+    return f"""WITH {tok_cte.strip()},
+sizes AS (
+    SELECT doc_id, count(*) AS size FROM {tok_name} GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+    FROM {tok_name} a JOIN {tok_name} b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.doc_a, p.doc_b, p.intersection,
+           sa.size AS size_a, sb.size AS size_b,
+           CASE WHEN sa.size + sb.size - p.intersection > 0
+                THEN p.intersection / (sa.size + sb.size - p.intersection)
+                ELSE 0.0 END AS similarity
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Jaccard family
+# ---------------------------------------------------------------------------
+
+def doc_tokens_sql() -> str:
+    return f"WITH {TOK_CTE.strip()} SELECT doc_id, token FROM tok"
+
+
+def doc_sizes_sql() -> str:
+    return (
+        f"WITH {TOK_CTE.strip()} "
+        "SELECT doc_id, count(*) AS size FROM tok GROUP BY doc_id"
+    )
+
+
+def pair_intersections_sql() -> str:
+    return f"""WITH {TOK_CTE.strip()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+GROUP BY 1, 2"""
+
+
+def jaccard_pairs_sql() -> str:
+    return jaccard_scored_sql(TOK_CTE) + " SELECT * FROM scored"
+
+
+def jaccard_threshold_sql(threshold: float) -> str:
+    return (
+        jaccard_scored_sql(TOK_CTE)
+        + f" SELECT * FROM scored WHERE similarity >= {threshold}"
+    )
+
+
+def jaccard_topk_sql(k: int) -> str:
+    return jaccard_scored_sql(TOK_CTE) + f""",
+sym AS (
+    SELECT doc_a AS doc_id, doc_b AS neighbor_id, similarity FROM scored
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS neighbor_id, similarity FROM scored
+),
+ranked AS (
+    SELECT doc_id, neighbor_id, similarity,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY similarity DESC, neighbor_id) AS rank
+    FROM sym
+)
+SELECT doc_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
+
+_STATS_BASE = f"""
+base AS (
+    SELECT doc_id,
+           {TOKS_EXPR} AS toks,
+           length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+           length(text) AS total,
+           length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS ascii_only
+    FROM documents
+),
+ratios AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, t -> list_contains({_STOPLIST}, t))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN nonws > 0
+                THEN CAST(punct AS DOUBLE) / CAST(nonws AS DOUBLE)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN total > 0
+                THEN CAST(total - ascii_only AS DOUBLE) / CAST(total AS DOUBLE)
+                ELSE 0.0 END AS non_ascii_ratio
+    FROM base
+)
+"""
+
+
+def text_stats_sql() -> str:
+    return f"""WITH {_STATS_BASE.strip()}
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_unique_tokens AS BIGINT) AS n_unique_tokens,
+       stopword_ratio,
+       punct_ratio,
+       ((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + (1.0 - punct_ratio)
+         + least(stopword_ratio / 0.4, 1.0)) / 3.0) AS quality_score
+FROM ratios"""
+
+
+def lang_id_sql() -> str:
+    return f"""WITH {_STATS_BASE.strip()}
+SELECT doc_id,
+       CASE WHEN n_tokens = 0 THEN 'unknown'
+            WHEN non_ascii_ratio > 0.3 THEN 'non_latin'
+            WHEN stopword_ratio >= 0.05 THEN 'en'
+            ELSE 'other_latin' END AS lang_pred,
+       stopword_ratio AS lang_score
+FROM ratios"""
+
+
+def token_counts_sql() -> str:
+    return r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+           AS n_ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> ''))
+            + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT)
+           AS n_subword_tokens
+FROM documents"""
+
+
+def fingerprints_sql() -> str:
+    return f"""
+SELECT doc_id,
+       md5({NORM_EXPR}) AS fingerprint,
+       {hash64(NORM_EXPR)} AS fingerprint64
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates_sql() -> str:
+    return f"""WITH fp AS (
+    SELECT doc_id, md5({NORM_EXPR}) AS fingerprint FROM documents
+)
+SELECT doc_id, fingerprint,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS keeper,
+       doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+FROM fp"""
+
+
+def ngram_duplicates_sql(n: int, threshold: float) -> str:
+    return (
+        jaccard_scored_sql(_shingle_cte(n), "sh_tok")
+        + f" SELECT * FROM scored WHERE similarity >= {threshold}"
+    )
+
+
+def _minhash_cte(k: int, seed: int) -> str:
+    params = minhash_params(k, seed)
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    return f"""{TOK_CTE.strip()},
+hv AS (
+    SELECT doc_id, {hash64('token')} % {MINHASH_PRIME} AS hv FROM tok
+),
+mh AS (
+    SELECT doc_id, CAST(p.h_idx AS BIGINT) AS h_idx,
+           min((p.a * hv.hv + p.b) % {MINHASH_PRIME}) AS min_hash
+    FROM hv, (VALUES {values}) AS p(h_idx, a, b)
+    GROUP BY doc_id, p.h_idx
+)"""
+
+
+def minhash_signatures_sql(k: int = DEFAULT_NUM_HASHES, seed: int = DEFAULT_SEED) -> str:
+    return f"WITH {_minhash_cte(k, seed)} SELECT doc_id, h_idx, min_hash FROM mh"
+
+
+def minhash_lsh_dedup_sql(
+    threshold: float,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    r = k // bands
+    return f"""WITH {_minhash_cte(k, seed)},
+buckets AS (
+    SELECT doc_id, h_idx // {r} AS band,
+           string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS bucket
+    FROM mh GROUP BY doc_id, h_idx // {r}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+{scored_ctes("tok")}
+SELECT c.doc_a, c.doc_b, s.similarity
+FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+WHERE s.similarity >= {threshold}"""
+
+
+def _simhash_cte(bits: int = SIMHASH_BITS) -> str:
+    sums = ",\n           ".join(
+        f"sum(((hv >> {j}) & 1) * 2 - 1) AS s_{j}" for j in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return f"""{TOK_CTE.strip()},
+hv AS (
+    SELECT doc_id, {hash64('token')} AS hv FROM tok
+),
+sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM hv GROUP BY doc_id
+),
+sh AS (
+    SELECT doc_id, ({fp}) AS simhash FROM sums
+)"""
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    return f"WITH {_simhash_cte(bits)} SELECT doc_id, simhash FROM sh"
+
+
+def simhash_duplicates_sql(max_distance: int, bits: int = SIMHASH_BITS) -> str:
+    # brute-force oracle; the engine uses exact pigeonhole blocking —
+    # results must be identical
+    return f"""WITH {_simhash_cte(bits)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}"""

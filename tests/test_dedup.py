@@ -1,0 +1,95 @@
+"""Dedup operator semantics on corpora with known duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from jaccard_mapreduce_spark.operators import dedup as D
+from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base.upper() + "!!!"),          # exact dup after normalization
+        (3, base.replace("river", "creek")),  # near dup (1 token changed)
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, base),                           # exact dup of 1 and 2
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, corpus):
+    got = {r["doc_id"]: r for r in D.exact_duplicates(corpus).collect()}
+    assert got[1]["keeper"] == 1 and not got[1]["is_dup"]
+    assert got[2]["keeper"] == 1 and got[2]["is_dup"]
+    assert got[5]["keeper"] == 1 and got[5]["is_dup"]
+    assert got[3]["keeper"] == 3 and not got[3]["is_dup"]
+    assert got[4]["keeper"] == 4 and not got[4]["is_dup"]
+
+
+def test_ngram_duplicates(spark, corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["similarity"]
+        for r in D.ngram_duplicates(corpus, n=3, threshold=0.5).collect()
+    }
+    # exact dups share all shingles
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    assert pairs[(2, 5)] == 1.0
+    # near dup shares most shingles but not all
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    # unrelated docs below threshold
+    assert (1, 4) not in pairs
+
+
+def test_minhash_identical_sets_identical_sigs(spark, corpus):
+    tokens = doc_tokens(corpus)
+    sigs = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(tokens, k=16).collect()}
+    assert sigs[1] == sigs[2] == sigs[5]
+    assert sigs[1] != sigs[4]
+    # signature values are bounded by the prime
+    assert all(0 <= v < D.MINHASH_PRIME for v in sigs[1])
+
+
+def test_minhash_lsh_dedup_finds_dups(spark, corpus):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["similarity"]
+        for r in D.minhash_lsh_dedup(corpus, threshold=0.7).collect()
+    }
+    # identical docs are guaranteed candidates (identical sigs -> same buckets)
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 5)] == 1.0
+    assert got[(2, 5)] == 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_properties(spark, corpus):
+    tokens = doc_tokens(corpus)
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(tokens).collect()}
+    assert sh[1] == sh[2] == sh[5]  # identical token sets
+    assert 0 <= sh[1] < (1 << D.SIMHASH_BITS)
+    ham_13 = bin(sh[1] ^ sh[3]).count("1")
+    ham_14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_13 < ham_14  # near dup closer than unrelated doc
+
+
+def test_simhash_duplicates_blocking_is_exact(spark, corpus):
+    tokens = doc_tokens(corpus)
+    # blocking join result == brute force on the collected fingerprints
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_duplicates(tokens, max_distance=10).collect()
+    }
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(tokens).collect()}
+    ids = sorted(sh)
+    want = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 10
+    }
+    assert got == want
+    assert got[(1, 2)] == 0
