@@ -28,8 +28,13 @@ from pyspark.sql import functions as F  # noqa: E402
 from jaccard_mapreduce_spark import oracles  # noqa: E402
 from jaccard_mapreduce_spark.operators import dedup as D  # noqa: E402
 from jaccard_mapreduce_spark.operators import jaccard as J  # noqa: E402
+from jaccard_mapreduce_spark.operators import similarity as S  # noqa: E402
 from jaccard_mapreduce_spark.operators import text_analysis as TA  # noqa: E402
 from jaccard_mapreduce_spark.sources.corpus import read_documents  # noqa: E402
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
         "simhash": lambda s, d: D.simhash(_tokens(s, d)),
         "dedup_simhash": lambda s, d: D.simhash_duplicates(_tokens(s, d), max_distance=3),
+        # --- Similarity search (embeddings) ---
+        "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
+        "ann_lsh_topk": lambda s, d: S.ann_lsh_topk(_emb(s, d), k=10),
+        "dedup_embedding": lambda s, d: S.embedding_duplicates(_emb(s, d), min_cosine=0.3),
     }
 
 
@@ -96,4 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracles.minhash_lsh_dedup_sql(0.7),
         "simhash": oracles.simhash_sql(),
         "dedup_simhash": oracles.simhash_duplicates_sql(3),
+        "ann_cosine_topk": oracles.ann_cosine_topk_sql(10),
+        "ann_lsh_topk": oracles.ann_lsh_topk_sql(10, S.lsh_planes(64)),
+        "dedup_embedding": oracles.embedding_duplicates_sql(0.3),
     }

@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline (O(n²·d) — fine to a few
+tens of thousands of vectors, and embarrassingly parallel since the
+probe side broadcasts). The scale path is random-hyperplane LSH: bucket
+vectors by sign-bit signature, search within buckets — candidate
+generation is linear and shuffle-friendly (equi-join on the bucket key),
+the standard trade of recall for the quadratic blowup. An IVF variant
+would swap the hash for k-means cell assignment; same plan shape.
+
+All arithmetic is double-precision with a FIXED accumulation order
+(``F.aggregate`` over ``zip_with`` evaluates sequentially by index, and
+DuckDB's ``list_dot_product`` matches it bit-for-bit — verified), so
+cosine scores are oracle-hash-exact. float32 -> float64 casts and
+float32×float32 products are exact in double (24-bit mantissas), so no
+precision is lost before accumulation.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_PLANES = 16
+DEFAULT_SEED = 42
+
+
+def lsh_planes(dim: int, n_planes: int = DEFAULT_PLANES, seed: int = DEFAULT_SEED) -> list[list[float]]:
+    """Deterministic random hyperplanes (Gaussian components)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (oracle: list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def vectors(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Normalize schema to ``(vec_id, vec array<double>, norm2 double)``."""
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), vec.alias("vec")
+    ).withColumn("norm2", _dot(F.col("vec"), F.col("vec")))
+
+
+def _cosine(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
+    return F.when(
+        (norm2_a > 0) & (norm2_b > 0),
+        dot / (F.sqrt(norm2_a) * F.sqrt(norm2_b)),
+    ).otherwise(F.lit(0.0))
+
+
+def cosine_pairs(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All ordered pairs (a != b) with cosine score — the exact kernel.
+
+    The probe side is broadcast: no shuffle of the big side; at cluster
+    scale the left side stays partition-local while each executor scans
+    its slice against the broadcast probes.
+    """
+    v = vectors(embeddings, id_col, vec_col)
+    a = v.alias("a")
+    b = F.broadcast(v).alias("b")
+    dot = _dot(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _cosine(dot, F.col("a.norm2"), F.col("b.norm2")).alias("score"),
+        )
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_topk(embeddings: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k per vector:
+    ``(query_id, neighbor_id, score, rank)``."""
+    return _topk(cosine_pairs(embeddings, id_col, vec_col), k)
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string, e.g. ``'0110...'`` — the bucket key."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_planes: int = DEFAULT_PLANES,
+    seed: int = DEFAULT_SEED,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share an LSH bucket
+    (same-side-of-every-hyperplane), exact rerank within the bucket.
+
+    Recall < 1 by design; the bucket equi-join replaces the O(n²) probe.
+    """
+    planes = lsh_planes(dim, n_planes, seed)
+    v = vectors(embeddings, id_col, vec_col).withColumn(
+        "bucket", lsh_signature(F.col("vec"), planes)
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = _dot(F.col("a.vec"), F.col("b.vec"))
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _cosine(dot, F.col("a.norm2"), F.col("b.norm2")).alias("score"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def embedding_duplicates(
+    embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (canonical a < b)."""
+    pairs = cosine_pairs(embeddings, id_col, vec_col)
+    return (
+        pairs.where(
+            (F.col("query_id") < F.col("neighbor_id"))
+            & (F.col("score") >= min_cosine)
+        )
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            F.col("score"),
+        )
+    )

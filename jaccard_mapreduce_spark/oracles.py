@@ -333,3 +333,79 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+# DuckDB's list_dot_product on DOUBLE[] accumulates sequentially by index,
+# bit-identical to Spark's F.aggregate(zip_with(...)) — verified empirically
+# (tests/test_similarity.py + the parity harness).
+
+_VEC_CTES = """
+v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+n AS (
+    SELECT vec_id, vec, list_dot_product(vec, vec) AS norm2 FROM v
+)"""
+
+_COSINE = (
+    "CASE WHEN a.norm2 > 0 AND b.norm2 > 0 "
+    "THEN list_dot_product(a.vec, b.vec) / (sqrt(a.norm2) * sqrt(b.norm2)) "
+    "ELSE 0.0 END"
+)
+
+
+def _ranked_sql(scored_from: str, k: int) -> str:
+    return f"""{scored_from},
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def ann_cosine_topk_sql(k: int) -> str:
+    return _ranked_sql(
+        f"""WITH {_VEC_CTES.strip()},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
+    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)""",
+        k,
+    )
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def ann_lsh_topk_sql(k: int, planes: list[list[float]]) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(vec, {_plane_literal(p)}) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return _ranked_sql(
+        f"""WITH {_VEC_CTES.strip()},
+sig AS (
+    SELECT vec_id, vec, norm2, ({bits}) AS bucket FROM n
+),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
+    FROM sig a JOIN sig b
+      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)""",
+        k,
+    )
+
+
+def embedding_duplicates_sql(min_cosine: float) -> str:
+    return f"""WITH {_VEC_CTES.strip()}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COSINE} AS score
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_COSINE} >= {min_cosine}"""
