@@ -28,9 +28,18 @@ from pyspark.sql import functions as F  # noqa: E402
 from jaccard_mapreduce_spark import oracles  # noqa: E402
 from jaccard_mapreduce_spark.operators import dedup as D  # noqa: E402
 from jaccard_mapreduce_spark.operators import jaccard as J  # noqa: E402
+from jaccard_mapreduce_spark.operators import relational as R  # noqa: E402
 from jaccard_mapreduce_spark.operators import similarity as S  # noqa: E402
 from jaccard_mapreduce_spark.operators import text_analysis as TA  # noqa: E402
 from jaccard_mapreduce_spark.sources.corpus import read_documents  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.tables import load_events
+
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,6 +93,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
         "ann_lsh_topk": lambda s, d: S.ann_lsh_topk(_emb(s, d), k=10),
         "dedup_embedding": lambda s, d: S.embedding_duplicates(_emb(s, d), min_cosine=0.3),
+        # --- Relational / OLAP coverage ---
+        "q1_pricing_summary": lambda s, d: R.q1_pricing_summary(_t(s, d, "lineitem")),
+        "q3_top_orders": lambda s, d: R.q3_top_orders(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q5_region_revenue": lambda s, d: R.q5_region_revenue(
+            _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "customer"),
+            _t(s, d, "orders"), _t(s, d, "lineitem"),
+        ),
+        "customer_order_windows": lambda s, d: R.customer_order_windows(_t(s, d, "orders")),
+        "customers_semi_anti": lambda s, d: R.customers_with_without_orders(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "orders_status_cube": lambda s, d: R.orders_status_cube(_t(s, d, "orders")),
+        "events_daily": lambda s, d: R.events_daily(_t(s, d, "events")),
+        "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
+        "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
+        "part_brand_stats": lambda s, d: R.part_brand_stats(_t(s, d, "part")),
     }
 
 
@@ -108,4 +135,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(10),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(10, S.lsh_planes(64)),
         "dedup_embedding": oracles.embedding_duplicates_sql(0.3),
+        "q1_pricing_summary": oracles.q1_pricing_summary_sql(),
+        "q3_top_orders": oracles.q3_top_orders_sql(),
+        "q5_region_revenue": oracles.q5_region_revenue_sql(),
+        "customer_order_windows": oracles.customer_order_windows_sql(),
+        "customers_semi_anti": oracles.customers_with_without_orders_sql(),
+        "orders_status_cube": oracles.orders_status_cube_sql(),
+        "events_daily": oracles.events_daily_sql(),
+        "events_sessionize": oracles.events_sessionize_sql(),
+        "events_json_props": oracles.events_json_props_sql(),
+        "part_brand_stats": oracles.part_brand_stats_sql(),
     }

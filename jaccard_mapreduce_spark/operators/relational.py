@@ -1,0 +1,277 @@
+"""Relational/OLAP operator coverage over the TPC-H-ish test tables.
+
+These demonstrate the engine's general query surface — multi-way joins
+with broadcast dimensions, hash aggregation, windows, sessionization,
+cube rollups, semi/anti joins — the operators any analytics pipeline
+composes around the similarity/dedup core.
+
+Oracle-parity rules baked in:
+  * money math is DECIMAL end-to-end (exact, order-independent) and only
+    cast to DOUBLE at the output — identical bit patterns in both engines
+  * averages are exact-decimal sums divided as doubles (one rounding)
+  * timestamps never leave as raw values: the events table is ns-precision
+    parquet, which Spark truncates to µs — outputs use epoch seconds /
+    date strings, and orderings use unix micros, identical in both engines
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_D = "decimal(18,2)"
+
+
+def _one():
+    # decimal literal 1.00 (F.lit(1.0) would be a double and poison the
+    # exact-decimal arithmetic); built lazily — F.expr needs a live session
+    return F.expr("CAST(1 AS DECIMAL(3,2))")
+
+
+def q1_pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with exact decimal money math."""
+    li = lineitem.where(F.col("l_shipdate") <= ship_cutoff)
+    qty = F.col("l_quantity").cast(_D)
+    price = F.col("l_extendedprice").cast(_D)
+    disc = F.col("l_discount").cast(_D)
+    tax = F.col("l_tax").cast(_D)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("_sq"),
+            F.sum(price).alias("_sp"),
+            F.sum(price * (_one() - disc)).alias("_sd"),
+            F.sum(price * (_one() - disc) * (_one() + tax)).alias("_sc"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sp").cast("double").alias("sum_base_price"),
+            F.col("_sd").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
+            "count_order",
+        )
+    )
+
+
+def q3_top_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (broadcast customer dim), revenue agg,
+    deterministic top-k."""
+    price = F.col("l_extendedprice").cast(_D)
+    disc = F.col("l_discount").cast(_D)
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (_one() - disc)).alias("_rev"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            "o_orderpriority",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def q5_region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join chain with broadcast dims, revenue
+    per nation."""
+    price = F.col("l_extendedprice").cast(_D)
+    disc = F.col("l_discount").cast(_D)
+    dims = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (_one() - disc)).alias("_rev"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .select(
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_lineitems",
+        )
+    )
+
+
+def customer_order_windows(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window functions: top-k orders per customer by totalprice +
+    running cumulative spend (exact decimal)."""
+    price = F.col("o_totalprice").cast(_D)
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w_rank).cast("long"))
+        .withColumn("cum_spend", F.sum(price).over(w_cum))
+        .where(F.col("rn") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast(_D).cast("double").alias("total_price"),
+            "rn",
+            F.col("cum_spend").cast("double").alias("cum_spend"),
+        )
+    )
+
+
+def customers_with_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi/anti join coverage: per-nation counts of customers that do /
+    don't have orders."""
+    with_o = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).groupBy("c_nationkey").agg(F.count("*").alias("n_with_orders"))
+    without_o = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).groupBy("c_nationkey").agg(F.count("*").alias("n_without_orders"))
+    return (
+        with_o.join(without_o, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+def orders_status_cube(orders: DataFrame) -> DataFrame:
+    """CUBE rollup over (status, priority) with exact decimal sums."""
+    price = F.col("o_totalprice").cast(_D)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.sum(price).alias("_tp"))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            F.col("_tp").cast("double").alias("total_price"),
+        )
+    )
+
+
+def events_daily(events: DataFrame) -> DataFrame:
+    """Tumbling-day rollup of the event stream (batch form; streaming
+    variant in streaming/)."""
+    val = F.col("value").cast(_D)
+    return (
+        events.groupBy(
+            F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(val).alias("_sv"),
+        )
+        .select(
+            "day", "event_type", "n_events", "n_users",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def events_sessionize(events: DataFrame, gap_seconds: int = 21600) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_seconds``. Pure window composition (lag -> gap flag
+    -> cumulative session index), ns-safe (µs-epoch ordering).
+    """
+    epoch_us = F.unix_micros(F.col("ts"))
+    w_order = Window.partitionBy("user_id").orderBy("ep_us", "event_id")
+    ev = events.select("user_id", "event_id", epoch_us.alias("ep_us"), "value")
+    ev = ev.withColumn("prev_us", F.lag("ep_us").over(w_order))
+    is_new = (
+        F.col("prev_us").isNull()
+        | ((F.col("ep_us") - F.col("prev_us")) > gap_seconds * 1_000_000)
+    ).cast("long")
+    ev = ev.withColumn(
+        "session_idx",
+        F.sum(is_new).over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    val = F.col("value").cast(_D)
+    return (
+        ev.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            # integer div: float division + cast would round vs truncate
+            # differently across engines
+            F.expr("min(ep_us) div 1000000").alias("session_start_s"),
+            F.expr("max(ep_us) div 1000000").alias("session_end_s"),
+            F.sum(val).alias("_sv"),
+        )
+        .select(
+            "user_id", "session_idx", "n_events",
+            "session_start_s", "session_end_s",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def events_json_props(events: DataFrame) -> DataFrame:
+    """JSON extraction from the string props column."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+def part_brand_stats(part: DataFrame) -> DataFrame:
+    """Scalar-agg coverage: per-brand stats with exact decimal avg."""
+    price = F.col("p_retailprice").cast(_D)
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(price).alias("_sp"),
+            F.min("p_size").cast("long").alias("min_size"),
+            F.max("p_size").cast("long").alias("max_size"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            (F.col("_sp").cast("double") / F.col("n_parts")).alias("avg_price"),
+            "min_size",
+            "max_size",
+        )
+    )

@@ -409,3 +409,161 @@ def embedding_duplicates_sql(min_cosine: float) -> str:
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COSINE} AS score
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_COSINE} >= {min_cosine}"""
+
+
+# ---------------------------------------------------------------------------
+# Relational / OLAP coverage (TPC-H-ish)
+# ---------------------------------------------------------------------------
+# Money math: DECIMAL(18,2) end-to-end, cast to DOUBLE only at the output —
+# exact and order-independent, so sums hash identically across engines.
+
+_DD = "DECIMAL(18,2)"
+_ONE_D = "CAST(1 AS DECIMAL(3,2))"
+
+
+def q1_pricing_summary_sql(ship_cutoff: str = "1998-09-02") -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS {_DD})) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS {_DD})) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS {_DD}) * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS {_DD}) * ({_ONE_D} - CAST(l_discount AS {_DD})) * ({_ONE_D} + CAST(l_tax AS {_DD}))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS {_DD})) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS {_DD})) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{ship_cutoff} 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q3_top_orders_sql(segment: str = "BUILDING", k: int = 10) -> str:
+    return f"""
+SELECT o.o_orderkey,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       o.o_orderpriority,
+       CAST(sum(CAST(l.l_extendedprice AS {_DD}) * ({_ONE_D} - CAST(l.l_discount AS {_DD}))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{segment}'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT {k}"""
+
+
+def q5_region_revenue_sql(region_name: str = "ASIA") -> str:
+    return f"""
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS {_DD}) * ({_ONE_D} - CAST(l.l_discount AS {_DD}))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{region_name}'
+GROUP BY n.n_name"""
+
+
+def customer_order_windows_sql(k: int = 3) -> str:
+    return f"""
+WITH w AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS {_DD}) AS DOUBLE) AS total_price,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           CAST(sum(CAST(o_totalprice AS {_DD}))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum_spend
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, total_price, CAST(rn AS BIGINT) AS rn, cum_spend
+FROM w WHERE rn <= {k}"""
+
+
+def customers_with_without_orders_sql() -> str:
+    return """
+WITH w AS (
+    SELECT c_nationkey, count(*) AS n_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+),
+wo AS (
+    SELECT c_nationkey, count(*) AS n_without_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+)
+SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+       coalesce(w.n_with_orders, 0) AS n_with_orders,
+       coalesce(wo.n_without_orders, 0) AS n_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey"""
+
+
+def orders_status_cube_sql() -> str:
+    return f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {_DD})) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+
+def events_daily_sql() -> str:
+    return f"""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS {_DD})) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+
+
+def events_sessionize_sql(gap_seconds: int = 21600) -> str:
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ep_us, value
+    FROM events
+),
+lagged AS (
+    SELECT *, lag(ep_us) OVER (PARTITION BY user_id ORDER BY ep_us, event_id) AS prev_us
+    FROM ev
+),
+flagged AS (
+    SELECT *,
+           CAST(prev_us IS NULL OR ep_us - prev_us > CAST({gap_seconds} AS BIGINT) * 1000000 AS BIGINT) AS is_new
+    FROM lagged
+),
+sess AS (
+    SELECT *,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ep_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(ep_us) // 1000000 AS session_start_s,
+       max(ep_us) // 1000000 AS session_end_s,
+       CAST(sum(CAST(value AS {_DD})) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_idx"""
+
+
+def events_json_props_sql() -> str:
+    return """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k FROM events"""
+
+
+def part_brand_stats_sql() -> str:
+    return f"""
+SELECT p_brand,
+       count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS {_DD})) AS DOUBLE) / count(*) AS avg_price,
+       CAST(min(p_size) AS BIGINT) AS min_size,
+       CAST(max(p_size) AS BIGINT) AS max_size
+FROM part
+GROUP BY p_brand"""

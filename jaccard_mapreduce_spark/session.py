@@ -54,6 +54,9 @@ def get_spark(
         # toPandas in tests).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # TIMESTAMP(NANOS) parquet (the events table) reads as raw int64;
+        # sources.tables.load_events normalizes to a µs timestamp.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = [
     "region",
@@ -18,13 +20,30 @@ TABLE_NAMES = [
 ]
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with a proper µs timestamp column.
+
+    The parquet stores TIMESTAMP(NANOS), which Spark reads as raw int64
+    (``spark.sql.legacy.parquet.nanosAsLong``, set in session.py).
+    Integer-divide to µs — a float division would lose precision at
+    ~1.7e18 ns — and rebuild the timestamp.
+    """
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = False
 ) -> dict[str, DataFrame]:
     """Load every testdata table; optionally register temp views by name."""
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df
