@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from jaccard_mapreduce_spark import oracles  # noqa: E402
+from jaccard_mapreduce_spark.operators import multimodal as MM  # noqa: E402
 from jaccard_mapreduce_spark.operators import dedup as D  # noqa: E402
 from jaccard_mapreduce_spark.operators import jaccard as J  # noqa: E402
 from jaccard_mapreduce_spark.operators import relational as R  # noqa: E402
@@ -46,6 +47,51 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _run_stream_to_table(stream_df, mode: str) -> str:
+    """Drive a streaming DataFrame to completion into a memory sink;
+    returns the sink table name."""
+    import uuid
+
+    name = "q" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def _q_stream_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.events import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    agg = windowed_event_counts(read_events_stream(spark, sf_dir), window="1 hour")
+    name = _run_stream_to_table(agg, "complete")
+    return spark.table(name)
+
+
+def _q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.events import (
+        read_events_stream,
+        stateful_user_counts,
+    )
+
+    counts = stateful_user_counts(read_events_stream(spark, sf_dir))
+    name = _run_stream_to_table(counts, "update")
+    # update-mode sink holds every emitted update; the final state per
+    # user is the running maximum
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events_total").alias("n_events_total"))
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
@@ -62,6 +108,19 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full all-pairs Jaccard relation on the sf0.001 corpus."""
     return J.jaccard_pairs(_docs(spark, "/root/testdata/sf0.001"), strategy="auto")
+
+
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Ensure executor workers can import the package before running a
+    query that crosses the Python UDF boundary."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from jaccard_mapreduce_spark.shiplib import ensure_package_on_workers
+
+        ensure_package_on_workers(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -111,6 +170,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
         "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
         "part_brand_stats": lambda s, d: R.part_brand_stats(_t(s, d, "part")),
+        # --- Multimodal (binary columns through Arrow/mapInPandas) ---
+        "media_meta": _shipped(
+            lambda s, d: MM.decode_media_meta(
+                MM.attach_fake_media(_docs(s, d)), backend="fake"
+            )
+        ),
+        "media_features": _shipped(
+            lambda s, d: MM.extract_media_features(
+                MM.attach_fake_media(_docs(s, d)), dim=16
+            )
+        ),
+        # --- Structured Streaming (run to completion, memory sink) ---
+        "stream_windowed_hourly": _q_stream_windowed_hourly,
+        "stream_user_counts": _shipped(_q_stream_user_counts),
     }
 
 
@@ -145,4 +218,10 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": oracles.events_sessionize_sql(),
         "events_json_props": oracles.events_json_props_sql(),
         "part_brand_stats": oracles.part_brand_stats_sql(),
+        "media_meta": oracles.media_meta_sql(),
+        "media_features": oracles.media_features_sql(16),
+        # streaming queries verified against batch-equivalent SQL — the
+        # watermark/window machinery must converge to the batch answer
+        "stream_windowed_hourly": oracles.stream_windowed_hourly_sql(),
+        "stream_user_counts": oracles.stream_user_counts_sql(),
     }

@@ -1,0 +1,175 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata alongside — the Spark-side contract (schema, partitioning, Arrow
+batch shape through ``mapInPandas``) is real and tested; the actual
+codec step is STUBBED because image/audio libraries are not available in
+this container:
+
+  * ``backend='fake'`` — deterministic synthetic payloads with a parseable
+    header (magic + big-endian width/height + md5-derived payload), so
+    decode/feature/frame operators exercise the full binary round trip.
+  * ``backend='pil'`` / ``'ffmpeg'`` — raise ``NotImplementedError`` with
+    a clear message; a real deployment drops PIL/ffmpeg into the same
+    ``mapInPandas`` functions without touching the plan shape.
+
+Everything crosses the Python boundary in Arrow record batches
+(``mapInPandas``), never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"FAKEIMG"
+_HEADER_FMT = ">II"  # width, height, big-endian (format string,
+# not a struct.Struct instance — Struct objects are not cloudpickle-able
+# inside mapInPandas closures)
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+
+
+def fake_media_bytes(doc_id: int) -> bytes:
+    """Deterministic synthetic media payload for ``doc_id``.
+
+    Layout: 7-byte magic | u32 width | u32 height | payload, where
+    payload = md5(b"media:<id>") repeated (id % 4 + 1) times and
+    width/height are simple functions of the id (oracle-checkable).
+    """
+    width = (doc_id % 48) * 16 + 64
+    height = (doc_id % 27) * 16 + 64
+    digest = hashlib.md5(f"media:{doc_id}".encode()).digest()
+    payload = digest * (doc_id % 4 + 1)
+    return MAGIC + struct.pack(_HEADER_FMT, width, height) + payload
+
+
+def attach_fake_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Add a deterministic ``media binary`` column (the test stand-in for
+    reading real image bytes from a lake)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["media"] = pdf["doc_id"].map(lambda i: fake_media_bytes(int(i)))
+            pdf["media_type"] = "image/x-fake"
+            yield pdf
+
+    base = documents.select(F.col(id_col).alias("doc_id"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", base.schema["doc_id"].dataType),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+    return base.mapInPandas(gen, schema=schema)
+
+
+def decode_media_meta(media: DataFrame, backend: str = "fake") -> DataFrame:
+    """Decode media headers to typed metadata
+    ``(doc_id, width, height, n_bytes)``.
+
+    ``backend='pil'`` is the real-image path — STUB: not available here.
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            f"media backend {backend!r} requires image/audio libraries that "
+            "are not installed in this environment; only the deterministic "
+            "'fake' codec is available"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame()
+            out["doc_id"] = pdf["doc_id"]
+            raw = pdf["media"]
+            ok = raw.map(lambda b: isinstance(b, (bytes, bytearray)) and b[:7] == MAGIC)
+            out["width"] = [
+                struct.unpack_from(_HEADER_FMT, b, 7)[0] if good else None
+                for b, good in zip(raw, ok)
+            ]
+            out["height"] = [
+                struct.unpack_from(_HEADER_FMT, b, 7)[1] if good else None
+                for b, good in zip(raw, ok)
+            ]
+            out["n_bytes"] = raw.map(len)
+            yield out
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", media.schema["doc_id"].dataType),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(decode, schema=schema)
+
+
+def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction stub: ``dim`` floats derived from the payload's
+    leading md5 digest bytes (byte_i / 255.0). Long format
+    ``(doc_id, feat_idx, feat_val)`` — deterministic, oracle-checkable.
+
+    A real extractor (CLIP/whisper embedding) replaces the body of the
+    pandas function; the Arrow batch contract stays identical.
+    """
+    header_len = len(MAGIC) + _HEADER_SIZE
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for i, b in zip(pdf["doc_id"], pdf["media"]):
+                digest = bytes(b)[header_len : header_len + dim]
+                for j, byte in enumerate(digest):
+                    ids.append(i)
+                    idxs.append(j)
+                    vals.append(byte / 255.0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "feat_idx": idxs, "feat_val": vals}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", media.schema["doc_id"].dataType),
+            T.StructField("feat_idx", T.LongType()),
+            T.StructField("feat_val", T.DoubleType()),
+        ]
+    )
+    return media.mapInPandas(feats, schema=schema)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 16, every_n: int = 2) -> DataFrame:
+    """Frame-sampling stub ("video" = payload split into fixed-size
+    frames; keep every n-th): one input row fans out to many output rows
+    through the same Arrow batch contract."""
+    header_len = len(MAGIC) + _HEADER_SIZE
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, fbytes = [], [], []
+            for i, b in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(b)[header_len:]
+                n = len(payload) // frame_size
+                for k in range(0, n, every_n):
+                    ids.append(i)
+                    fidx.append(k)
+                    fbytes.append(payload[k * frame_size : (k + 1) * frame_size])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fidx, "frame": fbytes}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", media.schema["doc_id"].dataType),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    return media.mapInPandas(frames, schema=schema)

@@ -567,3 +567,52 @@ SELECT p_brand,
        CAST(max(p_size) AS BIGINT) AS max_size
 FROM part
 GROUP BY p_brand"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (fake codec formulas — mirror operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def media_meta_sql() -> str:
+    # width/height/n_bytes are deterministic functions of doc_id by
+    # construction (fake_media_bytes); the Spark side PARSES them back out
+    # of the binary header via mapInPandas — matching values proves the
+    # whole binary round trip.
+    return """
+SELECT doc_id,
+       CAST((doc_id % 48) * 16 + 64 AS BIGINT) AS width,
+       CAST((doc_id % 27) * 16 + 64 AS BIGINT) AS height,
+       CAST(15 + 16 * (doc_id % 4 + 1) AS BIGINT) AS n_bytes
+FROM documents"""
+
+
+def media_features_sql(dim: int = 16) -> str:
+    return f"""
+SELECT doc_id,
+       CAST(j AS BIGINT) AS feat_idx,
+       CAST(CAST(('0x' || substr(md5('media:' || CAST(doc_id AS VARCHAR)),
+                                 2 * j + 1, 2)) AS INT) AS DOUBLE)
+           / CAST(255 AS DOUBLE) AS feat_val
+FROM documents, (SELECT unnest(range({dim})) AS j)"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming (batch-equivalent oracles)
+# ---------------------------------------------------------------------------
+
+
+def stream_windowed_hourly_sql() -> str:
+    return """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+
+
+def stream_user_counts_sql() -> str:
+    return """
+SELECT user_id, count(*) AS n_events_total
+FROM events GROUP BY user_id"""

@@ -28,6 +28,15 @@ def get_spark(
 
     Env overrides: ``SPARK_GRAFT_CPUS`` sets local parallelism.
     """
+    # executor Python workers must be able to import this package (UDF
+    # closures are pickled by module reference)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -1,0 +1,91 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no streaming (SURVEY.md §2.1); this is the engine's
+extension tier: watermarked windowed aggregation and a custom stateful
+operator, the two shapes any event pipeline needs. File-source parquet
+drives tests (``maxFilesPerTrigger`` for multi-batch); swapping in Kafka
+is a source-config change, not a plan change.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming read of the events parquet (ns timestamps normalized to
+    µs exactly like the batch loader)."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file streaming source wants a directory — point it at sf_dir and
+    # glob-filter to the events file
+    reader = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type.
+
+    Late rows beyond the watermark are dropped; state for closed windows
+    is evicted — bounded memory at unbounded input, the property that
+    matters at cluster scale.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events_total", T.LongType()),
+    ]
+)
+
+
+def _count_updates(key, pdfs, state: GroupState):
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events_total": [n]})
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count via
+    ``applyInPandasWithState`` (the escape hatch for operators Spark's
+    built-in streaming aggs can't express)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _count_updates,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

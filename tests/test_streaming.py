@@ -1,0 +1,113 @@
+"""Structured Streaming tests: windowed aggs converge to the batch
+answer; stateful operator accumulates across micro-batches; incremental
+Jaccard matches the batch pipeline."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from jaccard_mapreduce_spark.operators.jaccard import jaccard_pairs
+from jaccard_mapreduce_spark.sources.corpus import read_corpus_text
+from jaccard_mapreduce_spark.streaming import (
+    IncrementalJaccard,
+    read_events_stream,
+    stateful_user_counts,
+    windowed_event_counts,
+)
+
+from tests.conftest import REF, SF_SMALL
+
+
+def _run(stream_df, mode: str, spark):
+    name = "t" + uuid.uuid4().hex[:10]
+    q = stream_df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_windowed_counts_match_batch(spark):
+    agg = windowed_event_counts(read_events_stream(spark, SF_SMALL), window="1 hour")
+    got = _run(agg, "complete", spark)
+
+    from jaccard_mapreduce_spark.sources.tables import load_events
+
+    ev = load_events(spark, SF_SMALL)
+    want = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("window_start_s"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    assert len(g) > 0
+
+
+def test_stateful_user_counts_accumulate(spark):
+    counts = stateful_user_counts(read_events_stream(spark, SF_SMALL))
+    sink = _run(counts, "update", spark)
+    final = {
+        r["user_id"]: r["n_events_total"]
+        for r in sink.groupBy("user_id")
+        .agg(F.max("n_events_total").alias("n_events_total"))
+        .collect()
+    }
+    from jaccard_mapreduce_spark.sources.tables import load_events
+
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_events(spark, SF_SMALL)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == want
+
+
+def test_incremental_jaccard_matches_batch(spark, tmp_path):
+    corpus = read_corpus_text(spark, f"{REF}/datasets/small.txt")
+    # split the corpus into 3 files so maxFilesPerTrigger=1 gives 3 batches
+    in_dir = str(tmp_path / "in")
+    parts = corpus.withColumn(
+        "part", (F.crc32(F.col("doc_id").cast("binary")) % 3).cast("int")
+    )
+    for i in range(3):
+        parts.where(F.col("part") == i).drop("part").write.mode(
+            "append" if i else "overwrite"
+        ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    inc = IncrementalJaccard(
+        spark, str(tmp_path / "state"), str(tmp_path / "scores")
+    )
+    q = inc.attach(stream)
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.read.parquet(str(tmp_path / "scores"))
+        .groupBy("doc_a", "doc_b")
+        # a pair may be re-emitted in a later batch with a larger
+        # intersection as the corpus grows — the final (max-batch) value
+        # is the converged one; here pairs only ever grow, so take the row
+        # with max batch_id per pair == max intersection
+        .agg(F.max(F.struct("batch_id", "intersection", "size_a", "size_b", "similarity")).alias("s"))
+        .select("doc_a", "doc_b", "s.intersection", "s.size_a", "s.size_b", "s.similarity")
+    )
+    want = jaccard_pairs(corpus, strategy="join")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
