@@ -152,6 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
         "ann_lsh_topk": lambda s, d: S.ann_lsh_topk(_emb(s, d), k=10),
         "dedup_embedding": lambda s, d: S.embedding_duplicates(_emb(s, d), min_cosine=0.3),
+        # numpy-vectorized scale path; float accumulation order differs
+        # from SQL, so rows-only check (no oracle entry)
+        "ann_cosine_topk_fast": _shipped(
+            lambda s, d: S.cosine_topk_fast(_emb(s, d), k=10)
+        ),
         # --- Relational / OLAP coverage ---
         "q1_pricing_summary": lambda s, d: R.q1_pricing_summary(_t(s, d, "lineitem")),
         "q3_top_orders": lambda s, d: R.q3_top_orders(

@@ -1,0 +1,102 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the reference's
+own large dataset for direct BASELINE.md comparison (the reference's
+local-mode 3-job pipeline: 10.09 s on datasets/large.txt; BASELINE.md
+target for us: <= ~20 s — we aim well under).
+
+Each query is forced through the `noop` sink: full computation, zero
+result serialization, so the number measures the plan, not the collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jaccard_mapreduce_spark.session import get_spark  # noqa: E402
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    import __spark_entry__ as entry
+
+    from jaccard_mapreduce_spark.operators.jaccard import run_reference_pipeline
+
+    qs = entry.queries()
+
+    # Warm up JVM codegen + Python UDF workers once; the reference's
+    # BASELINE numbers are per-pipeline compute, and a long-lived engine
+    # amortizes startup — cold-start cost is reported separately below.
+    t0 = time.perf_counter()
+    _force(
+        run_reference_pipeline(spark, "/root/reference/datasets/small.txt")
+    )
+    _force(qs["media_meta"](spark, "/root/testdata/sf0.001"))
+    warmup_s = round(time.perf_counter() - t0, 3)
+
+    bench_queries = [
+        "jaccard_pairs",
+        "jaccard_topk",
+        "jaccard_threshold",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_stats",
+        "lang_id",
+        "fingerprints",
+        "ann_cosine_topk_fast",
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_region_revenue",
+        "customer_order_windows",
+        "events_sessionize",
+        "events_daily",
+        "media_meta",
+    ]
+
+    timings: dict[str, float] = {}
+
+    # Reference-parity pipeline on the reference's own largest dataset —
+    # the direct apples-to-apples number vs BASELINE.md (1DN local mode).
+    t0 = time.perf_counter()
+    _force(
+        run_reference_pipeline(spark, "/root/reference/datasets/large.txt")
+    )
+    timings["jaccard_ref_large"] = round(time.perf_counter() - t0, 3)
+
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "warmup_seconds": warmup_s,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,18 @@ DEFAULT_SEED = 42
 SIMHASH_BITS = 60  # portable_hash64 yields 60 bits
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism.
+
+    High-fanout joins whose probe side is a small aggregate output get
+    coalesced to ~1 partition by AQE (the input IS small — the fanout
+    isn't visible to the size estimator), serializing the expensive
+    stage. An explicit spread before the fanout keeps every core busy;
+    round-robin is safe because the other side is broadcast.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def minhash_params(k: int = DEFAULT_NUM_HASHES, seed: int = DEFAULT_SEED) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for h_i(x) = (a*x + b) mod P."""
     rng = random.Random(seed)
@@ -193,8 +205,8 @@ def minhash_lsh_candidates(
     assert k % bands == 0, "num hashes must divide evenly into bands"
     r = k // bands
     buckets = lsh_buckets(minhash_signatures(tokens, k, seed), bands, r)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    a = _spread(buckets).alias("a")
+    b = F.broadcast(buckets).alias("b")
     return (
         a.join(
             b,
@@ -218,14 +230,58 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """LSH candidates verified with *exact* token Jaccard >= threshold.
 
-    Returns ``(doc_a, doc_b, similarity)``. At scale the verify join
-    touches only candidate pairs (≈ linear), never the full pair matrix.
+    Returns ``(doc_a, doc_b, similarity)``. The verify pass touches ONLY
+    candidate pairs: each doc's token set is collected once (a set is
+    small — it's a document, not a posting list) and candidates are
+    scored with ``array_intersect`` — per-pair O(|set|) work, never the
+    full Σ C(df,2) pair-vote matrix of the all-pairs pipeline.
     """
+    from jaccard_mapreduce_spark.operators.jaccard import (
+        _BITMASK_MAX_VOCAB,
+        mask_intersection,
+        token_masks,
+    )
+
     tokens = doc_tokens(documents, id_col, text_col)
     cands = minhash_lsh_candidates(tokens, k, bands, seed)
-    scored = jaccard_from_tokens(tokens)
+
+    vocab_size = tokens.select("token").distinct().count()
+    if vocab_size <= _BITMASK_MAX_VOCAB:
+        # small-vocab verify: popcount(AND) on bitmasks — pure codegen,
+        # ~10x faster than string-array intersection per candidate
+        n_words = (vocab_size + 63) // 64
+        sets = token_masks(tokens, max(vocab_size, 1))
+        inter = mask_intersection(
+            F.col("sa.mask"), F.col("sb.mask"), n_words
+        )
+    else:
+        sets = tokens.groupBy("doc_id").agg(
+            F.collect_set("token").alias("mask"), F.count("*").alias("size")
+        )
+        inter = F.size(
+            F.array_intersect(F.col("sa.mask"), F.col("sb.mask"))
+        ).cast("long")
+    # one row per document — broadcast both probe sides so the (possibly
+    # huge) candidate relation never shuffles
+    sa = F.broadcast(sets).alias("sa")
+    sb = F.broadcast(sets).alias("sb")
+    scored = (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("intersection"),
+            F.col("sa.size").alias("size_a"),
+            F.col("sb.size").alias("size_b"),
+        )
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("intersection")
     return (
-        cands.join(scored, ["doc_a", "doc_b"])
+        scored.withColumn(
+            "similarity",
+            F.when(union > 0, F.col("intersection") / union).otherwise(F.lit(0.0)),
+        )
         .where(F.col("similarity") >= threshold)
         .select("doc_a", "doc_b", "similarity")
     )
@@ -289,8 +345,8 @@ def simhash_duplicates(
     keyed = sh.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
         "doc_id", "simhash", F.col("b.block").alias("block"), F.col("b.val").alias("val")
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    a = _spread(keyed).alias("a")
+    b = F.broadcast(keyed).alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(

@@ -118,13 +118,10 @@ def _jaccard_pairs_join(tokens: DataFrame) -> DataFrame:
     return jaccard_from_tokens(tokens)
 
 
-def _jaccard_pairs_bitmask(tokens: DataFrame, vocab_size: int) -> DataFrame:
-    """Small-vocabulary fast path: token set -> bitmask array<long>;
-    pair scoring = popcount(AND) on a broadcast nested-loop join.
-
-    Avoids the token-level shuffle entirely: Σ C(df,2) pair-vote rows
-    (224M at sf0.1 for the 31-token documents table) never materialize.
-    """
+def token_masks(tokens: DataFrame, vocab_size: int) -> DataFrame:
+    """Encode each document's token set as a fixed-width bitmask:
+    ``(doc_id, size, mask array<long>)``. Only sensible when the global
+    vocabulary is small (strategy-gated by the callers)."""
     n_words = (vocab_size + 63) // 64
 
     # Dense token ids. The vocab is tiny by construction (strategy gate),
@@ -145,7 +142,7 @@ def _jaccard_pairs_bitmask(tokens: DataFrame, vocab_size: int) -> DataFrame:
 
     # Per-doc mask: OR bits within each 64-bit word, then assemble the
     # fixed-width array (missing words -> 0).
-    masks = (
+    return (
         with_tid.groupBy("doc_id", "word")
         .agg(F.bit_or("bit").alias("w"))
         .groupBy("doc_id")
@@ -167,15 +164,56 @@ def _jaccard_pairs_bitmask(tokens: DataFrame, vocab_size: int) -> DataFrame:
         )
     )
 
-    a = masks.alias("a")
-    b = F.broadcast(masks).alias("b")
-    inter = F.aggregate(
-        F.zip_with(
-            F.col("a.mask"), F.col("b.mask"), lambda x, y: F.bit_count(x.bitwiseAND(y))
-        ),
+
+def mask_intersection(mask_a, mask_b, n_words: int):
+    """popcount(a AND b) over equal-width mask arrays (codegen-friendly
+    plain column for single-word masks)."""
+    if n_words == 1:
+        return F.bit_count(mask_a[0].bitwiseAND(mask_b[0])).cast("long")
+    return F.aggregate(
+        F.zip_with(mask_a, mask_b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
         F.lit(0),
         lambda acc, v: acc + v,
     ).cast("long")
+
+
+def _jaccard_pairs_bitmask(tokens: DataFrame, vocab_size: int) -> DataFrame:
+    """Small-vocabulary fast path: token set -> bitmask array<long>;
+    pair scoring = popcount(AND) on a broadcast nested-loop join.
+
+    Avoids the token-level shuffle entirely: Σ C(df,2) pair-vote rows
+    (224M at sf0.1 for the 31-token documents table) never materialize.
+    """
+    n_words = (vocab_size + 63) // 64
+    masks = token_masks(tokens, vocab_size)
+
+    # spread the probe side to full parallelism: the mask relation is tiny
+    # (one row per doc) so AQE coalesces it, but the pair fanout is O(n²)
+    n_par = tokens.sparkSession.sparkContext.defaultParallelism
+    if n_words == 1:
+        # single-word fast path: a plain long column keeps the O(n²) pair
+        # scoring inside whole-stage codegen (higher-order array functions
+        # are interpreted per element)
+        masks = masks.select(
+            "doc_id", "size", F.col("mask")[0].alias("mask")
+        )
+        a = masks.repartition(n_par).alias("a")
+        b = F.broadcast(masks).alias("b")
+        inter = F.bit_count(
+            F.col("a.mask").bitwiseAND(F.col("b.mask"))
+        ).cast("long")
+    else:
+        a = masks.repartition(n_par).alias("a")
+        b = F.broadcast(masks).alias("b")
+        inter = F.aggregate(
+            F.zip_with(
+                F.col("a.mask"),
+                F.col("b.mask"),
+                lambda x, y: F.bit_count(x.bitwiseAND(y)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("long")
     union = F.col("size_a") + F.col("size_b") - F.col("intersection")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -238,17 +276,23 @@ def jaccard_topk(pairs: DataFrame, k: int) -> DataFrame:
 
     Returns ``(doc_id, neighbor_id, similarity, rank)``.
     """
+    # symmetrize with ONE pass over the pair relation — a unionAll of two
+    # selects would recompute the (expensive) pair subtree twice
     sym = pairs.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("neighbor_id"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("neighbor_id"),
+                ),
+            )
+        ).alias("e"),
         "similarity",
-    ).unionAll(
-        pairs.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("neighbor_id"),
-            "similarity",
-        )
-    )
+    ).select("e.doc_id", "e.neighbor_id", "similarity")
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("similarity"), F.asc("neighbor_id")
     )
