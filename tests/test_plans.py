@@ -1,0 +1,68 @@
+"""Physical-plan audits: the optimizations the engine relies on must be
+visible in the executed plan, not assumed. These tests fail if a future
+change silently regresses pushdown, pruning, or join strategy.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from jaccard_mapreduce_spark.operators.jaccard import doc_tokens, jaccard_pairs
+
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    df = entrymod.queries()["q1_pricing_summary"](spark, SF_ORACLE)
+    plan = _plan(df)
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # unused columns are pruned from the scan
+    scan = plan[plan.index("FileScan") :]
+    assert "l_orderkey" not in scan.split("\n", 1)[0]
+    assert "l_partkey" not in scan.split("\n", 1)[0]
+
+
+def test_doc_tokens_prunes_document_columns(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(doc_tokens(docs))
+    scan_line = plan[plan.index("FileScan") :].split("\n", 1)[0]
+    assert "doc_id" in scan_line and "text" in scan_line
+    # lang/source/n_chars never read
+    assert "lang" not in scan_line and "n_chars" not in scan_line
+
+
+def test_q3_broadcasts_dimensions(spark):
+    df = entrymod.queries()["q3_top_orders"](spark, SF_ORACLE)
+    assert _plan(df).count("BroadcastHashJoin") >= 2
+
+
+def test_jaccard_join_path_broadcasts_sizes(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(jaccard_pairs(docs, strategy="join"))
+    # the two doc-size lookups are broadcast (DistributedCache analog)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_jaccard_bitmask_path_has_no_token_shuffle_join(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(jaccard_pairs(docs, strategy="bitmask"))
+    # pair scoring is a broadcast nested-loop join on masks — the
+    # quadratic token-level sort-merge join must not appear
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+def test_fanout_joins_are_spread_and_broadcast(spark, name):
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    plan = _plan(df)
+    # candidate generation probes a broadcast build side after an explicit
+    # round-robin exchange (the AQE-coalesce-vs-fanout fix)
+    assert "BroadcastHashJoin" in plan
+    assert "RoundRobinPartitioning" in plan
