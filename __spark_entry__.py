@@ -175,6 +175,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
         "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
         "part_brand_stats": lambda s, d: R.part_brand_stats(_t(s, d, "part")),
+        "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
+        "orders_pivot": lambda s, d: R.orders_priority_pivot(_t(s, d, "orders")),
+        "orders_grouping_sets": lambda s, d: R.orders_grouping_sets(_t(s, d, "orders")),
+        "lineitem_unpivot": lambda s, d: R.lineitem_unpivot(_t(s, d, "lineitem")),
+        "dedup_clusters": lambda s, d: D.dedup_clusters(
+            _docs(s, d).select("doc_id"),
+            D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
+        ),
         # --- Multimodal (binary columns through Arrow/mapInPandas) ---
         "media_meta": _shipped(
             lambda s, d: MM.decode_media_meta(
@@ -223,6 +231,11 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": oracles.events_sessionize_sql(),
         "events_json_props": oracles.events_json_props_sql(),
         "part_brand_stats": oracles.part_brand_stats_sql(),
+        "asof_clicks_views": oracles.asof_join_events_sql(),
+        "orders_pivot": oracles.orders_priority_pivot_sql(),
+        "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
+        "lineitem_unpivot": oracles.lineitem_unpivot_sql(),
+        "dedup_clusters": oracles.dedup_clusters_sql(0.7),
         "media_meta": oracles.media_meta_sql(),
         "media_features": oracles.media_features_sql(16),
         # streaming queries verified against batch-equivalent SQL — the

@@ -363,3 +363,77 @@ def simhash_duplicates(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup-graph clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    all_docs: DataFrame,
+    dup_pairs: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph:
+    every document is labeled with the smallest doc_id reachable through
+    dup edges (its cluster representative). Docs with no dup edges are
+    singleton clusters.
+
+    Iterative min-label propagation (the simple variant of the
+    large-star/small-star map-reduce CC algorithm): each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(graph diameter) rounds — near-dup graphs are dense and shallow,
+    so a handful of rounds in practice. Each round is one shuffle
+    (join + groupBy min); intermediate results are cached and lineage is
+    cut so the plan doesn't grow unboundedly.
+
+    ``all_docs``: one column ``doc_id``; ``dup_pairs``: ``doc_a, doc_b``.
+    Returns ``(doc_id, cluster_id)``.
+    """
+    spark = all_docs.sparkSession
+    edges = (
+        dup_pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .unionAll(
+            dup_pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = all_docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).persist()
+
+    for _i in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

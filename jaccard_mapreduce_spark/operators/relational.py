@@ -275,3 +275,99 @@ def part_brand_stats(part: DataFrame) -> DataFrame:
             "max_size",
         )
     )
+
+
+def asof_join_events(events: DataFrame, left_type: str = "click", right_type: str = "view") -> DataFrame:
+    """As-of join: for each ``left_type`` event, the most recent
+    ``right_type`` event of the same user at-or-before it.
+
+    Spark has no native as-of join; the scalable formulation is the
+    union+window trick — tag both sides, sort within user by time, carry
+    the last right-side row forward. One shuffle on the join key, no
+    range explosion (compare: a naive range join is O(n·m) per key).
+    Timestamps are compared as µs epochs so the DuckDB ASOF JOIN oracle
+    sees identical integers (the events parquet is ns-precision).
+
+    Returns ``(event_id, user_id, ts_us, prior_event_id, prior_value)``.
+    """
+    ep = F.unix_micros(F.col("ts"))
+    tagged = events.where(F.col("event_type").isin([left_type, right_type])).select(
+        "user_id",
+        "event_id",
+        ep.alias("ts_us"),
+        "value",
+        (F.col("event_type") == right_type).cast("int").alias("is_right"),
+    )
+    # right rows sort before left rows at equal ts (as-of is inclusive)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.desc("is_right"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "prior",
+        F.last(
+            F.when(
+                F.col("is_right") == 1,
+                F.struct(F.col("event_id").alias("pid"), F.col("value").alias("pval")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.where(F.col("is_right") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("prior.pid").alias("prior_event_id"),
+            F.col("prior.pval").alias("prior_value"),
+        )
+    )
+
+
+def orders_priority_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot: order counts + exact decimal totals per priority × status."""
+    price = F.col("o_totalprice").cast(_D)
+    statuses = ["O", "F", "P"]
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        # count(lit(1)): star expansion is not allowed inside a pivot agg
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(price).alias("tp"))
+    )
+    cols = [F.col("o_orderpriority")]
+    for s in statuses:
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s}"))
+        cols.append(
+            F.coalesce(F.col(f"{s}_tp").cast("double"), F.lit(0.0)).alias(f"total_{s}")
+        )
+    return out.select(*cols)
+
+
+def orders_grouping_sets(orders: DataFrame) -> DataFrame:
+    """GROUPING SETS rollup: per-status, per-priority, and grand total."""
+    spark = orders.sparkSession
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def lineitem_unpivot(lineitem: DataFrame) -> DataFrame:
+    """Unpivot (melt) the lineitem measures into (measure, value) rows —
+    values pass through untouched (bit-identical across engines)."""
+    return lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

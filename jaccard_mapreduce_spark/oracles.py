@@ -616,3 +616,101 @@ def stream_user_counts_sql() -> str:
     return """
 SELECT user_id, count(*) AS n_events_total
 FROM events GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join / pivot / grouping sets / unpivot
+# ---------------------------------------------------------------------------
+
+
+def asof_join_events_sql(left_type: str = "click", right_type: str = "view") -> str:
+    # DuckDB has a native ASOF JOIN; the engine's union+window formulation
+    # must produce exactly the same matches (µs-epoch comparison on both
+    # sides so ns truncation is identical).
+    return f"""
+WITH ev AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
+    FROM events
+),
+l AS (SELECT * FROM ev WHERE event_type = '{left_type}'),
+r AS (SELECT * FROM ev WHERE event_type = '{right_type}')
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.event_id AS prior_event_id, r.value AS prior_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us"""
+
+
+def orders_priority_pivot_sql() -> str:
+    cols = []
+    for s in ["O", "F", "P"]:
+        cols.append(f"count(*) FILTER (o_orderstatus = '{s}') AS n_{s}")
+        cols.append(
+            f"CAST(coalesce(sum(CAST(o_totalprice AS {_DD})) "
+            f"FILTER (o_orderstatus = '{s}'), 0) AS DOUBLE) AS total_{s}"
+        )
+    return (
+        "SELECT o_orderpriority, "
+        + ", ".join(cols)
+        + " FROM orders GROUP BY o_orderpriority"
+    )
+
+
+def orders_grouping_sets_sql() -> str:
+    return f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {_DD})) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
+
+def lineitem_unpivot_sql() -> str:
+    return """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem"""
+
+
+# ---------------------------------------------------------------------------
+# Dup-graph connected components (recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters_sql(
+    threshold: float = 0.7,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    r = k // bands
+    return f"""WITH RECURSIVE {_minhash_cte(k, seed)},
+buckets AS (
+    SELECT doc_id, h_idx // {r} AS band,
+           string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS bucket
+    FROM mh GROUP BY doc_id, h_idx // {r}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+{scored_ctes("tok")},
+dup AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+    WHERE s.similarity >= {threshold}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM dup
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM dup
+),
+reach AS (
+    SELECT doc_id, doc_id AS r FROM documents
+    UNION
+    SELECT e.dst AS doc_id, reach.r
+    FROM reach JOIN edges e ON e.src = reach.doc_id
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"""
