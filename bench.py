@@ -63,6 +63,8 @@ def main() -> None:
         "customer_order_windows",
         "events_sessionize",
         "events_daily",
+        "asof_clicks_views",
+        "orders_pivot",
         "media_meta",
     ]
 

@@ -41,6 +41,40 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_DOC_SCHEMA = "doc_id STRING, text STRING"
+
+
+def read_corpus_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """CSV corpus source with an explicit schema (never inferSchema in a
+    pipeline — schema drift should fail loudly, not silently retype)."""
+    return (
+        spark.read.schema(_DOC_SCHEMA)
+        .option("header", str(header).lower())
+        .csv(path)
+        .where(F.col("doc_id").isNotNull())
+    )
+
+
+def read_corpus_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines corpus source ({"doc_id": ..., "text": ...})."""
+    return (
+        spark.read.schema(_DOC_SCHEMA)
+        .json(path)
+        .where(F.col("doc_id").isNotNull())
+    )
+
+
+def write_documents_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Parquet sink, optionally hive-partitioned (e.g. by lang/source) so
+    downstream scans prune partitions on those predicates."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
 def write_formatted_text(df: DataFrame, path: str, single_file: bool = True) -> None:
     """Text sink for the formatted output relation (column ``line``).
 

@@ -1,0 +1,43 @@
+"""Source/sink coverage: CSV/JSON corpora and partitioned parquet."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jaccard_mapreduce_spark.operators.jaccard import jaccard_pairs
+from jaccard_mapreduce_spark.sources.corpus import (
+    read_corpus_csv,
+    read_corpus_json,
+    read_corpus_text,
+    write_documents_parquet,
+)
+
+from tests.conftest import REF
+
+
+def test_csv_and_json_sources_match_text(spark, tmp_path):
+    corpus = read_corpus_text(spark, f"{REF}/datasets/small.txt")
+    csv_path = str(tmp_path / "c.csv")
+    json_path = str(tmp_path / "c.json")
+    corpus.write.option("header", "true").csv(csv_path)
+    corpus.write.json(json_path)
+
+    want = sorted(map(tuple, jaccard_pairs(corpus).collect()))
+    got_csv = sorted(map(tuple, jaccard_pairs(read_corpus_csv(spark, csv_path)).collect()))
+    got_json = sorted(map(tuple, jaccard_pairs(read_corpus_json(spark, json_path)).collect()))
+    assert got_csv == want
+    assert got_json == want
+
+
+def test_partitioned_parquet_sink_prunes(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_part")
+    write_documents_parquet(docs, out, partition_by=["source"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning: a source= filter must reach PartitionFilters
+    pruned = back.where(F.col("source") == "src1")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "source" in plan.split("PartitionFilters", 1)[1][:120]
+    assert pruned.count() == docs.where(F.col("source") == "src1").count()
