@@ -127,8 +127,20 @@ def ngram_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _token_hash(hash_mode: str):
+    """'portable' = md5-prefix (identical in DuckDB, oracle-checkable);
+    'fast' = xxhash64 (JVM-native, ~5x faster hashing) for production
+    runs where cross-engine hash parity is not needed."""
+    if hash_mode == "fast":
+        return F.xxhash64(F.col("token")).bitwiseAND(F.lit((1 << 60) - 1))
+    if hash_mode == "portable":
+        return portable_hash64(F.col("token"))
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
 def minhash_signatures_long(
-    tokens: DataFrame, k: int = DEFAULT_NUM_HASHES, seed: int = DEFAULT_SEED
+    tokens: DataFrame, k: int = DEFAULT_NUM_HASHES, seed: int = DEFAULT_SEED,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """MinHash signature in long format ``(doc_id, h_idx, min_hash)``.
 
@@ -137,7 +149,7 @@ def minhash_signatures_long(
     (no per-hash-function explode).
     """
     params = minhash_params(k, seed)
-    hv = portable_hash64(F.col("token")) % MINHASH_PRIME
+    hv = _token_hash(hash_mode) % MINHASH_PRIME
     hashed = tokens.select("doc_id", hv.alias("hv"))
     aggs = [
         F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
@@ -156,11 +168,12 @@ def minhash_signatures_long(
 
 
 def minhash_signatures(
-    tokens: DataFrame, k: int = DEFAULT_NUM_HASHES, seed: int = DEFAULT_SEED
+    tokens: DataFrame, k: int = DEFAULT_NUM_HASHES, seed: int = DEFAULT_SEED,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """MinHash signature as ``(doc_id, sig array<long>)`` (index-ordered)."""
     params = minhash_params(k, seed)
-    hv = portable_hash64(F.col("token")) % MINHASH_PRIME
+    hv = _token_hash(hash_mode) % MINHASH_PRIME
     hashed = tokens.select("doc_id", hv.alias("hv"))
     aggs = [
         F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
@@ -292,13 +305,13 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(tokens: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash(tokens: DataFrame, bits: int = SIMHASH_BITS, hash_mode: str = "portable") -> DataFrame:
     """Per-document SimHash fingerprint ``(doc_id, simhash)``.
 
     bit j of the fingerprint is set iff Σ_tokens (2*((h>>j)&1) - 1) > 0 —
     computed as ``bits`` sum-aggregate columns in ONE hash aggregate
     (partial aggregation map-side; no explode)."""
-    hv = portable_hash64(F.col("token"))
+    hv = _token_hash(hash_mode)
     hashed = tokens.select("doc_id", hv.alias("hv"))
     aggs = [
         F.sum(
