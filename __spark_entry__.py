@@ -179,6 +179,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pivot": lambda s, d: R.orders_priority_pivot(_t(s, d, "orders")),
         "orders_grouping_sets": lambda s, d: R.orders_grouping_sets(_t(s, d, "orders")),
         "lineitem_unpivot": lambda s, d: R.lineitem_unpivot(_t(s, d, "lineitem")),
+        "orders_rollup": lambda s, d: R.orders_rollup(_t(s, d, "orders")),
+        "customer_year_setops": lambda s, d: R.customer_year_setops(_t(s, d, "orders")),
+        "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
+        "orders_rolling_stats": lambda s, d: R.orders_rolling_stats(_t(s, d, "orders")),
+        "part_price_band_join": lambda s, d: R.part_price_band_join(_t(s, d, "part")),
+        # sketch aggregates (HLL++ / approx percentile): estimates are
+        # implementation-defined, so rows-only check — exact twins are
+        # events_daily / lineitem_quantiles
+        "events_approx_stats": lambda s, d: R.events_approx_stats(_t(s, d, "events")),
         "dedup_clusters": lambda s, d: D.dedup_clusters(
             _docs(s, d).select("doc_id"),
             D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
@@ -235,6 +244,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_pivot": oracles.orders_priority_pivot_sql(),
         "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
         "lineitem_unpivot": oracles.lineitem_unpivot_sql(),
+        "orders_rollup": oracles.orders_rollup_sql(),
+        "customer_year_setops": oracles.customer_year_setops_sql(),
+        "lineitem_quantiles": oracles.lineitem_quantiles_sql(),
+        "orders_rolling_stats": oracles.orders_rolling_stats_sql(),
+        "part_price_band_join": oracles.part_price_band_join_sql(R.PRICE_BANDS),
         "dedup_clusters": oracles.dedup_clusters_sql(0.7),
         "media_meta": oracles.media_meta_sql(),
         "media_features": oracles.media_features_sql(16),

@@ -371,3 +371,162 @@ def lineitem_unpivot(lineitem: DataFrame) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+def orders_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP hierarchy (year -> status -> grand total) with exact decimal
+    sums — completes the cube / grouping-sets / rollup trio. NULL group
+    values are coalesced to 'ALL' so subtotal rows hash identically
+    across engines."""
+    price = F.col("o_totalprice").cast(_D)
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("string"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.sum(price).alias("_tp"))
+        .select(
+            F.coalesce("order_year", F.lit("ALL")).alias("order_year"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n_orders",
+            F.col("_tp").cast("double").alias("total_price"),
+        )
+    )
+
+
+def customer_year_setops(orders: DataFrame, year_a: int = 1994, year_b: int = 1995) -> DataFrame:
+    """Relational set operations: customers who ordered in both years
+    (INTERSECT), only the first (EXCEPT), or only the second — tagged and
+    unioned into one relation. The scan is shared; Catalyst plans the set
+    ops as null-safe aggregating joins."""
+    def buyers(year: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a, b = buyers(year_a), buyers(year_b)
+    tagged = [
+        a.intersect(b).withColumn("tag", F.lit("both")),
+        a.exceptAll(b).withColumn("tag", F.lit(f"only_{year_a}")),
+        b.exceptAll(a).withColumn("tag", F.lit(f"only_{year_b}")),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out.select("tag", "o_custkey")
+
+
+def lineitem_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact discrete quantiles (ANSI PERCENTILE_DISC: smallest value with
+    cume_dist >= p) of extended price per return flag. Discrete quantiles
+    return an actual data value — bit-exact across engines, unlike
+    interpolated PERCENTILE_CONT whose arithmetic order varies.
+
+    At 100 TB exact quantiles need a full sort per group; the approximate
+    tier is ``events_approx_stats`` (t-digest/HLL-style sketches)."""
+    def pd(p: float, alias: str):
+        return F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias(alias)
+
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            pd(0.25, "p25"),
+            pd(0.50, "p50"),
+            pd(0.75, "p75"),
+            pd(0.95, "p95"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def orders_rolling_stats(orders: DataFrame) -> DataFrame:
+    """Rolling-window coverage: 3-row moving average of spend (exact
+    decimal sum, one final double divide), lag/lead neighbors, and ntile
+    quartile position within each customer's order history."""
+    price = F.col("o_totalprice").cast(_D)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    w3 = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast(_D).cast("double").alias("total_price"),
+        (F.sum(price).over(w3).cast("double") / F.count("*").over(w3)).alias(
+            "moving_avg_3"
+        ),
+        F.lag(price).over(w).cast("double").alias("prev_price"),
+        F.lead(price).over(w).cast("double").alias("next_price"),
+        F.ntile(4).over(w).cast("long").alias("history_quartile"),
+    )
+
+
+PRICE_BANDS: list[tuple[str, float, float]] = [
+    ("budget", 0.0, 500.0),
+    ("mid", 500.0, 1000.0),
+    ("upper", 1000.0, 1500.0),
+    ("premium", 1500.0, 2000.0),
+    ("luxury", 2000.0, 1e12),
+]
+
+
+def part_price_band_join(part: DataFrame) -> DataFrame:
+    """Range (band) join: parts against a banded price dimension via a
+    non-equi ``lo <= p_retailprice < hi`` predicate. The band table is
+    tiny and broadcast, so the range join is a broadcast nested-loop scan
+    — no shuffle of the fact side regardless of scale."""
+    spark = part.sparkSession
+    bands = spark.createDataFrame(
+        PRICE_BANDS, schema="band string, lo double, hi double"
+    )
+    price = F.col("p_retailprice").cast(_D)
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(price).alias("_sp"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .select(
+            "band",
+            "n_parts",
+            F.col("_sp").cast("double").alias("sum_price"),
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+def events_approx_stats(events: DataFrame) -> DataFrame:
+    """Sketch-based approximate aggregation per event type: HyperLogLog++
+    distinct users (relativeSD 0.01) and approximate value percentiles.
+
+    The 100 TB path for cardinality/quantiles: sketches are fixed-size,
+    mergeable partial aggregates — one shuffle of KB-sized state instead
+    of a full sort / distinct expansion. No DuckDB oracle: sketch
+    estimates are implementation-defined (DuckDB's HLL differs), so the
+    driver applies the rows-only check; the exact twins of these numbers
+    are covered by ``events_daily`` / ``lineitem_quantiles``."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10_000).alias("_pv"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("_pv")[0].alias("approx_p50_value"),
+            F.col("_pv")[1].alias("approx_p95_value"),
+            "n_events",
+        )
+    )

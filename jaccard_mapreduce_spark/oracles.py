@@ -714,3 +714,91 @@ reach AS (
     FROM reach JOIN edges e ON e.src = reach.doc_id
 )
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Round-2 relational additions: rollup / set ops / quantiles / rolling /
+# range-band join
+# ---------------------------------------------------------------------------
+
+
+def orders_rollup_sql() -> str:
+    return f"""
+SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {_DD})) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)"""
+
+
+def customer_year_setops_sql(year_a: int = 1994, year_b: int = 1995) -> str:
+    def buyers(y: int) -> str:
+        return (
+            "SELECT DISTINCT o_custkey FROM orders "
+            f"WHERE year(o_orderdate) = {y}"
+        )
+
+    return f"""
+SELECT 'both' AS tag, o_custkey FROM (({buyers(year_a)}) INTERSECT ({buyers(year_b)}))
+UNION ALL
+SELECT 'only_{year_a}', o_custkey FROM (({buyers(year_a)}) EXCEPT ({buyers(year_b)}))
+UNION ALL
+SELECT 'only_{year_b}', o_custkey FROM (({buyers(year_b)}) EXCEPT ({buyers(year_a)}))"""
+
+
+def lineitem_quantiles_sql() -> str:
+    # ANSI PERCENTILE_DISC: smallest value whose cume_dist >= p, spelled
+    # with an explicit cume_dist window so the definition (not an
+    # engine-specific quantile variant) is what's compared.
+    cols = ", ".join(
+        f"min(CASE WHEN cd >= {p} THEN l_extendedprice END) AS p{n}"
+        for p, n in [(0.25, 25), (0.50, 50), (0.75, 75), (0.95, 95)]
+    )
+    return f"""
+WITH cdist AS (
+    SELECT l_returnflag, l_extendedprice,
+           cume_dist() OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice) AS cd
+    FROM lineitem
+)
+SELECT l_returnflag, {cols}, count(*) AS n_rows
+FROM cdist GROUP BY l_returnflag"""
+
+
+def orders_rolling_stats_sql() -> str:
+    return f"""
+WITH w AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS {_DD}) AS price_d,
+           sum(CAST(o_totalprice AS {_DD})) OVER w3 AS sum3,
+           count(*) OVER w3 AS cnt3,
+           lag(CAST(o_totalprice AS {_DD})) OVER wo AS prev_d,
+           lead(CAST(o_totalprice AS {_DD})) OVER wo AS next_d,
+           ntile(4) OVER wo AS q
+    FROM orders
+    WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, o_orderkey,
+       CAST(price_d AS DOUBLE) AS total_price,
+       CAST(sum3 AS DOUBLE) / cnt3 AS moving_avg_3,
+       CAST(prev_d AS DOUBLE) AS prev_price,
+       CAST(next_d AS DOUBLE) AS next_price,
+       CAST(q AS BIGINT) AS history_quartile
+FROM w"""
+
+
+def part_price_band_join_sql(bands: list[tuple[str, float, float]]) -> str:
+    rows = ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in bands)
+    return f"""
+WITH bands(band, lo, hi) AS (VALUES {rows})
+SELECT band,
+       count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS {_DD})) AS DOUBLE) AS sum_price,
+       min(p_retailprice) AS min_price,
+       max(p_retailprice) AS max_price
+FROM part JOIN bands
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band"""
