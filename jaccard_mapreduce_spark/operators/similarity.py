@@ -231,3 +231,81 @@ def cosine_topk_fast(
         ]
     )
     return embeddings.mapInPandas(score, schema=schema)
+
+
+DEFAULT_IVF_CELLS = 8
+DEFAULT_IVF_PROBE = 2
+
+
+def ivf_centroids(v: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic coarse-quantizer codebook: the ``n_cells`` vectors
+    with the smallest ids, numbered in id order.
+
+    Stand-in for an offline-trained k-means codebook — at scale the
+    codebook is always trained out-of-band (on a sample) and broadcast;
+    the engine's job is the cell-assignment + in-cell search plan, which
+    is identical whatever the codebook came from.
+    """
+    w = Window.orderBy("vec_id")
+    return (
+        v.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm2").alias("cnorm2"),
+        )
+    )
+
+
+def ivf_assign(v: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest cells by cosine
+    (deterministic tie-break on cell_id). The codebook is broadcast; the
+    vector side never shuffles."""
+    dot = _dot(F.col("vec"), F.col("cvec"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.asc("cell_id")
+    )
+    return (
+        v.crossJoin(F.broadcast(centroids))
+        .withColumn("cscore", _cosine(dot, F.col("norm2"), F.col("cnorm2")))
+        .withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= n_probe)
+        .select("vec_id", "vec", "norm2", "cell_id", "crank")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_cells: int = DEFAULT_IVF_CELLS,
+    n_probe: int = DEFAULT_IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: index vectors live in their single nearest
+    cell; each query probes its ``n_probe`` nearest cells and reranks
+    exactly within them. Candidate generation is an equi-join on
+    ``cell_id`` — linear and shuffle-friendly like the LSH variant, with
+    recall tunable via ``n_probe`` instead of hash width.
+    """
+    v = vectors(embeddings, id_col, vec_col)
+    cents = ivf_centroids(v, n_cells)
+    queries = ivf_assign(v, cents, n_probe).alias("a")
+    index = ivf_assign(v, cents, 1).alias("b")
+    dot = _dot(F.col("a.vec"), F.col("b.vec"))
+    scored = (
+        queries.join(
+            index,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _cosine(dot, F.col("a.norm2"), F.col("b.norm2")).alias("score"),
+        )
+        # a query probing 2 cells can meet the same neighbor only once
+        # (index side is single-cell), so no dedup needed before rerank
+    )
+    return _topk(scored, k)

@@ -404,6 +404,47 @@ scored AS (
     )
 
 
+def ann_ivf_topk_sql(k: int, n_cells: int, n_probe: int) -> str:
+    # mirrors operators/similarity.py::ann_ivf_topk exactly: codebook =
+    # n_cells smallest-id vectors, cosine cell assignment with
+    # (score DESC, cell_id) tie-break, index in 1 cell / query probes
+    # n_probe cells, exact rerank within cells
+    cos_c = (
+        "CASE WHEN a.norm2 > 0 AND c.cnorm2 > 0 "
+        "THEN list_dot_product(a.vec, c.cvec) / (sqrt(a.norm2) * sqrt(c.cnorm2)) "
+        "ELSE 0.0 END"
+    )
+    return _ranked_sql(
+        f"""WITH {_VEC_CTES.strip()},
+ranked_c AS (
+    SELECT vec_id, vec, norm2,
+           row_number() OVER (ORDER BY vec_id) AS rn
+    FROM n
+),
+cents AS (
+    SELECT rn - 1 AS cell_id, vec AS cvec, norm2 AS cnorm2
+    FROM ranked_c WHERE rn <= {n_cells}
+),
+assign AS (
+    SELECT vec_id, vec, norm2, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cell_id) AS crank
+    FROM (
+        SELECT a.vec_id, a.vec, a.norm2, c.cell_id, {cos_c} AS cscore
+        FROM n a CROSS JOIN cents c
+    )
+),
+qry AS (SELECT * FROM assign WHERE crank <= {n_probe}),
+idx AS (SELECT * FROM assign WHERE crank = 1),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
+    FROM qry a JOIN idx b
+      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+)""",
+        k,
+    )
+
+
 def embedding_duplicates_sql(min_cosine: float) -> str:
     return f"""WITH {_VEC_CTES.strip()}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COSINE} AS score

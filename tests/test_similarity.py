@@ -62,3 +62,30 @@ def test_lsh_topk_subset_of_exact(spark, emb):
 def test_embedding_duplicates(spark, emb):
     got = {(r["vec_a"], r["vec_b"]) for r in S.embedding_duplicates(emb, 0.9).collect()}
     assert got == {(1, 2)}
+
+
+def test_ivf_topk_structure_and_recall(spark):
+    # 20 vectors in two tight clusters around e1 and e2 -> IVF with 2+
+    # cells must recover in-cluster neighbors (they share a cell)
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0, float(i) * 0.01, 0.0, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 10.0, float(i) * 0.01, 0.0]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS FLOAT)) AS embedding"
+    )
+    got = S.ann_ivf_topk(emb, k=3, n_cells=4, n_probe=2).collect()
+    by_query: dict[int, list] = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for q, neigh in by_query.items():
+        ranks = sorted(r["rank"] for r in neigh)
+        assert ranks == list(range(1, len(ranks) + 1))
+        ordered = sorted(neigh, key=lambda r: r["rank"])
+        scores = [r["score"] for r in ordered]
+        assert scores == sorted(scores, reverse=True)
+        # in-cluster neighbors score ~1; top hit must be same-cluster
+        same_cluster = (q < 10) == (ordered[0]["neighbor_id"] < 10)
+        assert same_cluster
+        assert ordered[0]["score"] > 0.99
