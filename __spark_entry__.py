@@ -92,6 +92,21 @@ def _q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.events import (
+        dedup_event_counts,
+        read_events_stream,
+    )
+
+    # self-union doubles every event across two file sources — the dedup
+    # state must collapse them back to one row per event_id
+    doubled = read_events_stream(spark, sf_dir).union(
+        read_events_stream(spark, sf_dir)
+    )
+    name = _run_stream_to_table(dedup_event_counts(doubled), "complete")
+    return spark.table(name)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
@@ -176,6 +191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
         "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
         "part_brand_stats": lambda s, d: R.part_brand_stats(_t(s, d, "part")),
+        "top_suppliers": lambda s, d: R.top_suppliers(
+            _t(s, d, "supplier"), _t(s, d, "nation"), _t(s, d, "lineitem")
+        ),
         "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
         "orders_pivot": lambda s, d: R.orders_priority_pivot(_t(s, d, "orders")),
         "orders_grouping_sets": lambda s, d: R.orders_grouping_sets(_t(s, d, "orders")),
@@ -206,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- Structured Streaming (run to completion, memory sink) ---
         "stream_windowed_hourly": _q_stream_windowed_hourly,
+        "stream_dedup_events": _q_stream_dedup,
         "stream_user_counts": _shipped(_q_stream_user_counts),
     }
 
@@ -244,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": oracles.events_sessionize_sql(),
         "events_json_props": oracles.events_json_props_sql(),
         "part_brand_stats": oracles.part_brand_stats_sql(),
+        "top_suppliers": oracles.top_suppliers_sql(),
         "asof_clicks_views": oracles.asof_join_events_sql(),
         "orders_pivot": oracles.orders_priority_pivot_sql(),
         "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
@@ -259,5 +279,6 @@ def oracle_sql() -> dict[str, str]:
         # streaming queries verified against batch-equivalent SQL — the
         # watermark/window machinery must converge to the batch answer
         "stream_windowed_hourly": oracles.stream_windowed_hourly_sql(),
+        "stream_dedup_events": oracles.stream_dedup_events_sql(),
         "stream_user_counts": oracles.stream_user_counts_sql(),
     }

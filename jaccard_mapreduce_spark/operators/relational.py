@@ -532,3 +532,39 @@ def events_approx_stats(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def top_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k suppliers by shipped revenue, with their nation — fact scan
+    against two broadcast dims (supplier and nation are small in any
+    TPC-H-shaped schema; the join never shuffles lineitem)."""
+    price = F.col("l_extendedprice").cast(_D)
+    disc = F.col("l_discount").cast(_D)
+    dims = F.broadcast(
+        supplier.join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        lineitem.join(dims, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.sum(price * (_one() - disc)).alias("_rev"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_lineitems",
+        )
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(k)
+    )

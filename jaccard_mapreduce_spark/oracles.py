@@ -843,3 +843,25 @@ SELECT band,
 FROM part JOIN bands
   ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band"""
+
+
+def top_suppliers_sql(k: int = 10) -> str:
+    return f"""
+SELECT s_suppkey, s_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS {_DD}) * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_suppkey, s_name, n_name
+ORDER BY revenue DESC, s_suppkey
+LIMIT {k}"""
+
+
+def stream_dedup_events_sql() -> str:
+    # the streaming query doubles the input (self-union) then dedups by
+    # event_id — must converge to the plain per-type counts
+    return """
+SELECT event_type, count(*) AS n_events
+FROM (SELECT DISTINCT ON (event_id) * FROM events)
+GROUP BY event_type"""

@@ -89,3 +89,19 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_event_counts(events: DataFrame) -> DataFrame:
+    """Streaming exact deduplication: drop repeated ``event_id`` rows
+    across micro-batches (state keyed by id), then count per event type.
+
+    Exercises the streaming-dedup state store — the streaming twin of the
+    batch ``exact_duplicates`` operator. At unbounded input, pair with
+    ``dropDuplicatesWithinWatermark`` so id state is evicted once the
+    event time passes the watermark instead of growing forever.
+    """
+    return (
+        events.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
