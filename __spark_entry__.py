@@ -222,6 +222,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 MM.attach_fake_media(_docs(s, d)), dim=16
             )
         ),
+        # frame fan-out returns raw binary frames — not SQL-expressible,
+        # rows-only check
+        "media_frames": _shipped(
+            lambda s, d: MM.sample_frames(
+                MM.attach_fake_media(_docs(s, d)), frame_size=16, every_n=2
+            )
+        ),
         # --- Structured Streaming (run to completion, memory sink) ---
         "stream_windowed_hourly": _q_stream_windowed_hourly,
         "stream_dedup_events": _q_stream_dedup,
