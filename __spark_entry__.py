@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: TA.lang_id(_docs(s, d)),
         "token_counts": lambda s, d: TA.token_counts(_docs(s, d)),
         "fingerprints": lambda s, d: TA.fingerprints(_docs(s, d)),
+        "quality_filter": lambda s, d: TA.quality_filter(_docs(s, d)),
+        "doc_split": lambda s, d: TA.doc_split(_docs(s, d)),
+        "shard_assign": lambda s, d: TA.shard_assign(_docs(s, d)),
         # --- Deduplication ---
         "dedup_exact": lambda s, d: D.exact_duplicates(_docs(s, d)),
         "dedup_ngram": lambda s, d: D.ngram_duplicates(_docs(s, d), n=3, threshold=0.8),
@@ -248,6 +251,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.lang_id_sql(),
         "token_counts": oracles.token_counts_sql(),
         "fingerprints": oracles.fingerprints_sql(),
+        "quality_filter": oracles.quality_filter_sql(),
+        "doc_split": oracles.doc_split_sql(),
+        "shard_assign": oracles.shard_assign_sql(),
         "dedup_exact": oracles.exact_duplicates_sql(),
         "dedup_ngram": oracles.ngram_duplicates_sql(3, 0.8),
         "minhash_signatures": oracles.minhash_signatures_sql(),

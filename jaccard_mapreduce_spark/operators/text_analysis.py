@@ -93,10 +93,80 @@ def fingerprints(documents: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def quality_filter(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus quality gate — the keep/drop decision a training-data
+    pipeline runs after scoring: keep docs with quality_score >=
+    ``min_quality`` AND >= ``min_tokens`` tokens. Returns the scored
+    relation with a ``keep`` flag (filtering is the caller's one-liner,
+    keeping the operator side-effect-free and auditable)."""
+    scored = text_stats(documents, id_col, text_col)
+    return scored.withColumn(
+        "keep",
+        (F.col("quality_score") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens),
+    )
+
+
+def doc_split(
+    documents: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free id hash:
+    bucket = portable_hash64(salt || doc_id) mod 100. Stable across runs,
+    machines, and engines (oracle-checkable); re-salting produces an
+    independent split. No shuffle — a pure projection."""
+    bucket = portable_hash64(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def shard_assign(
+    documents: DataFrame,
+    n_shards: int = 64,
+    salt: str = "shard-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic output-shard assignment (hash mod n_shards) with a
+    stable intra-shard order key — the projection that feeds
+    ``write.partitionBy('shard')`` when exporting training shards.
+    Hash-based assignment balances shards regardless of id distribution
+    and needs no global sort or coordination."""
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        (h % n_shards).alias("shard"),
+        h.alias("order_key"),
+    )
+
+
 __all__ = [
     "token_counts",
     "text_stats",
     "lang_id",
     "fingerprints",
+    "quality_filter",
+    "doc_split",
+    "shard_assign",
     "ENGLISH_STOPWORDS",
 ]

@@ -865,3 +865,27 @@ def stream_dedup_events_sql() -> str:
 SELECT event_type, count(*) AS n_events
 FROM (SELECT DISTINCT ON (event_id) * FROM events)
 GROUP BY event_type"""
+
+
+def quality_filter_sql(min_quality: float = 0.5, min_tokens: int = 10) -> str:
+    return f"""
+SELECT *, (quality_score >= {min_quality} AND n_tokens >= {min_tokens}) AS keep
+FROM ({text_stats_sql()})"""
+
+
+def doc_split_sql(val_pct: int = 10, test_pct: int = 10, salt: str = "split-v1") -> str:
+    h = hash64(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (SELECT doc_id, {h} % 100 AS bucket FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {test_pct} THEN 'test'
+            WHEN bucket < {test_pct + val_pct} THEN 'val'
+            ELSE 'train' END AS split
+FROM b"""
+
+
+def shard_assign_sql(n_shards: int = 64, salt: str = "shard-v1") -> str:
+    h = hash64(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, {h} % {n_shards} AS shard, {h} AS order_key
+FROM documents"""
