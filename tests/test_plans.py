@@ -66,3 +66,23 @@ def test_fanout_joins_are_spread_and_broadcast(spark, name):
     # round-robin exchange (the AQE-coalesce-vs-fanout fix)
     assert "BroadcastHashJoin" in plan
     assert "RoundRobinPartitioning" in plan
+
+
+def test_top_suppliers_broadcasts_dims(spark):
+    plan = _plan(entrymod.queries()["top_suppliers"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    # lineitem (the fact) is never exchanged before the join
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_price_band_join_is_broadcast_nested_loop(spark):
+    plan = _plan(entrymod.queries()["part_price_band_join"](spark, SF_ORACLE))
+    # non-equi range predicate + tiny band table -> broadcast nested loop,
+    # no shuffle of the part side
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_doc_split_is_pure_projection(spark):
+    plan = _plan(entrymod.queries()["doc_split"](spark, SF_ORACLE))
+    # no exchange at all: split assignment must not shuffle
+    assert "Exchange" not in plan
