@@ -86,3 +86,38 @@ def write_formatted_text(df: DataFrame, path: str, single_file: bool = True) -> 
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").text(path)
+
+
+def write_training_shards(
+    documents: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    salt: str = "shard-v1",
+    id_col: str = "doc_id",
+) -> None:
+    """Export the corpus as hash-balanced training shards:
+    hive-partitioned parquet ``shard=K/`` directories, rows inside each
+    shard in the deterministic salted-hash order (a cheap, stable global
+    shuffle of the corpus — the property training-data loaders want).
+
+    One shuffle (repartition on shard) + per-partition sort; no global
+    sort. Shard count is independent of cluster parallelism, so the same
+    export is reproducible on any cluster size.
+    """
+    from jaccard_mapreduce_spark.operators.text_analysis import shard_assign
+
+    assignment = shard_assign(documents, n_shards, salt, id_col).select(
+        F.col("doc_id").alias("_sa_doc_id"), "shard", "order_key"
+    )
+    (
+        documents.join(
+            assignment, F.col(id_col) == F.col("_sa_doc_id"), "inner"
+        )
+        .drop("_sa_doc_id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "order_key")
+        .drop("order_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

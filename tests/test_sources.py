@@ -41,3 +41,29 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "source" in plan.split("PartitionFilters", 1)[1][:120]
     assert pruned.count() == docs.where(F.col("source") == "src1").count()
+
+
+def test_training_shard_export_balanced_and_deterministic(spark, tmp_path):
+    from jaccard_mapreduce_spark.sources.corpus import (
+        read_documents,
+        write_training_shards,
+    )
+
+    docs = read_documents(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # every shard present, none pathologically empty or dominant
+    sizes = {r["shard"]: r["n"] for r in back.groupBy("shard").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 3 * min(sizes.values())
+    # deterministic: re-export hashes identically
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=8)
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
