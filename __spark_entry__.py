@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_year_setops": lambda s, d: R.customer_year_setops(_t(s, d, "orders")),
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "orders_rolling_stats": lambda s, d: R.orders_rolling_stats(_t(s, d, "orders")),
+        "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
+        "orders_above_customer_avg": lambda s, d: R.orders_above_customer_avg(_t(s, d, "orders")),
         "part_price_band_join": lambda s, d: R.part_price_band_join(_t(s, d, "part")),
         # sketch aggregates (HLL++ / approx percentile): estimates are
         # implementation-defined, so rows-only check — exact twins are
@@ -285,6 +287,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_year_setops": oracles.customer_year_setops_sql(),
         "lineitem_quantiles": oracles.lineitem_quantiles_sql(),
         "orders_rolling_stats": oracles.orders_rolling_stats_sql(),
+        "customer_trailing_spend": oracles.customer_trailing_spend_sql(),
+        "orders_above_customer_avg": oracles.orders_above_customer_avg_sql(),
         "part_price_band_join": oracles.part_price_band_join_sql(R.PRICE_BANDS),
         "dedup_clusters": oracles.dedup_clusters_sql(0.7),
         "media_meta": oracles.media_meta_sql(),

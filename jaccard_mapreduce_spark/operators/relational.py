@@ -568,3 +568,46 @@ def top_suppliers(
         .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
         .limit(k)
     )
+
+
+def customer_trailing_spend(orders: DataFrame, days: int = 30) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): each order's
+    trailing ``days``-day spend for its customer. The frame is keyed on
+    the integer day ordinal so the bound is a time interval, however many
+    order rows fall inside it."""
+    price = F.col("o_totalprice").cast(_D)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-(days - 1), 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day.cast("long").alias("order_day"),
+        F.sum(price).over(w).cast("double").alias("trailing_spend"),
+        F.count("*").over(w).alias("n_orders_in_window"),
+    )
+
+
+def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated scalar subquery shape: orders whose price exceeds their
+    customer's average. Spelled as ``price * n > sum`` in exact decimal
+    (an avg would be a double divide — boundary rows could then disagree
+    between engines). Catalyst decorrelates the subqueries into an
+    aggregate + join; no per-row re-execution."""
+    spark = orders.sparkSession
+    orders.createOrReplaceTempView("_oaca_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        FROM _oaca_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT count(*) FROM _oaca_orders i
+                 WHERE i.o_custkey = o.o_custkey)
+              > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FROM _oaca_orders i WHERE i.o_custkey = o.o_custkey)
+        """
+    )

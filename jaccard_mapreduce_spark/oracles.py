@@ -889,3 +889,30 @@ def shard_assign_sql(n_shards: int = 64, salt: str = "shard-v1") -> str:
     return f"""
 SELECT doc_id, {h} % {n_shards} AS shard, {h} AS order_key
 FROM documents"""
+
+
+def customer_trailing_spend_sql(days: int = 30) -> str:
+    return f"""
+WITH d AS (
+    SELECT o_custkey, o_orderkey,
+           datediff('day', DATE '1970-01-01', o_orderdate) AS order_day,
+           CAST(o_totalprice AS {_DD}) AS price_d
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, CAST(order_day AS BIGINT) AS order_day,
+       CAST(sum(price_d) OVER w AS DOUBLE) AS trailing_spend,
+       count(*) OVER w AS n_orders_in_window
+FROM d
+WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
+             RANGE BETWEEN {days - 1} PRECEDING AND CURRENT ROW)"""
+
+
+def orders_above_customer_avg_sql() -> str:
+    return f"""
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS {_DD}) AS DOUBLE) AS total_price
+FROM orders o
+WHERE CAST(o_totalprice AS {_DD})
+      * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT sum(CAST(o_totalprice AS {_DD}))
+         FROM orders i WHERE i.o_custkey = o.o_custkey)"""
