@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": lambda s, d: TA.quality_filter(_docs(s, d)),
         "doc_split": lambda s, d: TA.doc_split(_docs(s, d)),
         "shard_assign": lambda s, d: TA.shard_assign(_docs(s, d)),
+        "vocabulary": lambda s, d: TA.vocabulary(_docs(s, d)),
+        "tfidf_top_terms": lambda s, d: TA.tfidf_top_terms(_docs(s, d), k=5),
+        "stratified_sample": lambda s, d: TA.stratified_sample(_docs(s, d)),
         # --- Deduplication ---
         "dedup_exact": lambda s, d: D.exact_duplicates(_docs(s, d)),
         "dedup_ngram": lambda s, d: D.ngram_duplicates(_docs(s, d), n=3, threshold=0.8),
@@ -198,6 +201,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "supplier"), _t(s, d, "nation"), _t(s, d, "lineitem")
         ),
         "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
+        "q6_revenue": lambda s, d: R.q6_revenue(_t(s, d, "lineitem")),
+        "min_cost_supplier": lambda s, d: R.min_cost_supplier(
+            _t(s, d, "part"), _t(s, d, "supplier"), _t(s, d, "lineitem")
+        ),
+        "orders_exists_returned": lambda s, d: R.orders_returned_by_priority(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         "orders_pivot": lambda s, d: R.orders_priority_pivot(_t(s, d, "orders")),
         "orders_grouping_sets": lambda s, d: R.orders_grouping_sets(_t(s, d, "orders")),
         "lineitem_unpivot": lambda s, d: R.lineitem_unpivot(_t(s, d, "lineitem")),
@@ -256,6 +267,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": oracles.quality_filter_sql(),
         "doc_split": oracles.doc_split_sql(),
         "shard_assign": oracles.shard_assign_sql(),
+        "vocabulary": oracles.vocabulary_sql(),
+        "tfidf_top_terms": oracles.tfidf_top_terms_sql(5),
+        "stratified_sample": oracles.stratified_sample_sql(
+            TA.DEFAULT_SAMPLE_FRACTIONS
+        ),
         "dedup_exact": oracles.exact_duplicates_sql(),
         "dedup_ngram": oracles.ngram_duplicates_sql(3, 0.8),
         "minhash_signatures": oracles.minhash_signatures_sql(),
@@ -280,6 +296,10 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_stats": oracles.part_brand_stats_sql(),
         "top_suppliers": oracles.top_suppliers_sql(),
         "asof_clicks_views": oracles.asof_join_events_sql(),
+        "q6_revenue": oracles.q6_revenue_sql(),
+        "min_cost_supplier": oracles.min_cost_supplier_sql(),
+        "orders_exists_returned": oracles.orders_returned_by_priority_sql(),
+        "events_interval_join": oracles.interval_join_events_sql(),
         "orders_pivot": oracles.orders_priority_pivot_sql(),
         "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
         "lineitem_unpivot": oracles.lineitem_unpivot_sql(),

@@ -611,3 +611,131 @@ def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
                  FROM _oaca_orders i WHERE i.o_custkey = o.o_custkey)
         """
     )
+
+
+def q6_revenue(
+    lineitem: DataFrame,
+    ship_from: str = "1994-01-01",
+    ship_to: str = "1995-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + single-row aggregate.
+
+    The point of this query is the *scan*: every predicate is sargable and
+    reaches the parquet reader as PushedFilters (date range, discount
+    band, quantity cap), so at 100 TB the job reads only row groups whose
+    min/max stats overlap the band — verified by the plan audit test.
+    Revenue math is exact decimal; discount comparisons stay on the raw
+    double column (identical literals both engines).
+    """
+    price = F.col("l_extendedprice").cast(_D)
+    disc = F.col("l_discount").cast(_D)
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= ship_from)
+            & (F.col("l_shipdate") < ship_to)
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.sum(price * disc).alias("_rev"),
+            F.count("*").alias("n_items"),
+        )
+        .select(F.col("_rev").cast("double").alias("revenue"), "n_items")
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part (correlated-min → join).
+
+    Unit cost is min(l_extendedprice / l_quantity) over each
+    (part, supplier)'s lineitems; the per-part winner is picked with a
+    deterministic ``row_number`` (cost, then suppkey). The heavy agg runs
+    on the fact table first — the window then sees one row per
+    (part, supplier), and both dims join broadcast."""
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    per_ps = (
+        lineitem.where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("l_suppkey")
+    )
+    best = per_ps.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "unit_cost",
+        )
+    )
+
+
+def orders_returned_by_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-driven count per priority.
+
+    The EXISTS probe is a LEFT SEMI join on the order key — lineitem
+    never duplicates orders rows, and only ``l_orderkey`` of the filtered
+    probe side moves through the shuffle."""
+    returned = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def interval_join_events(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    window_seconds: int = 600,
+) -> DataFrame:
+    """Interval join: every (view, click) pair for the same user with the
+    click inside ``[view_ts, view_ts + window)`` — ALL matches, unlike the
+    as-of join's single nearest match (``asof_join_events``).
+
+    Physically an equi-join on ``user_id`` with a range residual; per-user
+    event lists are small so the equi-key carries the join. At 100 TB the
+    scale lever is bucketing both sides by (user_id, time-bucket) so
+    candidate pairs stay partition-local; the range residual is already
+    sargable. Delay is exact integer micros in both engines."""
+    us = F.unix_micros(F.col("ts"))
+    v = events.where(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        us.alias("view_us"),
+    )
+    c = events.where(F.col("event_type") == right_type).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        us.alias("click_us"),
+    )
+    win_us = F.lit(window_seconds).cast("long") * 1_000_000
+    return (
+        v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("click_us") >= F.col("view_us"))
+            & (F.col("click_us") < F.col("view_us") + win_us),
+        )
+        .select(
+            "view_id",
+            "click_id",
+            F.col("v_user").alias("user_id"),
+            (F.col("click_us") - F.col("view_us")).alias("delay_us"),
+        )
+    )

@@ -160,6 +160,117 @@ def shard_assign(
     )
 
 
+DEFAULT_SAMPLE_FRACTIONS: dict[str, float] = {
+    "en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 1.0,
+}
+
+
+def vocabulary(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary table: per token, total occurrences (``tf``),
+    document frequency (``df``), and a deterministic frequency rank
+    (df desc, then token) — the table behind stop-word thresholds,
+    df-pruning, and tokenizer-vocab construction.
+
+    One explode + one hash agg; the rank is a global window over the
+    (small) vocabulary relation, not the token stream."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (``tf * ln(N / df)``), deterministic tie-break on the token.
+
+    The document-frequency side is a tiny vocabulary aggregate —
+    broadcast — so the token stream is shuffled once (the tf hash agg).
+    ``idf = ln(N/df)`` is evaluated with CPython's ``math.log`` (libm) on
+    the vocabulary relation only: the JVM's ``Math.log`` intrinsic
+    differs from libm by 1 ulp on some inputs (measured: 87/2500 rows at
+    sf0.01), which would break the oracle's exact value-hash, while
+    libm-vs-DuckDB matches bit-for-bit. The Python hop touches one row
+    per distinct token, never the token stream."""
+    import math
+
+    from pyspark.sql import Window
+
+    _ln_libm = F.pandas_udf(lambda v: v.map(math.log), "double")
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_rel = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = documents.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    idf_rel = (
+        df_rel.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            _ln_libm(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+        .select("token", "df", "idf")
+    )
+    scored = tf.join(F.broadcast(idf_rel), "token").withColumn(
+        "tfidf", F.col("tf") * F.col("idf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    fractions: dict[str, float] | None = None,
+    by: str = "lang",
+    default_fraction: float = 1.0,
+    salt: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the reproducible analog of
+    ``DataFrame.sampleBy``): keep a row iff
+    ``hash(salt:id) % 10000 < fraction[stratum] * 10000``.
+
+    Same salted-hash machinery as ``doc_split`` — repeatable across runs,
+    engines, and partitionings, which random sampling is not. The
+    fraction table is a broadcast map (when-chain); rows never shuffle."""
+    fr = DEFAULT_SAMPLE_FRACTIONS if fractions is None else fractions
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    bucket = h % 10000
+    expr = F.lit(int(default_fraction * 10000))
+    for stratum, frac in sorted(fr.items()):
+        expr = F.when(F.col(by) == stratum, F.lit(int(frac * 10000))).otherwise(expr)
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(by).alias("stratum"),
+            bucket.alias("bucket"),
+            expr.alias("cutoff"),
+        )
+        .where(F.col("bucket") < F.col("cutoff"))
+        .select("doc_id", "stratum", "bucket")
+    )
+
+
 __all__ = [
     "token_counts",
     "text_stats",
@@ -168,5 +279,8 @@ __all__ = [
     "quality_filter",
     "doc_split",
     "shard_assign",
+    "vocabulary",
+    "tfidf_top_terms",
+    "stratified_sample",
     "ENGLISH_STOPWORDS",
 ]

@@ -916,3 +916,129 @@ WHERE CAST(o_totalprice AS {_DD})
       * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
       > (SELECT sum(CAST(o_totalprice AS {_DD}))
          FROM orders i WHERE i.o_custkey = o.o_custkey)"""
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage, batch 3 (Q6/Q2/Q4 shapes + interval join)
+# ---------------------------------------------------------------------------
+
+
+def q6_revenue_sql(
+    ship_from: str = "1994-01-01",
+    ship_to: str = "1995-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> str:
+    return f"""
+SELECT CAST(sum(CAST(l_extendedprice AS {_DD}) * CAST(l_discount AS {_DD}))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{ship_from}'
+  AND l_shipdate < TIMESTAMP '{ship_to}'
+  AND l_discount >= {disc_lo} AND l_discount <= {disc_hi}
+  AND l_quantity < {max_qty}"""
+
+
+def min_cost_supplier_sql() -> str:
+    return """
+WITH per_ps AS (
+    SELECT l_partkey, l_suppkey,
+           min(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem WHERE l_quantity > 0
+    GROUP BY l_partkey, l_suppkey
+),
+best AS (
+    SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                 ORDER BY unit_cost, l_suppkey) AS rn
+    FROM per_ps
+)
+SELECT p_partkey, p_name, p_brand, s_suppkey, s_name, unit_cost
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1"""
+
+
+def orders_returned_by_priority_sql() -> str:
+    return """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority"""
+
+
+def interval_join_events_sql(
+    left_type: str = "view", right_type: str = "click", window_seconds: int = 600
+) -> str:
+    win_us = window_seconds * 1_000_000
+    return f"""
+WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_us
+           FROM events WHERE event_type = '{left_type}'),
+     c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+           FROM events WHERE event_type = '{right_type}')
+SELECT view_id, click_id, v.user_id AS user_id,
+       click_us - view_us AS delay_us
+FROM v JOIN c ON v.user_id = c.user_id
+              AND click_us >= view_us AND click_us < view_us + {win_us}"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis, batch 2 (vocabulary / TF-IDF / stratified sample)
+# ---------------------------------------------------------------------------
+
+# token stream WITH duplicates (functions.text.tokenize, no dedup)
+TOKS_DUP_CTE = f"""
+tokd AS (
+    SELECT doc_id, unnest({TOKS_EXPR}) AS token
+    FROM documents
+)
+"""
+
+
+def vocabulary_sql() -> str:
+    return f"""WITH {TOKS_DUP_CTE.strip()}
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df,
+       row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC, token) AS rank
+FROM tokd
+GROUP BY token"""
+
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    return f"""WITH {TOKS_DUP_CTE.strip()},
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tokd GROUP BY doc_id, token),
+dfr AS (SELECT token, count(DISTINCT doc_id) AS df FROM tokd GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, tf.token AS token, tf, df,
+           tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+    FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS rank
+    FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= {k}"""
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float],
+    by: str = "lang",
+    default_fraction: float = 1.0,
+    salt: str = "sample-v1",
+) -> str:
+    h = hash64(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN {by} = '{s}' THEN {int(f * 10000)}"
+        for s, f in sorted(fractions.items())
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id, {by} AS stratum, {h} % 10000 AS bucket,
+           CASE {cases} ELSE {int(default_fraction * 10000)} END AS cutoff
+    FROM documents
+)
+SELECT doc_id, stratum, bucket FROM b WHERE bucket < cutoff"""

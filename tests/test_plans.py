@@ -86,3 +86,39 @@ def test_doc_split_is_pure_projection(spark):
     plan = _plan(entrymod.queries()["doc_split"](spark, SF_ORACLE))
     # no exchange at all: split assignment must not shuffle
     assert "Exchange" not in plan
+
+
+def test_q6_all_predicates_pushed_to_scan(spark):
+    df = entrymod.queries()["q6_revenue"](spark, SF_ORACLE)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to parquet scan"
+    # only the 4 needed columns are read
+    scan_line = plan[plan.index("FileScan") :].split("\n", 1)[0]
+    assert "l_extendedprice" in scan_line and "l_orderkey" not in scan_line
+
+
+def test_min_cost_supplier_broadcasts_both_dims(spark):
+    plan = _plan(entrymod.queries()["min_cost_supplier"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_orders_exists_is_semi_join(spark):
+    plan = _plan(entrymod.queries()["orders_exists_returned"](spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    # the returnflag filter reaches the lineitem scan
+    assert "l_returnflag" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_stratified_sample_no_shuffle(spark):
+    plan = _plan(entrymod.queries()["stratified_sample"](spark, SF_ORACLE))
+    assert "Exchange" not in plan
+
+
+def test_tfidf_python_stays_off_token_stream(spark):
+    # the libm-ln Python hop runs on the vocabulary relation only: the
+    # tf-side join input must contain no Python eval
+    df = entrymod.queries()["tfidf_top_terms"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("ArrowEvalPython") == 1
