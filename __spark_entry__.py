@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
+        "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
         "orders_pivot": lambda s, d: R.orders_priority_pivot(_t(s, d, "orders")),
         "orders_grouping_sets": lambda s, d: R.orders_grouping_sets(_t(s, d, "orders")),
         "lineitem_unpivot": lambda s, d: R.lineitem_unpivot(_t(s, d, "lineitem")),
@@ -300,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "min_cost_supplier": oracles.min_cost_supplier_sql(),
         "orders_exists_returned": oracles.orders_returned_by_priority_sql(),
         "events_interval_join": oracles.interval_join_events_sql(),
+        "user_funnel": oracles.user_funnel_sql(),
         "orders_pivot": oracles.orders_priority_pivot_sql(),
         "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
         "lineitem_unpivot": oracles.lineitem_unpivot_sql(),

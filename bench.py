@@ -60,6 +60,9 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_top_orders",
         "q5_region_revenue",
+        "q6_revenue",
+        "min_cost_supplier",
+        "tfidf_top_terms",
         "customer_order_windows",
         "events_sessionize",
         "events_daily",

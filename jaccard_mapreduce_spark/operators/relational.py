@@ -739,3 +739,54 @@ def interval_join_events(
             (F.col("click_us") - F.col("view_us")).alias("delay_us"),
         )
     )
+
+
+def user_funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first time each stage was
+    reached *in sequence* (first view, first click at-or-after that view,
+    first purchase at-or-after that click) and the furthest stage hit.
+
+    Three conditional-min aggregates chained on ``user_id`` — every join
+    is on the same key, so after the first shuffle the exchanges are
+    reused (co-partitioned); per-user event lists are tiny so no skew.
+    Timestamps are exact integer micros in both engines."""
+    s1, s2, s3 = stages
+    us = F.unix_micros(F.col("ts"))
+    base = events.select("user_id", "event_type", us.alias("us"))
+    f1 = base.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("us"))).alias("first_view_us")
+    )
+    f2 = (
+        base.join(f1, "user_id")
+        .where(
+            (F.col("event_type") == s2) & (F.col("us") >= F.col("first_view_us"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_click_us"))
+    )
+    f3 = (
+        base.join(f2, "user_id")
+        .where(
+            (F.col("event_type") == s3) & (F.col("us") >= F.col("first_click_us"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_purchase_us"))
+    )
+    return (
+        f1.join(f2, "user_id", "left")
+        .join(f3, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view_us",
+            "first_click_us",
+            "first_purchase_us",
+            F.when(F.col("first_purchase_us").isNotNull(), F.lit(s3))
+            .when(F.col("first_click_us").isNotNull(), F.lit(s2))
+            .when(F.col("first_view_us").isNotNull(), F.lit(s1))
+            .otherwise(F.lit("none"))
+            .alias("stage_reached"),
+        )
+    )

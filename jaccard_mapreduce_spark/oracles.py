@@ -1042,3 +1042,27 @@ WITH b AS (
     FROM documents
 )
 SELECT doc_id, stratum, bucket FROM b WHERE bucket < cutoff"""
+
+
+def user_funnel_sql(stages: tuple[str, str, str] = ("view", "click", "purchase")) -> str:
+    s1, s2, s3 = stages
+    return f"""
+WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+f1 AS (SELECT user_id,
+              min(CASE WHEN event_type = '{s1}' THEN us END) AS first_view_us
+       FROM b GROUP BY user_id),
+f2 AS (SELECT b.user_id, min(us) AS first_click_us
+       FROM b JOIN f1 USING (user_id)
+       WHERE event_type = '{s2}' AND us >= first_view_us
+       GROUP BY b.user_id),
+f3 AS (SELECT b.user_id, min(us) AS first_purchase_us
+       FROM b JOIN f2 USING (user_id)
+       WHERE event_type = '{s3}' AND us >= first_click_us
+       GROUP BY b.user_id)
+SELECT f1.user_id AS user_id, first_view_us, first_click_us, first_purchase_us,
+       CASE WHEN first_purchase_us IS NOT NULL THEN '{s3}'
+            WHEN first_click_us IS NOT NULL THEN '{s2}'
+            WHEN first_view_us IS NOT NULL THEN '{s1}'
+            ELSE 'none' END AS stage_reached
+FROM f1 LEFT JOIN f2 ON f1.user_id = f2.user_id
+        LEFT JOIN f3 ON f1.user_id = f3.user_id"""

@@ -121,3 +121,16 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_documents_orc(df: DataFrame, path: str) -> None:
+    """ORC sink for the documents relation — same columnar posture as
+    parquet (predicate pushdown, column pruning, zlib/zstd stripes); some
+    lakehouse stacks standardize on ORC, so the engine speaks both."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan of a documents relation previously exported with
+    ``write_documents_orc`` (schema travels in the file footer)."""
+    return spark.read.orc(path)

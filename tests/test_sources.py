@@ -67,3 +67,21 @@ def test_training_shard_export_balanced_and_deterministic(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(out).collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).collect()))
     assert a == b
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from jaccard_mapreduce_spark.sources.corpus import (
+        read_documents,
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    docs = read_documents(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "docs_orc")
+    write_documents_orc(docs, path)
+    back = read_documents_orc(spark, path)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    # pushdown works on the ORC scan too
+    plan = back.where(back.doc_id == 7)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters", 1)[1][:200]
