@@ -107,6 +107,30 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.events import (
+        read_events_stream,
+        stream_interval_join,
+    )
+
+    joined = stream_interval_join(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    name = _run_stream_to_table(joined, "append")
+    return spark.table(name)
+
+
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.events import (
+        read_events_stream,
+        session_window_counts,
+    )
+
+    sess = session_window_counts(read_events_stream(spark, sf_dir))
+    name = _run_stream_to_table(sess, "complete")
+    return spark.table(name)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
@@ -250,6 +274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_hourly": _q_stream_windowed_hourly,
         "stream_dedup_events": _q_stream_dedup,
         "stream_user_counts": _shipped(_q_stream_user_counts),
+        "stream_interval_join": _q_stream_interval_join,
+        "stream_sessions": _q_stream_sessions,
     }
 
 
@@ -320,4 +346,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_windowed_hourly": oracles.stream_windowed_hourly_sql(),
         "stream_dedup_events": oracles.stream_dedup_events_sql(),
         "stream_user_counts": oracles.stream_user_counts_sql(),
+        "stream_interval_join": oracles.interval_join_events_sql(),
+        "stream_sessions": oracles.session_window_counts_sql(),
     }

@@ -1066,3 +1066,27 @@ SELECT f1.user_id AS user_id, first_view_us, first_click_us, first_purchase_us,
             ELSE 'none' END AS stage_reached
 FROM f1 LEFT JOIN f2 ON f1.user_id = f2.user_id
         LEFT JOIN f3 ON f1.user_id = f3.user_id"""
+
+
+def session_window_counts_sql(gap_seconds: int = 21600) -> str:
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+d AS (
+    SELECT user_id, us,
+           CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                     > {gap_us}
+                     OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM e
+),
+s AS (
+    SELECT user_id, us,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM d
+)
+SELECT user_id, min(us) AS session_start_us,
+       max(us) + {gap_us} AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid"""

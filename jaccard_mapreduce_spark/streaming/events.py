@@ -105,3 +105,83 @@ def dedup_event_counts(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def stream_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    window_seconds: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every click within
+    ``[view_ts, view_ts + window)`` for the same user, across two
+    independent streams — the streaming twin of the batch
+    ``relational.interval_join_events`` (same oracle SQL).
+
+    Both sides carry a watermark; the time-bounded join condition lets
+    the state store evict view rows once the click-side watermark passes
+    ``view_ts + window`` — bounded state at unbounded input."""
+    v = (
+        views.where(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    c = (
+        clicks.where(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return (
+        v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (
+                F.col("c_ts")
+                < F.col("v_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+            ),
+        )
+        .select(
+            "view_id",
+            "click_id",
+            F.col("v_user").alias("user_id"),
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap_seconds: int = 21600, watermark: str = "12 hours"
+) -> DataFrame:
+    """Per-user session windows via the native ``session_window``
+    streaming aggregate: a session closes after ``gap_seconds`` of
+    inactivity; its end is last-event-time + gap.
+
+    The streaming twin of the batch islands-and-gaps sessionization
+    (``relational.events_sessionize``) — state for closed sessions is
+    evicted once the watermark passes, unlike the batch window plan
+    which sorts each user's full history."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_seconds} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
