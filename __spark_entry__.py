@@ -131,6 +131,21 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_synthetic_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    corpus = (
+        spark.read.format("synthetic_corpus")
+        .options(n_docs="500", seed="6190", n_partitions="8")
+        .load()
+    )
+    return corpus.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
@@ -276,6 +291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_counts": _shipped(_q_stream_user_counts),
         "stream_interval_join": _q_stream_interval_join,
         "stream_sessions": _q_stream_sessions,
+        # custom Python DataSource (generation is Python-side, so no SQL
+        # oracle — determinism is pinned by test_sources instead)
+        "synthetic_corpus_stats": _shipped(_q_synthetic_corpus_stats),
     }
 
 

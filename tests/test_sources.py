@@ -85,3 +85,64 @@ def test_orc_round_trip(spark, tmp_path):
     # pushdown works on the ORC scan too
     plan = back.where(back.doc_id == 7)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_synthetic_source_partition_independent(spark):
+    from jaccard_mapreduce_spark.shiplib import ensure_package_on_workers
+    from jaccard_mapreduce_spark.sources.synthetic import register_synthetic_source
+
+    ensure_package_on_workers(spark)
+    register_synthetic_source(spark)
+    opts = {"n_docs": "200", "seed": "7", "tokens_per_doc": "20"}
+    one = (
+        spark.read.format("synthetic_corpus")
+        .options(n_partitions="1", **opts)
+        .load()
+    )
+    eight = (
+        spark.read.format("synthetic_corpus")
+        .options(n_partitions="8", **opts)
+        .load()
+    )
+    assert eight.rdd.getNumPartitions() == 8
+    assert one.count() == 200
+    # identical corpus regardless of parallelism
+    assert one.exceptAll(eight).count() == 0
+    assert eight.exceptAll(one).count() == 0
+    # generated docs flow through the similarity pipeline unchanged
+    from jaccard_mapreduce_spark.operators.jaccard import jaccard_pairs
+
+    pairs = jaccard_pairs(eight.limit(30), strategy="join")
+    row = pairs.selectExpr("max(similarity) AS m", "min(similarity) AS n").first()
+    assert 0.0 <= row["n"] <= row["m"] <= 1.0
+
+
+def test_synthetic_stream_matches_batch(spark):
+    from jaccard_mapreduce_spark.shiplib import ensure_package_on_workers
+    from jaccard_mapreduce_spark.sources.synthetic import register_synthetic_source
+
+    ensure_package_on_workers(spark)
+    register_synthetic_source(spark)
+    opts = {"n_docs": "150", "seed": "11", "docs_per_batch": "40"}
+    stream = (
+        spark.readStream.format("synthetic_corpus").options(**opts).load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .start()
+    )
+    # Python micro-batch sources don't support Trigger.AvailableNow —
+    # poll until the bounded stream has drained (150 docs, 40 per batch)
+    import time
+
+    got = spark.table("synth_stream")
+    deadline = time.time() + 120
+    while got.count() < 150 and time.time() < deadline:
+        q.processAllAvailable()
+    q.stop()
+    batch = spark.read.format("synthetic_corpus").options(**opts).load()
+    # the bounded stream replays the exact batch corpus across micro-batches
+    assert got.count() == 150
+    assert got.exceptAll(batch).count() == 0
