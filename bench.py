@@ -67,6 +67,8 @@ def main() -> None:
         "events_sessionize",
         "events_daily",
         "asof_clicks_views",
+        "events_interval_join",
+        "user_funnel",
         "orders_pivot",
         "media_meta",
     ]
