@@ -30,6 +30,7 @@ from jaccard_mapreduce_spark.operators import multimodal as MM  # noqa: E402
 from jaccard_mapreduce_spark.operators import dedup as D  # noqa: E402
 from jaccard_mapreduce_spark.operators import jaccard as J  # noqa: E402
 from jaccard_mapreduce_spark.operators import relational as R  # noqa: E402
+from jaccard_mapreduce_spark.operators import skew as SK  # noqa: E402
 from jaccard_mapreduce_spark.operators import similarity as S  # noqa: E402
 from jaccard_mapreduce_spark.operators import text_analysis as TA  # noqa: E402
 from jaccard_mapreduce_spark.sources.corpus import read_documents  # noqa: E402
@@ -146,6 +147,29 @@ def _q_synthetic_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental Jaccard over a documents stream; with the
+    whole corpus as the (single) batch the new-vs-all frontier IS the
+    full all-pairs relation, so the batch pipeline's SQL is the oracle."""
+    import tempfile
+
+    from jaccard_mapreduce_spark.streaming.incremental import IncrementalJaccard
+
+    base = tempfile.mkdtemp(prefix="inc_jaccard_")
+    stream = (
+        spark.readStream.schema(_docs(spark, sf_dir).schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    inc = IncrementalJaccard(spark, f"{base}/state", f"{base}/scores")
+    q = inc.attach(stream)
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{base}/scores").select(
+        "doc_a", "doc_b", "intersection", "size_a", "size_b", "similarity"
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
@@ -249,6 +273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
+        "salted_customer_revenue": lambda s, d: SK.salted_customer_revenue(
+            _t(s, d, "orders"), _t(s, d, "customer")
+        ),
         "orders_pivot": lambda s, d: R.orders_priority_pivot(_t(s, d, "orders")),
         "orders_grouping_sets": lambda s, d: R.orders_grouping_sets(_t(s, d, "orders")),
         "lineitem_unpivot": lambda s, d: R.lineitem_unpivot(_t(s, d, "lineitem")),
@@ -291,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_counts": _shipped(_q_stream_user_counts),
         "stream_interval_join": _q_stream_interval_join,
         "stream_sessions": _q_stream_sessions,
+        "stream_incremental_jaccard": _q_stream_incremental_jaccard,
         # custom Python DataSource (generation is Python-side, so no SQL
         # oracle — determinism is pinned by test_sources instead)
         "synthetic_corpus_stats": _shipped(_q_synthetic_corpus_stats),
@@ -346,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_exists_returned": oracles.orders_returned_by_priority_sql(),
         "events_interval_join": oracles.interval_join_events_sql(),
         "user_funnel": oracles.user_funnel_sql(),
+        "salted_customer_revenue": oracles.salted_customer_revenue_sql(),
         "orders_pivot": oracles.orders_priority_pivot_sql(),
         "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
         "lineitem_unpivot": oracles.lineitem_unpivot_sql(),
@@ -366,4 +395,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_user_counts": oracles.stream_user_counts_sql(),
         "stream_interval_join": oracles.interval_join_events_sql(),
         "stream_sessions": oracles.session_window_counts_sql(),
+        "stream_incremental_jaccard": oracles.jaccard_pairs_sql(),
     }

@@ -1090,3 +1090,12 @@ SELECT user_id, min(us) AS session_start_us,
        max(us) + {gap_us} AS session_end_us,
        count(*) AS n_events
 FROM s GROUP BY user_id, sid"""
+
+
+def salted_customer_revenue_sql() -> str:
+    # the PLAIN join — the salted plan must be semantically invisible
+    return f"""
+SELECT c_nationkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {_DD})) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey"""

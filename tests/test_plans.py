@@ -122,3 +122,20 @@ def test_tfidf_python_stays_off_token_stream(spark):
     df = entrymod.queries()["tfidf_top_terms"](spark, SF_ORACLE)
     plan = _plan(df)
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_salted_join_spreads_key_and_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from jaccard_mapreduce_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    f = orders.select(F.col("o_custkey").alias("custkey"), "o_orderkey")
+    d = customer.select(F.col("c_custkey").alias("custkey"), "c_nationkey")
+    salted = salted_join(f, d, on=["custkey"], n_salt=4)
+    plain = f.join(d, "custkey")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # the physical join key includes the salt column
+    assert "_salt" in _plan(salted)
