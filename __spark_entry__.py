@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "orders_status_cube": lambda s, d: R.orders_status_cube(_t(s, d, "orders")),
         "events_daily": lambda s, d: R.events_daily(_t(s, d, "events")),
+        "events_hopping": lambda s, d: R.events_hopping_counts(_t(s, d, "events")),
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
         "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
         "part_brand_stats": lambda s, d: R.part_brand_stats(_t(s, d, "part")),
@@ -364,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_semi_anti": oracles.customers_with_without_orders_sql(),
         "orders_status_cube": oracles.orders_status_cube_sql(),
         "events_daily": oracles.events_daily_sql(),
+        "events_hopping": oracles.events_hopping_counts_sql(),
         "events_sessionize": oracles.events_sessionize_sql(),
         "events_json_props": oracles.events_json_props_sql(),
         "part_brand_stats": oracles.part_brand_stats_sql(),

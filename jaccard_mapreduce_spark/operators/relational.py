@@ -790,3 +790,32 @@ def user_funnel(
             .alias("stage_reached"),
         )
     )
+
+
+def events_hopping_counts(
+    events: DataFrame, window_seconds: int = 3600, slide_seconds: int = 1800
+) -> DataFrame:
+    """Hopping (sliding) window counts per event type: each event lands in
+    ``window/slide`` overlapping windows (``F.window`` with a slide).
+
+    The overlap factor multiplies rows BEFORE the aggregate, but partial
+    aggregation collapses them map-side, so the shuffle carries one row
+    per (window, type) per partition — same scale posture as the tumbling
+    ``events_daily``. Epoch-aligned starts, exact decimal sums."""
+    assert window_seconds % slide_seconds == 0
+    return (
+        events.groupBy(
+            F.window("ts", f"{window_seconds} seconds", f"{slide_seconds} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )

@@ -1099,3 +1099,23 @@ SELECT c_nationkey, count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS {_DD})) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey"""
+
+
+def events_hopping_counts_sql(
+    window_seconds: int = 3600, slide_seconds: int = 1800
+) -> str:
+    n_hops = window_seconds // slide_seconds
+    slide_us = slide_seconds * 1_000_000
+    win_us = window_seconds * 1_000_000
+    return f"""
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+hopped AS (
+    SELECT event_type, value,
+           (us // {slide_us}) * {slide_us} - i * {slide_us} AS window_start_us
+    FROM e CROSS JOIN range({n_hops}) r(i)
+    WHERE us - ((us // {slide_us}) * {slide_us} - i * {slide_us}) < {win_us}
+)
+SELECT window_start_us, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS {_DD})) AS DOUBLE) AS sum_value
+FROM hopped
+GROUP BY window_start_us, event_type"""
