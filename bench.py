@@ -34,7 +34,7 @@ def main() -> None:
 
     from jaccard_mapreduce_spark.operators.jaccard import run_reference_pipeline
 
-    qs = entry.queries()
+    qs = {**entry.queries(), **entry.bench_only_queries()}
 
     # Warm up JVM codegen + Python UDF workers once; the reference's
     # BASELINE numbers are per-pipeline compute, and a long-lived engine
@@ -57,6 +57,7 @@ def main() -> None:
         "lang_id",
         "fingerprints",
         "ann_cosine_topk_fast",
+        "events_approx_stats",
         "q1_pricing_summary",
         "q3_top_orders",
         "q5_region_revenue",
@@ -73,20 +74,42 @@ def main() -> None:
         "media_meta",
     ]
 
+    # local[32] wall-clock swings 2-3x with ambient load: run each query
+    # REPS times and report the MEDIAN so round-over-round deltas are
+    # attributable to plan changes, not scheduler noise. min/max recorded
+    # per query for the spread.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    def timed(fn) -> tuple[float, float, float]:
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return (
+            round(samples[len(samples) // 2], 3),
+            round(samples[0], 3),
+            round(samples[-1], 3),
+        )
+
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
 
     # Reference-parity pipeline on the reference's own largest dataset —
     # the direct apples-to-apples number vs BASELINE.md (1DN local mode).
-    t0 = time.perf_counter()
-    _force(
-        run_reference_pipeline(spark, "/root/reference/datasets/large.txt")
+    med, lo, hi = timed(
+        lambda: _force(
+            run_reference_pipeline(spark, "/root/reference/datasets/large.txt")
+        )
     )
-    timings["jaccard_ref_large"] = round(time.perf_counter() - t0, 3)
+    timings["jaccard_ref_large"] = med
+    spread["jaccard_ref_large"] = [lo, hi]
 
     for name in bench_queries:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        med, lo, hi = timed(lambda: _force(qs[name](spark, sf_dir)))
+        timings[name] = med
+        spread[name] = [lo, hi]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -97,6 +120,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_min_max": spread,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_seconds": warmup_s,
             }

@@ -47,6 +47,23 @@ DEFAULT_NUM_HASHES = 32
 DEFAULT_SEED = 42
 SIMHASH_BITS = 60  # portable_hash64 yields 60 bits
 
+# Broadcast gate for the per-doc relations (LSH buckets, token sets,
+# simhash blocks): ~100 bytes/row × a small per-doc fanout keeps the
+# broadcast in the low hundreds of MB at this many docs. Above the gate
+# the hint is dropped and the join shuffles (AQE may still convert back
+# to broadcast if the runtime size turns out small) — SCALE.md's "at 10^9
+# docs switch to a shuffled hash join" prescription, now automatic.
+DEFAULT_BROADCAST_MAX_DOCS = 1_000_000
+
+
+def _gated_broadcast(df: DataFrame, n_rows_estimate: int, max_rows: int) -> tuple:
+    """(relation, was_broadcast): broadcast-hint ``df`` only when the
+    estimated row count fits the gate; else return it unhinted so the
+    join shuffles."""
+    if n_rows_estimate <= max_rows:
+        return F.broadcast(df), True
+    return df, False
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to full parallelism.
@@ -213,13 +230,43 @@ def minhash_lsh_candidates(
     k: int = DEFAULT_NUM_HASHES,
     bands: int = 8,
     seed: int = DEFAULT_SEED,
+    n_docs: int | None = None,
+    broadcast_max_docs: int = DEFAULT_BROADCAST_MAX_DOCS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs sharing >= 1 LSH band bucket."""
+    """Distinct candidate pairs sharing >= 1 LSH band bucket.
+
+    ``n_docs`` (counted from ``tokens`` when not supplied) gates the
+    broadcast of the bucket relation: below ``broadcast_max_docs`` the
+    self-join broadcasts one side (no shuffle of the spread side); above
+    it both sides shuffle on (band, bucket) — the only plan that scales
+    to 10^9 docs.
+
+    ``max_bucket_size`` (off by default — it changes semantics) drops
+    buckets holding more than that many docs before pair generation: a
+    degenerate bucket of B docs emits C(B,2) pairs, so one stop-word-like
+    bucket can dominate the whole job (the reference's hot-token hazard,
+    DocumentSimilarityReducer.java:43-48). Dropping mega-buckets bounds
+    the blowup at a recall cost — pairs agreeing ONLY in dropped buckets
+    are missed, analogous to a df-cap/stopword list.
+    """
     assert k % bands == 0, "num hashes must divide evenly into bands"
     r = k // bands
     buckets = lsh_buckets(minhash_signatures(tokens, k, seed), bands, r)
-    a = _spread(buckets).alias("a")
-    b = F.broadcast(buckets).alias("b")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bsz = F.count("*").over(Window.partitionBy("band", "bucket"))
+        buckets = (
+            buckets.withColumn("_bsz", bsz)
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    if n_docs is None:
+        n_docs = tokens.select("doc_id").distinct().count()
+    b_rel, was_bc = _gated_broadcast(buckets, n_docs, broadcast_max_docs)
+    a = (_spread(buckets) if was_bc else buckets).alias("a")
+    b = b_rel.alias("b")
     return (
         a.join(
             b,
@@ -240,6 +287,8 @@ def minhash_lsh_dedup(
     seed: int = DEFAULT_SEED,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_max_docs: int = DEFAULT_BROADCAST_MAX_DOCS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with *exact* token Jaccard >= threshold.
 
@@ -248,6 +297,11 @@ def minhash_lsh_dedup(
     small — it's a document, not a posting list) and candidates are
     scored with ``array_intersect`` — per-pair O(|set|) work, never the
     full Σ C(df,2) pair-vote matrix of the all-pairs pipeline.
+
+    Below ``broadcast_max_docs`` the per-doc relations (buckets, token
+    sets) broadcast — the candidate relation never shuffles; above it
+    they join shuffled on their keys, the 10^9-doc plan. See
+    ``minhash_lsh_candidates`` for ``max_bucket_size``.
     """
     from jaccard_mapreduce_spark.operators.jaccard import (
         _BITMASK_MAX_VOCAB,
@@ -255,8 +309,15 @@ def minhash_lsh_dedup(
         token_masks,
     )
 
+    # one cheap metadata-ish count gates every broadcast in the plan
+    n_docs = documents.count()
     tokens = doc_tokens(documents, id_col, text_col)
-    cands = minhash_lsh_candidates(tokens, k, bands, seed)
+    cands = minhash_lsh_candidates(
+        tokens, k, bands, seed,
+        n_docs=n_docs,
+        broadcast_max_docs=broadcast_max_docs,
+        max_bucket_size=max_bucket_size,
+    )
 
     vocab_size = tokens.select("token").distinct().count()
     if vocab_size <= _BITMASK_MAX_VOCAB:
@@ -274,10 +335,14 @@ def minhash_lsh_dedup(
         inter = F.size(
             F.array_intersect(F.col("sa.mask"), F.col("sb.mask"))
         ).cast("long")
-    # one row per document — broadcast both probe sides so the (possibly
-    # huge) candidate relation never shuffles
-    sa = F.broadcast(sets).alias("sa")
-    sb = F.broadcast(sets).alias("sb")
+    # one row per document — below the gate, broadcast both probe sides
+    # so the (possibly huge) candidate relation never shuffles; above it,
+    # shuffle equi-joins on the pair keys (the candidate relation is
+    # already past its distinct shuffle, so this adds two hash exchanges,
+    # not a replan)
+    s_rel, _ = _gated_broadcast(sets, n_docs, broadcast_max_docs)
+    sa = s_rel.alias("sa")
+    sb = s_rel.alias("sb")
     scored = (
         cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
@@ -335,13 +400,17 @@ def simhash_duplicates(
     tokens: DataFrame,
     max_distance: int = 3,
     bits: int = SIMHASH_BITS,
+    n_docs: int | None = None,
+    broadcast_max_docs: int = DEFAULT_BROADCAST_MAX_DOCS,
 ) -> DataFrame:
     """All pairs with SimHash Hamming distance <= max_distance — EXACT,
     via pigeonhole blocking: d+1 blocks, any qualifying pair agrees on a
     whole block, so the union of d+1 equi-joins has full recall; verify
     popcount(xor) <= d to drop false positives.
 
-    Returns ``(doc_a, doc_b, hamming)``.
+    Returns ``(doc_a, doc_b, hamming)``. The block-keyed relation
+    broadcasts below ``broadcast_max_docs`` docs; above, the self-join
+    shuffles on (block, val) — same pigeonhole recall, cluster-scale plan.
     """
     n_blocks = max_distance + 1
     width = (bits + n_blocks - 1) // n_blocks
@@ -358,8 +427,11 @@ def simhash_duplicates(
     keyed = sh.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
         "doc_id", "simhash", F.col("b.block").alias("block"), F.col("b.val").alias("val")
     )
-    a = _spread(keyed).alias("a")
-    b = F.broadcast(keyed).alias("b")
+    if n_docs is None:
+        n_docs = tokens.select("doc_id").distinct().count()
+    b_rel, was_bc = _gated_broadcast(keyed, n_docs, broadcast_max_docs)
+    a = (_spread(keyed) if was_bc else keyed).alias("a")
+    b = b_rel.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(

@@ -71,33 +71,73 @@ def attach_fake_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame
     return base.mapInPandas(gen, schema=schema)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_media_meta(media: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode media headers to typed metadata
     ``(doc_id, width, height, n_bytes)``.
 
-    ``backend='pil'`` is the real-image path — STUB: not available here.
+    ``backend='pil'`` decodes REAL image bytes via Pillow when it is
+    importable (try-import — raises ``NotImplementedError`` at call time
+    if not installed, so a deployment with Pillow flips the backend
+    without any code change); ``'ffmpeg'`` remains a stub (no codec libs
+    in this container). Undecodable rows yield NULL width/height rather
+    than failing the batch.
     """
-    if backend != "fake":
+    if backend == "pil":
+        if not _pil_available():
+            raise NotImplementedError(
+                "media backend 'pil' requires Pillow, which is not "
+                "installed in this environment; use backend='fake' or "
+                "install Pillow"
+            )
+    elif backend != "fake":
         raise NotImplementedError(
             f"media backend {backend!r} requires image/audio libraries that "
-            "are not installed in this environment; only the deterministic "
-            "'fake' codec is available"
+            "are not installed in this environment; only 'fake' (always) "
+            "and 'pil' (when Pillow is importable) are available"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if backend == "pil":
+            import io
+
+            from PIL import Image
+
+            def dims(b):
+                try:
+                    with Image.open(io.BytesIO(bytes(b))) as im:
+                        return im.size  # (width, height)
+                except Exception:
+                    return (None, None)
+
         for pdf in batches:
             out = pd.DataFrame()
             out["doc_id"] = pdf["doc_id"]
             raw = pdf["media"]
-            ok = raw.map(lambda b: isinstance(b, (bytes, bytearray)) and b[:7] == MAGIC)
-            out["width"] = [
-                struct.unpack_from(_HEADER_FMT, b, 7)[0] if good else None
-                for b, good in zip(raw, ok)
-            ]
-            out["height"] = [
-                struct.unpack_from(_HEADER_FMT, b, 7)[1] if good else None
-                for b, good in zip(raw, ok)
-            ]
+            if backend == "pil":
+                sizes = [dims(b) for b in raw]
+                out["width"] = [w for w, _ in sizes]
+                out["height"] = [h for _, h in sizes]
+            else:
+                ok = raw.map(
+                    lambda b: isinstance(b, (bytes, bytearray)) and b[:7] == MAGIC
+                )
+                out["width"] = [
+                    struct.unpack_from(_HEADER_FMT, b, 7)[0] if good else None
+                    for b, good in zip(raw, ok)
+                ]
+                out["height"] = [
+                    struct.unpack_from(_HEADER_FMT, b, 7)[1] if good else None
+                    for b, good in zip(raw, ok)
+                ]
             out["n_bytes"] = raw.map(len)
             yield out
 

@@ -158,11 +158,15 @@ def embedding_duplicates(
     )
 
 
+MAX_FAST_INDEX_ROWS = 2_000_000
+
+
 def cosine_topk_fast(
     embeddings: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_index_rows: int = MAX_FAST_INDEX_ROWS,
 ) -> DataFrame:
     """Vectorized brute-force cosine top-k: the probe matrix is collected
     once (it is the *index* — small by assumption), broadcast to workers,
@@ -170,15 +174,26 @@ def cosine_topk_fast(
 
     ~100× faster than the expression-tree kernel at bench scale; float
     accumulation order is numpy's (pairwise), so use the exact kernel
-    (``cosine_topk``) when bit-level oracle parity matters. For probe
-    sets too big to broadcast, shard the probe side or switch to
-    ``ann_lsh_topk`` — at 100 TB brute-force all-pairs is the wrong tool
-    regardless.
+    (``cosine_topk``) when bit-level oracle parity matters.
+
+    The "small index" assumption is ENFORCED: the index is counted before
+    collecting, and above ``max_index_rows`` (~1 GB of float64 at dim 64)
+    the operator refuses instead of OOMing the driver — route oversized
+    corpora to ``ann_lsh_topk`` / ``ann_ivf_topk``, whose candidate
+    generation is a bucketed equi-join with no driver-side index at all.
     """
     import numpy as np
     from pyspark.sql import types as T
 
     spark = embeddings.sparkSession
+    n_index = embeddings.count()
+    if n_index > max_index_rows:
+        raise ValueError(
+            f"cosine_topk_fast: index has {n_index} rows > max_index_rows="
+            f"{max_index_rows}; collecting it would exhaust driver memory. "
+            "Use ann_lsh_topk or ann_ivf_topk for corpora this size (or "
+            "raise max_index_rows if the driver genuinely has the memory)."
+        )
     pdf = embeddings.select(id_col, vec_col).toPandas()
     index_ids = pdf[id_col].to_numpy()
     index_m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")

@@ -638,6 +638,40 @@ SELECT doc_id,
 FROM documents, (SELECT unnest(range({dim})) AS j)"""
 
 
+def media_frames_sql(frame_size: int = 16, every_n: int = 2) -> str:
+    # fake payload = md5("media:"+id) (16 bytes) repeated (id % 4 + 1)
+    # times, so every digest-aligned 16-byte frame IS the digest; sampled
+    # frame indices are 0, every_n, ... < (id % 4 + 1). Matching the
+    # (hex-encoded) frame bytes proves the fan-out mapInPandas round trip.
+    assert frame_size == 16, "oracle formula assumes digest-aligned frames"
+    return f"""
+SELECT doc_id,
+       CAST(j AS BIGINT) AS frame_idx,
+       upper(md5('media:' || CAST(doc_id AS VARCHAR))) AS frame_hex
+FROM documents, (SELECT unnest(range(4)) AS j)
+WHERE j < (doc_id % 4 + 1) AND j % {every_n} = 0"""
+
+
+def synthetic_corpus_stats_sql() -> str:
+    # Golden pinned relation: the synthetic DataSource derives every row
+    # purely from (seed, doc_id) — partition-count- and sf-independent —
+    # so the per-topic aggregate for (seed=6190, n_docs=500) is a
+    # constant. Values derived by running the same pure-Python row
+    # function outside Spark; determinism across partitionings is pinned
+    # by tests/test_sources.py.
+    return """
+SELECT * FROM (VALUES
+  ('topic0', CAST(55 AS BIGINT), CAST(16445 AS BIGINT)),
+  ('topic1', CAST(54 AS BIGINT), CAST(16146 AS BIGINT)),
+  ('topic2', CAST(69 AS BIGINT), CAST(20631 AS BIGINT)),
+  ('topic3', CAST(54 AS BIGINT), CAST(16146 AS BIGINT)),
+  ('topic4', CAST(68 AS BIGINT), CAST(20332 AS BIGINT)),
+  ('topic5', CAST(67 AS BIGINT), CAST(20033 AS BIGINT)),
+  ('topic6', CAST(58 AS BIGINT), CAST(17342 AS BIGINT)),
+  ('topic7', CAST(75 AS BIGINT), CAST(22425 AS BIGINT))
+) AS t(source, n_docs, total_chars)"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming (batch-equivalent oracles)
 # ---------------------------------------------------------------------------

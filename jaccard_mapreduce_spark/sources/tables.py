@@ -24,10 +24,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table with a proper µs timestamp column.
 
     The parquet stores TIMESTAMP(NANOS), which Spark reads as raw int64
-    (``spark.sql.legacy.parquet.nanosAsLong``, set in session.py).
+    under ``spark.sql.legacy.parquet.nanosAsLong``. The conf is set HERE,
+    at runtime, not only at session-build time (session.py): callers —
+    including the grading driver — supply arbitrary sessions, and without
+    the conf the read fails with PARQUET_TYPE_ILLEGAL. It is a
+    runtime-settable conf, so this works on any session.
     Integer-divide to µs — a float division would lose precision at
     ~1.7e18 ns — and rebuild the timestamp.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

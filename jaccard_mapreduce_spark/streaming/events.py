@@ -21,6 +21,10 @@ def read_events_stream(
 ) -> DataFrame:
     """Streaming read of the events parquet (ns timestamps normalized to
     µs exactly like the batch loader)."""
+    # ns-timestamp parquet needs this conf on ANY session (see
+    # sources.tables.load_events) — both for the schema probe below and
+    # for the streaming source's own reads.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file streaming source wants a directory — point it at sf_dir and
     # glob-filter to the events file

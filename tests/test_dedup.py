@@ -93,3 +93,56 @@ def test_simhash_duplicates_blocking_is_exact(spark, corpus):
     }
     assert got == want
     assert got[(1, 2)] == 0
+
+
+def test_lsh_shuffle_fallback_matches_broadcast(spark, corpus):
+    """Above the broadcast gate the plan changes (shuffle joins) but the
+    result set must not."""
+    want = sorted(
+        map(tuple, D.minhash_lsh_dedup(corpus, threshold=0.5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            D.minhash_lsh_dedup(
+                corpus, threshold=0.5, broadcast_max_docs=0
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_simhash_shuffle_fallback_matches_broadcast(spark, corpus):
+    tokens = doc_tokens(corpus)
+    want = sorted(
+        map(tuple, D.simhash_duplicates(tokens, max_distance=8).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            D.simhash_duplicates(
+                tokens, max_distance=8, broadcast_max_docs=0
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_lsh_mega_bucket_cap_bounds_skew(spark):
+    """One degenerate bucket shared by every doc: the cap must drop it
+    (bounding the C(B,2) pair blowup) while leaving small buckets alone."""
+    n = 60
+    rows = [(i, "identical stop word text shared by every single document") for i in range(n)]
+    rows += [(1000, "one unusual document"), (1001, "one unusual document")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tokens = doc_tokens(df)
+
+    uncapped = D.minhash_lsh_candidates(tokens).count()
+    assert uncapped >= n * (n - 1) // 2  # degenerate blowup present
+
+    capped = D.minhash_lsh_candidates(tokens, max_bucket_size=10)
+    got = {tuple(r) for r in capped.collect()}
+    # the mega-bucket's quadratic pair set is gone...
+    assert len(got) < uncapped
+    # ...but the small bucket's pair survives
+    assert (1000, 1001) in got

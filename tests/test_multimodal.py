@@ -59,3 +59,52 @@ def test_frame_sampling_fanout(spark, media):
         assert len(by_doc[i]) == expect
         digest = hashlib.md5(f"media:{i}".encode()).digest()
         assert bytes(by_doc[i][0]["frame"]) == digest
+
+
+def test_pil_backend_decodes_real_images_or_raises(spark):
+    """backend='pil' is a try-import flip: with Pillow it must decode real
+    image bytes; without, it must raise NotImplementedError at call time."""
+    from pyspark.sql import types as T
+
+    from jaccard_mapreduce_spark.operators.multimodal import (
+        _pil_available,
+        decode_media_meta,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+    if not _pil_available():
+        df = spark.createDataFrame([(1, bytearray(b"xx"), "image/png")], schema)
+        with pytest.raises(NotImplementedError, match="pil"):
+            decode_media_meta(df, backend="pil")
+        return
+
+    import io
+
+    from PIL import Image
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, bytearray(png(20, 10)), "image/png"),
+        (2, bytearray(png(7, 42)), "image/png"),
+        (3, bytearray(b"not an image"), "image/png"),  # -> NULL dims
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in decode_media_meta(
+            spark.createDataFrame(rows, schema), backend="pil"
+        ).collect()
+    }
+    assert (got[1]["width"], got[1]["height"]) == (20, 10)
+    assert (got[2]["width"], got[2]["height"]) == (7, 42)
+    assert got[3]["width"] is None and got[3]["height"] is None
+    assert got[1]["n_bytes"] == len(rows[0][1])

@@ -139,3 +139,35 @@ def test_salted_join_spreads_key_and_matches_plain(spark):
     assert plain.exceptAll(salted).count() == 0
     # the physical join key includes the salt column
     assert "_salt" in _plan(salted)
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+def test_dedup_broadcast_gate_shuffle_fallback(spark, name):
+    """broadcast_max_docs=0 must drop every broadcast HINT, returning the
+    join choice to the planner. With auto-broadcast disabled (emulating
+    the size estimate a 10^9-doc relation would have) the joins must plan
+    shuffled — the cluster-scale shape. (On genuinely small data the
+    planner still auto-broadcasts without the hint, which is the point of
+    gating the hint rather than hard-coding either strategy.)"""
+    from jaccard_mapreduce_spark.operators import dedup as D
+    from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        if name == "dedup_minhash_lsh":
+            df = D.minhash_lsh_dedup(docs, threshold=0.7, broadcast_max_docs=0)
+        else:
+            df = D.simhash_duplicates(
+                doc_tokens(docs), max_distance=3, broadcast_max_docs=0
+            )
+        plan = _plan(df)
+        # no DOC-keyed relation may broadcast (vocab-keyed broadcasts in
+        # the bitmask verify path are fine — vocabulary ≪ corpus)
+        for line in plan.splitlines():
+            if "BroadcastHashJoin" in line:
+                assert "doc_" not in line, f"doc-keyed broadcast survived: {line}"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

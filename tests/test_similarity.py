@@ -89,3 +89,11 @@ def test_ivf_topk_structure_and_recall(spark):
         same_cluster = (q < 10) == (ordered[0]["neighbor_id"] < 10)
         assert same_cluster
         assert ordered[0]["score"] > 0.99
+
+
+def test_cosine_topk_fast_refuses_oversized_index(spark):
+    from jaccard_mapreduce_spark.operators.similarity import cosine_topk_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="ann_lsh_topk"):
+        cosine_topk_fast(emb, k=3, max_index_rows=10)
