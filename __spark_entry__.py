@@ -184,6 +184,33 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject deterministic synthetic PII (emails on even ids, phones on
+    ids % 3 == 0 — the corpus itself contains none), then redact; the
+    oracle builds the identical string and redacts with the same
+    patterns."""
+    docs = _docs(spark, sf_dir)
+    email = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    injected = docs.withColumn("text", F.concat(F.col("text"), email, phone))
+    return TA.redact_pii(injected)
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.doc_tokens(_docs(spark, sf_dir))
 
@@ -342,6 +369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": lambda s, d: R.orders_grouping_sets(_t(s, d, "orders")),
         "lineitem_unpivot": lambda s, d: R.lineitem_unpivot(_t(s, d, "lineitem")),
         "orders_rollup": lambda s, d: R.orders_rollup(_t(s, d, "orders")),
+        # --- Training-data pipeline extensions (round 2) ---
+        "repetition_stats": lambda s, d: TA.repetition_stats(_docs(s, d)),
+        "pii_scrub": _q_pii_scrub,
+        "pack_sequences": lambda s, d: TA.pack_sequences(_docs(s, d)),
     }
 
 
@@ -427,6 +458,9 @@ def oracle_sql() -> dict[str, str]:
         "media_features": oracles.media_features_sql(16),
         "media_frames": oracles.media_frames_sql(16, 2),
         "synthetic_corpus_stats": oracles.synthetic_corpus_stats_sql(),
+        "repetition_stats": oracles.repetition_stats_sql(),
+        "pii_scrub": oracles.pii_scrub_sql(TA.PII_EMAIL_RE, TA.PII_PHONE_RE),
+        "pack_sequences": oracles.pack_sequences_sql(2048, 16, "pack-v1"),
         # streaming queries verified against batch-equivalent SQL — the
         # watermark/window machinery must converge to the batch answer
         "stream_windowed_hourly": oracles.stream_windowed_hourly_sql(),

@@ -22,6 +22,7 @@ from jaccard_mapreduce_spark.functions.text import (
     token_count_bpe_ish,
     token_count_ws,
     tokenize,
+    word_ngrams,
 )
 
 
@@ -271,6 +272,135 @@ def stratified_sample(
     )
 
 
+def repetition_stats(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family):
+    duplicate-token fraction, duplicate-bigram fraction, and the fraction
+    of bigram occurrences claimed by the single most frequent bigram —
+    high values flag boilerplate/generated text that dedup across
+    documents can't see.
+
+    Pure per-row array expressions — NO shuffle (the bigram top-count is
+    an in-row higher-order aggregation, not an explode + groupBy; a
+    document is bounded, so the O(|distinct grams| × |grams|) row cost
+    is constant). All ratios divide exact integers in fixed order, so
+    the DuckDB oracle hashes identically.
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks).cast("long")
+    u = F.size(F.array_distinct(toks)).cast("long")
+    grams = word_ngrams(toks, 2)
+    ng = F.size(grams).cast("long")
+    ug = F.size(F.array_distinct(grams)).cast("long")
+    top = (
+        F.when(
+            ng > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct(grams),
+                    lambda g: F.size(F.filter(grams, lambda x: x == g)),
+                )
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+    def ratio(num, den):
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        ratio(n - u, n).alias("dup_token_ratio"),
+        ng.alias("n_bigrams"),
+        ratio(ng - ug, ng).alias("dup_bigram_ratio"),
+        top.alias("top_bigram_count"),
+        ratio(top, ng).alias("top_bigram_ratio"),
+    )
+
+
+# PII patterns restricted to the regex subset with identical semantics in
+# Java's engine (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, \d and \b — no lookaround, no backreferences.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing: replace email addresses / phone numbers with typed
+    placeholders and count what was removed —
+    ``(doc_id, clean_text, n_emails, n_phones)``.
+
+    Pure ``regexp_replace``/``regexp_count`` projections (codegen, no
+    shuffle, no Python). The pattern list is deliberately conservative
+    (see PII_*_RE) so behavior is engine-portable; a production pipeline
+    extends the list, not the plan shape.
+    """
+    c = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    max_len: int = 2048,
+    n_shards: int = 16,
+    salt: str = "pack-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the layout step that turns a
+    document corpus into fixed-length training sequences: within each
+    shard, documents are laid end-to-end in doc_id order and cut into
+    ``max_len``-token chunks; a document's ``pack_id`` is the chunk where
+    its first token lands (``start_offset div max_len``).
+
+    Shards pack independently (hash-assigned, same salt machinery as
+    ``shard_assign``), so the running-sum window partitions by shard —
+    at 100 TB this is one shuffle keyed by shard and each shard's
+    cumulative sum is a single-pass window, never a global sort. Token
+    counts use the deterministic BPE-ish proxy (``token_count_bpe_ish``).
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        (h % n_shards).alias("shard"),
+        token_count_bpe_ish(text_col).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # bigint / int -> double division is exact below 2^52 tokens/shard,
+    # far beyond any real shard; floor matches the oracle bit-for-bit
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(max_len)).cast("long").alias("pack_id"),
+    )
+
+
 __all__ = [
     "token_counts",
     "text_stats",
@@ -282,5 +412,10 @@ __all__ = [
     "vocabulary",
     "tfidf_top_terms",
     "stratified_sample",
+    "repetition_stats",
+    "redact_pii",
+    "pack_sequences",
+    "PII_EMAIL_RE",
+    "PII_PHONE_RE",
     "ENGLISH_STOPWORDS",
 ]

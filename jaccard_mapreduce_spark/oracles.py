@@ -235,6 +235,94 @@ SELECT doc_id,
 FROM documents"""
 
 
+def repetition_stats_sql() -> str:
+    # mirror operators/text_analysis.repetition_stats: bigrams via the
+    # same 1-based slide as word_ngrams; ratios divide the same integers
+    # in the same order
+    return f"""
+WITH base AS (SELECT doc_id, {TOKS_EXPR} AS toks FROM documents),
+g AS (
+    SELECT doc_id, toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> concat_ws(' ', toks[i], toks[i + 1]))
+                ELSE []::VARCHAR[] END AS grams
+    FROM base
+),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n, len(list_distinct(toks)) AS u,
+           len(grams) AS ng, len(list_distinct(grams)) AS ug,
+           CASE WHEN len(grams) > 0
+                THEN list_max(list_transform(list_distinct(grams),
+                     gg -> len(list_filter(grams, x -> x = gg))))
+                ELSE 0 END AS top
+    FROM g
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN n > 0 THEN CAST(n - u AS DOUBLE) / CAST(n AS DOUBLE)
+            ELSE 0.0 END AS dup_token_ratio,
+       CAST(ng AS BIGINT) AS n_bigrams,
+       CASE WHEN ng > 0 THEN CAST(ng - ug AS DOUBLE) / CAST(ng AS DOUBLE)
+            ELSE 0.0 END AS dup_bigram_ratio,
+       CAST(top AS BIGINT) AS top_bigram_count,
+       CASE WHEN ng > 0 THEN CAST(top AS DOUBLE) / CAST(ng AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_ratio
+FROM m"""
+
+
+def pii_scrub_sql(email_re: str, phone_re: str) -> str:
+    # the contract query injects deterministic synthetic PII (emails on
+    # even ids, phones on ids % 3 = 0) so redaction is exercised on
+    # known content; both engines build the identical string first
+    return f"""
+WITH pii AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{email_re}', '<EMAIL>', 'g'),
+                      '{phone_re}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{email_re}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{phone_re}')) AS BIGINT) AS n_phones
+FROM pii"""
+
+
+def pack_sequences_sql(
+    max_len: int = 2048, n_shards: int = 16, salt: str = "pack-v1"
+) -> str:
+    h = hash64(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    n_tok = (
+        r"CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        r" t -> t <> ''))"
+        r" + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, {h} % {n_shards} AS shard, {n_tok} AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+    FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(floor(CAST(start_offset AS DOUBLE) / {max_len}) AS BIGINT) AS pack_id
+FROM c"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

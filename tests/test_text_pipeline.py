@@ -1,0 +1,96 @@
+"""Unit semantics for the training-data pipeline extensions
+(repetition signals, PII scrubbing, sequence packing) on hand-computed
+inputs — the oracle-parity suite checks engine equivalence; these pin
+the intended MEANING."""
+
+from __future__ import annotations
+
+from jaccard_mapreduce_spark.operators import text_analysis as TA
+
+
+def test_repetition_stats_hand_computed(spark):
+    rows = [
+        (1, "a a b"),          # dup token a; bigrams: "a a", "a b"
+        (2, "x x x x"),        # all same; bigrams: "x x" ×3
+        (3, "p q r"),          # no repetition
+        (4, ""),               # empty: all ratios 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in TA.repetition_stats(df).collect()}
+
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["dup_token_ratio"] == 1 / 3
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["dup_bigram_ratio"] == 0.0
+    assert got[1]["top_bigram_count"] == 1
+    assert got[1]["top_bigram_ratio"] == 0.5
+
+    assert got[2]["dup_token_ratio"] == 0.75
+    assert got[2]["n_bigrams"] == 3
+    assert got[2]["dup_bigram_ratio"] == 2 / 3
+    assert got[2]["top_bigram_count"] == 3
+    assert got[2]["top_bigram_ratio"] == 1.0
+
+    assert got[3]["dup_token_ratio"] == 0.0
+    assert got[3]["top_bigram_ratio"] == 0.5  # 2 bigrams, each once
+
+    assert got[4]["n_tokens"] == 0
+    assert got[4]["dup_token_ratio"] == 0.0
+    assert got[4]["top_bigram_ratio"] == 0.0
+
+
+def test_redact_pii_hand_computed(spark):
+    rows = [
+        (1, "reach me at jane.doe+x@example.co.uk or 555-123-4567 ok"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c@d.org and 111-222-3333 444-555-6666"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in TA.redact_pii(df).collect()}
+
+    assert got[1]["clean_text"] == "reach me at <EMAIL> or <PHONE> ok"
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+
+    assert got[2]["clean_text"] == "no pii here at all"
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+
+    assert got[3]["clean_text"] == "two mails <EMAIL> <EMAIL> and <PHONE> <PHONE>"
+    assert got[3]["n_emails"] == 2 and got[3]["n_phones"] == 2
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    # n_shards=1: every doc in shard 0, packed in doc_id order.
+    # BPE-ish counts: "aa bb" -> 2 runs, 0 punct -> 2 tokens per word pair
+    rows = [
+        (1, "aa bb cc"),   # 3 tokens, start 0, pack 0
+        (2, "dd ee"),      # 2 tokens, start 3, pack 0
+        (3, "ff gg hh"),   # 3 tokens, start 5, pack 1 (cap 4)
+        (4, "ii"),         # 1 token,  start 8, pack 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in TA.pack_sequences(df, max_len=4, n_shards=1).collect()
+    }
+    assert [got[i]["shard"] for i in (1, 2, 3, 4)] == [0, 0, 0, 0]
+    assert [got[i]["n_tokens"] for i in (1, 2, 3, 4)] == [3, 2, 3, 1]
+    assert [got[i]["start_offset"] for i in (1, 2, 3, 4)] == [0, 3, 5, 8]
+    assert [got[i]["pack_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 2]
+
+
+def test_pack_sequences_shards_pack_independently(spark):
+    rows = [(i, "w " * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = TA.pack_sequences(df, max_len=25, n_shards=4).collect()
+    assert {r["shard"] for r in got} <= set(range(4))
+    # within each shard, offsets are a gapless end-to-end layout
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rows_:
+            assert r["start_offset"] == expect
+            assert r["pack_id"] == expect // 25
+            expect += r["n_tokens"]
