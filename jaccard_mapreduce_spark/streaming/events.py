@@ -65,6 +65,40 @@ def windowed_event_counts(
     )
 
 
+def hopping_event_counts(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    slide_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked HOPPING (sliding) window counts per event type — the
+    streaming twin of the batch ``relational.events_hopping_counts``
+    (identical output schema, same oracle SQL). Each event lands in
+    window/slide overlapping windows; closed-window state is evicted at
+    the watermark, so state is bounded by (watermark/slide) × |types|
+    regardless of stream length."""
+    assert window_seconds % slide_seconds == 0
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window(
+                "ts", f"{window_seconds} seconds", f"{slide_seconds} seconds"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
 _STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
 _OUT_SCHEMA = T.StructType(
     [
