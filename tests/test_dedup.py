@@ -146,3 +146,33 @@ def test_lsh_mega_bucket_cap_bounds_skew(spark):
     assert len(got) < uncapped
     # ...but the small bucket's pair survives
     assert (1000, 1001) in got
+
+
+def test_lsh_packed_pair_dedup_matches_unpacked(spark, corpus):
+    from jaccard_mapreduce_spark.operators.jaccard import doc_tokens as _dt
+
+    tokens = _dt(corpus)
+    want = sorted(
+        map(tuple, D.minhash_lsh_candidates(tokens, ids_fit_31_bits=False).collect())
+    )
+    got = sorted(
+        map(tuple, D.minhash_lsh_candidates(tokens, ids_fit_31_bits=True).collect())
+    )
+    assert got == want and len(want) > 0
+
+
+def test_lsh_dedup_big_ids_use_fallback(spark):
+    """doc_ids >= 2^31 must take the two-column dedup path and still
+    produce correct pairs."""
+    base = 1 << 40
+    rows = [
+        (base + 1, "alpha beta gamma delta epsilon zeta"),
+        (base + 2, "alpha beta gamma delta epsilon zeta"),
+        (base + 3, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["similarity"]
+        for r in D.minhash_lsh_dedup(df, threshold=0.9).collect()
+    }
+    assert got == {(base + 1, base + 2): 1.0}
