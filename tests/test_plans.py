@@ -171,3 +171,20 @@ def test_dedup_broadcast_gate_shuffle_fallback(spark, name):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_repetition_stats_is_pure_projection(spark):
+    plan = _plan(entrymod.queries()["repetition_stats"](spark, SF_ORACLE))
+    assert "Exchange" not in plan
+
+
+def test_redact_pii_is_pure_projection(spark):
+    plan = _plan(entrymod.queries()["pii_scrub"](spark, SF_ORACLE))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    plan = _plan(entrymod.queries()["pack_sequences"](spark, SF_ORACLE))
+    # exactly one exchange: the hash partition by shard for the window
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RoundRobinPartitioning" not in plan
