@@ -33,6 +33,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1.7e18 ns — and rebuild the timestamp.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp semantics must not depend on the caller's session defaults:
+    # downstream date_trunc/window results are compared against a DuckDB
+    # oracle that works in naive UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

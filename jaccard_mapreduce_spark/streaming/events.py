@@ -25,6 +25,7 @@ def read_events_stream(
     # sources.tables.load_events) — both for the schema probe below and
     # for the streaming source's own reads.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file streaming source wants a directory — point it at sf_dir and
     # glob-filter to the events file
