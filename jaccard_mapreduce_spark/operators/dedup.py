@@ -598,3 +598,39 @@ def dedup_clusters(
             break
     edges.unpersist()
     return labels
+
+
+def dedup_representatives(
+    documents: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection after clustering: within each dup
+    cluster keep the doc with the largest ``weight_col`` (ties -> lowest
+    doc_id). Returns one row per document —
+    ``(doc_id, cluster_id, rep_doc_id, is_kept)`` — i.e. both the keep
+    list and the dup->canonical mapping a training pipeline needs.
+
+    One shuffle: the rank-1-of-group runs as a window partitioned by
+    ``cluster_id``. Cluster sizes are bounded by near-dup neighborhoods
+    (not corpus-sized), so no skew mitigation is needed; the documents
+    join is on ``doc_id`` and piggybacks the same exchange.
+    """
+    from pyspark.sql import Window
+
+    joined = clusters.join(
+        documents.select(F.col(id_col).alias("doc_id"), weight_col), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(weight_col).desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rep_doc_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "rep_doc_id",
+            (F.col("doc_id") == F.col("rep_doc_id")).alias("is_kept"),
+        )
+    )

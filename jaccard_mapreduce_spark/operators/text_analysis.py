@@ -401,6 +401,152 @@ def pack_sequences(
     )
 
 
+def contamination_check(
+    documents: DataFrame,
+    n: int = 5,
+    benchmark_mod: int = 97,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination scan: fraction of each training document's
+    distinct word ``n``-grams that also appear in a held-out benchmark
+    set. Docs with ``doc_id % benchmark_mod == 0`` stand in for the
+    benchmark (a real run substitutes the eval-suite corpus); output is
+    one row per non-benchmark doc with >= 1 shingle:
+    ``(doc_id, n_shingles, n_contaminated, contamination_frac,
+    is_contaminated)``.
+
+    Scale shape: the benchmark n-gram set is SMALL by construction (eval
+    suites are fixed-size, not corpus-sized), so it broadcasts and the
+    scan is one map-side join + one hash aggregation on doc_id — the
+    100 TB side never shuffles on the n-gram key. The flag uses integer
+    arithmetic (``2*hits >= total``, i.e. frac >= 0.5) and the frac is a
+    single long/long IEEE division, so the DuckDB oracle hashes
+    identically.
+    """
+    sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(text_col), n))
+        ).alias("shingle"),
+    )
+    bench = (
+        sh.where(F.col("doc_id") % benchmark_mod == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("bench_hit", F.lit(1))
+    )
+    corpus = sh.where(F.col("doc_id") % benchmark_mod != 0)
+    marked = corpus.join(F.broadcast(bench), "shingle", "left")
+    hits = F.count("bench_hit").alias("n_contaminated")
+    total = F.count("*").alias("n_shingles")
+    return (
+        marked.groupBy("doc_id")
+        .agg(total, hits)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination_frac"),
+            (F.lit(2) * F.col("n_contaminated") >= F.col("n_shingles")).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def top_ngrams(
+    documents: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-``k`` word n-grams by occurrence count (ties
+    broken lexicographically): ``(ngram, n_occurrences, rank)``.
+
+    One explode + one hash aggregation (partial agg map-side); the top-k
+    itself is ``orderBy().limit(k)`` — Spark's TakeOrdered gathers only
+    k rows per partition, so there is NO single-partition sort of the
+    full n-gram vocabulary. The rank window runs over the already-
+    limited k-row relation (driver-sized, not data-sized).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        documents.select(
+            F.explode(word_ngrams(tokenize(text_col), n)).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    topk = counts.orderBy(F.col("n_occurrences").desc(), F.col("ngram")).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def global_shuffle(
+    documents: DataFrame,
+    salt: str = "shuffle-v1",
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order randomization: every document
+    gets a pseudorandom sort key (portable 60-bit hash of salt:doc_id)
+    and its position in that order — ``(doc_id, shuffle_key, shuffle_pos)``.
+    Changing the salt reshuffles; the same salt always reproduces the
+    same order (resumable training).
+
+    A naive ``row_number() OVER (ORDER BY key)`` funnels the corpus into
+    ONE partition. Instead the global rank is composed from fixed-width
+    ranges of the (uniform) hash key: rank within bucket + the total
+    count of all lower buckets. That is one hash shuffle on ``bucket``
+    for the in-bucket window, plus a bucket-count relation of at most
+    ``n_buckets`` rows (driver-sized) whose cumulative offsets broadcast
+    back. No data-sized single-partition stage anywhere; bucket widths
+    are uniform because the key is a hash, so skew cannot arise.
+    """
+    from pyspark.sql import Window
+
+    width = (1 << 60) // n_buckets
+    keyed = documents.select(
+        F.col(id_col).alias("doc_id"),
+        portable_hash64(
+            F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+        ).alias("shuffle_key"),
+    ).withColumn("bucket", F.expr(f"shuffle_key div {width}"))
+    offsets = (
+        keyed.groupBy("bucket")
+        .agg(F.count("*").alias("n_in_bucket"))
+        .withColumn(
+            "bucket_offset",
+            F.sum("n_in_bucket")
+            .over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .cast("long"),
+        )
+        .select("bucket", F.coalesce("bucket_offset", F.lit(0)).alias("bucket_offset"))
+    )
+    w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("local_pos", F.row_number().over(w))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("bucket_offset") + F.col("local_pos")).cast("long").alias(
+                "shuffle_pos"
+            ),
+        )
+    )
+
+
 __all__ = [
     "token_counts",
     "text_stats",
@@ -415,6 +561,9 @@ __all__ = [
     "repetition_stats",
     "redact_pii",
     "pack_sequences",
+    "contamination_check",
+    "top_ngrams",
+    "global_shuffle",
     "PII_EMAIL_RE",
     "PII_PHONE_RE",
     "ENGLISH_STOPWORDS",

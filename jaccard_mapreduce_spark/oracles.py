@@ -1241,3 +1241,84 @@ SELECT window_start_us, event_type, count(*) AS n_events,
        CAST(sum(CAST(value AS {_DD})) AS DOUBLE) AS sum_value
 FROM hopped
 GROUP BY window_start_us, event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Round-2 training-pipeline additions: contamination, n-gram stats, global
+# shuffle, cluster representatives, stream-static enrichment
+# ---------------------------------------------------------------------------
+
+
+def contamination_check_sql(n: int = 5, benchmark_mod: int = 97) -> str:
+    # same shingle definition as dedup.shingles / _shingle_cte
+    return f"""
+WITH {_shingle_cte(n)},
+bench AS (
+    SELECT DISTINCT token FROM sh_tok WHERE doc_id % {benchmark_mod} = 0
+),
+corpus AS (
+    SELECT * FROM sh_tok WHERE doc_id % {benchmark_mod} <> 0
+)
+SELECT c.doc_id,
+       count(*) AS n_shingles,
+       count(b.token) AS n_contaminated,
+       CAST(count(b.token) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS contamination_frac,
+       2 * count(b.token) >= count(*) AS is_contaminated
+FROM corpus c LEFT JOIN bench b ON c.token = b.token
+GROUP BY c.doc_id"""
+
+
+def top_ngrams_sql(n: int = 2, k: int = 20) -> str:
+    parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+WITH grams AS (
+    SELECT unnest(CASE WHEN len(toks) >= {n}
+                 THEN list_transform(range(1, len(toks) - {n - 2}),
+                                     i -> concat_ws(' ', {parts}))
+                 ELSE []::VARCHAR[] END) AS ngram
+    FROM (SELECT {TOKS_EXPR} AS toks FROM documents)
+),
+counts AS (SELECT ngram, count(*) AS n_occurrences FROM grams GROUP BY ngram)
+SELECT ngram, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, ngram) AS BIGINT)
+           AS rank
+FROM counts
+QUALIFY rank <= {k}"""
+
+
+def global_shuffle_sql(salt: str = "shuffle-v1") -> str:
+    key = hash64(f"concat('{salt}', ':', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH keyed AS (SELECT doc_id, {key} AS shuffle_key FROM documents)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+           AS shuffle_pos
+FROM keyed"""
+
+
+def dedup_representatives_sql(threshold: float = 0.7) -> str:
+    return f"""
+WITH clu AS ({dedup_clusters_sql(threshold)}),
+j AS (
+    SELECT c.doc_id, c.cluster_id, d.n_chars
+    FROM clu c JOIN documents d USING (doc_id)
+),
+r AS (
+    SELECT doc_id, cluster_id,
+           first_value(doc_id) OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+           ) AS rep_doc_id
+    FROM j
+)
+SELECT doc_id, cluster_id, rep_doc_id, doc_id = rep_doc_id AS is_kept
+FROM r"""
+
+
+def stream_enrich_segments_sql() -> str:
+    return f"""
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS {_DD})) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1"""

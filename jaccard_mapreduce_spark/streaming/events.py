@@ -224,3 +224,39 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def stream_enrich_segments(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + aggregate: each streaming event
+    looks up its user's market segment in the static ``customer``
+    dimension (``user_id = c_custkey``), then counts and sums per
+    segment. Unmatched users fall into an ``UNKNOWN`` bucket instead of
+    being dropped, so the aggregate covers every event.
+
+    Stream-static joins need no watermark or state: the static side is
+    (re)broadcast per micro-batch — the canonical pattern for enriching
+    a 100 TB/day stream with a dimension table. Value sums go through
+    decimal(18,2) so the result is accumulation-order-independent and
+    matches the batch/DuckDB oracle exactly.
+    """
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+        )
+    )
+    return (
+        events.join(dim, "user_id", "left")
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+        )
+        .agg(
+            # no countDistinct: distinct aggs are unsupported on streams
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+        .select(
+            "segment",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )

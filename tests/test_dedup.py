@@ -176,3 +176,21 @@ def test_lsh_dedup_big_ids_use_fallback(spark):
         for r in D.minhash_lsh_dedup(df, threshold=0.9).collect()
     }
     assert got == {(base + 1, base + 2): 1.0}
+
+
+def test_dedup_representatives_picks_heaviest_then_lowest_id(spark):
+    from jaccard_mapreduce_spark.operators.dedup import dedup_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5)], ["doc_id", "n_chars"]
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], ["doc_id", "cluster_id"]
+    )
+    got = {r["doc_id"]: r for r in dedup_representatives(docs, clusters).collect()}
+    # cluster 1: docs 2 and 3 tie on n_chars=30 -> doc 2 wins (lower id)
+    assert got[1]["rep_doc_id"] == 2 and not got[1]["is_kept"]
+    assert got[2]["rep_doc_id"] == 2 and got[2]["is_kept"]
+    assert got[3]["rep_doc_id"] == 2 and not got[3]["is_kept"]
+    # singleton cluster keeps itself
+    assert got[4]["rep_doc_id"] == 4 and got[4]["is_kept"]

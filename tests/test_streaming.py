@@ -111,3 +111,54 @@ def test_incremental_jaccard_matches_batch(spark, tmp_path):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w
+
+
+def test_stream_enrich_segments_matches_batch(spark):
+    from jaccard_mapreduce_spark.sources.tables import load_events
+    from jaccard_mapreduce_spark.streaming.events import (
+        read_events_stream,
+        stream_enrich_segments,
+    )
+    from tests.conftest import SF_SMALL
+
+    customer = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    enriched = stream_enrich_segments(
+        read_events_stream(spark, SF_SMALL), customer
+    )
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["segment"]: (r["n_events"], r["sum_value"])
+        for r in spark.table("enrich_test").collect()
+    }
+    # batch equivalent on the same tables
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, SF_SMALL)
+    want = {
+        r["segment"]: (r["n_events"], r["sum_value"])
+        for r in (
+            ev.join(
+                customer.select(
+                    F.col("c_custkey").alias("user_id"), "c_mktsegment"
+                ),
+                "user_id",
+                "left",
+            )
+            .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want

@@ -94,3 +94,59 @@ def test_pack_sequences_shards_pack_independently(spark):
             assert r["start_offset"] == expect
             assert r["pack_id"] == expect // 25
             expect += r["n_tokens"]
+
+
+def test_contamination_check_flags_overlap(spark):
+    # doc 0 is "benchmark" (0 % 97 == 0); doc 1 shares all its 2-grams
+    # with doc 0; doc 2 shares none
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),
+        (2, "dogs bark loudly at night"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r for r in TA.contamination_check(df, n=2).collect()
+    }
+    assert set(got) == {1, 2}  # benchmark doc itself excluded
+    assert got[1]["n_contaminated"] == got[1]["n_shingles"]
+    assert got[1]["is_contaminated"]
+    assert got[2]["n_contaminated"] == 0
+    assert not got[2]["is_contaminated"]
+    assert got[2]["contamination_frac"] == 0.0
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    rows = [(1, "a b a b"), (2, "a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = TA.top_ngrams(df, n=2, k=3).collect()
+    # "a b": 3 occurrences (twice in doc1? "a b a b" -> [a b, b a, a b] = 2 + doc2's 1)
+    by_rank = {r["rank"]: r for r in got}
+    assert by_rank[1]["ngram"] == "a b" and by_rank[1]["n_occurrences"] == 3
+    # tie between "b a", "b c", "c d" (1 each) -> lexicographic
+    assert by_rank[2]["ngram"] == "b a"
+    assert by_rank[3]["ngram"] == "b c"
+
+
+def test_global_shuffle_is_permutation_and_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    a = TA.global_shuffle(df, salt="s1").collect()
+    assert sorted(r["shuffle_pos"] for r in a) == list(range(1, 501))
+    # key-ordered: pos order == key order
+    by_pos = sorted(a, key=lambda r: r["shuffle_pos"])
+    keys = [(r["shuffle_key"], r["doc_id"]) for r in by_pos]
+    assert keys == sorted(keys)
+    # deterministic across runs; different salt -> different order
+    b = TA.global_shuffle(df, salt="s1").collect()
+    assert sorted(a, key=lambda r: r["doc_id"]) == sorted(b, key=lambda r: r["doc_id"])
+    c = TA.global_shuffle(df, salt="s2").collect()
+    pos_a = {r["doc_id"]: r["shuffle_pos"] for r in a}
+    pos_c = {r["doc_id"]: r["shuffle_pos"] for r in c}
+    assert pos_a != pos_c
+
+
+def test_global_shuffle_bucket_boundaries(spark):
+    # tiny bucket count forces multi-bucket offsets to compose
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    got = TA.global_shuffle(df, n_buckets=4).collect()
+    assert sorted(r["shuffle_pos"] for r in got) == list(range(1, 201))
