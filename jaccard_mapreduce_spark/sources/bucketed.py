@@ -1,0 +1,48 @@
+"""Bucketed-table layout — the co-located join path.
+
+At 100 TB the recurring cost of a fact-fact join is re-shuffling both
+sides on the join key for every query. Hive-style bucketing amortizes
+that shuffle into the WRITE: both tables are hash-partitioned into the
+same number of buckets on the join key at save time, so a later
+equi-join reads matching buckets pairwise and the executed plan carries
+NO Exchange on either side (asserted in tests/test_plans.py). The
+reference has no notion of storage layout (its only sink is a text file,
+DocumentSimilarityDriver.java:43-45); this is the Spark-native answer to
+its "Job 2 writes, Job 3 re-reads" materialization (SURVEY.md O12) done
+usefully: materialize WITH a layout that pre-pays future shuffles.
+
+Bucket-count guidance at scale: target ~128-512 MB per bucket file per
+partition; too few buckets caps join parallelism, too many makes small
+files. Bucketing also serves aggregation: a groupBy on the bucket key
+plans as a partial+final agg with no exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Save ``df`` as a bucketed (and optionally sort-bucketed) managed
+    table. Sorting within buckets additionally removes the Sort from a
+    later sort-merge join — bucket files merge directly.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> DataFrame:
+    """Equi-join two same-bucketed tables on their bucket key. With equal
+    bucket counts the join is shuffle-free; Spark reads bucket i of both
+    sides into the same task."""
+    return spark.table(left_table).join(spark.table(right_table), on)

@@ -188,3 +188,38 @@ def test_pack_sequences_single_shard_shuffle(spark):
     # exactly one exchange: the hash partition by shard for the window
     assert plan.count("Exchange hashpartitioning") == 1
     assert "RoundRobinPartitioning" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Same-bucketed tables must join without an Exchange on either side
+    — the layout that pre-pays the fact-fact shuffle at 100 TB."""
+    from jaccard_mapreduce_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed_table,
+    )
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/warehouse'"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        write_bucketed_table(
+            docs.select("doc_id", "n_chars"), "bktdb.d1", 4, ["doc_id"],
+            sort_cols=["doc_id"],
+        )
+        write_bucketed_table(
+            docs.select("doc_id", "lang"), "bktdb.d2", 4, ["doc_id"],
+            sort_cols=["doc_id"],
+        )
+        # disable broadcast so the test exercises the co-located SMJ path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "bktdb.d1", "bktdb.d2", ["doc_id"])
+        assert joined.count() == docs.count()
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        # bucketed scan confirmed (not just a tiny single-partition fluke)
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
