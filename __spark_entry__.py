@@ -27,6 +27,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from jaccard_mapreduce_spark import oracles  # noqa: E402
 from jaccard_mapreduce_spark.operators import multimodal as MM  # noqa: E402
+from jaccard_mapreduce_spark.operators import pipeline as P  # noqa: E402
 from jaccard_mapreduce_spark.operators import dedup as D  # noqa: E402
 from jaccard_mapreduce_spark.operators import jaccard as J  # noqa: E402
 from jaccard_mapreduce_spark.operators import relational as R  # noqa: E402
@@ -320,10 +321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         "stream_enrich_segments": _q_stream_enrich,
+        # flagship composition: quality -> exact dedup -> LSH clusters ->
+        # representatives -> global shuffle -> sequence packing
+        "prepare_corpus": lambda s, d: P.prepare_corpus(_docs(s, d)),
         "repetition_stats": lambda s, d: TA.repetition_stats(_docs(s, d)),
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": lambda s, d: TA.pack_sequences(_docs(s, d)),
-        "vocabulary": lambda s, d: TA.vocabulary(_docs(s, d)),
         "tfidf_top_terms": lambda s, d: TA.tfidf_top_terms(_docs(s, d), k=5),
         # --- Deduplication ---
         "dedup_exact": lambda s, d: D.exact_duplicates(_docs(s, d)),
@@ -433,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": lambda s, d: TA.doc_split(_docs(s, d)),
         "shard_assign": lambda s, d: TA.shard_assign(_docs(s, d)),
         "stratified_sample": lambda s, d: TA.stratified_sample(_docs(s, d)),
+        "vocabulary": lambda s, d: TA.vocabulary(_docs(s, d)),
         "text_stats": lambda s, d: TA.text_stats(_docs(s, d)),
         "lang_id": lambda s, d: TA.lang_id(_docs(s, d)),
         "token_counts": lambda s, d: TA.token_counts(_docs(s, d)),
@@ -528,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "global_shuffle": oracles.global_shuffle_sql(),
         "dedup_representatives": oracles.dedup_representatives_sql(0.7),
         "stream_enrich_segments": oracles.stream_enrich_segments_sql(),
+        "prepare_corpus": oracles.prepare_corpus_sql(),
         "repetition_stats": oracles.repetition_stats_sql(),
         "pii_scrub": oracles.pii_scrub_sql(TA.PII_EMAIL_RE, TA.PII_PHONE_RE),
         "pack_sequences": oracles.pack_sequences_sql(2048, 16, "pack-v1"),

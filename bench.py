@@ -72,6 +72,12 @@ def main() -> None:
         "user_funnel",
         "orders_pivot",
         "media_meta",
+        # round-2 additions
+        "contamination_check",
+        "top_ngrams",
+        "global_shuffle",
+        "dedup_representatives",
+        "prepare_corpus",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

@@ -56,19 +56,7 @@ SIMHASH_BITS = 60  # portable_hash64 yields 60 bits
 DEFAULT_BROADCAST_MAX_DOCS = 1_000_000
 
 
-def _pin(df: DataFrame) -> DataFrame:
-    """Persist a per-doc relation that feeds BOTH sides of a self-join.
-
-    Without this, Spark recomputes the whole upstream pipeline (tokenize
-    -> md5 hashing -> aggregation) once per join side plus once per
-    auxiliary aggregate — measured 24 s of a 31 s LSH-dedup run at sf0.1
-    was redundant recompute; with the pin the join+distinct is 2.3 s.
-    MEMORY_AND_DISK: these relations are O(#docs), not O(corpus bytes),
-    and spill rather than OOM at cluster scale.
-    """
-    from pyspark.storagelevel import StorageLevel
-
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
 
 def _gated_broadcast(df: DataFrame, n_rows_estimate: int, max_rows: int) -> tuple:

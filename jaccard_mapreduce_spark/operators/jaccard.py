@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jaccard_mapreduce_spark.functions.text import tokenize_unique
+from jaccard_mapreduce_spark.operators._cache import pin as _pin
 from jaccard_mapreduce_spark.sources.corpus import read_corpus_text, write_formatted_text
 
 # bitmask strategy limits: masks of <= 32 longs, pair matrix <= ~1.25e9
@@ -111,6 +112,7 @@ def jaccard_from_tokens(tokens: DataFrame) -> DataFrame:
     """Scored Jaccard relation from any ``(doc_id, item)`` set relation —
     the same machinery works for word tokens, n-gram shingles (near-dup),
     or any other set representation."""
+    tokens = _pin(tokens)  # three consumers: two join sides + sizes
     return _score(pair_intersections(tokens), doc_sizes(tokens))
 
 
@@ -185,7 +187,8 @@ def _jaccard_pairs_bitmask(tokens: DataFrame, vocab_size: int) -> DataFrame:
     (224M at sf0.1 for the 31-token documents table) never materialize.
     """
     n_words = (vocab_size + 63) // 64
-    masks = token_masks(tokens, vocab_size)
+    # pinned: masks feed the repartitioned probe AND the broadcast side
+    masks = _pin(token_masks(tokens, vocab_size))
 
     # spread the probe side to full parallelism: the mask relation is tiny
     # (one row per doc) so AQE coalesces it, but the pair fanout is O(n²)
@@ -246,7 +249,9 @@ def jaccard_pairs(
     ``strategy``: ``'join'`` | ``'bitmask'`` | ``'auto'`` (inspect vocab /
     doc counts and pick; the two are semantically identical — tested).
     """
-    tokens = doc_tokens(documents, id_col, text_col)
+    # pinned: the token relation feeds both join sides + the size agg
+    # (join strategy) or the strategy-gate stats + mask build (bitmask)
+    tokens = _pin(doc_tokens(documents, id_col, text_col))
     if strategy == "join":
         return _jaccard_pairs_join(tokens)
 

@@ -1322,3 +1322,53 @@ SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
        CAST(sum(CAST(e.value AS {_DD})) AS DOUBLE) AS sum_value
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1"""
+
+
+def _retarget(sql: str, src: str) -> str:
+    """Point a builder's ``documents`` table references at another
+    relation (a CTE of the composing query). Word-boundary replace is
+    safe here: every oracle references the corpus only as the bare table
+    name ``documents`` (no columns or strings share the word)."""
+    import re
+
+    return re.sub(r"\bdocuments\b", src, sql)
+
+
+def prepare_corpus_sql(
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    dedup_threshold: float = 0.7,
+    max_len: int = 2048,
+    n_shards: int = 16,
+    pack_salt: str = "pack-v1",
+    shuffle_salt: str = "shuffle-v1",
+) -> str:
+    """Composed oracle for the flagship pipeline: each stage is the
+    component operator's own oracle, retargeted at the previous stage's
+    survivor CTE — the SQL mirror of operators/pipeline.py."""
+    q = quality_filter_sql(min_quality, min_tokens)
+    e = _retarget(exact_duplicates_sql(), "kept1")
+    reps = _retarget(dedup_representatives_sql(dedup_threshold), "kept2")
+    sh = _retarget(global_shuffle_sql(shuffle_salt), "kept3")
+    pk = _retarget(
+        pack_sequences_sql(max_len, n_shards, pack_salt), "kept3"
+    )
+    return f"""
+WITH kept1 AS (
+    SELECT d.* FROM documents d
+    JOIN ({q}) qq ON d.doc_id = qq.doc_id AND qq.keep
+),
+kept2 AS (
+    SELECT k.* FROM kept1 k
+    JOIN ({e}) e ON k.doc_id = e.doc_id AND NOT e.is_dup
+),
+reps AS (SELECT * FROM ({reps}) _r),
+kept3 AS (
+    SELECT k.* FROM kept2 k
+    JOIN reps r ON k.doc_id = r.doc_id AND r.is_kept
+),
+sh AS (SELECT * FROM ({sh}) _s),
+pk AS (SELECT * FROM ({pk}) _p)
+SELECT pk.doc_id, pk.shard, pk.n_tokens, pk.start_offset, pk.pack_id,
+       sh.shuffle_pos
+FROM pk JOIN sh ON pk.doc_id = sh.doc_id"""

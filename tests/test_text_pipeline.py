@@ -150,3 +150,33 @@ def test_global_shuffle_bucket_boundaries(spark):
     df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
     got = TA.global_shuffle(df, n_buckets=4).collect()
     assert sorted(r["shuffle_pos"] for r in got) == list(range(1, 201))
+
+
+def test_prepare_corpus_survivorship_stages(spark):
+    from jaccard_mapreduce_spark.operators.pipeline import prepare_corpus
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing in the trees"
+    )
+    rows = [
+        # 1: good prose, survives everything
+        (1, prose, len(prose)),
+        # 2: exact duplicate of 1 -> dropped at exact-dedup (keeper = 1)
+        (2, prose, len(prose)),
+        # 3: near-duplicate of 1 (one word changed) -> same LSH cluster,
+        #    shorter n_chars than 1 -> dropped at representative stage
+        (3, prose.replace("lazy", "idle"), len(prose) - 1),
+        # 4: too short -> dropped at the quality gate
+        (4, "tiny text", 9),
+        # 5: distinct good prose -> survives
+        (5, prose.replace("fox", "hare").replace("dog", "wolf")
+             .replace("cat", "owl").replace("birds", "crickets")
+             .replace("trees", "reeds").replace("windowsill", "porch"),
+         len(prose)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    got = prepare_corpus(df).collect()  # default threshold 0.7
+    survivors = sorted(r["doc_id"] for r in got)
+    assert survivors == [1, 5]
+    assert sorted(r["shuffle_pos"] for r in got) == [1, 2]
