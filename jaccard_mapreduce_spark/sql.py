@@ -45,6 +45,13 @@ def register_derived(spark: SparkSession, sf_dir: str) -> list[str]:
         "minhash_signatures": D.minhash_signatures(tokens),
         "simhash_fingerprints": D.simhash(tokens),
         "embedding_vectors": S.vectors(emb),
+        # round-2 training-pipeline views (prepare_corpus is deliberately
+        # NOT a view: its connected-components stage runs driver-side
+        # iterations eagerly, the wrong cost model for view registration)
+        "quality_scores": TA.quality_filter(docs),
+        "contamination": TA.contamination_check(docs),
+        "corpus_top_ngrams": TA.top_ngrams(docs),
+        "training_order": TA.global_shuffle(docs),
     }
     for name, df in derived.items():
         df.createOrReplaceTempView(name)
