@@ -327,7 +327,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": lambda s, d: TA.repetition_stats(_docs(s, d)),
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": lambda s, d: TA.pack_sequences(_docs(s, d)),
-        "tfidf_top_terms": lambda s, d: TA.tfidf_top_terms(_docs(s, d), k=5),
         # --- Deduplication ---
         "dedup_exact": lambda s, d: D.exact_duplicates(_docs(s, d)),
         "dedup_ngram": lambda s, d: D.ngram_duplicates(_docs(s, d), n=3, threshold=0.8),
@@ -343,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: S.ann_lsh_topk(_emb(s, d), k=10),
         "ann_ivf_topk": lambda s, d: S.ann_ivf_topk(_emb(s, d), k=10),
         "dedup_embedding": lambda s, d: S.embedding_duplicates(_emb(s, d), min_cosine=0.3),
+        "quantize_embeddings": lambda s, d: S.quantize_embeddings(_emb(s, d)),
         # --- Multimodal (binary columns through Arrow/mapInPandas) ---
         "media_meta": _shipped(
             lambda s, d: MM.decode_media_meta(
@@ -437,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": lambda s, d: TA.shard_assign(_docs(s, d)),
         "stratified_sample": lambda s, d: TA.stratified_sample(_docs(s, d)),
         "vocabulary": lambda s, d: TA.vocabulary(_docs(s, d)),
+        "tfidf_top_terms": lambda s, d: TA.tfidf_top_terms(_docs(s, d), k=5),
         "text_stats": lambda s, d: TA.text_stats(_docs(s, d)),
         "lang_id": lambda s, d: TA.lang_id(_docs(s, d)),
         "token_counts": lambda s, d: TA.token_counts(_docs(s, d)),
@@ -493,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
         ),
         "dedup_embedding": oracles.embedding_duplicates_sql(0.3),
+        "quantize_embeddings": oracles.quantize_embeddings_sql(),
         "q1_pricing_summary": oracles.q1_pricing_summary_sql(),
         "q3_top_orders": oracles.q3_top_orders_sql(),
         "q5_region_revenue": oracles.q5_region_revenue_sql(),

@@ -324,3 +324,42 @@ def ann_ivf_topk(
         # (index side is single-cell), so no dedup needed before rerank
     )
     return _topk(scored, k)
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — the storage/transfer
+    compression step of a vector index at 100 TB (4x smaller than
+    float32, 8x than float64; recall loss is bounded by per-vector
+    min/max scaling).
+
+    ``q_i = floor((x_i - mn) / (mx - mn) * 255 + 0.5) - 128`` with
+    ``scale = (mx - mn) / 255`` and ``zero_point = mn``, so
+    ``x_i ≈ (q_i + 128) * scale + zero_point``. Constant vectors
+    (mx == mn) quantize to all -128 with scale 0. The rounding is an
+    explicit ``floor(x + 0.5)`` — identical IEEE double ops in Spark and
+    DuckDB, unlike engine round() whose tie behavior differs.
+
+    Pure per-row array projection: no shuffle, whole plan codegen.
+    Returns ``(vec_id, scale, zero_point, qvec array<int>)``.
+    """
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    mn = F.array_min(vec)
+    mx = F.array_max(vec)
+    span = mx - mn
+    q = F.transform(
+        vec,
+        lambda x: (
+            F.floor((x - mn) / span * F.lit(255.0) + F.lit(0.5)) - 128
+        ).cast("int"),
+    )
+    zeros = F.transform(vec, lambda x: F.lit(-128).cast("int"))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        (span / F.lit(255.0)).alias("scale"),
+        mn.alias("zero_point"),
+        F.when(span > 0, q).otherwise(zeros).alias("qvec"),
+    )

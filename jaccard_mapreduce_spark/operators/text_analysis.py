@@ -424,11 +424,17 @@ def contamination_check(
     single long/long IEEE division, so the DuckDB oracle hashes
     identically.
     """
-    sh = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(word_ngrams(tokenize(text_col), n))
-        ).alias("shingle"),
+    from jaccard_mapreduce_spark.operators._cache import pin
+
+    # pinned: the shingle relation feeds the benchmark distinct AND the
+    # corpus probe — without it the n-gram tokenize pass runs twice
+    sh = pin(
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(word_ngrams(tokenize(text_col), n))
+            ).alias("shingle"),
+        )
     )
     bench = (
         sh.where(F.col("doc_id") % benchmark_mod == 0)

@@ -1372,3 +1372,30 @@ pk AS (SELECT * FROM ({pk}) _p)
 SELECT pk.doc_id, pk.shard, pk.n_tokens, pk.start_offset, pk.pack_id,
        sh.shuffle_pos
 FROM pk JOIN sh ON pk.doc_id = sh.doc_id"""
+
+
+def quantize_embeddings_sql() -> str:
+    # identical IEEE double arithmetic: float32 widens exactly to double
+    # in both engines; floor(x + 0.5) sidesteps round() tie differences
+    return """
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings
+),
+mm AS (
+    SELECT vec_id, vec,
+           list_aggregate(vec, 'min') AS mn,
+           list_aggregate(vec, 'max') AS mx
+    FROM v
+)
+SELECT vec_id,
+       (mx - mn) / 255.0 AS scale,
+       mn AS zero_point,
+       CASE WHEN mx - mn > 0
+            THEN list_transform(vec,
+                 x -> CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) - 128
+                           AS INTEGER))
+            ELSE list_transform(vec, x -> CAST(-128 AS INTEGER))
+       END AS qvec
+FROM mm"""

@@ -97,3 +97,24 @@ def test_cosine_topk_fast_refuses_oversized_index(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="ann_lsh_topk"):
         cosine_topk_fast(emb, k=3, max_index_rows=10)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from jaccard_mapreduce_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 0.5, 1.0]),
+        (2, [-2.0, 0.0, 2.0]),
+        (3, [7.0, 7.0, 7.0]),   # constant vector -> scale 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert got[1]["qvec"] == [-128, 0, 127]
+    assert got[2]["qvec"] == [-128, 0, 127]
+    assert got[3]["qvec"] == [-128, -128, -128] and got[3]["scale"] == 0.0
+    # dequantized reconstruction error bounded by scale/2
+    for vec_id, orig in rows:
+        r = got[vec_id]
+        for q, x in zip(r["qvec"], orig):
+            approx = (q + 128) * r["scale"] + r["zero_point"]
+            assert abs(approx - x) <= r["scale"] / 2 + 1e-12
