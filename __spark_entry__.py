@@ -328,7 +328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": lambda s, d: TA.pack_sequences(_docs(s, d)),
         # --- Deduplication ---
-        "dedup_exact": lambda s, d: D.exact_duplicates(_docs(s, d)),
         "dedup_ngram": lambda s, d: D.ngram_duplicates(_docs(s, d), n=3, threshold=0.8),
         "dedup_minhash_lsh": lambda s, d: D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
         "simhash": lambda s, d: D.simhash(_tokens(s, d)),
@@ -339,9 +338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- Similarity search (embeddings) ---
         "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
-        "ann_lsh_topk": lambda s, d: S.ann_lsh_topk(_emb(s, d), k=10),
-        "ann_ivf_topk": lambda s, d: S.ann_ivf_topk(_emb(s, d), k=10),
-        "dedup_embedding": lambda s, d: S.embedding_duplicates(_emb(s, d), min_cosine=0.3),
         "quantize_embeddings": lambda s, d: S.quantize_embeddings(_emb(s, d)),
         # --- Multimodal (binary columns through Arrow/mapInPandas) ---
         "media_meta": _shipped(
@@ -390,6 +386,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
         "orders_above_customer_avg": lambda s, d: R.orders_above_customer_avg(_t(s, d, "orders")),
         "part_price_band_join": lambda s, d: R.part_price_band_join(_t(s, d, "part")),
+        "q7_nation_volume": lambda s, d: R.q7_nation_volume(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer"),
+            _t(s, d, "supplier"), _t(s, d, "nation"),
+        ),
+        "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "q18_large_orders": lambda s, d: R.q18_large_orders(
+            _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "lineitem")
+        ),
+        "q19_disjunctive_revenue": lambda s, d: R.q19_disjunctive_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
         "salted_customer_revenue": lambda s, d: SK.salted_customer_revenue(
             _t(s, d, "orders"), _t(s, d, "customer")
         ),
@@ -437,6 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": lambda s, d: TA.shard_assign(_docs(s, d)),
         "stratified_sample": lambda s, d: TA.stratified_sample(_docs(s, d)),
         "vocabulary": lambda s, d: TA.vocabulary(_docs(s, d)),
+        "dedup_exact": lambda s, d: D.exact_duplicates(_docs(s, d)),
+        "ann_lsh_topk": lambda s, d: S.ann_lsh_topk(_emb(s, d), k=10),
+        "ann_ivf_topk": lambda s, d: S.ann_ivf_topk(_emb(s, d), k=10),
+        "dedup_embedding": lambda s, d: S.embedding_duplicates(_emb(s, d), min_cosine=0.3),
         "tfidf_top_terms": lambda s, d: TA.tfidf_top_terms(_docs(s, d), k=5),
         "text_stats": lambda s, d: TA.text_stats(_docs(s, d)),
         "lang_id": lambda s, d: TA.lang_id(_docs(s, d)),
@@ -524,6 +537,10 @@ def oracle_sql() -> dict[str, str]:
         "customer_trailing_spend": oracles.customer_trailing_spend_sql(),
         "orders_above_customer_avg": oracles.orders_above_customer_avg_sql(),
         "part_price_band_join": oracles.part_price_band_join_sql(R.PRICE_BANDS),
+        "q7_nation_volume": oracles.q7_nation_volume_sql(),
+        "q14_promo_revenue": oracles.q14_promo_revenue_sql(),
+        "q18_large_orders": oracles.q18_large_orders_sql(),
+        "q19_disjunctive_revenue": oracles.q19_disjunctive_revenue_sql(R.Q19_BANDS),
         "dedup_clusters": oracles.dedup_clusters_sql(0.7),
         "media_meta": oracles.media_meta_sql(),
         "media_features": oracles.media_features_sql(16),

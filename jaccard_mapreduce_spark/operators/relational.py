@@ -819,3 +819,150 @@ def events_hopping_counts(
             F.col("_sv").cast("double").alias("sum_value"),
         )
     )
+
+
+def q7_nation_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by year.
+
+    The fact chain (lineitem → orders → customer) shuffles on its join
+    keys once; supplier and BOTH nation roles broadcast (the same dim
+    under two aliases — supplier's nation and customer's nation). The
+    inequality filter keeps only cross-border flows. Revenue is exact
+    decimal; ship_year is cast long to match the oracle's BIGINT.
+    """
+    rev = F.col("l_extendedprice").cast(_D) * (
+        _one() - F.col("l_discount").cast(_D)
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(rev).alias("_v"), F.count("*").alias("n_items"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            F.col("_v").cast("double").alias("volume"),
+            "n_items",
+        )
+    )
+
+
+def q14_promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    ship_from: str = "1995-09-01",
+    ship_to: str = "1995-10-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
+    in a ship month). One broadcast dim join + one scan-tight aggregate;
+    the percentage is a single double division of two exact decimal sums
+    — identical operand order in the oracle."""
+    rev = F.col("l_extendedprice").cast(_D) * (
+        _one() - F.col("l_discount").cast(_D)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast(_D)
+    )
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= ship_from) & (F.col("l_shipdate") < ship_to)
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.sum(promo).alias("_p"), F.sum(rev).alias("_t"))
+        .select(
+            (
+                F.lit(100.0)
+                * F.col("_p").cast("double")
+                / F.col("_t").cast("double")
+            ).alias("promo_pct"),
+            F.col("_p").cast("double").alias("promo_revenue"),
+            F.col("_t").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q18_large_orders(
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 300.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate driving a top join.
+
+    The quantity rollup runs FIRST on the fact table (partial agg
+    map-side), the HAVING filter shrinks it to the few large orders, and
+    only then do orders/customer join — the survivors are small enough
+    that both joins broadcast the aggregated side at any scale."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_D)).alias("_q"))
+        .where(F.col("_q") > F.lit(min_qty).cast(_D))
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            "o_totalprice",
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+Q19_BANDS: list[tuple[str, int, int, float, float]] = [
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 15, 1.0, 11.0),
+    ("Brand#23", 1, 25, 10.0, 20.0),
+    ("Brand#20", 1, 35, 20.0, 30.0),
+]
+
+
+def q19_disjunctive_revenue(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of multi-column conjuncts across the
+    join. Catalyst pushes the common sub-predicates to each side of the
+    join (brand/size bands to the part scan, quantity bands to the
+    lineitem scan) and evaluates the residual OR after the broadcast
+    join — the pattern that breaks naive pushdown implementations."""
+    cond = None
+    for brand, slo, shi, qlo, qhi in Q19_BANDS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        cond = c if cond is None else (cond | c)
+    rev = F.col("l_extendedprice").cast(_D) * (
+        _one() - F.col("l_discount").cast(_D)
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.sum(rev).alias("_r"), F.count("*").alias("n_items"))
+        .select(F.col("_r").cast("double").alias("revenue"), "n_items")
+    )

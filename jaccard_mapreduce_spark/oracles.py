@@ -1399,3 +1399,67 @@ SELECT vec_id,
             ELSE list_transform(vec, x -> CAST(-128 AS INTEGER))
        END AS qvec
 FROM mm"""
+
+
+def q7_nation_volume_sql() -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l_shipdate) AS ship_year,
+       CAST(sum(CAST(l_extendedprice AS {_DD})
+                * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS DOUBLE) AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3"""
+
+
+def q14_promo_revenue_sql(
+    ship_from: str = "1995-09-01", ship_to: str = "1995-10-01"
+) -> str:
+    rev = f"CAST(l_extendedprice AS {_DD}) * ({_ONE_D} - CAST(l_discount AS {_DD}))"
+    return f"""
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {rev}
+                             ELSE CAST(0 AS {_DD}) END) AS DOUBLE)
+             / CAST(sum({rev}) AS DOUBLE) AS promo_pct,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN {rev}
+                     ELSE CAST(0 AS {_DD}) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum({rev}) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{ship_from} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{ship_to} 00:00:00'"""
+
+
+def q18_large_orders_sql(min_qty: float = 300.0) -> str:
+    return f"""
+WITH big AS (
+    SELECT l_orderkey, sum(CAST(l_quantity AS {_DD})) AS q
+    FROM lineitem GROUP BY 1
+    HAVING sum(CAST(l_quantity AS {_DD})) > CAST({min_qty} AS {_DD})
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       o_totalprice,
+       CAST(q AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+
+def q19_disjunctive_revenue_sql(bands) -> str:
+    clauses = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in bands
+    )
+    return f"""
+SELECT CAST(sum(CAST(l_extendedprice AS {_DD})
+                * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {clauses}"""

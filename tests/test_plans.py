@@ -223,3 +223,20 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """Catalyst must extract the per-side predicates of the OR-of-ANDs
+    and push them into BOTH parquet scans (quantity bands -> lineitem,
+    brand/size bands -> part) — the Q19-shape optimization that naive
+    engines miss."""
+    df = entrymod.queries()["q19_disjunctive_revenue"](spark, SF_ORACLE)
+    plan = _plan(df)
+    scans = [
+        seg.split("\n", 1)[0]
+        for seg in plan.split("FileScan")[1:]
+    ]
+    li_scan = next(s for s in scans if "lineitem" in s)
+    pt_scan = next(s for s in scans if "part.parquet" in s)
+    assert "l_quantity" in li_scan.split("PushedFilters", 1)[1]
+    assert "p_brand" in pt_scan.split("PushedFilters", 1)[1]
