@@ -230,6 +230,32 @@ def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.events import (
+        latest_event_per_user,
+        read_events_stream,
+    )
+
+    latest = latest_event_per_user(read_events_stream(spark, sf_dir))
+    name = _run_stream_to_table(latest, "update")
+    # update-mode sink keeps each trigger's emission; the final state is
+    # the max-event-time row per user (single struct-max, ts field first)
+    final = F.max(
+        F.struct("last_ts_us", "last_value", "last_event_type")
+    ).alias("m")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("m.last_ts_us").alias("last_ts_us"),
+            F.col("m.last_value").alias("last_value"),
+            F.col("m.last_event_type").alias("last_event_type"),
+        )
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inject deterministic synthetic PII (emails on even ids, phones on
     ids % 3 == 0 — the corpus itself contains none), then redact; the
@@ -299,7 +325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Jaccard family (the reference's pipeline, SURVEY.md §2) ---
         "doc_tokens": lambda s, d: _tokens(s, d),
-        "pair_intersections": lambda s, d: J.pair_intersections(_tokens(s, d)),
         "jaccard_pairs": lambda s, d: J.jaccard_pairs(_docs(s, d), strategy="auto"),
         "jaccard_threshold": lambda s, d: J.jaccard_threshold(
             J.jaccard_pairs(_docs(s, d), strategy="auto"), 0.5
@@ -366,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         "stream_sessions": _q_stream_sessions,
         "stream_incremental_jaccard": _q_stream_incremental_jaccard,
+        "stream_latest_event": _shipped(_q_stream_latest_event),
         # custom Python DataSource — golden-valued oracle (generation is
         # (seed, doc_id)-pure, so the aggregate is a pinned constant);
         # batch reader + multi-micro-batch streaming replay reader
@@ -451,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: S.ann_ivf_topk(_emb(s, d), k=10),
         "dedup_embedding": lambda s, d: S.embedding_duplicates(_emb(s, d), min_cosine=0.3),
         "tfidf_top_terms": lambda s, d: TA.tfidf_top_terms(_docs(s, d), k=5),
+        "pair_intersections": lambda s, d: J.pair_intersections(_tokens(s, d)),
         "text_stats": lambda s, d: TA.text_stats(_docs(s, d)),
         "lang_id": lambda s, d: TA.lang_id(_docs(s, d)),
         "token_counts": lambda s, d: TA.token_counts(_docs(s, d)),
@@ -565,4 +592,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join": oracles.interval_join_events_sql(),
         "stream_sessions": oracles.session_window_counts_sql(),
         "stream_incremental_jaccard": oracles.jaccard_pairs_sql(),
+        "stream_latest_event": oracles.latest_event_per_user_sql(),
     }

@@ -59,6 +59,10 @@ def prepare_corpus(
     cluster's representative (largest ``n_chars``, ties → lowest id,
     clusters from MinHash-LSH pairs at ``dedup_threshold``).
     """
+    # project to the three columns the pipeline touches BEFORE the first
+    # pin: the survivor relations are cached and re-read repeatedly, and
+    # the parquet scan prunes to 3 columns (plan-audited)
+    documents = documents.select("doc_id", "text", "n_chars")
     q = quality_filter(documents, min_quality, min_tokens)
     kept1 = pin(
         documents.join(q.where(F.col("keep")).select("doc_id"), "doc_id")

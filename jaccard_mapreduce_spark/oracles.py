@@ -1463,3 +1463,17 @@ SELECT CAST(sum(CAST(l_extendedprice AS {_DD})
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE {clauses}"""
+
+
+def latest_event_per_user_sql() -> str:
+    return """
+WITH ranked AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, value, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+    FROM events
+)
+SELECT user_id,
+       ts_us AS last_ts_us,
+       value AS last_value,
+       event_type AS last_event_type
+FROM ranked WHERE rn = 1"""

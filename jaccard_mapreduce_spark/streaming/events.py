@@ -260,3 +260,66 @@ def stream_enrich_segments(events: DataFrame, customer: DataFrame) -> DataFrame:
             F.col("_sv").cast("double").alias("sum_value"),
         )
     )
+
+
+_LATEST_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+_LATEST_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("last_event_type", T.StringType()),
+    ]
+)
+
+
+def _latest_updates(key, pdfs, state: GroupState):
+    ts, val, etype = state.get if state.exists else (-1, None, None)
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            # max event-time wins; event_id breaks exact-ts ties so the
+            # result is independent of micro-batch arrival order
+            r_ts = int(row["ts_us"])
+            if r_ts > ts:
+                ts, val, etype = r_ts, float(row["value"]), row["event_type"]
+    state.update((ts, val, etype))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_ts_us": [ts],
+            "last_value": [val],
+            "last_event_type": [etype],
+        }
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """CDC-style keep-latest state: for every user, the most recent
+    event's (time, value, type) — the second custom stateful operator
+    (alongside ``stateful_user_counts``), the shape a materialized-view /
+    upsert-sink pipeline needs.
+
+    ``applyInPandasWithState`` keyed by user: state is one row per user
+    (bounded by key cardinality, not stream length); each micro-batch
+    folds its rows into the running maximum by event time. Ties on ts
+    cannot occur in the events table (event_id-unique µs stamps) — the
+    batch oracle uses the same (ts) max."""
+    ev = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "event_type",
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _latest_updates,
+        outputStructType=_LATEST_OUT,
+        stateStructType=_LATEST_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -240,3 +240,16 @@ def test_q19_disjunction_pushed_to_both_scans(spark):
     pt_scan = next(s for s in scans if "part.parquet" in s)
     assert "l_quantity" in li_scan.split("PushedFilters", 1)[1]
     assert "p_brand" in pt_scan.split("PushedFilters", 1)[1]
+
+
+def test_prepare_corpus_prunes_document_columns(spark):
+    """The flagship pipeline must never scan (or cache) the unused
+    lang/source columns — the survivor relations are pinned and re-read,
+    so early projection is a multiplied saving."""
+    from jaccard_mapreduce_spark.operators.pipeline import prepare_corpus
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(prepare_corpus(docs))
+    for seg in plan.split("ReadSchema: ")[1:]:
+        schema = seg.split("\n", 1)[0]
+        assert "lang" not in schema and "source" not in schema, schema

@@ -162,3 +162,49 @@ def test_stream_enrich_segments_matches_batch(spark):
         )
     }
     assert got == want
+
+
+def test_latest_event_per_user_across_batches(spark, tmp_path):
+    """State must fold across micro-batches: split the events table into
+    3 files streamed one per trigger; the final state per user equals the
+    batch argmax-by-time."""
+    from jaccard_mapreduce_spark.sources.tables import load_events
+    from jaccard_mapreduce_spark.streaming.events import latest_event_per_user
+
+    ev = load_events(spark, SF_SMALL)
+    src = str(tmp_path / "ev_chunks")
+    # deterministic 3-way chunking by event_id
+    ev.withColumn("chunk", F.col("event_id") % 3).write.partitionBy(
+        "chunk"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    latest = latest_event_per_user(stream)
+    sink = _run(latest, "update", spark)
+    final = {
+        r["user_id"]: (r["last_ts_us"], r["last_value"], r["last_event_type"])
+        for r in sink.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("last_ts_us", "last_value", "last_event_type")
+            ).alias("m")
+        )
+        .select("user_id", "m.*")
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"))
+    want = {
+        r["user_id"]: (r["ts_us"], r["value"], r["event_type"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_type"
+        )
+        .collect()
+    }
+    assert final == want
