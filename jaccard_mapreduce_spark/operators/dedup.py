@@ -540,7 +540,11 @@ def dedup_clusters(
     ``all_docs``: one column ``doc_id``; ``dup_pairs``: ``doc_a, doc_b``.
     Returns ``(doc_id, cluster_id)``.
     """
-    spark = all_docs.sparkSession
+    # No ``distinct`` on the doubled edge list: our pair producers emit
+    # canonical (doc_a < doc_b) already-distinct pairs, so the reversed
+    # copies cannot collide with the forward ones — and even with a
+    # duplicated input edge, min-aggregation is idempotent. Skipping it
+    # removes a full shuffle of the largest relation in the query.
     edges = (
         dup_pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -550,7 +554,6 @@ def dedup_clusters(
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .distinct()
         .persist()
     )
     labels = all_docs.select(
@@ -563,6 +566,9 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # Convergence check without a per-round join-back: the change
+        # indicator rides along through the checkpoint, so "did anything
+        # move" is a plain aggregate over already-materialized rows.
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -570,19 +576,19 @@ def dedup_clusters(
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (
+                    F.coalesce("nbr_min", F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=True)  # cut lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.agg(
+            F.sum(F.col("chg").cast("long"))
+        ).first()[0]
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("chg")
+        if not changed:
             break
     edges.unpersist()
     return labels
