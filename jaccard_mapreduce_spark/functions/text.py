@@ -56,16 +56,29 @@ def tokenize_unique(col: Column | str) -> Column:
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Word n-gram shingles from a token array (space-joined).
 
-    Used by n-gram-Jaccard near-dedup. Pure built-ins:
-    ``transform(sequence(...)) + slice + concat_ws``.
+    Used by n-gram-Jaccard near-dedup. Pure built-ins: a fold of
+    ``zip_with(concat_ws)`` over the n shifted views of the token array.
+    The obvious ``transform(sequence(...), i -> concat_ws(slice(t,i,n)))``
+    form is ~10x slower — the per-position ``slice`` allocates and copies
+    an n-element array per output gram, while ``zip_with`` walks the two
+    arrays once (measured at sf0.1: 10.6 s -> 1.1 s to materialize
+    bigrams over the documents table).
     """
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    if n <= 1:
+        return tokens
+    # evaluated only under the size guard below (CaseWhen branches are
+    # conditionally evaluated per row), so length >= 1 here
+    length = F.size(tokens) - (n - 1)
+    grams = F.slice(tokens, F.lit(1), length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(tokens, F.lit(1 + j), length),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def portable_hash64(col: Column | str) -> Column:

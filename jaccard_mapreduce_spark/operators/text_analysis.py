@@ -281,11 +281,14 @@ def repetition_stats(
     high values flag boilerplate/generated text that dedup across
     documents can't see.
 
-    Pure per-row array expressions — NO shuffle (the bigram top-count is
-    an in-row higher-order aggregation, not an explode + groupBy; a
-    document is bounded, so the O(|distinct grams| × |grams|) row cost
-    is constant). All ratios divide exact integers in fixed order, so
-    the DuckDB oracle hashes identically.
+    Pure per-row array expressions — NO shuffle. The top-bigram count is
+    sort + one linear fold (max run length of equal neighbors), NOT the
+    naive ``transform(distinct, g -> count(filter(grams, == g)))``: that
+    form is O(|distinct| × |grams|) string compares per row AND
+    re-evaluates the whole n-gram expression inside the nested lambda
+    scope (no CSE across higher-order-function boundaries) — measured
+    121 s at sf0.1 vs ~2 s for the fold. All ratios divide exact
+    integers in fixed order, so the DuckDB oracle hashes identically.
     """
     toks = tokenize(text_col)
     n = F.size(toks).cast("long")
@@ -293,18 +296,27 @@ def repetition_stats(
     grams = word_ngrams(toks, 2)
     ng = F.size(grams).cast("long")
     ug = F.size(F.array_distinct(grams)).cast("long")
-    top = (
-        F.when(
-            ng > 0,
-            F.array_max(
-                F.transform(
-                    F.array_distinct(grams),
-                    lambda g: F.size(F.filter(grams, lambda x: x == g)),
-                )
-            ),
+
+    def _run(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
         )
-        .otherwise(F.lit(0))
-        .cast("long")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _run,
+        lambda acc: acc["best"],
     )
 
     def ratio(num, den):
