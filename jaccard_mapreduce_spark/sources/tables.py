@@ -21,16 +21,20 @@ TABLE_NAMES = [
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table with a proper µs timestamp column.
+    """Events table with a proper µs TIMESTAMP (LTZ) ``ts`` column,
+    robust to how the parquet encodes the timestamp AND to the caller's
+    session (the grading driver supplies a virgin session — every conf
+    this loader needs is set here, at runtime):
 
-    The parquet stores TIMESTAMP(NANOS), which Spark reads as raw int64
-    under ``spark.sql.legacy.parquet.nanosAsLong``. The conf is set HERE,
-    at runtime, not only at session-build time (session.py): callers —
-    including the grading driver — supply arbitrary sessions, and without
-    the conf the read fails with PARQUET_TYPE_ILLEGAL. It is a
-    runtime-settable conf, so this works on any session.
-    Integer-divide to µs — a float division would lose precision at
-    ~1.7e18 ns — and rebuild the timestamp.
+    * TIMESTAMP(NANOS) parquet (round-1 testdata): readable only as raw
+      int64 under ``spark.sql.legacy.parquet.nanosAsLong`` — integer-
+      divide to µs (float division would lose precision at ~1.7e18 ns)
+      and rebuild the timestamp.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet (round-2
+      testdata): read as TIMESTAMP_NTZ — cast to TIMESTAMP under the
+      UTC session timezone pinned below, so ``unix_micros(ts)`` yields
+      the same integers DuckDB's ``epoch_us(ts)`` sees on the raw file.
+    * Already-TIMESTAMP: passthrough.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamp semantics must not depend on the caller's session defaults:
@@ -38,8 +42,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle that works in naive UTC
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
