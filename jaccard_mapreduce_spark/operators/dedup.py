@@ -545,6 +545,14 @@ def dedup_clusters(
     # copies cannot collide with the forward ones — and even with a
     # duplicated input edge, min-aggregation is idempotent. Skipping it
     # removes a full shuffle of the largest relation in the query.
+    #
+    # Pin the pair relation BEFORE doubling: the union's two branches are
+    # separate consumers of ``dup_pairs``, so an unpinned pair producer
+    # (e.g. the full LSH candidate join + verify) would run once per
+    # branch when ``edges`` first materializes — measured ~10 s of pure
+    # recompute at sf0.1's 5M-pair graph. The doubled copy then reads the
+    # cached pairs twice, which is two cheap cache scans.
+    dup_pairs = _pin(dup_pairs.select("doc_a", "doc_b"))
     edges = (
         dup_pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -591,6 +599,7 @@ def dedup_clusters(
         if not changed:
             break
     edges.unpersist()
+    dup_pairs.unpersist()
     return labels
 
 
