@@ -363,7 +363,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- Similarity search (embeddings) ---
         "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
-        "quantize_embeddings": lambda s, d: S.quantize_embeddings(_emb(s, d)),
+        # qvec joined to a csv string in the contract projection only:
+        # pandas cannot hash array<int> cells in the driver's canonical
+        # sort (same precedent as media_frames' hex projection)
+        "quantize_embeddings": lambda s, d: S.quantize_embeddings(_emb(s, d)).select(
+            "vec_id",
+            "scale",
+            "zero_point",
+            F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+                "qvec_csv"
+            ),
+        ),
         # --- Multimodal (binary columns through Arrow/mapInPandas) ---
         "media_meta": _shipped(
             lambda s, d: MM.decode_media_meta(

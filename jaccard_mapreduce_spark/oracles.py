@@ -673,7 +673,8 @@ sess AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
     FROM flagged
 )
-SELECT user_id, session_idx,
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
        count(*) AS n_events,
        min(ep_us) // 1000000 AS session_start_s,
        max(ep_us) // 1000000 AS session_end_s,
@@ -1376,7 +1377,10 @@ FROM pk JOIN sh ON pk.doc_id = sh.doc_id"""
 
 def quantize_embeddings_sql() -> str:
     # identical IEEE double arithmetic: float32 widens exactly to double
-    # in both engines; floor(x + 0.5) sidesteps round() tie differences
+    # in both engines; floor(x + 0.5) sidesteps round() tie differences.
+    # qvec is projected to a comma-joined string: the driver's value hash
+    # canonicalizes via pandas sort_values, which cannot hash list cells
+    # (same precedent as the media_frames hex projection).
     return """
 WITH v AS (
     SELECT vec_id,
@@ -1389,16 +1393,20 @@ mm AS (
            list_aggregate(vec, 'max') AS mx
     FROM v
 )
-SELECT vec_id,
-       (mx - mn) / 255.0 AS scale,
-       mn AS zero_point,
-       CASE WHEN mx - mn > 0
-            THEN list_transform(vec,
-                 x -> CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) - 128
-                           AS INTEGER))
-            ELSE list_transform(vec, x -> CAST(-128 AS INTEGER))
-       END AS qvec
-FROM mm"""
+SELECT vec_id, scale, zero_point,
+       array_to_string(qvec, ',') AS qvec_csv
+FROM (
+    SELECT vec_id,
+           (mx - mn) / 255.0 AS scale,
+           mn AS zero_point,
+           CASE WHEN mx - mn > 0
+                THEN list_transform(vec,
+                     x -> CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) - 128
+                               AS INTEGER))
+                ELSE list_transform(vec, x -> CAST(-128 AS INTEGER))
+           END AS qvec
+    FROM mm
+)"""
 
 
 def q7_nation_volume_sql() -> str:
