@@ -256,6 +256,25 @@ def jaccard_pairs(
         return _jaccard_pairs_join(tokens)
 
     if strategy in ("bitmask", "auto"):
+        # Two-tier gate: an HLL probe (approx_count_distinct — partial-agg
+        # sketch, no distinct shuffle of the token relation) decides
+        # whether the bitmask path is even plausible; only then pay the
+        # exact count the mask width needs — cheap at that point, because
+        # the distinct set is small after map-side partial aggregation.
+        # At 100 TB the common outcome is "vocab too big", which now costs
+        # one narrow pass instead of a full distinct shuffle.
+        if strategy == "auto":
+            probe = tokens.agg(
+                F.approx_count_distinct("token", rsd=0.05).alias("v"),
+                F.approx_count_distinct("doc_id", rsd=0.05).alias("d"),
+            ).first()
+            # 1.3x headroom over the 5% rsd so a small-vocab input never
+            # misses the exact recheck
+            if (
+                probe["v"] > _BITMASK_MAX_VOCAB * 1.3
+                or probe["d"] > _BITMASK_MAX_DOCS * 1.3
+            ):
+                return _jaccard_pairs_join(tokens)
         stats = tokens.agg(
             F.countDistinct("token").alias("v"),
             F.countDistinct("doc_id").alias("d"),

@@ -468,6 +468,29 @@ scored AS (
     )
 
 
+def ann_fast_ranks_sql(k: int) -> str:
+    """Rank-agreement oracle for the numpy-kernel top-k: scores are
+    deliberately OMITTED from the projection (numpy's pairwise-summation
+    dot product is not bit-identical to sequential accumulation), but the
+    resulting (query_id, neighbor_id, rank) triples must match the exact
+    SQL ranking — deterministic because distinct cosine scores in the
+    testdata are separated far beyond float error, and true ties break on
+    neighbor_id in both engines."""
+    return f"""WITH {_VEC_CTES.strip()},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
+    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def _plane_literal(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
 

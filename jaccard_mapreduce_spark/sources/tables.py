@@ -46,7 +46,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(dt, T.TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # cast via the DataType object: the string "timestamp" resolves
+        # through spark.sql.timestampType, which on a TIMESTAMP_NTZ
+        # session would make this a no-op NTZ->NTZ cast (ADVICE r2)
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -40,7 +40,10 @@ def read_events_stream(
     if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(dt, T.TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # DataType-object cast: the "timestamp" string resolves through
+        # spark.sql.timestampType and would no-op on an NTZ-default
+        # session (ADVICE r2)
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
