@@ -363,6 +363,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- Similarity search (embeddings) ---
         "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
+        # numpy kernel graded on RANK AGREEMENT only: scores are dropped
+        # from the projection (pairwise vs sequential float accumulation
+        # differ in the last ulp) but the resulting ranking must match
+        # the exact SQL cosine ordering, neighbor-id tie-break included
+        "ann_fast_ranks": _shipped(
+            lambda s, d: S.cosine_topk_fast(_emb(s, d), k=10).select(
+                "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+            )
+        ),
         # qvec joined to a csv string in the contract projection only:
         # pandas cannot hash array<int> cells in the driver's canonical
         # sort (same precedent as media_frames' hex projection)
@@ -539,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracles.simhash_sql(),
         "dedup_simhash": oracles.simhash_duplicates_sql(3),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(10),
+        "ann_fast_ranks": oracles.ann_fast_ranks_sql(10),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(10, S.lsh_planes(64)),
         "ann_ivf_topk": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
