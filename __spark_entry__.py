@@ -216,6 +216,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir)
 
 
+def _q_bucketed_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.bucketed import (
+        bucketed_customer_revenue,
+    )
+
+    return bucketed_customer_revenue(spark, sf_dir)
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.streaming.events import (
         read_events_stream,
@@ -438,6 +446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
             _t(s, d, "lineitem"), _t(s, d, "part")
         ),
+        # bucketed-layout demo: co-located join over same-bucketed
+        # tables; oracle = the plain join (layout must be invisible)
+        "bucketed_customer_revenue": _q_bucketed_customer_revenue,
         "q18_large_orders": lambda s, d: R.q18_large_orders(
             _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "lineitem")
         ),
@@ -586,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "part_price_band_join": oracles.part_price_band_join_sql(R.PRICE_BANDS),
         "q7_nation_volume": oracles.q7_nation_volume_sql(),
         "q14_promo_revenue": oracles.q14_promo_revenue_sql(),
+        "bucketed_customer_revenue": oracles.bucketed_customer_revenue_sql(),
         "q18_large_orders": oracles.q18_large_orders_sql(),
         "q19_disjunctive_revenue": oracles.q19_disjunctive_revenue_sql(R.Q19_BANDS),
         "dedup_clusters": oracles.dedup_clusters_sql(0.7),

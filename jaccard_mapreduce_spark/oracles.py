@@ -1247,6 +1247,11 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey"""
 
 
+def bucketed_customer_revenue_sql() -> str:
+    # the PLAIN join — the bucketed layout must be semantically invisible
+    return salted_customer_revenue_sql()
+
+
 def events_hopping_counts_sql(
     window_seconds: int = 3600, slide_seconds: int = 1800
 ) -> str:

@@ -46,3 +46,45 @@ def colocated_join(
     bucket counts the join is shuffle-free; Spark reads bucket i of both
     sides into the same task."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def bucketed_customer_revenue(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> DataFrame:
+    """Contract/demo query for the bucketed layout: write ``orders`` and
+    ``customer`` bucketed by custkey, then compute per-nation order count
+    and revenue through the co-located join. The DuckDB oracle is the
+    PLAIN join — the layout must be semantically invisible, exactly like
+    the salted-join demo (`operators/skew.py`).
+
+    The plan payoff (no Exchange under the join) is pinned by
+    ``tests/test_plans.py`` with broadcast disabled; at this dim size a
+    live session may still broadcast the customer side, which is fine —
+    the technique targets fact-fact joins where neither side fits.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    db = "bucketed_demo"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    base = tempfile.mkdtemp(prefix="bucketed_rev_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/warehouse'")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"),
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey")
+    )
+    write_bucketed_table(orders, f"{db}.orders_b", n_buckets, ["custkey"])
+    write_bucketed_table(
+        customer, f"{db}.customer_b", n_buckets, ["custkey"]
+    )
+    joined = colocated_join(
+        spark, f"{db}.orders_b", f"{db}.customer_b", ["custkey"]
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price_d").cast("double").alias("revenue"),
+    )

@@ -108,3 +108,49 @@ def test_pil_backend_decodes_real_images_or_raises(spark):
     assert (got[2]["width"], got[2]["height"]) == (7, 42)
     assert got[3]["width"] is None and got[3]["height"] is None
     assert got[1]["n_bytes"] == len(rows[0][1])
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    """Minimal valid grayscale PNG built with stdlib only — a REAL image
+    any conforming decoder (Pillow included) accepts."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(not MM._pil_available(), reason="Pillow not installed")
+def test_pil_backend_decodes_real_png(spark):
+    rows = [(i, _png_bytes(32 + i, 16 + 2 * i), "image/png") for i in range(6)]
+    media = spark.createDataFrame(rows, ["doc_id", "media", "media_type"])
+    got = {r["doc_id"]: r for r in MM.decode_media_meta(media, backend="pil").collect()}
+    for i in range(6):
+        assert got[i]["width"] == 32 + i
+        assert got[i]["height"] == 16 + 2 * i
+        assert got[i]["n_bytes"] == len(rows[i][1])
+
+
+@pytest.mark.skipif(not MM._pil_available(), reason="Pillow not installed")
+def test_pil_backend_nulls_undecodable(spark):
+    media = spark.createDataFrame(
+        [(0, _png_bytes(8, 8), "image/png"), (1, b"not an image", "image/png")],
+        ["doc_id", "media", "media_type"],
+    )
+    got = {r["doc_id"]: r for r in MM.decode_media_meta(media, backend="pil").collect()}
+    assert got[0]["width"] == 8
+    assert got[1]["width"] is None and got[1]["height"] is None

@@ -253,3 +253,25 @@ def test_prepare_corpus_prunes_document_columns(spark):
     for seg in plan.split("ReadSchema: ")[1:]:
         schema = seg.split("\n", 1)[0]
         assert "lang" not in schema and "source" not in schema, schema
+
+
+def test_bucketed_contract_query_join_is_shuffle_free(spark):
+    """The graded bucketed_customer_revenue query: with broadcast
+    disabled, the join under the aggregate must carry no Exchange on
+    either side (the only Exchange in the plan is the final groupBy's,
+    whose key differs from the bucket key)."""
+    from jaccard_mapreduce_spark.sources.bucketed import (
+        bucketed_customer_revenue,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bucketed_customer_revenue(spark, SF_ORACLE)
+        plan = _plan(df)
+        join_part = plan[plan.index("SortMergeJoin") :]
+        assert "Exchange" not in join_part, join_part
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bucketed_demo CASCADE")
