@@ -78,6 +78,9 @@ def main() -> None:
         "global_shuffle",
         "dedup_representatives",
         "prepare_corpus",
+        # round-3 additions
+        "ann_fast_ranks",
+        "bucketed_customer_revenue",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query
