@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": lambda s, d: TA.token_counts(_docs(s, d)),
         "fingerprints": lambda s, d: TA.fingerprints(_docs(s, d)),
         "quality_filter": lambda s, d: TA.quality_filter(_docs(s, d)),
+        "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
     }
 
 
@@ -545,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.token_counts_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "quality_filter": oracles.quality_filter_sql(),
+        "source_mixture": oracles.source_mixture_sql(),
         "doc_split": oracles.doc_split_sql(),
         "shard_assign": oracles.shard_assign_sql(),
         "vocabulary": oracles.vocabulary_sql(),

