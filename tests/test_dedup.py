@@ -194,3 +194,53 @@ def test_dedup_representatives_picks_heaviest_then_lowest_id(spark):
     assert got[3]["rep_doc_id"] == 2 and not got[3]["is_kept"]
     # singleton cluster keeps itself
     assert got[4]["rep_doc_id"] == 4 and got[4]["is_kept"]
+
+
+def _cluster_map(df):
+    return {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_dedup_clusters_chain_and_clique_union_find_path(spark):
+    """A long chain (worst case for star contraction — every hop is a
+    bridging remnant edge) plus a clique (best case — empty remnant) plus
+    singletons, resolved through the driver-side union-find."""
+    from jaccard_mapreduce_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(10, 20)]  # component min = 10
+    clique = [(a, b) for a in range(30, 34) for b in range(a + 1, 34)]
+    pairs = spark.createDataFrame(chain + clique, ["doc_a", "doc_b"])
+    docs = spark.createDataFrame(
+        [(i,) for i in list(range(10, 21)) + list(range(30, 34)) + [99]],
+        ["doc_id"],
+    )
+    got = _cluster_map(dedup_clusters(docs, pairs))
+    assert all(got[i] == 10 for i in range(10, 21))
+    assert all(got[i] == 30 for i in range(30, 34))
+    assert got[99] == 99  # no-edge singleton
+
+
+def test_dedup_clusters_distributed_fallback_matches_union_find(spark):
+    """local_finish_max_edges=0 forces the above-gate distributed
+    min-label loop; both resolution paths must agree exactly."""
+    from jaccard_mapreduce_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(10, 18)]
+    cross = [(5, 17), (2, 5)]  # bridges pulling the chain down to min 2
+    pairs = spark.createDataFrame(chain + cross, ["doc_a", "doc_b"])
+    docs = spark.createDataFrame(
+        [(i,) for i in [2, 5] + list(range(10, 19)) + [50]], ["doc_id"]
+    )
+    local = _cluster_map(dedup_clusters(docs, pairs))
+    dist = _cluster_map(dedup_clusters(docs, pairs, local_finish_max_edges=0))
+    assert local == dist
+    assert all(local[i] == 2 for i in [2, 5] + list(range(10, 19)))
+    assert local[50] == 50
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from jaccard_mapreduce_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = _cluster_map(dedup_clusters(docs, pairs))
+    assert got == {1: 1, 2: 2}
