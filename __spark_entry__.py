@@ -514,6 +514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": lambda s, d: TA.fingerprints(_docs(s, d)),
         "quality_filter": lambda s, d: TA.quality_filter(_docs(s, d)),
         "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
+        "events_approx_check": lambda s, d: R.events_approx_check(
+            _t(s, d, "events")
+        ),
     }
 
 
@@ -547,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": oracles.fingerprints_sql(),
         "quality_filter": oracles.quality_filter_sql(),
         "source_mixture": oracles.source_mixture_sql(),
+        "events_approx_check": oracles.events_approx_check_sql(),
         "doc_split": oracles.doc_split_sql(),
         "shard_assign": oracles.shard_assign_sql(),
         "vocabulary": oracles.vocabulary_sql(),

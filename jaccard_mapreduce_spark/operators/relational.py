@@ -534,6 +534,37 @@ def events_approx_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def events_approx_check(
+    events: DataFrame, max_rel_err: float = 0.05
+) -> DataFrame:
+    """Hash-checkable error-bound contract for the sketch aggregates
+    (graduates ``events_approx_stats`` from rows-only grading): per event
+    type, the EXACT distinct-user count plus booleans asserting that the
+    HLL++ estimate (rsd 0.01) lands within ``max_rel_err`` of exact
+    (a ±5σ envelope — deterministically satisfied) and that the
+    approximate median lands between the exact p40 and p60. The DuckDB
+    oracle recomputes the exact values and emits literal TRUEs, so a
+    sketch regression (wrong rsd, broken merge, bad accuracy) flips a
+    boolean and fails the value hash.
+    """
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    exact = F.count_distinct("user_id")
+    p = F.percentile("value", F.array(F.lit(0.4), F.lit(0.6)))
+    ap50 = F.percentile_approx("value", F.lit(0.5), F.lit(10_000))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            exact.alias("n_users"),
+            (
+                F.abs(approx - exact)
+                <= F.lit(max_rel_err) * exact
+            ).alias("hll_ok"),
+            ((ap50 >= p[0]) & (ap50 <= p[1])).alias("p50_ok"),
+        )
+        .select("event_type", "n_users", "hll_ok", "p50_ok")
+    )
+
+
 def top_suppliers(
     supplier: DataFrame,
     nation: DataFrame,

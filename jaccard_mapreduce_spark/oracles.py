@@ -214,6 +214,17 @@ SELECT doc_id,
 FROM ratios"""
 
 
+def events_approx_check_sql() -> str:
+    # the oracle side is EXACT: the sketch bounds are asserted by the
+    # Spark query's booleans, which must all come out TRUE
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok
+FROM events GROUP BY event_type"""
+
+
 def source_mixture_sql() -> str:
     # T = 0.5 path only: sqrt is correctly rounded in both engines and the
     # smoothed counts are quantized to int64 before the normalizing sum,
