@@ -36,7 +36,7 @@ from jaccard_mapreduce_spark.operators.dedup import (
 from jaccard_mapreduce_spark.operators.text_analysis import (
     global_shuffle,
     pack_sequences,
-    quality_filter,
+    quality_keep,
 )
 
 
@@ -63,10 +63,12 @@ def prepare_corpus(
     # pin: the survivor relations are cached and re-read repeatedly, and
     # the parquet scan prunes to 3 columns (plan-audited)
     documents = documents.select("doc_id", "text", "n_chars")
-    q = quality_filter(documents, min_quality, min_tokens)
-    kept1 = pin(
-        documents.join(q.where(F.col("keep")).select("doc_id"), "doc_id")
-    )
+    # quality gate as an in-place filter: the score is a pure projection,
+    # so filtering directly costs one scan — no score relation to join
+    # back. (The exact-dedup stage below keeps its join-back form on
+    # purpose: its keeper choice needs a shuffle either way, and joining
+    # the skinny id list back beats shuffling the full text column.)
+    kept1 = pin(documents.where(quality_keep(min_quality, min_tokens)))
     e = exact_duplicates(kept1)
     kept2 = pin(
         kept1.join(e.where(~F.col("is_dup")).select("doc_id"), "doc_id")

@@ -94,6 +94,24 @@ def fingerprints(documents: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def quality_keep(
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    text_col: str = "text",
+):
+    """Filter-EXPRESSION form of the quality gate (identical arithmetic
+    to ``text_stats``/``quality_filter``): lets a pipeline filter the
+    document relation in place — one pass, no score projection + join
+    back to recover the text column."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks).cast("long")
+    len_score = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    alpha_score = F.lit(1.0) - punct_ratio(text_col)
+    stop_score = F.least(stopword_ratio(toks) / F.lit(0.4), F.lit(1.0))
+    quality = (len_score + alpha_score + stop_score) / F.lit(3.0)
+    return (quality >= F.lit(min_quality)) & (n_tokens >= F.lit(min_tokens))
+
+
 def quality_filter(
     documents: DataFrame,
     min_quality: float = 0.5,
@@ -620,6 +638,7 @@ def source_mixture(
 __all__ = [
     "token_counts",
     "source_mixture",
+    "quality_keep",
     "text_stats",
     "lang_id",
     "fingerprints",
