@@ -131,3 +131,25 @@ def test_word_ngrams(spark):
     short = spark.createDataFrame([("d", "a b")], ["doc_id", "text"])
     got2 = short.select(word_ngrams(tokenize_unique("text"), 3).alias("g")).first()["g"]
     assert got2 == []
+
+
+def test_auto_strategy_large_vocab_matches_join(spark):
+    """The HLL probe must short-circuit to the join path on a vocabulary
+    far above the bitmask gate, with results identical to forced join."""
+    # alphanumeric-only synthetic words survive tokenization intact:
+    # 200*20 = 4000 distinct tokens, far above the 2048 bitmask gate
+    rows = [
+        (f"d{i}", " ".join(f"w{i}a{j}" for j in range(20)) + " shared")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    auto = {
+        (r["doc_a"], r["doc_b"]): r["similarity"]
+        for r in jaccard_pairs(df, strategy="auto").collect()
+    }
+    join = {
+        (r["doc_a"], r["doc_b"]): r["similarity"]
+        for r in jaccard_pairs(df, strategy="join").collect()
+    }
+    assert auto == join
+    assert len(auto) == 200 * 199 // 2  # 'shared' links every doc pair
