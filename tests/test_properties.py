@@ -85,3 +85,53 @@ def test_disjoint_docs_produce_no_rows(spark):
     rows = [(f"d{i}", f"tok{i}a tok{i}b") for i in range(10)]
     got = jaccard_pairs(spark.createDataFrame(rows, ["doc_id", "text"]))
     assert got.count() == 0
+
+
+def _py_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent union-find reference: node -> min reachable node."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {v: find(v) for v in range(n_nodes)}
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_dedup_clusters_matches_union_find_reference(spark, data):
+    from jaccard_mapreduce_spark.operators.dedup import dedup_clusters
+
+    n = data.draw(st.integers(min_value=1, max_value=24))
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=n - 1),
+        st.integers(min_value=0, max_value=n - 1),
+    ).filter(lambda e: e[0] != e[1])
+    raw = data.draw(st.lists(edge, min_size=0, max_size=40))
+    # canonical orientation, as every pair producer emits
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    expected = _py_components(n, pairs)
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pair_df = (
+        spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        if pairs
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pair_df).collect()
+    }
+    assert got == expected
