@@ -517,6 +517,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_check": lambda s, d: R.events_approx_check(
             _t(s, d, "events")
         ),
+        "q10_returned_revenue": lambda s, d: R.q10_returned_revenue(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q12_priority_shipclass": lambda s, d: R.q12_priority_shipclass(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q22_idle_customers": lambda s, d: R.q22_idle_customers(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
     }
 
 
@@ -551,6 +560,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": oracles.quality_filter_sql(),
         "source_mixture": oracles.source_mixture_sql(),
         "events_approx_check": oracles.events_approx_check_sql(),
+        "q10_returned_revenue": oracles.q10_returned_revenue_sql(20),
+        "q12_priority_shipclass": oracles.q12_priority_shipclass_sql(),
+        "q22_idle_customers": oracles.q22_idle_customers_sql(),
         "doc_split": oracles.doc_split_sql(),
         "shard_assign": oracles.shard_assign_sql(),
         "vocabulary": oracles.vocabulary_sql(),

@@ -534,6 +534,86 @@ def events_approx_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def q10_returned_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    items. The return-flag filter prunes the fact scan, the orders join
+    shuffles on the order key, and the customer dim broadcasts; the
+    top-k is a global TakeOrdered (revenue DESC, custkey ASC tie-break —
+    deterministic), never a full sort."""
+    rev = F.col("l_extendedprice").cast(_D) * (
+        _one() - F.col("l_discount").cast(_D)
+    )
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(rev).alias("_r"),
+            F.count("*").alias("n_return_items"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("_r").cast("double").alias("lost_revenue"),
+            "n_return_items",
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def q12_priority_shipclass(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q12 shape: conditional bucket counts after the fact-orders
+    join — per return flag, how many line items belong to critical
+    (1-URGENT / 2-HIGH) vs non-critical orders. One shuffle join keyed
+    on the order key plus a map-side conditional aggregate."""
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(crit.cast("long")).alias("n_critical"),
+            F.sum((~crit).cast("long")).alias("n_noncritical"),
+        )
+    )
+
+
+def q22_idle_customers(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    NO orders, grouped by market segment. The global average is a scalar
+    subquery (1-row broadcast cross join), the no-orders test a LEFT
+    ANTI join on the distinct custkey set — both sides shrink before any
+    wide relation moves."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_D)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("_avg")
+    )
+    buyers = orders.select("o_custkey").distinct()
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal").cast("double") > F.col("_avg"))
+        .join(buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_D)).cast("double").alias("total_bal"),
+        )
+    )
+
+
 def events_approx_check(
     events: DataFrame, max_rel_err: float = 0.05
 ) -> DataFrame:

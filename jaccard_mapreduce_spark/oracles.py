@@ -214,6 +214,48 @@ SELECT doc_id,
 FROM ratios"""
 
 
+def q10_returned_revenue_sql(k: int = 20) -> str:
+    return f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(sum(CAST(l_extendedprice AS {_DD})
+                * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS DOUBLE)
+           AS lost_revenue,
+       count(*) AS n_return_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT {k}"""
+
+
+def q12_priority_shipclass_sql() -> str:
+    return """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_noncritical
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag"""
+
+
+def q22_idle_customers_sql() -> str:
+    return f"""
+WITH avg_b AS (
+    SELECT CAST(sum(CAST(c_acctbal AS {_DD})) AS DOUBLE) / count(*) AS a
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS {_DD})) AS DOUBLE) AS total_bal
+FROM customer CROSS JOIN avg_b
+WHERE CAST(c_acctbal AS DOUBLE) > a
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment"""
+
+
 def events_approx_check_sql() -> str:
     # the oracle side is EXACT: the sketch bounds are asserted by the
     # Spark query's booleans, which must all come out TRUE
