@@ -526,6 +526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": lambda s, d: R.q22_idle_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
+        # doc_id % 97 == 0 stands in for the held-out benchmark corpus,
+        # same convention as contamination_check
+        "dedup_cross_corpus": lambda s, d: TA.dedup_cross_corpus(
+            _docs(s, d).where(F.col("doc_id") % 97 != 0),
+            _docs(s, d).where(F.col("doc_id") % 97 == 0),
+        ),
+        "length_histogram": lambda s, d: TA.length_histogram(_docs(s, d)),
     }
 
 
@@ -563,6 +570,8 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_revenue": oracles.q10_returned_revenue_sql(20),
         "q12_priority_shipclass": oracles.q12_priority_shipclass_sql(),
         "q22_idle_customers": oracles.q22_idle_customers_sql(),
+        "dedup_cross_corpus": oracles.dedup_cross_corpus_sql(97),
+        "length_histogram": oracles.length_histogram_sql(),
         "doc_split": oracles.doc_split_sql(),
         "shard_assign": oracles.shard_assign_sql(),
         "vocabulary": oracles.vocabulary_sql(),

@@ -635,10 +635,76 @@ def source_mixture(
     )
 
 
+def dedup_cross_corpus(
+    train: DataFrame,
+    held_out: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-level decontamination between two corpora: flag every training
+    document whose normalized content fingerprint appears in the held-out
+    set (eval suites, benchmark answers) — the exact-match twin of the
+    n-gram `contamination_check`. Returns ``(doc_id, fingerprint,
+    in_held_out)``.
+
+    Scale shape: both sides reduce to skinny (fingerprint) relations; the
+    membership test is a LEFT SEMI join on a 16-byte digest — the
+    held-out side is eval-suite-sized and broadcasts, so the training
+    corpus never shuffles.
+    """
+    fp = F.md5(normalize_text(text_col).cast("binary"))
+    t = train.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+    h = F.broadcast(
+        held_out.select(fp.alias("h_fp")).distinct()
+    )
+    return (
+        t.join(h, F.col("fingerprint") == F.col("h_fp"), "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.col("h_fp").isNotNull().alias("in_held_out"),
+        )
+    )
+
+
+def length_histogram(
+    documents: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Power-of-two token-length histogram per source — the packing /
+    curriculum diagnostic (how much of each domain lands in each length
+    bucket, and how many tokens a max_len cutoff would truncate).
+    ``bucket`` is floor(log2(n_tokens)) with empty docs in bucket -1,
+    computed as ``length(bin(n)) - 1`` — exact integer logic in both
+    engines, where a float log2 can land on the wrong side of a
+    power-of-two boundary (Spark computes log2 as ln(x)/ln(2)). Pure
+    projection + one partial-agg shuffle on (source, bucket).
+    """
+    n = token_count_ws(text_col).cast("long")
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.length(F.bin(n)) - F.lit(1)
+    ).cast("long")
+    return (
+        documents.select(
+            F.col(by).alias("source"), n.alias("n"), bucket.alias("bucket")
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
 __all__ = [
     "token_counts",
     "source_mixture",
     "quality_keep",
+    "dedup_cross_corpus",
+    "length_histogram",
     "text_stats",
     "lang_id",
     "fingerprints",

@@ -256,6 +256,38 @@ WHERE CAST(c_acctbal AS DOUBLE) > a
 GROUP BY c_mktsegment"""
 
 
+def dedup_cross_corpus_sql(benchmark_mod: int = 97) -> str:
+    return f"""
+WITH h AS (
+    SELECT DISTINCT md5({NORM_EXPR}) AS h_fp
+    FROM documents WHERE doc_id % {benchmark_mod} = 0
+)
+SELECT doc_id,
+       md5({NORM_EXPR}) AS fingerprint,
+       md5({NORM_EXPR}) IN (SELECT h_fp FROM h) AS in_held_out
+FROM documents WHERE doc_id % {benchmark_mod} <> 0"""
+
+
+def length_histogram_sql() -> str:
+    return r"""
+WITH n AS (
+    SELECT source,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END AS BIGINT) AS n
+    FROM documents
+)
+SELECT source,
+       CAST(CASE WHEN n <= 0 THEN -1 ELSE length(bin(n)) - 1 END AS BIGINT)
+           AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       min(n) AS min_tokens,
+       max(n) AS max_tokens
+FROM n
+GROUP BY 1, 2"""
+
+
 def events_approx_check_sql() -> str:
     # the oracle side is EXACT: the sketch bounds are asserted by the
     # Spark query's booleans, which must all come out TRUE

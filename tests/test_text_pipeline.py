@@ -201,3 +201,34 @@ def test_source_mixture_hand_computed(spark):
     # smoothing upsamples the small domain vs its raw share
     assert got["books"]["weight_smoothed"] > got["books"]["token_share"]
     assert abs(sum(r["weight_smoothed"] for r in got.values()) - 1.0) < 1e-12
+
+
+def test_dedup_cross_corpus_flags_exact_matches(spark):
+    train = spark.createDataFrame(
+        [(1, "The quick brown fox!"), (2, "something else"), (3, "THE QUICK brown FOX.")],
+        ["doc_id", "text"],
+    )
+    held = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "benchmark answer key")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["in_held_out"] for r in TA.dedup_cross_corpus(train, held).collect()}
+    # normalization is case/punctuation-insensitive -> 1 and 3 match
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_length_histogram_buckets(spark):
+    rows = [
+        (1, "", "web"),            # 0 tokens -> bucket -1
+        (2, "a", "web"),           # 1 -> bucket 0
+        (3, "a b c", "web"),       # 3 -> bucket 1
+        (4, " ".join(["t"] * 8), "web"),   # 8 -> bucket 3
+        (5, " ".join(["t"] * 9), "books"), # 9 -> bucket 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {(r["source"], r["bucket"]): r for r in TA.length_histogram(df).collect()}
+    assert got[("web", -1)]["n_docs"] == 1 and got[("web", -1)]["n_tokens"] == 0
+    assert got[("web", 0)]["n_docs"] == 1
+    assert got[("web", 1)]["n_docs"] == 1
+    assert got[("web", 3)]["min_tokens"] == 8 and got[("web", 3)]["max_tokens"] == 8
+    assert got[("books", 3)]["n_docs"] == 1 and got[("books", 3)]["n_tokens"] == 9
