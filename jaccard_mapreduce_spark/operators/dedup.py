@@ -505,13 +505,14 @@ def simhash_duplicates(
     )
     if n_docs is None:
         # broadcast-gate heuristic only — a sketch estimate is plenty;
-        # inflate by the rsd so an undercount can't sneak an oversized
+        # inflate well past the rsd (1.3x ≈ 6σ at rsd=0.05, matching the
+        # vocab probes) so an HLL undercount can't sneak an oversized
         # relation through the broadcast gate
         n_docs = int(
             tokens.agg(
                 F.approx_count_distinct("doc_id", rsd=0.05).alias("d")
             ).first()["d"]
-            * 1.1
+            * 1.3
         )
     b_rel, was_bc = _gated_broadcast(keyed, n_docs, broadcast_max_docs)
     a = (_spread(keyed) if was_bc else keyed).alias("a")
@@ -632,9 +633,14 @@ def dedup_clusters(
     # instead of holding it through remnant resolution (ADVICE r2)
     dup_pairs.unpersist()
     if n_remnant == 0:
-        # every component was a star/clique: l0 is already the answer
-        cedges.unpersist()
-        return labels0
+        # every component was a star/clique: l0 is already the answer.
+        # Hand the caller a materialized copy and release the cache —
+        # persisted blocks held past return would accumulate across
+        # calls in a long session (ADVICE r3); checkpoint blocks are
+        # ref-tracked and freed when the returned frame is collected.
+        out = labels0.localCheckpoint(eager=True)
+        labels0.unpersist()
+        return out
 
     if n_remnant <= local_finish_max_edges:
         # Tiny remnant: exact union-find on the driver (≤ ~16 MB of
@@ -671,13 +677,16 @@ def dedup_clusters(
                 ),
             )
         )
-        return (
+        out = (
             labels0.join(resolved, F.col("cluster_id") == F.col("r_lbl"), "left")
             .select(
                 "doc_id",
                 F.coalesce("r_root", "cluster_id").alias("cluster_id"),
             )
+            .localCheckpoint(eager=True)  # materialize, then drop the cache
         )
+        labels0.unpersist()
+        return out
 
     # Phase 2 fallback (remnant above the local gate): propagate on the
     # contracted remnant only. Node set = distinct l0 labels touched by
@@ -741,13 +750,16 @@ def dedup_clusters(
         n_docs,
         broadcast_max_docs,
     )
-    return (
+    out = (
         labels0.join(resolved, F.col("cluster_id") == F.col("r_lbl"), "left")
         .select(
             "doc_id",
             F.coalesce("r_root", "cluster_id").alias("cluster_id"),
         )
+        .localCheckpoint(eager=True)  # materialize, then drop the cache
     )
+    labels0.unpersist()
+    return out
 
 
 def dedup_representatives(

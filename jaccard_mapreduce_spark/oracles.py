@@ -264,7 +264,8 @@ WITH h AS (
 )
 SELECT doc_id,
        md5({NORM_EXPR}) AS fingerprint,
-       md5({NORM_EXPR}) IN (SELECT h_fp FROM h) AS in_held_out
+       COALESCE(md5({NORM_EXPR}) IN (SELECT h_fp FROM h), FALSE)
+           AS in_held_out
 FROM documents WHERE doc_id % {benchmark_mod} <> 0"""
 
 

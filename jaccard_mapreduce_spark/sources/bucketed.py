@@ -19,7 +19,23 @@ plans as a partial+final agg with no exchange.
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def demo_database_name(spark: SparkSession) -> str:
+    """Session-unique catalog name for the bucketed-layout demo, derived
+    from the Spark application id (unique per session by construction)."""
+    app = re.sub(r"[^a-zA-Z0-9]+", "_", spark.sparkContext.applicationId)
+    return f"bucketed_demo_{app}".lower()
+
+
+def _demo_base_dir(spark: SparkSession) -> str:
+    return os.path.join(tempfile.gettempdir(), demo_database_name(spark))
 
 
 def write_bucketed_table(
@@ -61,14 +77,21 @@ def bucketed_customer_revenue(
     ``tests/test_plans.py`` with broadcast disabled; at this dim size a
     live session may still broadcast the customer side, which is fine —
     the technique targets fact-fact joins where neither side fits.
-    """
-    import tempfile
 
+    Storage hygiene (ADVICE r3): the database name is derived from the
+    Spark application id — unique per session, so two concurrent
+    sessions never race on a shared catalog name — and the warehouse
+    location is DETERMINISTIC per session (not a fresh mkdtemp per
+    call), cleared at the start of every invocation. A session
+    therefore leaks at most one bucketed copy (the one the returned
+    lazy frame still reads), instead of one per call.
+    """
     from pyspark.sql import functions as F
 
-    db = "bucketed_demo"
+    db = demo_database_name(spark)
+    base = _demo_base_dir(spark)
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
-    base = tempfile.mkdtemp(prefix="bucketed_rev_")
+    shutil.rmtree(base, ignore_errors=True)
     spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/warehouse'")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("custkey"),

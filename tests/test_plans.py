@@ -262,6 +262,7 @@ def test_bucketed_contract_query_join_is_shuffle_free(spark):
     whose key differs from the bucket key)."""
     from jaccard_mapreduce_spark.sources.bucketed import (
         bucketed_customer_revenue,
+        demo_database_name,
     )
 
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -274,4 +275,6 @@ def test_bucketed_contract_query_join_is_shuffle_free(spark):
         assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        spark.sql("DROP DATABASE IF EXISTS bucketed_demo CASCADE")
+        spark.sql(
+            f"DROP DATABASE IF EXISTS {demo_database_name(spark)} CASCADE"
+        )
