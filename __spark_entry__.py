@@ -334,16 +334,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Jaccard family (the reference's pipeline, SURVEY.md §2) ---
         "doc_tokens": lambda s, d: _tokens(s, d),
         "jaccard_pairs": lambda s, d: J.jaccard_pairs(_docs(s, d), strategy="auto"),
-        "jaccard_threshold": lambda s, d: J.jaccard_threshold(
-            J.jaccard_pairs(_docs(s, d), strategy="auto"), 0.5
-        ),
-        "jaccard_topk": lambda s, d: J.jaccard_topk(
-            J.jaccard_pairs(_docs(s, d), strategy="auto"), 5
-        ).withColumn("rank", F.col("rank").cast("long")),
-        # --- Text analysis / training-data pipeline (round-2 additions
-        # graded first; the unchanged round-1-green projections rotate to
-        # the tail) ---
+        # --- Text analysis / training-data pipeline. Round-4 window
+        # rotation (VERDICT r3 item 1): the never-driver-graded round-3
+        # additions move INTO the window; 10 multi-round-green unchanged
+        # entries (jaccard_threshold/topk, repetition_stats,
+        # pack_sequences, dedup_ngram, simhash, media_meta/features,
+        # events_daily/hopping — each green in r2 AND r3) rotate to the
+        # tail, still oracle-backed and pytest-parity-checked. ---
         "contamination_check": lambda s, d: TA.contamination_check(_docs(s, d)),
+        # doc_id % 97 == 0 stands in for the held-out benchmark corpus,
+        # same convention as contamination_check
+        "dedup_cross_corpus": lambda s, d: TA.dedup_cross_corpus(
+            _docs(s, d).where(F.col("doc_id") % 97 != 0),
+            _docs(s, d).where(F.col("doc_id") % 97 == 0),
+        ),
+        "length_histogram": lambda s, d: TA.length_histogram(_docs(s, d)),
+        "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
         "top_ngrams": lambda s, d: TA.top_ngrams(_docs(s, d)),
         "global_shuffle": lambda s, d: TA.global_shuffle(_docs(s, d)),
         "dedup_representatives": lambda s, d: D.dedup_representatives(
@@ -357,13 +363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship composition: quality -> exact dedup -> LSH clusters ->
         # representatives -> global shuffle -> sequence packing
         "prepare_corpus": lambda s, d: P.prepare_corpus(_docs(s, d)),
-        "repetition_stats": lambda s, d: TA.repetition_stats(_docs(s, d)),
         "pii_scrub": _q_pii_scrub,
-        "pack_sequences": lambda s, d: TA.pack_sequences(_docs(s, d)),
         # --- Deduplication ---
-        "dedup_ngram": lambda s, d: D.ngram_duplicates(_docs(s, d), n=3, threshold=0.8),
         "dedup_minhash_lsh": lambda s, d: D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
-        "simhash": lambda s, d: D.simhash(_tokens(s, d)),
         "dedup_simhash": lambda s, d: D.simhash_duplicates(_tokens(s, d), max_distance=3),
         "dedup_clusters": lambda s, d: D.dedup_clusters(
             _docs(s, d).select("doc_id"),
@@ -392,16 +394,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         # --- Multimodal (binary columns through Arrow/mapInPandas) ---
-        "media_meta": _shipped(
-            lambda s, d: MM.decode_media_meta(
-                MM.attach_fake_media(_docs(s, d)), backend="fake"
-            )
-        ),
-        "media_features": _shipped(
-            lambda s, d: MM.extract_media_features(
-                MM.attach_fake_media(_docs(s, d)), dim=16
-            )
-        ),
         # frame bytes hex-encoded in the contract projection only: binary
         # values round-trip through pandas as bytearray vs DuckDB bytes,
         # an encoding mismatch in the driver's value hash; hex is exact
@@ -425,8 +417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synthetic_corpus_stats": _shipped(_q_synthetic_corpus_stats),
         "synthetic_stream_stats": _shipped(_q_synthetic_stream_stats),
         # --- Events / time-series relational ---
-        "events_daily": lambda s, d: R.events_daily(_t(s, d, "events")),
-        "events_hopping": lambda s, d: R.events_hopping_counts(_t(s, d, "events")),
+        "events_approx_check": lambda s, d: R.events_approx_check(
+            _t(s, d, "events")
+        ),
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
         "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
         "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
@@ -445,6 +438,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
             _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        # --- Relational tier 3 (rotated/new into the round-4 window) ---
+        "q10_returned_revenue": lambda s, d: R.q10_returned_revenue(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q12_priority_shipclass": lambda s, d: R.q12_priority_shipclass(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q22_idle_customers": lambda s, d: R.q22_idle_customers(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        # new round 4: the EXISTS/NOT-EXISTS-heavy TPC-H shapes
+        "q17_small_quantity_revenue": lambda s, d: R.q17_small_quantity_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "q20_dominant_suppliers": lambda s, d: R.q20_dominant_suppliers(
+            _t(s, d, "supplier"), _t(s, d, "nation"),
+            _t(s, d, "lineitem"), _t(s, d, "part"),
+        ),
+        "q21_waiting_suppliers": lambda s, d: R.q21_waiting_suppliers(
+            _t(s, d, "supplier"), _t(s, d, "nation"),
+            _t(s, d, "orders"), _t(s, d, "lineitem"),
         ),
         # bucketed-layout demo: co-located join over same-bucketed
         # tables; oracle = the plain join (layout must be invisible)
@@ -496,6 +511,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": lambda s, d: R.orders_grouping_sets(_t(s, d, "orders")),
         "lineitem_unpivot": lambda s, d: R.lineitem_unpivot(_t(s, d, "lineitem")),
         "orders_rollup": lambda s, d: R.orders_rollup(_t(s, d, "orders")),
+        # rotated out of the graded window in round 4 (green in rounds 2
+        # AND 3, unchanged since, pytest-parity-covered)
+        "jaccard_threshold": lambda s, d: J.jaccard_threshold(
+            J.jaccard_pairs(_docs(s, d), strategy="auto"), 0.5
+        ),
+        "jaccard_topk": lambda s, d: J.jaccard_topk(
+            J.jaccard_pairs(_docs(s, d), strategy="auto"), 5
+        ).withColumn("rank", F.col("rank").cast("long")),
+        "repetition_stats": lambda s, d: TA.repetition_stats(_docs(s, d)),
+        "pack_sequences": lambda s, d: TA.pack_sequences(_docs(s, d)),
+        "dedup_ngram": lambda s, d: D.ngram_duplicates(_docs(s, d), n=3, threshold=0.8),
+        "simhash": lambda s, d: D.simhash(_tokens(s, d)),
+        "media_meta": _shipped(
+            lambda s, d: MM.decode_media_meta(
+                MM.attach_fake_media(_docs(s, d)), backend="fake"
+            )
+        ),
+        "media_features": _shipped(
+            lambda s, d: MM.extract_media_features(
+                MM.attach_fake_media(_docs(s, d)), dim=16
+            )
+        ),
+        "events_daily": lambda s, d: R.events_daily(_t(s, d, "events")),
+        "events_hopping": lambda s, d: R.events_hopping_counts(_t(s, d, "events")),
         # rotated out of the graded window (round-1 green, unchanged,
         # pytest-covered): pure per-row projections and salted sampling
         "doc_split": lambda s, d: TA.doc_split(_docs(s, d)),
@@ -513,26 +552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": lambda s, d: TA.token_counts(_docs(s, d)),
         "fingerprints": lambda s, d: TA.fingerprints(_docs(s, d)),
         "quality_filter": lambda s, d: TA.quality_filter(_docs(s, d)),
-        "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
-        "events_approx_check": lambda s, d: R.events_approx_check(
-            _t(s, d, "events")
-        ),
-        "q10_returned_revenue": lambda s, d: R.q10_returned_revenue(
-            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
-        ),
-        "q12_priority_shipclass": lambda s, d: R.q12_priority_shipclass(
-            _t(s, d, "orders"), _t(s, d, "lineitem")
-        ),
-        "q22_idle_customers": lambda s, d: R.q22_idle_customers(
-            _t(s, d, "customer"), _t(s, d, "orders")
-        ),
-        # doc_id % 97 == 0 stands in for the held-out benchmark corpus,
-        # same convention as contamination_check
-        "dedup_cross_corpus": lambda s, d: TA.dedup_cross_corpus(
-            _docs(s, d).where(F.col("doc_id") % 97 != 0),
-            _docs(s, d).where(F.col("doc_id") % 97 == 0),
-        ),
-        "length_histogram": lambda s, d: TA.length_histogram(_docs(s, d)),
     }
 
 
@@ -570,6 +589,9 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_revenue": oracles.q10_returned_revenue_sql(20),
         "q12_priority_shipclass": oracles.q12_priority_shipclass_sql(),
         "q22_idle_customers": oracles.q22_idle_customers_sql(),
+        "q17_small_quantity_revenue": oracles.q17_small_quantity_revenue_sql(),
+        "q20_dominant_suppliers": oracles.q20_dominant_suppliers_sql(),
+        "q21_waiting_suppliers": oracles.q21_waiting_suppliers_sql(),
         "dedup_cross_corpus": oracles.dedup_cross_corpus_sql(97),
         "length_histogram": oracles.length_histogram_sql(),
         "doc_split": oracles.doc_split_sql(),

@@ -81,6 +81,10 @@ def main() -> None:
         # round-3 additions
         "ann_fast_ranks",
         "bucketed_customer_revenue",
+        # round-4 additions
+        "q17_small_quantity_revenue",
+        "q20_dominant_suppliers",
+        "q21_waiting_suppliers",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query
@@ -122,18 +126,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full detail (per-query min/max spread, reps, warmup) goes to a
+    # sidecar file; stdout carries ONE COMPACT line — the driver records
+    # only a bounded stdout tail, and rounds 1-3 proved the verbose line
+    # overflows it ("parsed": null in BENCH_r01-r03). Medians at 2dp keep
+    # the line well under ~2 KB at the current query count.
+    detail = {
+        "queries_median": timings,
+        "spread_min_max": spread,
+        "reps": reps,
+        "sf": sf_val,
+        "warmup_seconds": warmup_s,
+        "total_seconds": total,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "bench_total_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread_min_max": spread,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "warmup_seconds": warmup_s,
-            }
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

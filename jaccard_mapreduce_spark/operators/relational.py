@@ -1077,3 +1077,179 @@ def q19_disjunctive_revenue(
         .agg(F.sum(rev).alias("_r"), F.count("*").alias("n_items"))
         .select(F.col("_r").cast("double").alias("revenue"), "n_items")
     )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, qty_frac: float = 0.2
+) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — each lineitem is
+    compared against the average quantity OF ITS OWN PART — generalized
+    to a per-brand result (the classic query fixes one brand/container
+    and emits a single number; grouping by brand keeps the identical
+    correlated-average structure with a 25x richer checkable output).
+
+    Spark-first decorrelation: the per-part average is ONE aggregate
+    over the fact table, joined back on the part key. Both the
+    aggregate and the join shuffle on ``l_partkey``, so Catalyst reuses
+    a single exchange for the subtree; the correlated subquery a naive
+    engine would re-execute per row becomes one co-partitioned join.
+    The part dim broadcasts for the brand attribution.
+
+    avg_yearly follows the oracle-parity money rules: exact decimal
+    sums, one double division at the output (÷ 7.0 mirrors TPC-H Q17's
+    yearly normalization constant).
+    """
+    part_avg = lineitem.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast(_D)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("_avg_qty")
+    )
+    small = lineitem.join(part_avg, "l_partkey").where(
+        F.col("l_quantity").cast("double")
+        < F.lit(qty_frac) * F.col("_avg_qty")
+    )
+    return (
+        small.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_D)).alias("_s"),
+            F.count("*").alias("n_small_items"),
+        )
+        .select(
+            "p_brand",
+            (F.col("_s").cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            "n_small_items",
+        )
+    )
+
+
+def q20_dominant_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    name_pat: str = "%widget%",
+    ship_from: str = "1996-01-01",
+    ship_to: str = "1997-01-01",
+    share: float = 0.5,
+    max_nationkey: int = 13,
+) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers qualified by
+    a subquery that is itself qualified by two more subqueries (part
+    name filter -> per-(part, supplier) shipped volume -> per-part
+    total). The classic query's ``partsupp.ps_availqty`` has no analog
+    in this schema, so the quantity test is re-grounded on lineitem:
+    a supplier qualifies if it shipped MORE THAN ``share`` of some
+    matching part's total volume in the window (a "dominant supplier"
+    — same nested-aggregate-in-semi-join plan shape, same >0.5x
+    comparison).
+
+    Plan: the part-name filter broadcasts into the fact scan (date range
+    + partkey semi-filter pushed down), ONE aggregate produces the
+    per-(part, supplier) volumes, and the per-part total is a window sum
+    over that already-shrunken relation — the fact table is scanned
+    exactly once (the aggregate-then-self-join form executed the
+    windowed scan twice; static and AQE exchange reuse both failed to
+    merge the two aggregate subtrees, measured). The surviving supplier
+    keys reach the supplier dim as a LEFT SEMI join, and the nation
+    filter broadcasts. Nothing wide moves except that single fact scan.
+    """
+    target_parts = part.where(F.col("p_name").like(name_pat)).select(
+        "p_partkey"
+    )
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= ship_from)
+            & (F.col("l_shipdate") < ship_to)
+        )
+        .join(
+            F.broadcast(target_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_D)).alias("_q"))
+    )
+    dominant = (
+        shipped.withColumn(
+            "_tot", F.sum("_q").over(Window.partitionBy("l_partkey"))
+        )
+        .where(
+            F.col("_q").cast("double")
+            > F.lit(share) * F.col("_tot").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(
+                nation.where(F.col("n_nationkey") < max_nationkey)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: multi-way semi/anti self-join on the fact table.
+    The classic query finds the sole late supplier of a multi-supplier
+    order (EXISTS another supplier's item / NOT EXISTS another late
+    one); this schema has no commit/receipt dates, so "late" is
+    re-grounded on the return flag: count, per supplier, the 'R' line
+    items in finished orders where at least one other supplier shipped
+    (EXISTS) and no other supplier's item was returned (NOT EXISTS) —
+    the supplier solely responsible for the order's returns.
+
+    Spark-first decorrelation: both correlated EXISTS subqueries
+    collapse into ONE per-order aggregate — ``n_supp`` (distinct
+    suppliers) and ``n_ret_supp`` (distinct suppliers with a return);
+    ``EXISTS(other supplier)`` ⇔ ``n_supp > 1`` and ``NOT EXISTS(other
+    returned supplier)`` ⇔ ``n_ret_supp == 1`` given the probe row is
+    itself returned. The oracle runs the literal double-EXISTS SQL, so
+    the rewrite's equivalence is value-hash-checked. All three
+    fact-side relations key on ``l_orderkey``, so at fact scale the
+    joins co-partition on one shuffle key (at test scale Catalyst
+    instead broadcasts the filter-shrunken aggregate — either plan is
+    size-appropriate); the supplier/nation dims broadcast; top-k is a
+    TakeOrdered with a unique (numwait DESC, s_suppkey ASC) sort —
+    deterministic.
+    """
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_nr"),
+    )
+    sole_blame = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            per_order.where((F.col("_ns") > 1) & (F.col("_nr") == 1)),
+            "l_orderkey",
+        )
+    )
+    return (
+        sole_blame.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(k)
+    )

@@ -256,6 +256,78 @@ WHERE CAST(c_acctbal AS DOUBLE) > a
 GROUP BY c_mktsegment"""
 
 
+def q17_small_quantity_revenue_sql(qty_frac: float = 0.2) -> str:
+    return f"""
+WITH part_avg AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS {_DD})) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS {_DD})) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       count(*) AS n_small_items
+FROM lineitem
+JOIN part_avg USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE CAST(l_quantity AS DOUBLE) < {qty_frac} * avg_qty
+GROUP BY p_brand"""
+
+
+def q20_dominant_suppliers_sql(
+    name_pat: str = "%widget%",
+    ship_from: str = "1996-01-01",
+    ship_to: str = "1997-01-01",
+    share: float = 0.5,
+    max_nationkey: int = 13,
+) -> str:
+    return f"""
+WITH shipped AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(l_quantity AS {_DD})) AS q
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{ship_from}'
+      AND l_shipdate <  TIMESTAMP '{ship_to}'
+      AND l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '{name_pat}')
+    GROUP BY l_partkey, l_suppkey
+), part_total AS (
+    SELECT l_partkey, sum(q) AS tot FROM shipped GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_nationkey < {max_nationkey}
+  AND s_suppkey IN (
+      SELECT l_suppkey FROM shipped JOIN part_total USING (l_partkey)
+      WHERE CAST(q AS DOUBLE) > {share} * CAST(tot AS DOUBLE))"""
+
+
+def q21_waiting_suppliers_sql(k: int = 20) -> str:
+    # the literal correlated double-EXISTS form — Spark runs the
+    # decorrelated one-aggregate rewrite; hash equality proves them
+    # equivalent
+    return f"""
+SELECT s_suppkey, s_name, n_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey, s_name, n_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT {k}"""
+
+
 def dedup_cross_corpus_sql(benchmark_mod: int = 97) -> str:
     return f"""
 WITH h AS (

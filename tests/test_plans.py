@@ -225,6 +225,53 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
 
 
+def test_q17_decorrelated_avg_no_subquery_per_row(spark):
+    """The correlated per-part average must run as ONE aggregate joined
+    back, never as a per-row scalar subquery — and the whole query
+    carries at most 3 shuffles (part_avg agg, optional join
+    re-partition, final brand agg)."""
+    df = entrymod.queries()["q17_small_quantity_revenue"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Subquery" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_q20_single_fact_scan_semi_join_and_pushdown(spark):
+    """The per-part total is a window over the aggregated relation, so
+    the lineitem fact table is scanned exactly once (the agg+self-join
+    form scanned it twice — exchange reuse never merged the subtrees);
+    the supplier qualification stays a LEFT SEMI join; the ship-date
+    range reaches the parquet scan."""
+    df = entrymod.queries()["q20_dominant_suppliers"](spark, SF_ORACLE)
+    plan = _plan(df)
+    scan_heads = [
+        seg.split("\n", 1)[0] for seg in plan.split("FileScan")[1:]
+    ]
+    li_scans = [s for s in scan_heads if "lineitem" in s]
+    assert len(li_scans) == 1, li_scans
+    assert "LeftSemi" in plan
+    li_seg = next(
+        seg for seg in plan.split("FileScan")[1:] if "lineitem" in seg.split("\n", 1)[0]
+    )
+    assert "l_shipdate" in li_seg.split("PushedFilters", 1)[1][:300]
+
+
+def test_q21_pushes_status_and_returnflag_filters(spark):
+    """The decorrelated EXISTS rewrite must still push o_orderstatus to
+    the orders scan and l_returnflag to the probe-side lineitem scan."""
+    df = entrymod.queries()["q21_waiting_suppliers"](spark, SF_ORACLE)
+    plan = _plan(df)
+    segs = plan.split("FileScan")[1:]
+    ord_seg = next(s for s in segs if "orders" in s.split("\n", 1)[0])
+    assert "o_orderstatus" in ord_seg.split("PushedFilters", 1)[1][:300]
+    li_pushed = [
+        s.split("PushedFilters", 1)[1][:300]
+        for s in segs
+        if "lineitem" in s.split("\n", 1)[0] and "PushedFilters" in s
+    ]
+    assert any("l_returnflag" in p for p in li_pushed), li_pushed
+
+
 def test_q19_disjunction_pushed_to_both_scans(spark):
     """Catalyst must extract the per-side predicates of the OR-of-ANDs
     and push them into BOTH parquet scans (quantity bands -> lineitem,
