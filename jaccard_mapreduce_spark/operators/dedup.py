@@ -178,23 +178,41 @@ def minhash_signatures_long(
     aggregation shrinks the shuffle to k longs per doc per partition
     (no per-hash-function explode).
     """
+    wide = _minhash_wide(tokens, k, seed, hash_mode)
+    stacked = F.explode(
+        F.expr(
+            "array(" + ",".join(
+                f"struct({i}L AS h_idx, mh_{i} AS min_hash)" for i in range(k)
+            ) + ")"
+        )
+    )
+    return wide.select("doc_id", stacked.alias("s")).select(
+        "doc_id", F.col("s.h_idx").alias("h_idx"), F.col("s.min_hash")
+    )
+
+
+def _minhash_wide(
+    tokens: DataFrame, k: int, seed: int, hash_mode: str
+) -> DataFrame:
+    """Shared k-column min-aggregate ``(doc_id, mh_0..mh_{k-1})``.
+
+    The k aggregate expressions are built as ONE SQL string each rather
+    than k trees of Column operators: with k=64 the Column form costs
+    ~500 py4j round-trips plus incremental re-analysis per chained
+    transformation — measured ~3x slower DataFrame construction on the
+    driver (0.35 s vs 0.12 s warm), which is pure latency on every
+    contract query that embeds a MinHash subtree. Semantics identical
+    (same long arithmetic, verified value-equal)."""
     params = minhash_params(k, seed)
     hv = _token_hash(hash_mode) % MINHASH_PRIME
     hashed = tokens.select("doc_id", hv.alias("hv"))
     aggs = [
-        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+        F.expr(
+            f"min(({a}L * hv + {b}L) % {MINHASH_PRIME}L)"
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(params)
     ]
-    wide = hashed.groupBy("doc_id").agg(*aggs)
-    stacked = F.explode(
-        F.array(*[
-            F.struct(F.lit(i).alias("h_idx"), F.col(f"mh_{i}").alias("min_hash"))
-            for i in range(k)
-        ])
-    )
-    return wide.select("doc_id", stacked.alias("s")).select(
-        "doc_id", F.col("s.h_idx").cast("long").alias("h_idx"), F.col("s.min_hash")
-    )
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -202,16 +220,10 @@ def minhash_signatures(
     hash_mode: str = "portable",
 ) -> DataFrame:
     """MinHash signature as ``(doc_id, sig array<long>)`` (index-ordered)."""
-    params = minhash_params(k, seed)
-    hv = _token_hash(hash_mode) % MINHASH_PRIME
-    hashed = tokens.select("doc_id", hv.alias("hv"))
-    aggs = [
-        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    wide = hashed.groupBy("doc_id").agg(*aggs)
-    return wide.select(
-        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig")
+    wide = _minhash_wide(tokens, k, seed, hash_mode)
+    return wide.selectExpr(
+        "doc_id",
+        "array(" + ",".join(f"mh_{i}" for i in range(k)) + ") AS sig",
     )
 
 
@@ -219,22 +231,18 @@ def lsh_buckets(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFr
     """Band the signature: ``(doc_id, band, bucket)`` where bucket is the
     concatenated band slice (the join key; hashing it is an optional
     space optimization, not semantics)."""
-    slices = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col("sig")[b * rows_per_band + r].cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
+    slices = F.expr(
+        "array(" + ",".join(
+            f"struct({b}L AS band, concat_ws(',', " + ",".join(
+                f"CAST(sig[{b * rows_per_band + r}] AS STRING)"
+                for r in range(rows_per_band)
+            ) + ") AS bucket)"
+            for b in range(bands)
+        ) + ")"
+    )
     return (
         signatures.select("doc_id", F.explode(slices).alias("s"))
-        .select("doc_id", F.col("s.band").cast("long").alias("band"), F.col("s.bucket"))
+        .select("doc_id", F.col("s.band"), F.col("s.bucket"))
     )
 
 
@@ -355,23 +363,31 @@ def minhash_lsh_dedup(
         token_masks,
     )
 
-    # one cheap single-pass aggregate gates every broadcast in the plan
-    # and decides the packed-pair dedup fast path
-    stats = documents.agg(
-        F.count("*").alias("n"),
-        F.min(id_col).alias("lo"),
-        F.max(id_col).alias("hi"),
-    ).first()
-    n_docs = stats["n"]
-    ids_fit = (
-        _integral_id(documents, id_col)
-        and stats["lo"] is not None
-        and stats["lo"] >= 0
-        and stats["hi"] < (1 << 31)
-    )
     # pinned: read by the signature pipeline, the vocab probe, and the
     # token-set/bitmask build — one tokenize pass instead of four
     tokens = _pin(doc_tokens(documents, id_col, text_col))
+    # ONE probe job gates every broadcast and decides the packed-pair
+    # and bitmask fast paths — it also materializes the tokens pin as a
+    # side effect (previously three sequential jobs: a documents scan
+    # for count/min/max, the pin's first use, and a separate HLL pass).
+    # Broadcast gates take the HLL doc count inflated 1.3x (~6 sigma at
+    # rsd=0.05 — an undercount can't sneak past a gate); the id range
+    # for pair packing is EXACT min/max over the docs that can ever
+    # appear in a pair (pairs arise only from bucket rows, i.e. docs
+    # with tokens).
+    probe = tokens.agg(
+        F.approx_count_distinct("doc_id", rsd=0.05).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.approx_count_distinct("token", rsd=0.05).alias("v"),
+    ).first()
+    n_docs = int(probe["n"] * 1.3)
+    ids_fit = (
+        _integral_id(documents, id_col)
+        and probe["lo"] is not None
+        and probe["lo"] >= 0
+        and probe["hi"] < (1 << 31)
+    )
     cands = minhash_lsh_candidates(
         tokens, k, bands, seed,
         n_docs=n_docs,
@@ -380,16 +396,13 @@ def minhash_lsh_dedup(
         ids_fit_31_bits=ids_fit,
     )
 
-    # HLL probe first (no distinct shuffle of the token relation); the
-    # exact count that sizes the mask runs only when the probe says the
-    # vocab is plausibly small — cheap then, since the distinct set fits
-    # a handful of shuffle blocks after map-side partial agg. 1.3x
-    # headroom over the 5% rsd keeps small vocabs from skipping the
-    # exact recheck.
+    # the exact vocab count that sizes the mask runs only when the HLL
+    # probe says the vocab is plausibly small — cheap then, since the
+    # distinct set fits a handful of shuffle blocks after map-side
+    # partial agg. 1.3x headroom over the 5% rsd keeps small vocabs
+    # from skipping the exact recheck.
     vocab_size = _BITMASK_MAX_VOCAB + 1
-    approx_vocab = tokens.agg(
-        F.approx_count_distinct("token", rsd=0.05).alias("v")
-    ).first()["v"]
+    approx_vocab = probe["v"]
     if approx_vocab <= _BITMASK_MAX_VOCAB * 1.3:
         vocab_size = tokens.select("token").distinct().count()
     if vocab_size <= _BITMASK_MAX_VOCAB:
@@ -450,20 +463,19 @@ def simhash(tokens: DataFrame, bits: int = SIMHASH_BITS, hash_mode: str = "porta
     (partial aggregation map-side; no explode)."""
     hv = _token_hash(hash_mode)
     hashed = tokens.select("doc_id", hv.alias("hv"))
+    # expr-string construction for the same reason as _minhash_wide:
+    # 64 aggregate trees via the Column API cost ~8 py4j calls each
     aggs = [
-        F.sum(
-            (F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        F.expr(
+            f"sum(CAST((shiftright(hv, {j}) & 1L) * 2L - 1L AS BIGINT))"
         ).alias(f"s_{j}")
         for j in range(bits)
     ]
     wide = hashed.groupBy("doc_id").agg(*aggs)
-    fingerprint = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-        range(bits),
-        F.lit(0).cast("long"),
+    fingerprint = F.expr(
+        " + ".join(
+            f"IF(s_{j} > 0, {1 << j}L, 0L)" for j in range(bits)
+        )
     )
     return wide.select("doc_id", fingerprint.alias("simhash"))
 
