@@ -224,6 +224,14 @@ def _q_bucketed_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_customer_revenue(spark, sf_dir)
 
 
+def _q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.partitioned import (
+        partitioned_events_summary,
+    )
+
+    return partitioned_events_summary(spark, sf_dir)
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.streaming.events import (
         read_events_stream,
@@ -341,7 +349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pack_sequences, dedup_ngram, simhash, media_meta/features,
         # events_daily/hopping — each green in r2 AND r3) rotate to the
         # tail, still oracle-backed and pytest-parity-checked. ---
-        "contamination_check": lambda s, d: TA.contamination_check(_docs(s, d)),
         # doc_id % 97 == 0 stands in for the held-out benchmark corpus,
         # same convention as contamination_check
         "dedup_cross_corpus": lambda s, d: TA.dedup_cross_corpus(
@@ -350,8 +357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "length_histogram": lambda s, d: TA.length_histogram(_docs(s, d)),
         "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
-        "top_ngrams": lambda s, d: TA.top_ngrams(_docs(s, d)),
-        "global_shuffle": lambda s, d: TA.global_shuffle(_docs(s, d)),
         "dedup_representatives": lambda s, d: D.dedup_representatives(
             _docs(s, d),
             D.dedup_clusters(
@@ -363,7 +368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship composition: quality -> exact dedup -> LSH clusters ->
         # representatives -> global shuffle -> sequence packing
         "prepare_corpus": lambda s, d: P.prepare_corpus(_docs(s, d)),
-        "pii_scrub": _q_pii_scrub,
         # --- Deduplication ---
         "dedup_minhash_lsh": lambda s, d: D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
         "dedup_simhash": lambda s, d: D.simhash_duplicates(_tokens(s, d), max_distance=3),
@@ -449,7 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": lambda s, d: R.q22_idle_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
-        # new round 4: the EXISTS/NOT-EXISTS-heavy TPC-H shapes
+        # new round 4: the EXISTS/NOT-EXISTS-heavy TPC-H shapes plus the
+        # outer-join-distribution / scalar-max / distinct-count shapes
         "q17_small_quantity_revenue": lambda s, d: R.q17_small_quantity_revenue(
             _t(s, d, "lineitem"), _t(s, d, "part")
         ),
@@ -461,9 +466,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "supplier"), _t(s, d, "nation"),
             _t(s, d, "orders"), _t(s, d, "lineitem"),
         ),
-        # bucketed-layout demo: co-located join over same-bucketed
-        # tables; oracle = the plain join (layout must be invisible)
+        "q13_customer_distribution": lambda s, d: R.q13_customer_distribution(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "q15_top_supplier": lambda s, d: R.q15_top_supplier(
+            _t(s, d, "supplier"), _t(s, d, "lineitem")
+        ),
+        "q16_part_supplier_variety": lambda s, d: R.q16_part_supplier_variety(
+            _t(s, d, "part"), _t(s, d, "supplier"), _t(s, d, "lineitem")
+        ),
+        # storage-layout demos: the layouts must be semantically
+        # invisible — oracles run the plain join / plain filtered scan
         "bucketed_customer_revenue": _q_bucketed_customer_revenue,
+        "partitioned_events_summary": _q_partitioned_events,
         "q18_large_orders": lambda s, d: R.q18_large_orders(
             _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "lineitem")
         ),
@@ -513,6 +528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": lambda s, d: R.orders_rollup(_t(s, d, "orders")),
         # rotated out of the graded window in round 4 (green in rounds 2
         # AND 3, unchanged since, pytest-parity-covered)
+        "contamination_check": lambda s, d: TA.contamination_check(_docs(s, d)),
+        "top_ngrams": lambda s, d: TA.top_ngrams(_docs(s, d)),
+        "global_shuffle": lambda s, d: TA.global_shuffle(_docs(s, d)),
+        "pii_scrub": _q_pii_scrub,
         "jaccard_threshold": lambda s, d: J.jaccard_threshold(
             J.jaccard_pairs(_docs(s, d), strategy="auto"), 0.5
         ),
@@ -592,6 +611,10 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": oracles.q17_small_quantity_revenue_sql(),
         "q20_dominant_suppliers": oracles.q20_dominant_suppliers_sql(),
         "q21_waiting_suppliers": oracles.q21_waiting_suppliers_sql(),
+        "q13_customer_distribution": oracles.q13_customer_distribution_sql(),
+        "q15_top_supplier": oracles.q15_top_supplier_sql(),
+        "q16_part_supplier_variety": oracles.q16_part_supplier_variety_sql(),
+        "partitioned_events_summary": oracles.partitioned_events_summary_sql(),
         "dedup_cross_corpus": oracles.dedup_cross_corpus_sql(97),
         "length_histogram": oracles.length_histogram_sql(),
         "doc_split": oracles.doc_split_sql(),

@@ -1194,6 +1194,113 @@ def q20_dominant_suppliers(
     )
 
 
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation with an outer join —
+    the distribution of customers by how many orders they placed,
+    INCLUDING zero-order customers (the row the inner join silently
+    drops). The classic comment-pattern filter has no analog column
+    here and is omitted.
+
+    Spark-first plan: orders pre-aggregate per custkey FIRST (partial
+    agg map-side shrinks the shuffle to one row per buying customer),
+    then LEFT-join customer and coalesce the missing counts to 0 —
+    the fact table never shuffles at full width. The second aggregate
+    is over at most |distinct order counts| rows."""
+    ord_counts = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("_n")
+    )
+    per_cust = customer.join(
+        ord_counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce("_n", F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    ship_from: str = "1996-01-01",
+    ship_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: scalar-subquery maximum over a derived revenue
+    view — the supplier(s) whose windowed shipped revenue equals the
+    global max. The revenue view aggregates once; its single-row max
+    broadcasts back over the same (already tiny) relation, so the
+    fact table is scanned exactly once. Revenue equality is exact
+    (decimal sums), so the max-tie semantics match the oracle's
+    scalar subquery bit-for-bit."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= ship_from)
+            & (F.col("l_shipdate") < ship_to)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_D)
+                * (_one() - F.col("l_discount").cast(_D))
+            ).alias("_r")
+        )
+    )
+    mx = rev.agg(F.max("_r").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_r") == F.col("_mx"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_r").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_part_supplier_variety(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    excl_brand: str = "Brand#9",
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregation with a NOT-IN
+    exclusion — how many distinct suppliers shipped each
+    (brand, type, size) outside one excluded brand, excluding
+    "complained-about" suppliers. This schema has no partsupp table or
+    comment column, so the part-supplier relation is lineitem and the
+    complaint stand-in is a negative account balance.
+
+    Plan: both dims broadcast (part filtered before the shuffle, the
+    bad-supplier list as a LEFT ANTI build side); the only wide
+    operation is the distinct-count aggregate, which Spark runs as a
+    two-phase partial-distinct expand over (group keys, suppkey)."""
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_brand") != excl_brand)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
 def q21_waiting_suppliers(
     supplier: DataFrame,
     nation: DataFrame,

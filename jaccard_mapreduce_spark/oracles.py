@@ -303,6 +303,63 @@ WHERE n_nationkey < {max_nationkey}
       WHERE CAST(q AS DOUBLE) > {share} * CAST(tot AS DOUBLE))"""
 
 
+def q13_customer_distribution_sql() -> str:
+    return """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+
+def q15_top_supplier_sql(
+    ship_from: str = "1996-01-01", ship_to: str = "1996-04-01"
+) -> str:
+    return f"""
+WITH revenue AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice AS {_DD})
+               * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS r
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{ship_from}'
+      AND l_shipdate <  TIMESTAMP '{ship_to}'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = (SELECT max(r) FROM revenue)
+ORDER BY s_suppkey"""
+
+
+def q16_part_supplier_variety_sql(excl_brand: str = "Brand#9") -> str:
+    return f"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{excl_brand}'
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
+def partitioned_events_summary_sql(
+    day_lo: int = 8, day_hi: int = 14
+) -> str:
+    # plain-table oracle: the partitioned layout must be invisible
+    return f"""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS {_DD})) AS DOUBLE) AS sum_value
+FROM events
+WHERE day(ts) BETWEEN {day_lo} AND {day_hi}
+GROUP BY event_type"""
+
+
 def q21_waiting_suppliers_sql(k: int = 20) -> str:
     # the literal correlated double-EXISTS form — Spark runs the
     # decorrelated one-aggregate rewrite; hash equality proves them

@@ -272,6 +272,33 @@ def test_q21_pushes_status_and_returnflag_filters(spark):
     assert any("l_returnflag" in p for p in li_pushed), li_pushed
 
 
+def test_partitioned_events_scan_prunes_partitions(spark):
+    """The day predicate must land in PartitionFilters (directory
+    pruning at planning time), not as a post-scan data filter."""
+    df = entrymod.queries()["partitioned_events_summary"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert ">= 8" in seg and "<= 14" in seg, seg
+
+
+def test_q13_preaggregates_orders_before_outer_join(spark):
+    """Q13 must shrink orders to one row per customer BEFORE the outer
+    join — the aggregate sits under the join, not above it."""
+    df = entrymod.queries()["q13_customer_distribution"](spark, SF_ORACLE)
+    plan = _plan(df)
+    join_pos = plan.index("Join")
+    # a HashAggregate appears below (after, in toString order) the join
+    assert "HashAggregate" in plan[join_pos:], plan
+
+
+def test_q16_broadcasts_both_dims_with_anti_join(spark):
+    df = entrymod.queries()["q16_part_supplier_variety"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
 def test_q19_disjunction_pushed_to_both_scans(spark):
     """Catalyst must extract the per-side predicates of the OR-of-ANDs
     and push them into BOTH parquet scans (quantity bands -> lineitem,
