@@ -85,6 +85,10 @@ def main() -> None:
         "q17_small_quantity_revenue",
         "q20_dominant_suppliers",
         "q21_waiting_suppliers",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_part_supplier_variety",
+        "partitioned_events_summary",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query
