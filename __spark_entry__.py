@@ -430,7 +430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
         # --- Relational tier 2 (new in round 1, first graded here) ---
-        "customer_year_setops": lambda s, d: R.customer_year_setops(_t(s, d, "orders")),
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "orders_rolling_stats": lambda s, d: R.orders_rolling_stats(_t(s, d, "orders")),
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
@@ -468,6 +467,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q13_customer_distribution": lambda s, d: R.q13_customer_distribution(
             _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "q8_market_share": lambda s, d: R.q8_market_share(
+            _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "customer"),
+            _t(s, d, "orders"), _t(s, d, "lineitem"),
+            _t(s, d, "supplier"), _t(s, d, "part"),
         ),
         "q15_top_supplier": lambda s, d: R.q15_top_supplier(
             _t(s, d, "supplier"), _t(s, d, "lineitem")
@@ -529,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the graded window in round 4 (green in rounds 2
         # AND 3, unchanged since, pytest-parity-covered)
         "contamination_check": lambda s, d: TA.contamination_check(_docs(s, d)),
+        "customer_year_setops": lambda s, d: R.customer_year_setops(_t(s, d, "orders")),
         "top_ngrams": lambda s, d: TA.top_ngrams(_docs(s, d)),
         "global_shuffle": lambda s, d: TA.global_shuffle(_docs(s, d)),
         "pii_scrub": _q_pii_scrub,
@@ -612,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_dominant_suppliers": oracles.q20_dominant_suppliers_sql(),
         "q21_waiting_suppliers": oracles.q21_waiting_suppliers_sql(),
         "q13_customer_distribution": oracles.q13_customer_distribution_sql(),
+        "q8_market_share": oracles.q8_market_share_sql(),
         "q15_top_supplier": oracles.q15_top_supplier_sql(),
         "q16_part_supplier_variety": oracles.q16_part_supplier_variety_sql(),
         "partitioned_events_summary": oracles.partitioned_events_summary_sql(),

@@ -88,6 +88,7 @@ def main() -> None:
         "q13_customer_distribution",
         "q15_top_supplier",
         "q16_part_supplier_variety",
+        "q8_market_share",
         "partitioned_events_summary",
     ]
 

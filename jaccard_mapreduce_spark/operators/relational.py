@@ -1194,6 +1194,80 @@ def q20_dominant_suppliers(
     )
 
 
+def q8_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    target_region: str = "ASIA",
+    target_nation: str = "NATION_5",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share — the fraction of yearly
+    PROMO-part revenue, among orders placed by customers of one region,
+    that was supplied by one nation. Nested aggregation: the inner
+    per-order-line revenue rolls up per year twice (conditionally for
+    the target nation, unconditionally for the denominator) in ONE
+    aggregate pass.
+
+    Plan shape: all five dimension sides (part filtered by type,
+    supplier+nation, customer+nation+region) broadcast; lineitem and
+    orders join on the order key — the only wide shuffle. The share is
+    a single double division of two exact decimal sums (identical
+    operand order in the oracle).
+    """
+    rev = F.col("l_extendedprice").cast(_D) * (
+        _one() - F.col("l_discount").cast(_D)
+    )
+    cust_region = F.broadcast(
+        customer.join(
+            nation, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            region.where(F.col("r_name") == target_region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = F.broadcast(
+        supplier.join(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    target_rev = F.when(
+        F.col("supp_nation") == target_nation, rev
+    ).otherwise(F.lit(0).cast(_D))
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_type") == part_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target_rev).alias("_t"),
+            F.sum(rev).alias("_a"),
+        )
+        .select(
+            "o_year",
+            (
+                F.col("_t").cast("double") / F.col("_a").cast("double")
+            ).alias("mkt_share"),
+            F.col("_a").cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def q13_customer_distribution(
     customer: DataFrame, orders: DataFrame
 ) -> DataFrame:

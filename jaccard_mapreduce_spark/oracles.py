@@ -303,6 +303,36 @@ WHERE n_nationkey < {max_nationkey}
       WHERE CAST(q AS DOUBLE) > {share} * CAST(tot AS DOUBLE))"""
 
 
+def q8_market_share_sql(
+    target_region: str = "ASIA",
+    target_nation: str = "NATION_5",
+    part_type: str = "PROMO",
+) -> str:
+    return f"""
+SELECT year(o_orderdate) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = '{target_nation}'
+                     THEN CAST(l_extendedprice AS {_DD})
+                          * ({_ONE_D} - CAST(l_discount AS {_DD}))
+                     ELSE CAST(0 AS {_DD}) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS {_DD})
+                      * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS DOUBLE)
+           AS mkt_share,
+       CAST(sum(CAST(l_extendedprice AS {_DD})
+                * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS DOUBLE)
+           AS total_revenue
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n1.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE p_type = '{part_type}' AND r_name = '{target_region}'
+GROUP BY 1
+ORDER BY 1"""
+
+
 def q13_customer_distribution_sql() -> str:
     return """
 SELECT c_count, count(*) AS custdist
