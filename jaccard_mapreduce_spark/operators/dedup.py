@@ -24,8 +24,6 @@ Design notes for 100 TB:
 from __future__ import annotations
 
 import random
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
