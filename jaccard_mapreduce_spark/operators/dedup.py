@@ -394,14 +394,19 @@ def minhash_lsh_dedup(
         ids_fit_31_bits=ids_fit,
     )
 
-    # the exact vocab count that sizes the mask runs only when the HLL
-    # probe says the vocab is plausibly small — cheap then, since the
-    # distinct set fits a handful of shuffle blocks after map-side
-    # partial agg. 1.3x headroom over the 5% rsd keeps small vocabs
-    # from skipping the exact recheck.
-    vocab_size = _BITMASK_MAX_VOCAB + 1
+    # Mask-path decision from the sketch alone when it is decisive
+    # (±1.3x ≈ 6 sigma at rsd=0.05): clearly small vocab -> bitmask
+    # verify sized at the INFLATED estimate (an upper bound is fine —
+    # masks carry a few zero words; token_masks raises loudly if the
+    # estimate somehow still under-covered, so wrong results are
+    # impossible); clearly large -> collect_set verify. Only the
+    # ambiguous band around the cap pays an exact distinct-count job.
     approx_vocab = probe["v"]
-    if approx_vocab <= _BITMASK_MAX_VOCAB * 1.3:
+    if approx_vocab * 1.3 <= _BITMASK_MAX_VOCAB:
+        vocab_size = int(approx_vocab * 1.3)
+    elif approx_vocab > _BITMASK_MAX_VOCAB * 1.3:
+        vocab_size = _BITMASK_MAX_VOCAB + 1
+    else:
         vocab_size = tokens.select("token").distinct().count()
     if vocab_size <= _BITMASK_MAX_VOCAB:
         # small-vocab verify: popcount(AND) on bitmasks — pure codegen,
@@ -638,7 +643,17 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
-    n_remnant = cedges.count()
+    # One guarded collect replaces the count()+collect() pair: fetch at
+    # most gate+1 rows — if the remnant fits the gate (the overwhelmingly
+    # common case) these ARE the union-find edges and the count job is
+    # saved; one extra row means the remnant overflows and the exact
+    # count runs only on that pathological path. The pair pin is held
+    # until the overflow decision is made so the fallback's full cedges
+    # materialization never recomputes the LSH subtree.
+    remnant_rows = cedges.limit(local_finish_max_edges + 1).collect()
+    n_remnant = len(remnant_rows)
+    if n_remnant > local_finish_max_edges:
+        n_remnant = cedges.count()  # full materialization for phase 2
     # both passes over the pair data are done — release the pin now
     # instead of holding it through remnant resolution (ADVICE r2)
     dup_pairs.unpersist()
@@ -667,7 +682,7 @@ def dedup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in cedges.collect():
+        for row in remnant_rows:
             ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 # union by min so every root is its component's minimum

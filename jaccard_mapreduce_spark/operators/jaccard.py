@@ -123,7 +123,13 @@ def _jaccard_pairs_join(tokens: DataFrame) -> DataFrame:
 def token_masks(tokens: DataFrame, vocab_size: int) -> DataFrame:
     """Encode each document's token set as a fixed-width bitmask:
     ``(doc_id, size, mask array<long>)``. Only sensible when the global
-    vocabulary is small (strategy-gated by the callers)."""
+    vocabulary is small (strategy-gated by the callers).
+
+    ``vocab_size`` may be an UPPER BOUND (callers may size the mask from
+    an inflated sketch estimate to skip an exact-count job); a dense id
+    beyond the resulting width raises at runtime rather than silently
+    truncating the mask — the fence sits on the vocab relation (one row
+    per distinct token), so it costs nothing on the token stream."""
     n_words = (vocab_size + 63) // 64
 
     # Dense token ids. The vocab is tiny by construction (strategy gate),
@@ -133,6 +139,17 @@ def token_masks(tokens: DataFrame, vocab_size: int) -> DataFrame:
         .distinct()
         .withColumn(
             "tid", F.row_number().over(Window.orderBy("token")) - F.lit(1)
+        )
+        .withColumn(
+            "tid",
+            F.when(F.col("tid") < n_words * 64, F.col("tid")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "token_masks: vocabulary exceeds the sized mask "
+                        "width — vocab_size under-estimated"
+                    )
+                ).cast("int")
+            ),
         )
     )
 
