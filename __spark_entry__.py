@@ -232,6 +232,14 @@ def _q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partitioned_events_summary(spark, sf_dir)
 
 
+def _q_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.operators.runtime_filters import (
+        bloom_pruned_revenue,
+    )
+
+    return bloom_pruned_revenue(spark, sf_dir)
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.streaming.events import (
         read_events_stream,
@@ -431,7 +439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
         # --- Relational tier 2 (new in round 1, first graded here) ---
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
-        "orders_rolling_stats": lambda s, d: R.orders_rolling_stats(_t(s, d, "orders")),
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
         "orders_above_customer_avg": lambda s, d: R.orders_above_customer_avg(_t(s, d, "orders")),
         "part_price_band_join": lambda s, d: R.part_price_band_join(_t(s, d, "part")),
@@ -479,10 +486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_part_supplier_variety": lambda s, d: R.q16_part_supplier_variety(
             _t(s, d, "part"), _t(s, d, "supplier"), _t(s, d, "lineitem")
         ),
-        # storage-layout demos: the layouts must be semantically
+        # layout/optimizer demos: the techniques must be semantically
         # invisible — oracles run the plain join / plain filtered scan
         "bucketed_customer_revenue": _q_bucketed_customer_revenue,
         "partitioned_events_summary": _q_partitioned_events,
+        "bloom_pruned_revenue": _q_bloom_pruned,
         "q18_large_orders": lambda s, d: R.q18_large_orders(
             _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "lineitem")
         ),
@@ -534,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # AND 3, unchanged since, pytest-parity-covered)
         "contamination_check": lambda s, d: TA.contamination_check(_docs(s, d)),
         "customer_year_setops": lambda s, d: R.customer_year_setops(_t(s, d, "orders")),
+        "orders_rolling_stats": lambda s, d: R.orders_rolling_stats(_t(s, d, "orders")),
         "top_ngrams": lambda s, d: TA.top_ngrams(_docs(s, d)),
         "global_shuffle": lambda s, d: TA.global_shuffle(_docs(s, d)),
         "pii_scrub": _q_pii_scrub,
@@ -621,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": oracles.q15_top_supplier_sql(),
         "q16_part_supplier_variety": oracles.q16_part_supplier_variety_sql(),
         "partitioned_events_summary": oracles.partitioned_events_summary_sql(),
+        "bloom_pruned_revenue": oracles.bloom_pruned_revenue_sql(),
         "dedup_cross_corpus": oracles.dedup_cross_corpus_sql(97),
         "length_histogram": oracles.length_histogram_sql(),
         "doc_split": oracles.doc_split_sql(),

@@ -376,6 +376,19 @@ GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
 
 
+def bloom_pruned_revenue_sql(priority: str = "1-URGENT") -> str:
+    # plain filtered join: the runtime bloom filter is plan-only
+    return f"""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS {_DD})
+                * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS DOUBLE)
+           AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '{priority}'
+GROUP BY l_returnflag"""
+
+
 def partitioned_events_summary_sql(
     day_lo: int = 8, day_hi: int = 14
 ) -> str:

@@ -299,6 +299,23 @@ def test_q16_broadcasts_both_dims_with_anti_join(spark):
     assert plan.count("BroadcastExchange") >= 2
 
 
+def test_bloom_filter_injected_into_fact_scan(spark):
+    """With the demo thresholds active, the selective orders filter
+    must propagate to the lineitem side as a runtime bloom filter
+    (might_contain on the join key) ahead of the shuffle."""
+    from jaccard_mapreduce_spark.operators.runtime_filters import (
+        bloom_scope,
+        urgent_order_revenue,
+    )
+
+    lineitem = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    with bloom_scope(spark):
+        df = urgent_order_revenue(lineitem, orders)
+        plan = _plan(df)
+        assert "might_contain" in plan, plan
+
+
 def test_q19_disjunction_pushed_to_both_scans(spark):
     """Catalyst must extract the per-side predicates of the OR-of-ANDs
     and push them into BOTH parquet scans (quantity bands -> lineitem,

@@ -135,3 +135,137 @@ def test_dedup_clusters_matches_union_find_reference(spark, data):
         for r in dedup_clusters(docs, pair_df).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Decorrelation rewrites vs brute-force Python oracles (round 4): the
+# contract oracles prove equivalence on the fixed test tables; these
+# prove it across randomized relation shapes (empty orders, single-
+# supplier orders, all-returned orders, boundary quantities).
+# ---------------------------------------------------------------------------
+
+
+def _brute_q21(lineitems, f_orders):
+    """Literal double-EXISTS semantics, per supplier."""
+    from collections import Counter, defaultdict
+
+    by_order = defaultdict(list)
+    for ok, sk, fl in lineitems:
+        by_order[ok].append((sk, fl))
+    waiting: Counter = Counter()
+    for ok, sk, fl in lineitems:
+        if fl != "R" or ok not in f_orders:
+            continue
+        others = [(s, f) for s, f in by_order[ok] if s != sk]
+        if not others:
+            continue  # NOT EXISTS(other supplier) -> fails EXISTS
+        if any(f == "R" for _s, f in others):
+            continue  # another supplier also returned
+        waiting[sk] += 1
+    return dict(waiting)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_q21_decorrelation_matches_bruteforce(spark, data):
+    from jaccard_mapreduce_spark.operators.relational import (
+        q21_waiting_suppliers,
+    )
+
+    li_row = st.tuples(
+        st.integers(min_value=0, max_value=5),      # orderkey
+        st.integers(min_value=0, max_value=4),      # suppkey
+        st.sampled_from(["R", "N", "A"]),           # returnflag
+    )
+    lineitems = data.draw(st.lists(li_row, min_size=0, max_size=30))
+    statuses = data.draw(
+        st.lists(st.sampled_from(["F", "O", "P"]), min_size=6, max_size=6)
+    )
+    orders = [(ok, statuses[ok]) for ok in range(6)]
+    f_orders = {ok for ok, s in orders if s == "F"}
+    expected = _brute_q21(lineitems, f_orders)
+
+    li_df = (
+        spark.createDataFrame(
+            lineitems, "l_orderkey long, l_suppkey long, l_returnflag string"
+        )
+        if lineitems
+        else spark.createDataFrame(
+            [], "l_orderkey long, l_suppkey long, l_returnflag string"
+        )
+    )
+    ord_df = spark.createDataFrame(
+        orders, "o_orderkey long, o_orderstatus string"
+    )
+    supp_df = spark.createDataFrame(
+        [(k, f"S{k}", 0) for k in range(5)],
+        "s_suppkey long, s_name string, s_nationkey long",
+    )
+    nat_df = spark.createDataFrame(
+        [(0, "N0")], "n_nationkey long, n_name string"
+    )
+    got = {
+        r["s_suppkey"]: r["numwait"]
+        for r in q21_waiting_suppliers(
+            supp_df, nat_df, ord_df, li_df, k=1000
+        ).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_q17_decorrelation_matches_bruteforce(spark, data):
+    from collections import defaultdict
+
+    from jaccard_mapreduce_spark.operators.relational import (
+        q17_small_quantity_revenue,
+    )
+
+    li_row = st.tuples(
+        st.integers(min_value=0, max_value=3),       # partkey
+        st.integers(min_value=1, max_value=50),      # quantity (integral)
+        st.integers(min_value=1, max_value=1000),    # extendedprice
+    )
+    lineitems = data.draw(st.lists(li_row, min_size=1, max_size=25))
+    parts = [(pk, f"Brand#{pk % 2}") for pk in range(4)]
+
+    qty_by_part = defaultdict(list)
+    for pk, q, _p in lineitems:
+        qty_by_part[pk].append(q)
+    expected = defaultdict(lambda: [0.0, 0])
+    for pk, q, p in lineitems:
+        avg = sum(qty_by_part[pk]) / len(qty_by_part[pk])
+        if q < 0.2 * avg:
+            brand = f"Brand#{pk % 2}"
+            expected[brand][0] += p
+            expected[brand][1] += 1
+    expected = {
+        b: (s / 7.0, n) for b, (s, n) in expected.items() if n > 0
+    }
+
+    li_df = spark.createDataFrame(
+        [(pk, float(q), float(p), 0.0) for pk, q, p in lineitems],
+        "l_partkey long, l_quantity double, l_extendedprice double, l_discount double",
+    )
+    part_df = spark.createDataFrame(
+        parts, "p_partkey long, p_brand string"
+    )
+    got = {
+        r["p_brand"]: (r["avg_yearly"], r["n_small_items"])
+        for r in q17_small_quantity_revenue(li_df, part_df).collect()
+    }
+    assert set(got) == set(expected)
+    for b, (ay, n) in expected.items():
+        assert got[b][1] == n
+        assert got[b][0] == pytest.approx(ay, rel=1e-9)
