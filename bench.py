@@ -90,6 +90,7 @@ def main() -> None:
         "q16_part_supplier_variety",
         "q8_market_share",
         "partitioned_events_summary",
+        "bloom_pruned_revenue",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query
