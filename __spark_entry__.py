@@ -364,6 +364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).where(F.col("doc_id") % 97 == 0),
         ),
         "length_histogram": lambda s, d: TA.length_histogram(_docs(s, d)),
+        # new round 4: per-source quality n-tiles for curriculum /
+        # mixture scheduling, and the deterministic MinHash
+        # sketch-accuracy audit (estimate vs exact per candidate pair)
+        "quality_curriculum": lambda s, d: TA.quality_curriculum(_docs(s, d)),
+        "minhash_error_audit": lambda s, d: D.minhash_error_audit(_docs(s, d)),
         "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
         "dedup_representatives": lambda s, d: D.dedup_representatives(
             _docs(s, d),
@@ -434,9 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
         "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
-        "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
-        "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
         # --- Relational tier 2 (new in round 1, first graded here) ---
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
@@ -540,6 +543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": lambda s, d: R.orders_rollup(_t(s, d, "orders")),
         # rotated out of the graded window in round 4 (green in rounds 2
         # AND 3, unchanged since, pytest-parity-covered)
+        "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
+        "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
         "contamination_check": lambda s, d: TA.contamination_check(_docs(s, d)),
         "customer_year_setops": lambda s, d: R.customer_year_setops(_t(s, d, "orders")),
         "orders_rolling_stats": lambda s, d: R.orders_rolling_stats(_t(s, d, "orders")),
@@ -618,6 +623,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": oracles.fingerprints_sql(),
         "quality_filter": oracles.quality_filter_sql(),
         "source_mixture": oracles.source_mixture_sql(),
+        "quality_curriculum": oracles.quality_curriculum_sql(),
+        "minhash_error_audit": oracles.minhash_error_audit_sql(),
         "events_approx_check": oracles.events_approx_check_sql(),
         "q10_returned_revenue": oracles.q10_returned_revenue_sql(20),
         "q12_priority_shipclass": oracles.q12_priority_shipclass_sql(),

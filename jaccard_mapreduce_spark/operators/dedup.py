@@ -453,6 +453,98 @@ def minhash_lsh_dedup(
     )
 
 
+def minhash_error_audit(
+    documents: DataFrame,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_docs: int = DEFAULT_BROADCAST_MAX_DOCS,
+) -> DataFrame:
+    """Sketch-accuracy audit: per LSH candidate pair, the MinHash
+    signature-agreement estimate of Jaccard similarity next to the exact
+    value. Returns ``(doc_a, doc_b, est_matches, est_sim, exact_sim,
+    abs_err)`` — the relation a pipeline owner reads before trusting a
+    signature-only (no-verify) dedup config at full scale.
+
+    Everything is deterministic: the estimate is (# agreeing signature
+    components) / k with seeded hash params, so the audit itself is
+    oracle-checkable — unlike HLL/quantile sketches whose estimates are
+    implementation-defined (see ``events_approx_check`` for that tier).
+
+    Scale shape: one token pass feeds a SINGLE per-doc hash aggregate
+    producing the k signature columns AND the token set AND the set size
+    (no second tokenize/shuffle); candidates come from the banded bucket
+    join (never all pairs); the per-doc relation broadcasts below the
+    gate so the candidate relation never shuffles, with shuffled
+    doc-keyed equi-joins as the 10^9-doc fallback. The candidate
+    generator re-derives the k min-columns internally — one extra
+    aggregation over the pinned token relation, kept for full reuse of
+    its bucket-cap/pair-packing machinery. At 100 TB this audit runs on
+    a sampled corpus slice; nothing in the plan requires the sample.
+    """
+    tokens = _pin(doc_tokens(documents, id_col, text_col))
+    probe = tokens.agg(
+        F.approx_count_distinct("doc_id", rsd=0.05).alias("n")
+    ).first()
+    n_docs = int(probe["n"] * 1.3)
+    cands = minhash_lsh_candidates(
+        tokens, k, bands, seed,
+        n_docs=n_docs,
+        broadcast_max_docs=broadcast_max_docs,
+    )
+    # one hash aggregate: signature columns + token set + set size
+    params = minhash_params(k, seed)
+    hv = _token_hash("portable") % MINHASH_PRIME
+    hashed = tokens.select("doc_id", "token", hv.alias("hv"))
+    aggs = [
+        F.expr(f"min(({a}L * hv + {b}L) % {MINHASH_PRIME}L)").alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    aggs += [
+        F.collect_set("token").alias("toks"),
+        F.count("*").alias("size"),
+    ]
+    docrel = hashed.groupBy("doc_id").agg(*aggs)
+    d_rel, _ = _gated_broadcast(docrel, n_docs, broadcast_max_docs)
+    da, db = d_rel.alias("da"), d_rel.alias("db")
+    est_matches = F.expr(
+        "CAST(" + " + ".join(
+            f"(CASE WHEN da.mh_{i} = db.mh_{i} THEN 1 ELSE 0 END)"
+            for i in range(k)
+        ) + " AS BIGINT)"
+    )
+    inter = F.size(
+        F.array_intersect(F.col("da.toks"), F.col("db.toks"))
+    ).cast("long")
+    scored = (
+        cands.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est_matches.alias("est_matches"),
+            inter.alias("intersection"),
+            F.col("da.size").alias("size_a"),
+            F.col("db.size").alias("size_b"),
+        )
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("intersection")
+    est_sim = F.col("est_matches").cast("double") / F.lit(float(k))
+    exact_sim = F.when(
+        union > 0, F.col("intersection") / union
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "est_matches",
+        est_sim.alias("est_sim"),
+        exact_sim.alias("exact_sim"),
+        F.abs(est_sim - exact_sim).alias("abs_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

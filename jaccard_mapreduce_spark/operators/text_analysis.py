@@ -132,6 +132,63 @@ def quality_filter(
     )
 
 
+def quality_curriculum(
+    documents: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Curriculum / quality-mixing buckets: per-source quality-score
+    n-tiles with the stats a mixture scheduler samples from. Returns
+    ``(source, bucket, n_docs, total_tokens, min_quality, max_quality)``
+    — bucket 1 is each source's lowest-quality slice, bucket
+    ``n_buckets`` its best; a curriculum walks the buckets upward, a
+    quality-weighted sampler draws proportional to ``total_tokens``.
+
+    Deterministic: the n-tile ordering is (quality_score, doc_id) — the
+    doc_id tie-break makes bucket assignment a total order, and the
+    aggregates are integer sums plus order-independent float min/max,
+    so the DuckDB oracle hashes identically.
+
+    Scale shape: one shuffle on source for the window, then the usual
+    partial+final aggregation. Exact per-source n-tiles mean a
+    per-source sort — at 100 TB with few giant sources the scale
+    variant computes approximate decile boundaries (percentile_approx)
+    and range-buckets against them, trading exact membership at the
+    boundaries for a sort-free pass; kept exact here because bucket
+    membership must be reproducible for the oracle and for curriculum
+    restarts.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks).cast("long")
+    len_score = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    alpha_score = F.lit(1.0) - punct_ratio(text_col)
+    stop_score = F.least(stopword_ratio(toks) / F.lit(0.4), F.lit(1.0))
+    scored = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        n_tokens.alias("n_tokens"),
+        ((len_score + alpha_score + stop_score) / F.lit(3.0)).alias(
+            "quality_score"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    bucketed = scored.withColumn(
+        "bucket", F.ntile(n_buckets).over(w).cast("long")
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+    )
+
+
 def doc_split(
     documents: DataFrame,
     val_pct: int = 10,

@@ -203,6 +203,30 @@ SELECT doc_id,
 FROM ratios"""
 
 
+def quality_curriculum_sql(n_buckets: int = 10) -> str:
+    return f"""WITH {_STATS_BASE.strip()},
+scored AS (
+    SELECT r.doc_id, d.source,
+           r.n_tokens,
+           ((least(CAST(r.n_tokens AS DOUBLE) / 100.0, 1.0)
+             + (1.0 - r.punct_ratio)
+             + least(r.stopword_ratio / 0.4, 1.0)) / 3.0) AS quality_score
+    FROM ratios r JOIN documents d USING (doc_id)
+),
+b AS (
+    SELECT source,
+           ntile({n_buckets}) OVER (PARTITION BY source
+                                    ORDER BY quality_score, doc_id) AS bucket,
+           n_tokens, quality_score
+    FROM scored
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(quality_score) AS min_quality,
+       max(quality_score) AS max_quality
+FROM b GROUP BY source, bucket"""
+
+
 def lang_id_sql() -> str:
     return f"""WITH {_STATS_BASE.strip()}
 SELECT doc_id,
@@ -670,6 +694,42 @@ cand AS (
 SELECT c.doc_a, c.doc_b, s.similarity
 FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
 WHERE s.similarity >= {threshold}"""
+
+
+def minhash_error_audit_sql(
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    r = k // bands
+    return f"""WITH {_minhash_cte(k, seed)},
+buckets AS (
+    SELECT doc_id, h_idx // {r} AS band,
+           string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS bucket
+    FROM mh GROUP BY doc_id, h_idx // {r}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+agree AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(sum(CASE WHEN ma.min_hash = mb.min_hash
+                         THEN 1 ELSE 0 END) AS BIGINT) AS est_matches
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b AND mb.h_idx = ma.h_idx
+    GROUP BY c.doc_a, c.doc_b
+),
+{scored_ctes("tok")}
+SELECT g.doc_a, g.doc_b, g.est_matches,
+       CAST(g.est_matches AS DOUBLE) / {float(k)} AS est_sim,
+       COALESCE(s.similarity, 0.0) AS exact_sim,
+       abs(CAST(g.est_matches AS DOUBLE) / {float(k)}
+           - COALESCE(s.similarity, 0.0)) AS abs_err
+FROM agree g LEFT JOIN scored s
+  ON g.doc_a = s.doc_a AND g.doc_b = s.doc_b"""
 
 
 def _simhash_cte(bits: int = SIMHASH_BITS) -> str:
