@@ -438,13 +438,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
-        "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         # --- Relational tier 2 (new in round 1, first graded here) ---
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
         "orders_above_customer_avg": lambda s, d: R.orders_above_customer_avg(_t(s, d, "orders")),
-        "part_price_band_join": lambda s, d: R.part_price_band_join(_t(s, d, "part")),
         "q7_nation_volume": lambda s, d: R.q7_nation_volume(
             _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer"),
             _t(s, d, "supplier"), _t(s, d, "nation"),
@@ -488,6 +486,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q16_part_supplier_variety": lambda s, d: R.q16_part_supplier_variety(
             _t(s, d, "part"), _t(s, d, "supplier"), _t(s, d, "lineitem")
+        ),
+        # new round 4: Q9/Q11 adapted to the partsupp-less schema — with
+        # these every canonical TPC-H query shape is represented (Q2 ~
+        # min_cost_supplier, Q4 ~ orders_exists_returned)
+        "q9_product_profit": lambda s, d: R.q9_product_profit(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "supplier"),
+            _t(s, d, "nation"), _t(s, d, "part"),
+        ),
+        "q11_value_concentration": lambda s, d: R.q11_value_concentration(
+            _t(s, d, "lineitem"), _t(s, d, "supplier"), _t(s, d, "nation")
         ),
         # layout/optimizer demos: the techniques must be semantically
         # invisible — oracles run the plain join / plain filtered scan
@@ -545,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # AND 3, unchanged since, pytest-parity-covered)
         "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
         "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
+        "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
+        "part_price_band_join": lambda s, d: R.part_price_band_join(_t(s, d, "part")),
         "contamination_check": lambda s, d: TA.contamination_check(_docs(s, d)),
         "customer_year_setops": lambda s, d: R.customer_year_setops(_t(s, d, "orders")),
         "orders_rolling_stats": lambda s, d: R.orders_rolling_stats(_t(s, d, "orders")),
@@ -636,6 +646,8 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": oracles.q8_market_share_sql(),
         "q15_top_supplier": oracles.q15_top_supplier_sql(),
         "q16_part_supplier_variety": oracles.q16_part_supplier_variety_sql(),
+        "q9_product_profit": oracles.q9_product_profit_sql(),
+        "q11_value_concentration": oracles.q11_value_concentration_sql(),
         "partitioned_events_summary": oracles.partitioned_events_summary_sql(),
         "bloom_pruned_revenue": oracles.bloom_pruned_revenue_sql(),
         "dedup_cross_corpus": oracles.dedup_cross_corpus_sql(97),

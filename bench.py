@@ -91,6 +91,8 @@ def main() -> None:
         "q8_market_share",
         "partitioned_events_summary",
         "bloom_pruned_revenue",
+        "quality_curriculum",
+        "minhash_error_audit",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

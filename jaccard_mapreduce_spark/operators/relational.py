@@ -1434,3 +1434,90 @@ def q21_waiting_suppliers(
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(k)
     )
+
+
+def q9_product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_pattern: str = "%ring%",
+) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year. The testdata schema carries no ``partsupp``, so supply cost is
+    adapted to ``p_retailprice * l_quantity`` (the same
+    cost-against-revenue algebra; DocumentSimilarityDriver has no
+    relational tier at all — this is engine-extension surface).
+
+    Plan: the part filter broadcasts and prunes the fact scan first
+    (LIKE on the tiny dim, then a broadcast semi-ish join); lineitem →
+    orders shuffles once on orderkey; supplier and nation broadcast.
+    Profit is exact decimal end to end, cast to double only in the
+    output projection.
+    """
+    rev = F.col("l_extendedprice").cast(_D) * (
+        _one() - F.col("l_discount").cast(_D)
+    )
+    cost = F.col("p_retailprice").cast(_D) * F.col("l_quantity").cast(_D)
+    parts = part.where(F.col("p_name").like(name_pattern)).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev - cost).alias("_p"), F.count("*").alias("n_items"))
+        .select(
+            "nation",
+            "o_year",
+            F.col("_p").cast("double").alias("sum_profit"),
+            "n_items",
+        )
+    )
+
+
+def q11_value_concentration(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction: str = "0.001",
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part value concentration for one nation's
+    suppliers, kept only where a part's value exceeds ``fraction`` of
+    the nation total (the scalar-subquery-in-HAVING shape). ``partsupp``
+    is absent from the testdata, so value is the shipped revenue of the
+    nation's suppliers per part — identical query algebra.
+
+    Plan: supplier⋈nation filter broadcasts into the fact scan; ONE
+    aggregation builds the per-part value relation; its one-row total
+    broadcasts back over it (crossJoin of a 1-row aggregate — the
+    q15_top_supplier pattern). The threshold comparison stays in exact
+    decimal (fraction is a decimal literal, never a float), so keep/drop
+    membership matches the oracle bit-for-bit.
+    """
+    rev = F.col("l_extendedprice").cast(_D) * (
+        _one() - F.col("l_discount").cast(_D)
+    )
+    supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    v = (
+        lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(rev).alias("_v"))
+    )
+    frac = F.expr(f"CAST({fraction} AS DECIMAL(10,6))")
+    total = v.agg(F.sum("_v").alias("_t"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("_v") > F.col("_t") * frac)
+        .select("partkey", F.col("_v").cast("double").alias("value"))
+    )

@@ -1858,3 +1858,40 @@ SELECT user_id,
        value AS last_value,
        event_type AS last_event_type
 FROM ranked WHERE rn = 1"""
+
+
+def q9_product_profit_sql(name_pattern: str = "%ring%") -> str:
+    return f"""
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS {_DD})
+                * ({_ONE_D} - CAST(l_discount AS {_DD}))
+                - CAST(p_retailprice AS {_DD})
+                  * CAST(l_quantity AS {_DD})) AS DOUBLE) AS sum_profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '{name_pattern}'
+GROUP BY 1, 2"""
+
+
+def q11_value_concentration_sql(
+    nation_name: str = "NATION_3", fraction: str = "0.001"
+) -> str:
+    return f"""
+WITH v AS (
+    SELECT l_partkey AS partkey,
+           sum(CAST(l_extendedprice AS {_DD})
+               * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS val
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = '{nation_name}'
+    GROUP BY 1
+)
+SELECT partkey, CAST(val AS DOUBLE) AS value
+FROM v
+WHERE val > (SELECT sum(val) FROM v) * CAST({fraction} AS DECIMAL(10,6))"""
