@@ -369,3 +369,48 @@ def test_bucketed_contract_query_join_is_shuffle_free(spark):
         spark.sql(
             f"DROP DATABASE IF EXISTS {demo_database_name(spark)} CASCADE"
         )
+
+
+def test_q9_part_filter_prunes_and_dims_broadcast(spark):
+    df = entrymod.queries()["q9_product_profit"](spark, SF_ORACLE)
+    plan = _plan(df)
+    # part/supplier/nation all broadcast; only lineitem⋈orders shuffles
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the LIKE filter stays on the tiny part side, not the fact scan
+    assert "p_name" in plan
+
+
+def test_q11_total_is_single_row_broadcast(spark):
+    df = entrymod.queries()["q11_value_concentration"](spark, SF_ORACLE)
+    plan = _plan(df)
+    # the nation-total comparison is a broadcast of a 1-row aggregate,
+    # never a shuffled join or a per-row subquery
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_quality_curriculum_prunes_document_columns(spark):
+    df = entrymod.queries()["quality_curriculum"](spark, SF_ORACLE)
+    scan_line = _plan(df)[_plan(df).index("FileScan") :].split("\n", 1)[0]
+    # only the three touched columns are read
+    assert "doc_id" in scan_line and "text" in scan_line and "source" in scan_line
+    assert "n_chars" not in scan_line and "lang" not in scan_line
+
+
+def test_minhash_error_audit_broadcasts_below_gate(spark):
+    from jaccard_mapreduce_spark.operators.dedup import minhash_error_audit
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    # below the gate the per-doc relation broadcasts into the candidate
+    # join: no shuffle of the candidate relation
+    plan = _plan(minhash_error_audit(docs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # above the gate (forced, with auto-broadcast off to emulate the
+    # size a 10^9-doc relation would report) it falls back to shuffled
+    # doc-keyed equi-joins
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan2 = _plan(minhash_error_audit(docs, broadcast_max_docs=0))
+        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
