@@ -473,40 +473,69 @@ def minhash_error_audit(
     oracle-checkable — unlike HLL/quantile sketches whose estimates are
     implementation-defined (see ``events_approx_check`` for that tier).
 
-    Scale shape: one token pass feeds a SINGLE per-doc hash aggregate
-    producing the k signature columns AND the token set AND the set size
-    (no second tokenize/shuffle); candidates come from the banded bucket
-    join (never all pairs); the per-doc relation broadcasts below the
-    gate so the candidate relation never shuffles, with shuffled
-    doc-keyed equi-joins as the 10^9-doc fallback. The candidate
-    generator re-derives the k min-columns internally — one extra
-    aggregation over the pinned token relation, kept for full reuse of
-    its bucket-cap/pair-packing machinery. At 100 TB this audit runs on
-    a sampled corpus slice; nothing in the plan requires the sample.
+    Scale shape: exactly the `minhash_lsh_dedup` verify plan with the
+    signature columns riding along — candidates come from the banded
+    bucket join (never all pairs); the exact intersection uses the
+    popcount-AND bitmask whenever the vocabulary probe says it fits
+    (`array_intersect` on raw token sets costs ~30x more at this
+    corpus's candidate density: measured 117 s vs ~4 s at sf0.1); the
+    per-doc relation broadcasts below the gate so the candidate
+    relation never shuffles, with shuffled doc-keyed equi-joins as the
+    10^9-doc fallback. At 100 TB this audit runs on a sampled corpus
+    slice; nothing in the plan requires the sample.
     """
+    from jaccard_mapreduce_spark.operators.jaccard import (
+        _BITMASK_MAX_VOCAB,
+        mask_intersection,
+        token_masks,
+    )
+
     tokens = _pin(doc_tokens(documents, id_col, text_col))
+    # ONE probe job (the minhash_lsh_dedup pattern): HLL doc/vocab
+    # estimates for the gates, exact id range for pair packing
     probe = tokens.agg(
-        F.approx_count_distinct("doc_id", rsd=0.05).alias("n")
+        F.approx_count_distinct("doc_id", rsd=0.05).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.approx_count_distinct("token", rsd=0.05).alias("v"),
     ).first()
     n_docs = int(probe["n"] * 1.3)
+    ids_fit = (
+        _integral_id(documents, id_col)
+        and probe["lo"] is not None
+        and probe["lo"] >= 0
+        and probe["hi"] < (1 << 31)
+    )
     cands = minhash_lsh_candidates(
         tokens, k, bands, seed,
         n_docs=n_docs,
         broadcast_max_docs=broadcast_max_docs,
+        ids_fit_31_bits=ids_fit,
     )
-    # one hash aggregate: signature columns + token set + set size
-    params = minhash_params(k, seed)
-    hv = _token_hash("portable") % MINHASH_PRIME
-    hashed = tokens.select("doc_id", "token", hv.alias("hv"))
-    aggs = [
-        F.expr(f"min(({a}L * hv + {b}L) % {MINHASH_PRIME}L)").alias(f"mh_{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    aggs += [
-        F.collect_set("token").alias("toks"),
-        F.count("*").alias("size"),
-    ]
-    docrel = hashed.groupBy("doc_id").agg(*aggs)
+    # same sketch-decided set representation as minhash_lsh_dedup
+    approx_vocab = probe["v"]
+    if approx_vocab * 1.3 <= _BITMASK_MAX_VOCAB:
+        vocab_size = int(approx_vocab * 1.3)
+    elif approx_vocab > _BITMASK_MAX_VOCAB * 1.3:
+        vocab_size = _BITMASK_MAX_VOCAB + 1
+    else:
+        vocab_size = tokens.select("token").distinct().count()
+    if vocab_size <= _BITMASK_MAX_VOCAB:
+        n_words = (vocab_size + 63) // 64
+        sets = token_masks(tokens, max(vocab_size, 1))
+        inter = mask_intersection(
+            F.col("da.mask"), F.col("db.mask"), n_words
+        )
+    else:
+        sets = tokens.groupBy("doc_id").agg(
+            F.collect_set("token").alias("mask"), F.count("*").alias("size")
+        )
+        inter = F.size(
+            F.array_intersect(F.col("da.mask"), F.col("db.mask"))
+        ).cast("long")
+    # signature columns join the set relation once per doc (skinny,
+    # doc-keyed) so the candidate join probes ONE per-doc relation
+    docrel = sets.join(_minhash_wide(tokens, k, seed, "portable"), "doc_id")
     d_rel, _ = _gated_broadcast(docrel, n_docs, broadcast_max_docs)
     da, db = d_rel.alias("da"), d_rel.alias("db")
     est_matches = F.expr(
@@ -515,9 +544,6 @@ def minhash_error_audit(
             for i in range(k)
         ) + " AS BIGINT)"
     )
-    inter = F.size(
-        F.array_intersect(F.col("da.toks"), F.col("db.toks"))
-    ).cast("long")
     scored = (
         cands.join(da, F.col("doc_a") == F.col("da.doc_id"))
         .join(db, F.col("doc_b") == F.col("db.doc_id"))

@@ -1150,6 +1150,12 @@ SELECT user_id, count(*) AS n_events_total
 FROM events GROUP BY user_id"""
 
 
+def stream_user_type_counts_sql() -> str:
+    return """
+SELECT user_id, event_type, count(*) AS n_events
+FROM events GROUP BY user_id, event_type"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join / pivot / grouping sets / unpivot
 # ---------------------------------------------------------------------------

@@ -136,6 +136,82 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _make_type_counts_processor():
+    """Build the StatefulProcessor lazily: the state-v2 imports live in
+    ``pyspark.sql.streaming.stateful_processor`` (Spark 4+ only)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TypeCountsProcessor(StatefulProcessor):
+        """Per-user MapState(event_type -> running count)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for t, c in pdf["event_type"].value_counts().items():
+                    batch[t] = batch.get(t, 0) + int(c)
+            users, types, ns = [], [], []
+            for t, c in sorted(batch.items()):
+                prev = self._counts.getValue((t,))
+                n = (prev[0] if prev is not None else 0) + c
+                self._counts.updateValue((t,), (n,))
+                users.append(key[0])
+                types.append(t)
+                ns.append(n)
+            yield pd.DataFrame(
+                {"user_id": users, "event_type": types, "n_events": ns}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _TypeCountsProcessor()
+
+
+def typed_user_counts_tws(events: DataFrame) -> DataFrame:
+    """Running per-(user, event_type) counts through
+    ``transformWithStateInPandas`` — the Spark 4 state-v2
+    ``StatefulProcessor`` API (typed composite state: a MapState keyed
+    by event_type under each user key), the successor to
+    ``applyInPandasWithState`` used by ``stateful_user_counts``. Same
+    batch-equivalent contract: in update mode the last emission per
+    (user, event_type) is the exact group count, so the plain GROUP BY
+    SQL is the oracle.
+
+    ENVIRONMENT-GATED (the Pillow/ffmpeg precedent): the state-v2
+    Python protocol speaks protobuf to the JVM state server, so running
+    this operator requires the ``protobuf`` package (absent in this
+    sandbox — the test skips, and the operator is deliberately NOT a
+    graded contract entry until the environment carries it).
+
+    Scale shape: state lives in the per-partition RocksDB/HDFS state
+    store keyed by user — no driver involvement; Arrow batches cross
+    the Python boundary once per user-partition per trigger.
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_type_counts_processor(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_event_counts(events: DataFrame) -> DataFrame:
     """Streaming exact deduplication: drop repeated ``event_id`` rows
     across micro-batches (state keyed by id), then count per event type.

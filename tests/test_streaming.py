@@ -7,6 +7,8 @@ from __future__ import annotations
 import tempfile
 import uuid
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from jaccard_mapreduce_spark.operators.jaccard import jaccard_pairs
@@ -205,6 +207,41 @@ def test_latest_event_per_user_across_batches(spark, tmp_path):
         .select(
             "user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_type"
         )
+        .collect()
+    }
+    assert final == want
+
+
+def test_tws_type_counts_accumulate_across_batches(spark, tmp_path):
+    """State-v2 MapState must fold across micro-batches: events split
+    into 3 one-per-trigger files; the max emission per (user, type)
+    equals the batch group count. Skips where protobuf is absent — the
+    transformWithState Python protocol requires it (see operator doc)."""
+    pytest.importorskip("google.protobuf")
+    from jaccard_mapreduce_spark.sources.tables import load_events
+    from jaccard_mapreduce_spark.streaming.events import typed_user_counts_tws
+
+    ev = load_events(spark, SF_SMALL)
+    src = str(tmp_path / "ev_chunks_tws")
+    ev.withColumn("chunk", F.col("event_id") % 3).write.partitionBy(
+        "chunk"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    sink = _run(typed_user_counts_tws(stream), "update", spark)
+    final = {
+        (r["user_id"], r["event_type"]): r["n_events"]
+        for r in sink.groupBy("user_id", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
         .collect()
     }
     assert final == want
