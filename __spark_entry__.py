@@ -390,6 +390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- Similarity search (embeddings) ---
         "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
+        # new round 4: iterative Lloyd's k-means run entirely in
+        # int8-quantized INTEGER space (exact cross-engine parity — float
+        # k-means can't be hash-graded), and SemDeDup-style semantic
+        # dedup that scopes the cosine near-dup probe to a cluster
+        "kmeans_int8": lambda s, d: S.kmeans_int8(_emb(s, d)),
+        "semantic_dedup": lambda s, d: S.semantic_dedup(_emb(s, d)),
         # numpy kernel graded on RANK AGREEMENT only: scores are dropped
         # from the projection (pairwise vs sequential float accumulation
         # differ in the last ulp) but the resulting ranking must match
@@ -438,9 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
-        "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         # --- Relational tier 2 (new in round 1, first graded here) ---
-        "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
         "orders_above_customer_avg": lambda s, d: R.orders_above_customer_avg(_t(s, d, "orders")),
         "q7_nation_volume": lambda s, d: R.q7_nation_volume(
@@ -551,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": lambda s, d: R.orders_rollup(_t(s, d, "orders")),
         # rotated out of the graded window in round 4 (green in rounds 2
         # AND 3, unchanged since, pytest-parity-covered)
+        "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
+        "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
         "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
         "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
@@ -666,6 +672,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracles.simhash_sql(),
         "dedup_simhash": oracles.simhash_duplicates_sql(3),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(10),
+        "kmeans_int8": oracles.kmeans_int8_sql(),
+        "semantic_dedup": oracles.semantic_dedup_sql(),
         "ann_fast_ranks": oracles.ann_fast_ranks_sql(10),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(10, S.lsh_planes(64)),
         "ann_ivf_topk": oracles.ann_ivf_topk_sql(

@@ -326,6 +326,161 @@ def ann_ivf_topk(
     return _topk(scored, k)
 
 
+def _sq_dist_long(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two ``array<long>`` vectors.
+
+    Pure integer arithmetic — a sequential fold of ``(x-y)^2`` — so the
+    result is bit-exact in any engine (no float accumulation order to
+    worry about). With int8-range components and 64 dims the max value
+    is ``64 * 255^2 < 2^23``: no overflow anywhere near long range.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_int8(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means in int8-quantized space —
+    ``(vec_id, cluster, dist)`` after ``iters`` centroid updates.
+
+    Reproducibility is the design driver: float k-means is not
+    hash-checkable across engines (sum order changes the last ulp, a
+    borderline point flips cluster, everything downstream diverges), so
+    the iterative loop runs entirely in INTEGER space:
+
+    - vectors are the int8 codes from :func:`quantize_embeddings`
+      (deterministic per-row projection, no data-dependent state);
+    - distances are exact integer squared-L2 (:func:`_sq_dist_long`);
+    - centroid update is a per-dimension floored mean, computed as
+      ``floor(double(sum)/count)`` — sums of ≤ a few million stay exact
+      in double, and ``floor`` matches bit-for-bit across engines
+      (unlike integer-division operators, whose negative-operand
+      semantics differ between engines);
+    - seeding is the ``k`` smallest ids' codes (same convention as
+      :func:`ivf_centroids`), ties on distance break to the lower
+      cluster id.
+
+    Scale shape: the codebook (k × dim longs) broadcasts; each
+    iteration is one narrow crossJoin + argmin window per vector and
+    one groupBy(cluster) with map-side partial sums — the vector
+    relation never shuffles except by its k-way cluster key. Empty
+    clusters simply drop out of the codebook (deterministically in both
+    engines). Driver never materializes anything.
+
+    Plays the role of the offline codebook trainer that
+    :func:`ivf_centroids` stands in for (reference has no analog; this
+    is LLM-pipeline tier — SemDeDup-style clustering,
+    arXiv:2303.09540).
+    """
+    q = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", F.transform("qvec", lambda x: x.cast("long")).alias("q")
+    )
+    w0 = Window.orderBy("vec_id")
+    cents = (
+        q.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w0) - 1).cast("long").alias("cluster"),
+            F.col("q").alias("cvec"),
+        )
+    )
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+        return (
+            q.crossJoin(F.broadcast(cdf))
+            .withColumn("dist", _sq_dist_long(F.col("q"), F.col("cvec")))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("vec_id", "q", "cluster", "dist")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        sums = [
+            F.sum(F.element_at("q", i + 1)).alias(f"_s{i}") for i in range(dim)
+        ]
+        cents = (
+            assigned.groupBy("cluster")
+            .agg(*sums, F.count(F.lit(1)).alias("_n"))
+            .select(
+                "cluster",
+                F.array(
+                    *[
+                        F.floor(
+                            F.col(f"_s{i}").cast("double") / F.col("_n")
+                        ).cast("long")
+                        for i in range(dim)
+                    ]
+                ).alias("cvec"),
+            )
+        )
+
+    return assign(cents).select("vec_id", "cluster", "dist")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    min_cosine: float = 0.3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication —
+    ``(vec_id, cluster, keep)``.
+
+    Cluster with :func:`kmeans_int8`, then look for near-duplicates
+    ONLY within a cluster: a vector is dropped when a lower-id vector
+    in the same cluster has cosine ≥ ``min_cosine`` (exact
+    fixed-order float cosine, same parity-safe kernel as the ANN
+    tier). The cluster-scoped pair join replaces the O(n²) all-pairs
+    probe — the candidate relation is an equi-join on ``cluster``,
+    linear per cluster, the same scale shape as the LSH/IVF tiers.
+
+    Mirrors arXiv:2303.09540 (SemDeDup): cluster first so the
+    quadratic kernel only ever runs inside a cell.
+    """
+    clusters = kmeans_int8(
+        embeddings, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cluster")
+    v = vectors(embeddings, id_col, vec_col).join(clusters, "vec_id")
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = _dot(F.col("a.vec"), F.col("b.vec"))
+    dup_of_smaller = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .where(
+            _cosine(dot, F.col("a.norm2"), F.col("b.norm2")) >= F.lit(min_cosine)
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        v.join(dup_of_smaller, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",

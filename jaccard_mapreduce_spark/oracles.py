@@ -908,6 +908,100 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_COSINE} >= {min_cosine}"""
 
 
+def _kmeans_int8_ctes(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd iterations over the int8 codes — mirrors
+    operators/similarity.py::kmeans_int8. Every step is integer-exact
+    (squared-L2 over BIGINT codes; floored double mean for the update),
+    so the chain hash-matches Spark bit-for-bit with no float-order
+    hazard. Ends with CTE ``af`` = final assignment
+    (vec_id, cluster, dist)."""
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""q AS (
+    SELECT vec_id,
+           CASE WHEN mx - mn > 0
+                THEN list_transform(vec,
+                     x -> CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) - 128
+                               AS BIGINT))
+                ELSE list_transform(vec, x -> CAST(-128 AS BIGINT))
+           END AS qv
+    FROM (
+        SELECT vec_id, vec,
+               list_aggregate(vec, 'min') AS mn,
+               list_aggregate(vec, 'max') AS mx
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+              FROM embeddings)
+    )
+),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+           qv AS cvec
+    FROM q ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"""a{t} AS (
+    SELECT vec_id, qv, cluster, dist FROM (
+        SELECT vec_id, qv, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rk
+        FROM (SELECT q.vec_id AS vec_id, q.qv AS qv, c.cluster AS cluster,
+                     {dist} AS dist
+              FROM q, c{t} c)
+    ) WHERE rk = 1
+)"""
+        )
+        if t == iters:
+            break
+        parts.append(
+            f"""m{t} AS (
+    SELECT cluster, d.i AS i,
+           CAST(floor(CAST(sum(qv[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+    FROM a{t}, (SELECT unnest(range(1, {dim + 1})) AS i) d
+    GROUP BY cluster, d.i
+),
+c{t + 1} AS (
+    SELECT cluster, list(v ORDER BY i) AS cvec FROM m{t} GROUP BY cluster
+)"""
+        )
+    parts.append(f"af AS (SELECT vec_id, cluster, dist FROM a{iters})")
+    return ",\n".join(parts)
+
+
+def kmeans_int8_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    return f"""WITH {_kmeans_int8_ctes(k, iters, dim)}
+SELECT vec_id, cluster, dist FROM af"""
+
+
+def semantic_dedup_sql(
+    k: int = 8, iters: int = 2, min_cosine: float = 0.3, dim: int = 64
+) -> str:
+    # cluster assignment is the integer-exact kmeans chain; the
+    # within-cluster cosine uses the same fixed-order list_dot_product
+    # kernel as the ANN oracles (verified bit-identical to Spark's
+    # sequential fold)
+    return f"""WITH {_kmeans_int8_ctes(k, iters, dim)},
+{_VEC_CTES.strip()},
+dup AS (
+    SELECT DISTINCT a.vec_id AS vec_id
+    FROM af a
+    JOIN af b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+    JOIN n na ON na.vec_id = a.vec_id
+    JOIN n nb ON nb.vec_id = b.vec_id
+    WHERE (CASE WHEN na.norm2 > 0 AND nb.norm2 > 0
+                THEN list_dot_product(na.vec, nb.vec)
+                     / (sqrt(na.norm2) * sqrt(nb.norm2))
+                ELSE 0.0 END) >= CAST({min_cosine} AS DOUBLE)
+)
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep
+FROM af a LEFT JOIN dup d ON a.vec_id = d.vec_id"""
+
+
 # ---------------------------------------------------------------------------
 # Relational / OLAP coverage (TPC-H-ish)
 # ---------------------------------------------------------------------------

