@@ -232,6 +232,12 @@ def _q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partitioned_events_summary(spark, sf_dir)
 
 
+def _q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.formats import formats_roundtrip
+
+    return formats_roundtrip(spark, sf_dir)
+
+
 def _q_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.operators.runtime_filters import (
         bloom_pruned_revenue,
@@ -445,7 +451,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
         # --- Relational tier 2 (new in round 1, first graded here) ---
-        "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
         "orders_above_customer_avg": lambda s, d: R.orders_above_customer_avg(_t(s, d, "orders")),
         "q7_nation_volume": lambda s, d: R.q7_nation_volume(
             _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer"),
@@ -505,6 +510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # invisible — oracles run the plain join / plain filtered scan
         "bucketed_customer_revenue": _q_bucketed_customer_revenue,
         "partitioned_events_summary": _q_partitioned_events,
+        # new round 4: the ORC/JSON/CSV write→read round trip, graded on
+        # integer mismatch counters pinned to zero by the oracle
+        "formats_roundtrip": _q_formats_roundtrip,
         "bloom_pruned_revenue": _q_bloom_pruned,
         "q18_large_orders": lambda s, d: R.q18_large_orders(
             _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "lineitem")
@@ -557,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # AND 3, unchanged since, pytest-parity-covered)
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
+        "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
         "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
         "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
         "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
@@ -655,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_profit": oracles.q9_product_profit_sql(),
         "q11_value_concentration": oracles.q11_value_concentration_sql(),
         "partitioned_events_summary": oracles.partitioned_events_summary_sql(),
+        "formats_roundtrip": oracles.formats_roundtrip_sql(),
         "bloom_pruned_revenue": oracles.bloom_pruned_revenue_sql(),
         "dedup_cross_corpus": oracles.dedup_cross_corpus_sql(97),
         "length_histogram": oracles.length_histogram_sql(),

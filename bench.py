@@ -93,6 +93,9 @@ def main() -> None:
         "bloom_pruned_revenue",
         "quality_curriculum",
         "minhash_error_audit",
+        "kmeans_int8",
+        "semantic_dedup",
+        "formats_roundtrip",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

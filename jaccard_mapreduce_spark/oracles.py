@@ -427,6 +427,23 @@ WHERE day(ts) BETWEEN {day_lo} AND {day_hi}
 GROUP BY event_type"""
 
 
+def formats_roundtrip_sql(formats: tuple[str, ...] = ("orc", "json", "csv")) -> str:
+    # the round trip must be LOSSLESS and row-preserving: the oracle pins
+    # every mismatch counter at zero and n_rows at the table's row count
+    # — any drop, dup, or precision loss in the Spark-side write→read
+    # cycle breaks the hash (same pinned-constant style as the golden
+    # synthetic_corpus_stats oracle)
+    values = ", ".join(f"('{f}')" for f in formats)
+    return f"""
+SELECT f.fmt,
+       (SELECT count(*) FROM events) AS n_rows,
+       CAST(0 AS BIGINT) AS n_key_mismatch,
+       CAST(0 AS BIGINT) AS n_ts_mismatch,
+       CAST(0 AS BIGINT) AS n_value_mismatch,
+       CAST(0 AS BIGINT) AS n_props_mismatch
+FROM (VALUES {values}) AS f(fmt)"""
+
+
 def q21_waiting_suppliers_sql(k: int = 20) -> str:
     # the literal correlated double-EXISTS form — Spark runs the
     # decorrelated one-aggregate rewrite; hash equality proves them

@@ -168,3 +168,19 @@ def test_events_loader_on_virgin_session(spark):
     sdf = read_events_stream(ns2, "/root/testdata/sf0.001")
     assert sdf.isStreaming
     assert isinstance(sdf.schema["ts"].dataType, T.TimestampType)
+
+
+def test_formats_roundtrip_lossless(spark):
+    from jaccard_mapreduce_spark.sources.formats import formats_roundtrip
+
+    rows = {
+        r["fmt"]: r
+        for r in formats_roundtrip(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"orc", "json", "csv"}
+    n = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    for fmt, r in rows.items():
+        assert r["n_rows"] == n, fmt
+        for c in ("n_key_mismatch", "n_ts_mismatch",
+                  "n_value_mismatch", "n_props_mismatch"):
+            assert r[c] == 0, (fmt, c)
