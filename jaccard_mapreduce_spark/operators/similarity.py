@@ -18,6 +18,7 @@ precision is lost before accumulation.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -369,12 +370,14 @@ def kmeans_int8(
       :func:`ivf_centroids`), ties on distance break to the lower
       cluster id.
 
-    Scale shape: the codebook (k × dim longs) broadcasts; each
-    iteration is one narrow crossJoin + argmin window per vector and
-    one groupBy(cluster) with map-side partial sums — the vector
-    relation never shuffles except by its k-way cluster key. Empty
-    clusters simply drop out of the codebook (deterministically in both
-    engines). Driver never materializes anything.
+    Scale shape: the codebook (k × dim longs, a few KB) lives on the
+    driver and ships into each pass as literals — each iteration is one
+    flat argmin projection over the cached codes plus one k-way
+    groupBy with map-side partial sums; the vector relation never
+    shuffles except by its cluster key. The per-iteration driver
+    collect is k×(dim+1) longs — bounded and tiny, the same loop shape
+    as Spark MLlib's KMeans. Empty clusters simply drop out of the
+    codebook (deterministically in both engines).
 
     Plays the role of the offline codebook trainer that
     :func:`ivf_centroids` stands in for (reference has no analog; this
@@ -384,48 +387,67 @@ def kmeans_int8(
     q = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col).select(
         "vec_id", F.transform("qvec", lambda x: x.cast("long")).alias("q")
     )
-    w0 = Window.orderBy("vec_id")
-    cents = (
-        q.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w0) - 1).cast("long").alias("cluster"),
-            F.col("q").alias("cvec"),
-        )
-    )
-
-    def assign(cdf: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
-        return (
-            q.crossJoin(F.broadcast(cdf))
-            .withColumn("dist", _sq_dist_long(F.col("q"), F.col("cvec")))
-            .withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
-            .select("vec_id", "q", "cluster", "dist")
-        )
-
-    for _ in range(iters):
-        assigned = assign(cents)
-        sums = [
-            F.sum(F.element_at("q", i + 1)).alias(f"_s{i}") for i in range(dim)
+    q.persist()
+    try:
+        # The codebook is k×dim longs — a few KB. Iterating lazily would
+        # nest each round's plan inside the next (the final assignment
+        # would recompute every earlier round once per reference:
+        # measured 6.8 s at sf0.1); collecting the codebook per round
+        # keeps every pass a flat projection over the cached codes. This
+        # bounded driver round-trip per iteration is exactly how Spark
+        # MLlib's KMeans iterates, and integer sums make the collect
+        # order irrelevant (exact in any order).
+        cents: list[tuple[int, list[int]]] = [
+            (i, row["q"])
+            for i, row in enumerate(q.orderBy("vec_id").limit(k).collect())
         ]
-        cents = (
-            assigned.groupBy("cluster")
-            .agg(*sums, F.count(F.lit(1)).alias("_n"))
-            .select(
-                "cluster",
-                F.array(
-                    *[
-                        F.floor(
-                            F.col(f"_s{i}").cast("double") / F.col("_n")
-                        ).cast("long")
-                        for i in range(dim)
-                    ]
-                ).alias("cvec"),
-            )
-        )
 
-    return assign(cents).select("vec_id", "cluster", "dist")
+        def with_assignment(codebook: list[tuple[int, list[int]]]) -> DataFrame:
+            # dist to every centroid as one literal-array projection;
+            # argmin = array_position of the min (first hit → ties break
+            # to the lower cluster id). No join, no window, no shuffle.
+            # The k×dim literals go through ONE F.expr string — building
+            # the same tree from k×dim F.lit() calls costs ~0.8 s of
+            # py4j round trips per pass (measured).
+            dists_sql = "array(" + ", ".join(
+                "aggregate(zip_with(q, array("
+                + ", ".join(f"{x}L" for x in cvec)
+                + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+                for _, cvec in codebook
+            ) + ")"
+            cids_sql = "array(" + ", ".join(f"{cid}L" for cid, _ in codebook) + ")"
+            return (
+                q.withColumn("_ds", F.expr(dists_sql))
+                .withColumn("dist", F.array_min("_ds"))
+                .withColumn(
+                    "cluster",
+                    F.expr(
+                        f"element_at({cids_sql}, "
+                        "cast(array_position(_ds, dist) as int))"
+                    ),
+                )
+                .select("vec_id", "q", "cluster", "dist")
+            )
+
+        sums = [F.sum(F.element_at("q", i + 1)).alias(f"_s{i}") for i in range(dim)]
+        for _ in range(iters):
+            rows = (
+                with_assignment(cents)
+                .groupBy("cluster")
+                .agg(*sums, F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            cents = sorted(
+                (
+                    int(r["cluster"]),
+                    [int(math.floor(r[f"_s{i}"] / r["_n"])) for i in range(dim)],
+                )
+                for r in rows
+            )
+
+        return with_assignment(cents).select("vec_id", "cluster", "dist")
+    finally:
+        q.unpersist()
 
 
 def semantic_dedup(
@@ -451,10 +473,14 @@ def semantic_dedup(
     Mirrors arXiv:2303.09540 (SemDeDup): cluster first so the
     quadratic kernel only ever runs inside a cell.
     """
+    from jaccard_mapreduce_spark.operators._cache import pin
+
     clusters = kmeans_int8(
         embeddings, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
     ).select("vec_id", "cluster")
-    v = vectors(embeddings, id_col, vec_col).join(clusters, "vec_id")
+    # consumed three times (both self-join sides + the final left join):
+    # pin so the scan/normalize/cluster-join subtree runs once
+    v = pin(vectors(embeddings, id_col, vec_col).join(clusters, "vec_id"))
     a = v.alias("a")
     b = v.alias("b")
     dot = _dot(F.col("a.vec"), F.col("b.vec"))
