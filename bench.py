@@ -26,7 +26,15 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return -1.0
+
+
 def main() -> None:
+    loadavg = [_load1()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
@@ -135,6 +143,7 @@ def main() -> None:
         timings[name] = med
         spread[name] = [lo, hi]
 
+    loadavg.append(_load1())
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -149,6 +158,11 @@ def main() -> None:
         "reps": reps,
         "sf": sf_val,
         "warmup_seconds": warmup_s,
+        # ambient host load at start/end: local[32] wall-clock inflates
+        # 2-3x under phantom host contention (observed round 4: same
+        # commit, same data, 7->21 s on one query as load_avg climbed) —
+        # record it so cross-round deltas can be attributed
+        "loadavg_1m_start_end": loadavg,
         "total_seconds": total,
     }
     detail_path = os.path.join(
