@@ -414,3 +414,39 @@ def test_minhash_error_audit_broadcasts_below_gate(spark):
         assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_kmeans_assignment_is_flat_projection(spark):
+    # the per-pass assignment must be a projection over the codes — no
+    # join, no window, no exchange introduced by the argmin
+    from jaccard_mapreduce_spark.operators.similarity import kmeans_int8
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    plan = _plan(kmeans_int8(emb, k=4, iters=0, dim=64))
+    assert "Join" not in plan and "Window" not in plan
+    assert "Exchange" not in plan
+
+
+def test_semantic_dedup_pairs_join_on_cluster_not_cartesian(spark):
+    # the near-dup candidate relation is an equi-join on the cluster
+    # key; an all-pairs cartesian/broadcast-nested-loop would mean the
+    # clustering stopped pruning the quadratic kernel
+    from jaccard_mapreduce_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, k=4, dim=64))
+    assert "CartesianProduct" not in plan
+    assert "cluster" in plan  # join key visible in the condition
+
+
+def test_formats_readback_uses_explicit_schema(spark):
+    # read-back plans must come from the supplied schema, not inference:
+    # all three formats project the full typed column set in the scan
+    from jaccard_mapreduce_spark.sources.formats import formats_roundtrip
+
+    df = formats_roundtrip(spark, SF_ORACLE)
+    plan = _plan(df)
+    for fmt in ("orc", "json", "csv"):
+        assert fmt in plan.lower()
+    # the comparison join carries the typed ts column end-to-end
+    assert "ts" in plan
