@@ -394,6 +394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).select("doc_id"),
             D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
         ),
+        # new round 4: integer-exact damped PageRank over the LSH-verified
+        # near-dup graph — template/boilerplate concentration score
+        "pagerank_centrality": lambda s, d: D.pagerank_centrality(_docs(s, d)),
         # --- Similarity search (embeddings) ---
         "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
         # new round 4: iterative Lloyd's k-means run entirely in
@@ -455,9 +458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": lambda s, d: R.q7_nation_volume(
             _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer"),
             _t(s, d, "supplier"), _t(s, d, "nation"),
-        ),
-        "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
-            _t(s, d, "lineitem"), _t(s, d, "part")
         ),
         # --- Relational tier 3 (rotated/new into the round-4 window) ---
         "q10_returned_revenue": lambda s, d: R.q10_returned_revenue(
@@ -566,6 +566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
+        "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
         "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
         "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
         "events_json_props": lambda s, d: R.events_json_props(_t(s, d, "events")),
@@ -679,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": oracles.ngram_duplicates_sql(3, 0.8),
         "minhash_signatures": oracles.minhash_signatures_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_dedup_sql(0.7),
+        "pagerank_centrality": oracles.pagerank_centrality_sql(0.7),
         "simhash": oracles.simhash_sql(),
         "dedup_simhash": oracles.simhash_duplicates_sql(3),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(10),

@@ -104,6 +104,7 @@ def main() -> None:
         "kmeans_int8",
         "semantic_dedup",
         "formats_roundtrip",
+        "pagerank_centrality",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

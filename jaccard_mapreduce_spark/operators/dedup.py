@@ -939,3 +939,85 @@ def dedup_representatives(
             (F.col("doc_id") == F.col("rep_doc_id")).alias("is_kept"),
         )
     )
+
+
+def pagerank_centrality(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PageRank over the near-duplicate graph, in integer space —
+    ``(doc_id, rank)`` with ``rank`` a BIGINT in units of
+    ``1/scale``.
+
+    The training-data use is template/boilerplate detection: a document
+    whose near-dup neighborhood is large AND whose neighbors are
+    themselves highly duplicated (a template farm) concentrates rank,
+    where a simple degree count can't tell a hub from a leaf. Rank
+    feeds the same curriculum/weighting stages as the quality score.
+
+    Edges come from :func:`minhash_lsh_dedup` — the LSH-pruned verified
+    pair relation, never all-pairs — symmetrized; isolated documents
+    keep the base rank. The iteration is the standard damped update
+    re-expressed in exact integer arithmetic so the chain is
+    hash-verifiable across engines (same reproducibility argument as
+    :func:`~jaccard_mapreduce_spark.operators.similarity.kmeans_int8` —
+    float PageRank diverges across engines in the last ulp and then in
+    the ordering):
+
+        contrib(v) = Σ_{u→v} rank(u) div deg(u)
+        rank'(v)   = (15·scale + 85·contrib(v)) div 100
+
+    All values are non-negative, so truncating integer division is
+    floor division in every engine. Rank mass leaks at dangling nodes
+    and through the div flooring — irrelevant for an ORDERING score,
+    and the price of exactness.
+
+    Scale shape: edges/degrees are pinned and reused across the
+    ``iters`` joins; each iteration is one edges⋈ranks shuffle on the
+    edge key plus a dst-keyed aggregate — the textbook distributed
+    PageRank step. The rank relation is O(#docs) and never collects.
+    """
+    pairs = minhash_lsh_dedup(
+        documents, threshold=threshold, id_col=id_col, text_col=text_col
+    ).select("doc_a", "doc_b")
+    edges = _pin(
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+            pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_d = _pin(edges.join(deg, "src"))
+
+    nodes = documents.select(F.col(id_col).alias("doc_id"))
+    ranks = nodes.select("doc_id", F.lit(scale).cast("long").alias("rank"))
+    prev = None
+    for _ in range(iters):
+        contrib = (
+            edges_d.join(ranks, F.col("src") == F.col("doc_id"))
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = _pin(
+            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    f"(15 * {scale}L + 85 * coalesce(contrib, 0L)) div 100"
+                ).alias("rank"),
+            )
+        )
+        # flatten the chain: materialize this round, release the
+        # previous round's pin (the labels-loop cleanup convention);
+        # only the returned final relation stays cached
+        ranks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    edges_d.unpersist()
+    edges.unpersist()
+    return ranks

@@ -713,6 +713,65 @@ FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
 WHERE s.similarity >= {threshold}"""
 
 
+def pagerank_centrality_sql(
+    threshold: float,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    # integer-exact damped PageRank over the LSH-verified near-dup graph
+    # (mirrors operators/dedup.py::pagerank_centrality): contributions
+    # use truncating integer division on non-negative values — floor
+    # division in both engines — so the unrolled chain hash-matches.
+    r = k // bands
+    parts = [
+        f"""{_minhash_cte(k, seed)},
+buckets AS (
+    SELECT doc_id, h_idx // {r} AS band,
+           string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS bucket
+    FROM mh GROUP BY doc_id, h_idx // {r}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+{scored_ctes("tok")},
+dup_pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+    WHERE s.similarity >= {threshold}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, CAST({scale} AS BIGINT) AS rank FROM documents)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""c{t} AS (
+    SELECT e.dst AS doc_id, sum(r.rank // d.deg) AS contrib
+    FROM edges e
+    JOIN r{t} r ON r.doc_id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r{t + 1} AS (
+    SELECT n.doc_id,
+           CAST((15 * {scale} + 85 * COALESCE(c.contrib, 0)) // 100
+                AS BIGINT) AS rank
+    FROM documents n LEFT JOIN c{t} c ON n.doc_id = c.doc_id
+)"""
+        )
+    joined = ",\n".join(parts)
+    return f"WITH {joined}\nSELECT doc_id, rank FROM r{iters}"
+
+
 def minhash_error_audit_sql(
     k: int = DEFAULT_NUM_HASHES,
     bands: int = 8,

@@ -244,3 +244,41 @@ def test_dedup_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     got = _cluster_map(dedup_clusters(docs, pairs))
     assert got == {1: 1, 2: 2}
+
+
+def test_pagerank_centrality_properties(spark):
+    from jaccard_mapreduce_spark.operators.dedup import pagerank_centrality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {r["doc_id"]: r["rank"] for r in pagerank_centrality(docs, iters=2).collect()}
+    n = docs.count()
+    assert len(out) == n  # one rank per document, isolated docs included
+    # every rank carries at least the damped base mass and never exceeds
+    # total mass; base = (15 * scale) div 100
+    assert all(150_000 <= v <= n * 1_000_000 for v in out.values())
+    # deterministic across runs (integer arithmetic, no float state)
+    again = {r["doc_id"]: r["rank"] for r in pagerank_centrality(docs, iters=2).collect()}
+    assert out == again
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from jaccard_mapreduce_spark.operators.dedup import pagerank_centrality
+
+    # a template farm: doc 1 near-dups 2,3,4 (star) while 5 is isolated;
+    # texts constructed so exact Jaccard(1, x) >= 0.7 only for the spokes
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one"),
+        (2, base + " two"),
+        (3, base + " three"),
+        (4, base + " four"),
+        (5, "completely different words nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["rank"] for r in pagerank_centrality(docs, threshold=0.5, iters=2).collect()}
+    assert got[5] == 150_000  # isolated: damped base only
+    assert got[1] > got[5]
+    # spokes also connect to each other via the shared base vocabulary,
+    # but every connected doc must strictly outrank the isolated one
+    for d in (2, 3, 4):
+        assert got[d] > got[5]

@@ -54,7 +54,7 @@ def test_round4_rotation_targets_are_in_the_graded_window():
         "bloom_pruned_revenue", "quality_curriculum",
         "minhash_error_audit", "q9_product_profit",
         "q11_value_concentration", "kmeans_int8", "semantic_dedup",
-        "formats_roundtrip",
+        "formats_roundtrip", "pagerank_centrality",
     ]
     out = [k for k in never_graded if k not in window]
     assert not out, f"never-driver-graded entries outside the window: {out}"
