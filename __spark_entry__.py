@@ -397,6 +397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round 4: integer-exact damped PageRank over the LSH-verified
         # near-dup graph — template/boilerplate concentration score
         "pagerank_centrality": lambda s, d: D.pagerank_centrality(_docs(s, d)),
+        # new round 4: asymmetric containment (near-supersets symmetric
+        # Jaccard misses) and cross-doc boilerplate n-gram coverage
+        "containment_pairs": lambda s, d: D.containment_pairs(_docs(s, d)),
+        "boilerplate_span_stats": lambda s, d: D.boilerplate_span_stats(_docs(s, d)),
         # --- Similarity search (embeddings) ---
         "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
         # new round 4: iterative Lloyd's k-means run entirely in
@@ -453,12 +457,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
-        # --- Relational tier 2 (new in round 1, first graded here) ---
-        "orders_above_customer_avg": lambda s, d: R.orders_above_customer_avg(_t(s, d, "orders")),
-        "q7_nation_volume": lambda s, d: R.q7_nation_volume(
-            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer"),
-            _t(s, d, "supplier"), _t(s, d, "nation"),
-        ),
         # --- Relational tier 3 (rotated/new into the round-4 window) ---
         "q10_returned_revenue": lambda s, d: R.q10_returned_revenue(
             _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
@@ -568,6 +566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
         "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
             _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "orders_above_customer_avg": lambda s, d: R.orders_above_customer_avg(_t(s, d, "orders")),
+        "q7_nation_volume": lambda s, d: R.q7_nation_volume(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer"),
+            _t(s, d, "supplier"), _t(s, d, "nation"),
         ),
         "asof_clicks_views": lambda s, d: R.asof_join_events(_t(s, d, "events")),
         "user_funnel": lambda s, d: R.user_funnel(_t(s, d, "events")),
@@ -683,6 +686,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": oracles.minhash_signatures_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_dedup_sql(0.7),
         "pagerank_centrality": oracles.pagerank_centrality_sql(0.7),
+        "containment_pairs": oracles.containment_pairs_sql(0.8),
+        "boilerplate_span_stats": oracles.boilerplate_span_stats_sql(5),
         "simhash": oracles.simhash_sql(),
         "dedup_simhash": oracles.simhash_duplicates_sql(3),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(10),

@@ -105,6 +105,8 @@ def main() -> None:
         "semantic_dedup",
         "formats_roundtrip",
         "pagerank_centrality",
+        "containment_pairs",
+        "boilerplate_span_stats",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

@@ -1021,3 +1021,98 @@ def pagerank_centrality(
     edges_d.unpersist()
     edges.unpersist()
     return ranks
+
+
+def containment_pairs(
+    documents: DataFrame,
+    min_containment: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric set-containment near-dup pairs —
+    ``(doc_a, doc_b, intersection, size_a, size_b, cont_a, cont_b)``
+    where ``cont_a = |A∩B|/|A|`` (how much of A lives inside B) and a
+    pair is emitted when EITHER direction reaches ``min_containment``.
+
+    The case symmetric Jaccard misses: a truncated or extended copy —
+    a doc fully contained in a much longer one scores
+    ``|A|/|B| → small`` Jaccard but containment 1.0. Standard in
+    crawl-dedup pipelines precisely for near-supersets.
+
+    Same plan skeleton as the exact Jaccard relation (token equi-join +
+    broadcast sizes, reference O10/O13/O14 fused); the LSH tier prunes
+    candidates the same way when run at corpus scale — thresholding on
+    max(cont) only widens the band-probability bound, since
+    containment >= Jaccard for every pair.
+    """
+    from jaccard_mapreduce_spark.operators.jaccard import (
+        doc_sizes,
+        doc_tokens,
+        pair_intersections,
+    )
+
+    tokens = _pin(doc_tokens(documents, id_col, text_col))
+    sa = F.broadcast(doc_sizes(tokens)).alias("sa")
+    sb = F.broadcast(doc_sizes(tokens)).alias("sb")
+    pairs = pair_intersections(tokens)
+    scored = (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection",
+            F.col("sa.size").alias("size_a"),
+            F.col("sb.size").alias("size_b"),
+        )
+        .withColumn("cont_a", F.col("intersection") / F.col("size_a"))
+        .withColumn("cont_b", F.col("intersection") / F.col("size_b"))
+    )
+    return scored.where(
+        (F.col("cont_a") >= min_containment)
+        | (F.col("cont_b") >= min_containment)
+    )
+
+
+def boilerplate_span_stats(
+    documents: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate coverage per doc —
+    ``(doc_id, n_grams, n_shared_grams)``: of a document's distinct
+    word ``n``-grams, how many appear in at least one OTHER document.
+
+    The RefinedWeb/Dolma-style span signal: a high shared fraction
+    marks navigation chrome, license blocks, and templated pages that
+    survive doc-level dedup because the surrounding text differs.
+    Integer counts only — the caller picks the ratio/threshold —
+    so the relation is engine-exact by construction.
+
+    Plan: one shingle explode, one n-gram document-frequency aggregate
+    (map-side partial), one broadcast-gated join back. The df relation
+    is vocabulary-sized (distinct n-grams), not corpus-sized.
+    """
+    grams = _pin(shingles(documents, n, id_col, text_col))
+    df_counts = grams.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(df_counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_shared_grams"),
+        )
+    )
+    # docs too short to produce a single n-gram still get a row
+    ids = documents.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_shared_grams", F.lit(0).cast("long")).alias(
+                "n_shared_grams"
+            ),
+        )
+    )

@@ -670,6 +670,37 @@ def ngram_duplicates_sql(n: int, threshold: float) -> str:
     )
 
 
+def containment_pairs_sql(min_containment: float) -> str:
+    # int/int division yields DOUBLE identically in both engines (same
+    # kernel the Jaccard scored CTE relies on)
+    return f"""WITH {TOK_CTE.strip()},
+{scored_ctes("tok")}
+SELECT doc_a, doc_b, intersection, size_a, size_b,
+       intersection / size_a AS cont_a,
+       intersection / size_b AS cont_b
+FROM scored
+WHERE intersection / size_a >= {min_containment}
+   OR intersection / size_b >= {min_containment}"""
+
+
+def boilerplate_span_stats_sql(n: int = 5) -> str:
+    return f"""WITH {_shingle_cte(n).strip()},
+dfc AS (
+    SELECT token, count(*) AS df FROM sh_tok GROUP BY token
+),
+per_doc AS (
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN dfc.df > 1 THEN 1 ELSE 0 END) AS n_shared_grams
+    FROM sh_tok g JOIN dfc ON g.token = dfc.token
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_shared_grams, 0) AS BIGINT) AS n_shared_grams
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
+
+
 def _minhash_cte(k: int, seed: int) -> str:
     params = minhash_params(k, seed)
     values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))

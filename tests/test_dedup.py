@@ -282,3 +282,43 @@ def test_pagerank_hub_outranks_leaves(spark):
     # but every connected doc must strictly outrank the isolated one
     for d in (2, 3, 4):
         assert got[d] > got[5]
+
+
+def test_containment_catches_near_superset_jaccard_misses(spark):
+    from jaccard_mapreduce_spark.operators.dedup import containment_pairs
+
+    # doc 1 fully contained in the much larger doc 2: Jaccard = 5/20
+    # (far below any dedup threshold) but containment(1 in 2) = 1.0
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"word{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "entirely unrelated text corpus")],
+        ["doc_id", "text"],
+    )
+    rows = containment_pairs(docs, min_containment=0.9).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["cont_a"] == 1.0 and r["intersection"] == 5 and r["size_b"] == 20
+    assert not any(3 in p for p in got)
+
+
+def test_boilerplate_span_stats_counts_shared_grams(spark):
+    from jaccard_mapreduce_spark.operators.dedup import boilerplate_span_stats
+
+    chrome = "home about contact privacy terms"   # shared 5-gram block
+    docs = spark.createDataFrame(
+        [
+            (1, chrome + " unique one content here today"),
+            (2, chrome + " something else entirely different text"),
+            (3, "no shared navigation text in this document at all"),
+            (4, "tiny"),                          # too short for a 5-gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in boilerplate_span_stats(docs, n=5).collect()}
+    assert len(got) == 4
+    # the chrome block's 5-gram appears in docs 1 and 2
+    assert got[1]["n_shared_grams"] >= 1 and got[2]["n_shared_grams"] >= 1
+    assert got[3]["n_shared_grams"] == 0
+    assert got[4]["n_grams"] == 0 and got[4]["n_shared_grams"] == 0
