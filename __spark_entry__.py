@@ -238,6 +238,12 @@ def _q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return formats_roundtrip(spark, sf_dir)
 
 
+def _q_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.upsert import stream_upsert_snapshot
+
+    return stream_upsert_snapshot(spark, sf_dir)
+
+
 def _q_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.operators.runtime_filters import (
         bloom_pruned_revenue,
@@ -440,7 +446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- Structured Streaming (run to completion, memory sink) ---
         "stream_windowed_hourly": _q_stream_windowed_hourly,
-        "stream_hopping": _q_stream_hopping,
+        # new round 4: foreachBatch versioned-snapshot upsert — the
+        # exactly-once CDC file sink, graded vs the batch latest-event SQL
+        "stream_upsert_snapshot": _q_stream_upsert_snapshot,
         "stream_dedup_events": _q_stream_dedup,
         "stream_user_counts": _shipped(_q_stream_user_counts),
         "stream_interval_join": _q_stream_interval_join,
@@ -561,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": lambda s, d: R.orders_rollup(_t(s, d, "orders")),
         # rotated out of the graded window in round 4 (green in rounds 2
         # AND 3, unchanged since, pytest-parity-covered)
+        "stream_hopping": _q_stream_hopping,
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
@@ -759,4 +768,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessions": oracles.session_window_counts_sql(),
         "stream_incremental_jaccard": oracles.jaccard_pairs_sql(),
         "stream_latest_event": oracles.latest_event_per_user_sql(),
+        # same final-state oracle: the upsert sink must converge to the
+        # batch latest-event answer whatever the micro-batch split
+        "stream_upsert_snapshot": oracles.latest_event_per_user_sql(),
     }

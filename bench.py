@@ -107,6 +107,7 @@ def main() -> None:
         "pagerank_centrality",
         "containment_pairs",
         "boilerplate_span_stats",
+        "stream_upsert_snapshot",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

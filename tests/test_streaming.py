@@ -245,3 +245,37 @@ def test_tws_type_counts_accumulate_across_batches(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_stream_upsert_snapshot_matches_batch_and_is_multi_batch(spark):
+    import glob
+    import os
+
+    from jaccard_mapreduce_spark.streaming.upsert import (
+        _scratch_dir,
+        stream_upsert_snapshot,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    snap = stream_upsert_snapshot(spark, sf, n_input_files=4)
+    got = {r["user_id"]: r for r in snap.collect()}
+
+    # batch truth: plain max-struct per user over the whole table
+    from jaccard_mapreduce_spark.sources.tables import load_events
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, sf)
+    m = F.max(F.struct(F.unix_micros("ts").alias("ts_us"), "value", "event_type")).alias("m")
+    want = {
+        r["user_id"]: (r["m"]["ts_us"], r["m"]["value"], r["m"]["event_type"])
+        for r in ev.groupBy("user_id").agg(m).collect()
+    }
+    assert set(got) == set(want)
+    for uid, (ts_us, val, etype) in want.items():
+        r = got[uid]
+        assert (r["last_ts_us"], r["last_value"], r["last_event_type"]) == (ts_us, val, etype)
+
+    # the fold really ran across multiple micro-batches (one per input
+    # file), each leaving its own idempotently-rewritable version
+    versions = glob.glob(os.path.join(_scratch_dir(spark), "snap", "v*"))
+    assert len(versions) == 4
