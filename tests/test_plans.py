@@ -450,3 +450,24 @@ def test_formats_readback_uses_explicit_schema(spark):
         assert fmt in plan.lower()
     # the comparison join carries the typed ts column end-to-end
     assert "ts" in plan
+
+
+def test_containment_broadcasts_sizes_no_cartesian(spark):
+    from jaccard_mapreduce_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(containment_pairs(docs))
+    assert "CartesianProduct" not in plan
+    # both size relations ride broadcast joins (the DistributedCache
+    # analog of the Jaccard core)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pagerank_final_plan_reads_pinned_ranks(spark):
+    from jaccard_mapreduce_spark.operators.dedup import pagerank_centrality
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(pagerank_centrality(docs, iters=1))
+    # the returned relation is the materialized final round — consuming
+    # it must hit the cache, not re-run the LSH/edge subtree
+    assert "InMemoryTableScan" in plan
