@@ -469,6 +469,6 @@ def test_pagerank_final_plan_reads_pinned_ranks(spark):
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     plan = _plan(pagerank_centrality(docs, iters=1))
-    # the returned relation is the materialized final round — consuming
-    # it must hit the cache, not re-run the LSH/edge subtree
+    # the edge relation is pinned — each round's join must read the
+    # cache, not re-run the LSH verify subtree
     assert "InMemoryTableScan" in plan
