@@ -407,6 +407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard misses) and cross-doc boilerplate n-gram coverage
         "containment_pairs": lambda s, d: D.containment_pairs(_docs(s, d)),
         "boilerplate_span_stats": lambda s, d: D.boilerplate_span_stats(_docs(s, d)),
+        # new round 4: which ingestion sources are the same content —
+        # near-dup pair counts per canonical source pair
+        "source_overlap_matrix": lambda s, d: D.source_overlap_matrix(_docs(s, d)),
         # --- Similarity search (embeddings) ---
         "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), k=10),
         # new round 4: iterative Lloyd's k-means run entirely in
@@ -449,7 +452,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round 4: foreachBatch versioned-snapshot upsert — the
         # exactly-once CDC file sink, graded vs the batch latest-event SQL
         "stream_upsert_snapshot": _q_stream_upsert_snapshot,
-        "stream_dedup_events": _q_stream_dedup,
         "stream_user_counts": _shipped(_q_stream_user_counts),
         "stream_interval_join": _q_stream_interval_join,
         "stream_sessions": _q_stream_sessions,
@@ -570,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the graded window in round 4 (green in rounds 2
         # AND 3, unchanged since, pytest-parity-covered)
         "stream_hopping": _q_stream_hopping,
+        "stream_dedup_events": _q_stream_dedup,
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
@@ -696,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracles.minhash_lsh_dedup_sql(0.7),
         "pagerank_centrality": oracles.pagerank_centrality_sql(0.7),
         "containment_pairs": oracles.containment_pairs_sql(0.8),
+        "source_overlap_matrix": oracles.source_overlap_matrix_sql(0.7),
         "boilerplate_span_stats": oracles.boilerplate_span_stats_sql(5),
         "simhash": oracles.simhash_sql(),
         "dedup_simhash": oracles.simhash_duplicates_sql(3),

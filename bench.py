@@ -108,6 +108,7 @@ def main() -> None:
         "containment_pairs",
         "boilerplate_span_stats",
         "stream_upsert_snapshot",
+        "source_overlap_matrix",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

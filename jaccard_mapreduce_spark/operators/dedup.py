@@ -1115,3 +1115,45 @@ def boilerplate_span_stats(
             ),
         )
     )
+
+
+def source_overlap_matrix(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix —
+    ``(source_a, source_b, n_pairs)`` with the source pair canonicalized
+    (``source_a <= source_b``) so each unordered pair counts once.
+
+    The mixture-design question this answers: which ingestion sources
+    are actually the same content (mirrors, scrapes of each other)?
+    High off-diagonal counts mean the mixture weights double-count a
+    source family; the diagonal is each source's internal redundancy.
+
+    One aggregation over the LSH-verified pair relation joined to the
+    (id → source) projection twice — both joins are on the doc key and
+    the source relation is a narrow column slice of the input, so the
+    matrix costs two skinny joins + one k²-cell aggregate on top of the
+    dedup the pipeline already runs.
+    """
+    pairs = minhash_lsh_dedup(
+        documents, threshold=threshold, id_col=id_col, text_col=text_col
+    ).select("doc_a", "doc_b")
+    src = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("src")
+    )
+    labeled = (
+        pairs.join(src.withColumnRenamed("src", "sa"), pairs.doc_a == src.doc_id)
+        .drop("doc_id")
+        .join(src.withColumnRenamed("src", "sb"), pairs.doc_b == src.doc_id)
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

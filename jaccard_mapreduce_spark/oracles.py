@@ -744,21 +744,14 @@ FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
 WHERE s.similarity >= {threshold}"""
 
 
-def pagerank_centrality_sql(
-    threshold: float,
-    iters: int = 2,
-    scale: int = 1_000_000,
-    k: int = DEFAULT_NUM_HASHES,
-    bands: int = 8,
-    seed: int = DEFAULT_SEED,
+def _lsh_pairs_ctes(
+    threshold: float, k: int, bands: int, seed: int
 ) -> str:
-    # integer-exact damped PageRank over the LSH-verified near-dup graph
-    # (mirrors operators/dedup.py::pagerank_centrality): contributions
-    # use truncating integer division on non-negative values — floor
-    # division in both engines — so the unrolled chain hash-matches.
+    """CTE chain ending in ``dup_pairs`` = the LSH-verified near-dup
+    pair relation (mirrors operators/dedup.py::minhash_lsh_dedup's
+    output pairs at ``threshold``)."""
     r = k // bands
-    parts = [
-        f"""{_minhash_cte(k, seed)},
+    return f"""{_minhash_cte(k, seed)},
 buckets AS (
     SELECT doc_id, h_idx // {r} AS band,
            string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS bucket
@@ -774,7 +767,39 @@ dup_pairs AS (
     SELECT c.doc_a, c.doc_b
     FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
     WHERE s.similarity >= {threshold}
-),
+)"""
+
+
+def source_overlap_matrix_sql(
+    threshold: float,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    return f"""WITH {_lsh_pairs_ctes(threshold, k, bands, seed)}
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM dup_pairs p
+JOIN documents da ON p.doc_a = da.doc_id
+JOIN documents db ON p.doc_b = db.doc_id
+GROUP BY 1, 2"""
+
+
+def pagerank_centrality_sql(
+    threshold: float,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    # integer-exact damped PageRank over the LSH-verified near-dup graph
+    # (mirrors operators/dedup.py::pagerank_centrality): contributions
+    # use truncating integer division on non-negative values — floor
+    # division in both engines — so the unrolled chain hash-matches.
+    parts = [
+        f"""{_lsh_pairs_ctes(threshold, k, bands, seed)},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
     UNION ALL

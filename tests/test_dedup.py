@@ -322,3 +322,17 @@ def test_boilerplate_span_stats_counts_shared_grams(spark):
     assert got[1]["n_shared_grams"] >= 1 and got[2]["n_shared_grams"] >= 1
     assert got[3]["n_shared_grams"] == 0
     assert got[4]["n_grams"] == 0 and got[4]["n_shared_grams"] == 0
+
+
+def test_source_overlap_matrix_canonical_and_consistent(spark):
+    from jaccard_mapreduce_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        source_overlap_matrix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = source_overlap_matrix(docs, threshold=0.7).collect()
+    # canonical source pair, positive counts
+    assert all(r["source_a"] <= r["source_b"] and r["n_pairs"] > 0 for r in m)
+    # cell totals re-add to the pair relation's size
+    assert sum(r["n_pairs"] for r in m) == minhash_lsh_dedup(docs, threshold=0.7).count()
