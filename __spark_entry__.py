@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixture scheduling, and the deterministic MinHash
         # sketch-accuracy audit (estimate vs exact per candidate pair)
         "quality_curriculum": lambda s, d: TA.quality_curriculum(_docs(s, d)),
+        # new round 4: Gopher-style rule flags (the rule-based tier
+        # complementing the score-based quality gate)
+        "gopher_quality_flags": lambda s, d: TA.gopher_quality_flags(_docs(s, d)),
         "minhash_error_audit": lambda s, d: D.minhash_error_audit(_docs(s, d)),
         "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
         "dedup_representatives": lambda s, d: D.dedup_representatives(
@@ -453,7 +456,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactly-once CDC file sink, graded vs the batch latest-event SQL
         "stream_upsert_snapshot": _q_stream_upsert_snapshot,
         "stream_user_counts": _shipped(_q_stream_user_counts),
-        "stream_interval_join": _q_stream_interval_join,
         "stream_sessions": _q_stream_sessions,
         "stream_incremental_jaccard": _q_stream_incremental_jaccard,
         "stream_latest_event": _shipped(_q_stream_latest_event),
@@ -461,12 +463,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (seed, doc_id)-pure, so the aggregate is a pinned constant);
         # batch reader + multi-micro-batch streaming replay reader
         "synthetic_corpus_stats": _shipped(_q_synthetic_corpus_stats),
-        "synthetic_stream_stats": _shipped(_q_synthetic_stream_stats),
         # --- Events / time-series relational ---
         "events_approx_check": lambda s, d: R.events_approx_check(
             _t(s, d, "events")
         ),
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
+        # new round 4: weekly cohort-retention triangle (integer 7-day
+        # buckets from a fixed epoch — engine-exact week arithmetic)
+        "cohort_retention": lambda s, d: R.cohort_retention(_t(s, d, "events")),
         # --- Relational tier 3 (rotated/new into the round-4 window) ---
         "q10_returned_revenue": lambda s, d: R.q10_returned_revenue(
             _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
@@ -573,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # AND 3, unchanged since, pytest-parity-covered)
         "stream_hopping": _q_stream_hopping,
         "stream_dedup_events": _q_stream_dedup,
+        "stream_interval_join": _q_stream_interval_join,
+        "synthetic_stream_stats": _shipped(_q_synthetic_stream_stats),
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
@@ -700,6 +706,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_centrality": oracles.pagerank_centrality_sql(0.7),
         "containment_pairs": oracles.containment_pairs_sql(0.8),
         "source_overlap_matrix": oracles.source_overlap_matrix_sql(0.7),
+        "gopher_quality_flags": oracles.gopher_quality_flags_sql(),
+        "cohort_retention": oracles.cohort_retention_sql(),
         "boilerplate_span_stats": oracles.boilerplate_span_stats_sql(5),
         "simhash": oracles.simhash_sql(),
         "dedup_simhash": oracles.simhash_duplicates_sql(3),

@@ -109,6 +109,8 @@ def main() -> None:
         "boilerplate_span_stats",
         "stream_upsert_snapshot",
         "source_overlap_matrix",
+        "gopher_quality_flags",
+        "cohort_retention",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

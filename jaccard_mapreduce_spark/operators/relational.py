@@ -1521,3 +1521,35 @@ def q11_value_concentration(
         .where(F.col("_v") > F.col("_t") * frac)
         .select("partkey", F.col("_v").cast("double").alias("value"))
     )
+
+
+def cohort_retention(events: DataFrame, epoch: str = "2024-01-01") -> DataFrame:
+    """Weekly cohort-retention triangle —
+    ``(cohort_week, week_offset, n_users)``: users whose FIRST event
+    fell in ``cohort_week`` and who were active again ``week_offset``
+    weeks later (offset 0 = the cohort's own size).
+
+    Weeks are integer 7-day buckets from a fixed ``epoch`` date rather
+    than calendar ISO weeks: ``(date - epoch) div 7`` is exact integer
+    arithmetic in every engine, where engine ``date_trunc('week')``
+    boundary conventions have historically differed.
+
+    Plan: one min-aggregate per user (the cohort), joined back to the
+    per-(user, week) distinct activity — both shuffles keyed by
+    ``user_id``, so the join piggybacks the same exchange; the final
+    aggregate is over the tiny (cohort, offset) grid.
+    """
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit(epoch).cast("date")) / 7
+    ).cast("long")
+    activity = events.select("user_id", week.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -781,3 +781,78 @@ __all__ = [
     "PII_PHONE_RE",
     "ENGLISH_STOPWORDS",
 ]
+
+
+def gopher_quality_flags(
+    documents: DataFrame,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style quality rule flags (Rae et al. 2021, arXiv:2112.11446
+    §A1.1) — the rule-based tier that complements the score-based gate:
+    ``(doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+    pass_gopher)``.
+
+    Rules (each a pure projection, engine-exact arithmetic):
+    - word count within ``[min_words, max_words]``;
+    - mean word length within ``[min_mean_word_len, max_mean_word_len]``
+      (machine-generated or OCR-damaged text drifts outside);
+    - fraction of words containing an alphabetic character ≥
+      ``min_alpha_word_frac`` (number/symbol soup);
+    - hash/ellipsis symbol-to-word ratio ≤ ``max_symbol_ratio``
+      (markup and truncation artifacts).
+
+    Line-based Gopher rules (bullet/ellipsis line fractions) are
+    omitted: this corpus is single-line by construction; they drop into
+    the same projection when documents carry newlines.
+
+    One scan, no shuffle; divisions are int/int → double, identical in
+    both engines.
+    """
+    toks = tokenize(text_col)
+    n_words = F.size(toks).cast("long")
+    # sum of token lengths via the same sequential fold the similarity
+    # kernels use (exact integer arithmetic)
+    len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    hash_count = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#")))
+    ).cast("long")
+    ellipsis_count = (
+        (
+            F.length(text_col)
+            - F.length(F.replace(F.col(text_col), F.lit("...")))
+        )
+        / F.lit(3)
+    ).cast("long")
+    mean_word_len = F.when(n_words > 0, len_sum / n_words).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0, (hash_count + ellipsis_count) / n_words
+    ).otherwise(F.lit(0.0))
+    out = documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+    )
+    return out.withColumn(
+        "pass_gopher",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("symbol_ratio") <= max_symbol_ratio),
+    )

@@ -670,6 +670,69 @@ def ngram_duplicates_sql(n: int, threshold: float) -> str:
     )
 
 
+def gopher_quality_flags_sql(
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+) -> str:
+    # int/int division → DOUBLE in both engines; symbol counts via
+    # length-delta of replace() (same greedy non-overlapping semantics)
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, {TOKS_EXPR} AS toks FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(toks, x -> len(x)))
+                          AS BIGINT) / len(toks)
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                     / len(toks)
+                ELSE 0.0 END AS alpha_word_frac,
+           CASE WHEN len(toks) > 0
+                THEN (CAST(length(text) - length(replace(text, '#', ''))
+                           AS BIGINT)
+                      + CAST(floor(CAST(length(text)
+                                        - length(replace(text, '...', ''))
+                                        AS DOUBLE) / 3) AS BIGINT))
+                     / len(toks)
+                ELSE 0.0 END AS symbol_ratio
+    FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= {min_mean_word_len}
+        AND mean_word_len <= {max_mean_word_len}
+        AND alpha_word_frac >= {min_alpha_word_frac}
+        AND symbol_ratio <= {max_symbol_ratio}) AS pass_gopher
+FROM m"""
+
+
+def cohort_retention_sql(epoch: str = "2024-01-01") -> str:
+    # integer 7-day buckets from a fixed epoch: exact in both engines,
+    # unlike calendar date_trunc('week') boundary conventions
+    return f"""
+WITH a AS (
+    SELECT DISTINCT user_id,
+           CAST((CAST(ts AS DATE) - DATE '{epoch}') // 7 AS BIGINT) AS week
+    FROM events
+),
+c AS (
+    SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id
+)
+SELECT c.cohort_week,
+       a.week - c.cohort_week AS week_offset,
+       count(*) AS n_users
+FROM a JOIN c ON a.user_id = c.user_id
+GROUP BY 1, 2"""
+
+
 def containment_pairs_sql(min_containment: float) -> str:
     # int/int division yields DOUBLE identically in both engines (same
     # kernel the Jaccard scored CTE relies on)

@@ -232,3 +232,31 @@ def test_length_histogram_buckets(spark):
     assert got[("web", 1)]["n_docs"] == 1
     assert got[("web", 3)]["min_tokens"] == 8 and got[("web", 3)]["max_tokens"] == 8
     assert got[("books", 3)]["n_docs"] == 1 and got[("books", 3)]["n_tokens"] == 9
+
+
+def test_gopher_quality_flags_rules(spark):
+    from jaccard_mapreduce_spark.operators.text_analysis import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            # healthy english-ish text
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            # number soup: alpha fraction fails
+            (2, "12 34 56 78 90 11 22 33 44 55 66 77"),
+            # symbol-heavy markup: hash ratio fails
+            (3, "## ## ## word word word word word word word word word"),
+            # too short
+            (4, "just three words"),
+            # empty
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert got[1]["pass_gopher"]
+    assert not got[2]["pass_gopher"] and got[2]["alpha_word_frac"] == 0.0
+    assert not got[3]["pass_gopher"] and got[3]["symbol_ratio"] > 0.1
+    assert not got[4]["pass_gopher"] and got[4]["n_words"] == 3
+    assert not got[5]["pass_gopher"] and got[5]["n_words"] == 0
+    # mean word length is exact: doc 1 has 45 letters over 11 words
+    assert abs(got[1]["mean_word_len"] - 45 / 11) < 1e-12
