@@ -381,8 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch-accuracy audit (estimate vs exact per candidate pair)
         "quality_curriculum": lambda s, d: TA.quality_curriculum(_docs(s, d)),
         # new round 4: Gopher-style rule flags (the rule-based tier
-        # complementing the score-based quality gate)
+        # complementing the score-based quality gate) and the unigram
+        # poor-man's-perplexity filter (mean token surprise vs corpus)
         "gopher_quality_flags": lambda s, d: TA.gopher_quality_flags(_docs(s, d)),
+        "unigram_surprise": lambda s, d: TA.unigram_surprise(_docs(s, d)),
         "minhash_error_audit": lambda s, d: D.minhash_error_audit(_docs(s, d)),
         "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
         "dedup_representatives": lambda s, d: D.dedup_representatives(
@@ -440,15 +442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
                 "qvec_csv"
             ),
-        ),
-        # --- Multimodal (binary columns through Arrow/mapInPandas) ---
-        # frame bytes hex-encoded in the contract projection only: binary
-        # values round-trip through pandas as bytearray vs DuckDB bytes,
-        # an encoding mismatch in the driver's value hash; hex is exact
-        "media_frames": _shipped(
-            lambda s, d: MM.sample_frames(
-                MM.attach_fake_media(_docs(s, d)), frame_size=16, every_n=2
-            ).select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
         ),
         # --- Structured Streaming (run to completion, memory sink) ---
         "stream_windowed_hourly": _q_stream_windowed_hourly,
@@ -579,6 +572,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_events": _q_stream_dedup,
         "stream_interval_join": _q_stream_interval_join,
         "synthetic_stream_stats": _shipped(_q_synthetic_stream_stats),
+        # frame bytes hex-encoded in the contract projection only: binary
+        # values round-trip through pandas as bytearray vs DuckDB bytes,
+        # an encoding mismatch in the driver's value hash; hex is exact
+        "media_frames": _shipped(
+            lambda s, d: MM.sample_frames(
+                MM.attach_fake_media(_docs(s, d)), frame_size=16, every_n=2
+            ).select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+        ),
         "events_interval_join": lambda s, d: R.interval_join_events(_t(s, d, "events")),
         "lineitem_quantiles": lambda s, d: R.lineitem_quantiles(_t(s, d, "lineitem")),
         "customer_trailing_spend": lambda s, d: R.customer_trailing_spend(_t(s, d, "orders")),
@@ -707,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": oracles.containment_pairs_sql(0.8),
         "source_overlap_matrix": oracles.source_overlap_matrix_sql(0.7),
         "gopher_quality_flags": oracles.gopher_quality_flags_sql(),
+        "unigram_surprise": oracles.unigram_surprise_sql(),
         "cohort_retention": oracles.cohort_retention_sql(),
         "boilerplate_span_stats": oracles.boilerplate_span_stats_sql(5),
         "simhash": oracles.simhash_sql(),

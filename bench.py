@@ -111,6 +111,7 @@ def main() -> None:
         "source_overlap_matrix",
         "gopher_quality_flags",
         "cohort_retention",
+        "unigram_surprise",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

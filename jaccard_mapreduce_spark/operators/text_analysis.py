@@ -856,3 +856,75 @@ def gopher_quality_flags(
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
         & (F.col("symbol_ratio") <= max_symbol_ratio),
     )
+
+
+def unigram_surprise(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram surprise —
+    ``(doc_id, n_tokens, surprise)`` with
+    ``surprise = -(Σ_t tf_t · ln p(t)) / n_tokens`` and
+    ``p(t) = corpus_count(t) / total_tokens``.
+
+    The poor-man's perplexity filter (the CCNet recipe with a unigram
+    LM instead of a trained KenLM): documents whose token mix is far
+    from the corpus distribution — gibberish, foreign-language
+    leakage, machine noise — score high; boilerplate scores low.
+
+    Engine-exact despite the floats: counts are integers, ``ln`` runs
+    through libm on the VOCABULARY relation only (the tfidf
+    precedent — JVM's ``Math.log`` differs from libm by 1 ulp on some
+    inputs), and the per-doc sum folds SEQUENTIALLY over the
+    token-sorted (token, tf·ln p) list — ``F.aggregate`` here,
+    ``list_reduce`` in the oracle — so the accumulation order is
+    pinned in both engines. The fold list is one entry per DISTINCT
+    token of one document (small by construction); the vocabulary
+    joins broadcast; the token stream shuffles once for the tf
+    aggregate.
+    """
+    import math
+
+    _ln_libm = F.pandas_udf(lambda v: v.map(math.log), "double")
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp_rel = (
+        vocab.crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            _ln_libm(F.col("cnt").cast("double") / F.col("total").cast("double")),
+        )
+        .select("token", "lp")
+    )
+    per_doc = (
+        tf.join(F.broadcast(lp_rel), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("token", (F.col("tf") * F.col("lp")).alias("v")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["v"],
+            ).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (-F.col("_s") / F.col("n_tokens")).alias("surprise"),
+        )
+    )
+    # empty docs (no tokens) still get a row, surprise 0
+    ids = documents.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("surprise", F.lit(0.0)).alias("surprise"),
+    )

@@ -714,6 +714,43 @@ SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
 FROM m"""
 
 
+def unigram_surprise_sql() -> str:
+    # ln through libm (DuckDB links the C library — matches CPython's
+    # math.log bit-for-bit, the tfidf precedent); the per-doc sum folds
+    # sequentially over the token-ordered list via list_reduce, pinning
+    # the accumulation order to Spark's F.aggregate fold. list_reduce
+    # seeds with the first element ((v1+v2)+...), Spark with 0.0+v1 —
+    # identical IEEE sequences since 0.0+v1 == v1 exactly.
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({TOKS_EXPR}) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+vocab AS (
+    SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+),
+lp AS (
+    SELECT token,
+           ln(CAST(cnt AS DOUBLE)
+              / CAST((SELECT sum(cnt) FROM vocab) AS DOUBLE)) AS lp
+    FROM vocab
+),
+per AS (
+    SELECT t.doc_id,
+           CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+           list_reduce(list(CAST(t.tf AS DOUBLE) * l.lp ORDER BY t.token),
+                       (a, b) -> a + b) AS s
+    FROM tf t JOIN lp l ON t.token = l.token
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(-(p.s) / p.n_tokens, 0.0) AS surprise
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+
+
 def cohort_retention_sql(epoch: str = "2024-01-01") -> str:
     # integer 7-day buckets from a fixed epoch: exact in both engines,
     # unlike calendar date_trunc('week') boundary conventions

@@ -260,3 +260,29 @@ def test_gopher_quality_flags_rules(spark):
     assert not got[5]["pass_gopher"] and got[5]["n_words"] == 0
     # mean word length is exact: doc 1 has 45 letters over 11 words
     assert abs(got[1]["mean_word_len"] - 45 / 11) < 1e-12
+
+
+def test_unigram_surprise_orders_outliers_above_typical(spark):
+    from jaccard_mapreduce_spark.operators.text_analysis import unigram_surprise
+
+    # docs 1-3 share a common vocabulary; doc 4 is all rare tokens and
+    # must score strictly higher mean surprise; doc 5 is empty
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "the cat and the dog sat"),
+            (4, "zyx wvu tsr qpo nml kji"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in unigram_surprise(docs).collect()}
+    assert got[5]["n_tokens"] == 0 and got[5]["surprise"] == 0.0
+    typical = max(got[d]["surprise"] for d in (1, 2, 3))
+    assert got[4]["surprise"] > typical
+    # sanity: mean surprise is bounded by ln(total_tokens)
+    import math
+    total = sum(got[d]["n_tokens"] for d in (1, 2, 3, 4, 5))
+    for d in (1, 2, 3, 4):
+        assert 0.0 < got[d]["surprise"] <= math.log(total) + 1e-9
