@@ -427,6 +427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from the projection (pairwise vs sequential float accumulation
         # differ in the last ulp) but the resulting ranking must match
         # the exact SQL cosine ordering, neighbor-id tie-break included
+        # new round 4: LSH recall audited against the exact kernel —
+        # integer per-query counts, the audit-tier twin of
+        # minhash_error_audit
+        "ann_recall_audit": lambda s, d: S.ann_recall_audit(_emb(s, d)),
         "ann_fast_ranks": _shipped(
             lambda s, d: S.cosine_topk_fast(_emb(s, d), k=10).select(
                 "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
@@ -448,8 +452,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round 4: foreachBatch versioned-snapshot upsert — the
         # exactly-once CDC file sink, graded vs the batch latest-event SQL
         "stream_upsert_snapshot": _q_stream_upsert_snapshot,
-        "stream_user_counts": _shipped(_q_stream_user_counts),
-        "stream_sessions": _q_stream_sessions,
         "stream_incremental_jaccard": _q_stream_incremental_jaccard,
         "stream_latest_event": _shipped(_q_stream_latest_event),
         # custom Python DataSource — golden-valued oracle (generation is
@@ -462,8 +464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "events_sessionize": lambda s, d: R.events_sessionize(_t(s, d, "events")),
         # new round 4: weekly cohort-retention triangle (integer 7-day
-        # buckets from a fixed epoch — engine-exact week arithmetic)
+        # buckets from a fixed epoch — engine-exact week arithmetic) and
+        # the lag-window churn shape (inter-order gap stats)
         "cohort_retention": lambda s, d: R.cohort_retention(_t(s, d, "events")),
+        "customer_order_gaps": lambda s, d: R.customer_order_gaps(_t(s, d, "orders")),
         # --- Relational tier 3 (rotated/new into the round-4 window) ---
         "q10_returned_revenue": lambda s, d: R.q10_returned_revenue(
             _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
@@ -571,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hopping": _q_stream_hopping,
         "stream_dedup_events": _q_stream_dedup,
         "stream_interval_join": _q_stream_interval_join,
+        "stream_user_counts": _shipped(_q_stream_user_counts),
+        "stream_sessions": _q_stream_sessions,
         "synthetic_stream_stats": _shipped(_q_synthetic_stream_stats),
         # frame bytes hex-encoded in the contract projection only: binary
         # values round-trip through pandas as bytearray vs DuckDB bytes,
@@ -709,6 +715,10 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": oracles.source_overlap_matrix_sql(0.7),
         "gopher_quality_flags": oracles.gopher_quality_flags_sql(),
         "unigram_surprise": oracles.unigram_surprise_sql(),
+        "ann_recall_audit": oracles.ann_recall_audit_sql(
+            10, S.lsh_planes(64, n_planes=6)
+        ),
+        "customer_order_gaps": oracles.customer_order_gaps_sql(),
         "cohort_retention": oracles.cohort_retention_sql(),
         "boilerplate_span_stats": oracles.boilerplate_span_stats_sql(5),
         "simhash": oracles.simhash_sql(),

@@ -112,6 +112,8 @@ def main() -> None:
         "gopher_quality_flags",
         "cohort_retention",
         "unigram_surprise",
+        "ann_recall_audit",
+        "customer_order_gaps",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

@@ -1553,3 +1553,37 @@ def cohort_retention(events: DataFrame, epoch: str = "2024-01-01") -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def customer_order_gaps(orders: DataFrame) -> DataFrame:
+    """Inter-order gap statistics per customer —
+    ``(o_custkey, n_orders, min_gap_days, max_gap_days, avg_gap_days)``
+    over the day gaps between CONSECUTIVE orders (lag window; order-date
+    ties broken by order key so the sequence is deterministic).
+    Customers with a single order report zero gaps and NULL min/max/avg.
+
+    The churn-risk shape: one window pass partitioned by the
+    high-cardinality customer key (no skew), then a per-customer
+    aggregate that piggybacks the same exchange. Gaps are exact integer
+    day arithmetic; the average divides two exact integers.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w),
+    ).cast("long")
+    return (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("gap", gap)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("gap").alias("min_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+            (
+                F.sum("gap").cast("double") / F.count("gap")
+            ).alias("avg_gap_days"),
+        )
+    )

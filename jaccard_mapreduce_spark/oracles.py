@@ -751,6 +751,26 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
 
 
+def customer_order_gaps_sql() -> str:
+    # exact integer day gaps (DATE - DATE); ties on order date broken by
+    # order key so the lag sequence is deterministic in both engines
+    return """
+WITH g AS (
+    SELECT o_custkey,
+           CAST(CAST(o_orderdate AS DATE)
+                - lag(CAST(o_orderdate AS DATE)) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS gap
+    FROM orders
+)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       min(gap) AS min_gap_days,
+       max(gap) AS max_gap_days,
+       CAST(sum(gap) AS DOUBLE) / count(gap) AS avg_gap_days
+FROM g GROUP BY 1"""
+
+
 def cohort_retention_sql(epoch: str = "2024-01-01") -> str:
     # integer 7-day buckets from a fixed epoch: exact in both engines,
     # unlike calendar date_trunc('week') boundary conventions
@@ -1131,6 +1151,61 @@ scored AS (
 )""",
         k,
     )
+
+
+def ann_recall_audit_sql(k: int, planes: list[list[float]]) -> str:
+    # exact and LSH top-k as CTEs (same kernels as their own oracles),
+    # reduced to integer per-query recall counts — engine-exact
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(vec, {_plane_literal(p)}) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""WITH {_VEC_CTES.strip()},
+ex_scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
+    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+ex AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM ex_scored
+    ) WHERE rank <= {k}
+),
+sig AS (
+    SELECT vec_id, vec, norm2, ({bits}) AS bucket FROM n
+),
+ap_scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
+    FROM sig a JOIN sig b
+      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ap AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM ap_scored
+    ) WHERE rank <= {k}
+),
+exc AS (SELECT query_id, count(*) AS c FROM ex GROUP BY 1),
+apc AS (SELECT query_id, count(*) AS c FROM ap GROUP BY 1),
+hit AS (
+    SELECT e.query_id, count(*) AS c
+    FROM ex e JOIN ap a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY 1
+)
+SELECT v.vec_id AS query_id,
+       CAST(COALESCE(exc.c, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(apc.c, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(hit.c, 0) AS BIGINT) AS n_hits
+FROM v
+LEFT JOIN exc ON v.vec_id = exc.query_id
+LEFT JOIN apc ON v.vec_id = apc.query_id
+LEFT JOIN hit ON v.vec_id = hit.query_id"""
 
 
 def embedding_duplicates_sql(min_cosine: float) -> str:

@@ -164,3 +164,19 @@ def test_semantic_dedup_matches_bruteforce_within_cluster(spark):
             for b in clusters
         )
         assert r["keep"] == (not dup), vid
+
+
+def test_ann_recall_audit_consistency(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = S.ann_recall_audit(emb, k=5).collect()
+    n = emb.count()
+    assert len(rows) == n
+    for r in rows:
+        # hits can never exceed either side; exact side always fills k
+        # (n-1 >= k here)
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= min(r["n_exact"], r["n_approx"])
+        assert r["n_approx"] <= 5
+    # with the full signature as one bucket, recall is partial but the
+    # audit must find at least SOME agreement on a clustered corpus
+    assert sum(r["n_hits"] for r in rows) > 0
