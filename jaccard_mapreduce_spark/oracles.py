@@ -1153,9 +1153,13 @@ scored AS (
     )
 
 
-def ann_recall_audit_sql(k: int, planes: list[list[float]]) -> str:
+def ann_recall_audit_sql(
+    k: int, planes: list[list[float]], sample_mod: int = 10
+) -> str:
     # exact and LSH top-k as CTEs (same kernels as their own oracles),
-    # reduced to integer per-query recall counts — engine-exact
+    # reduced to integer per-query recall counts — engine-exact; the
+    # query side is the deterministic every-sample_mod-th-id sample,
+    # ranked against the full index (mirrors the Spark operator)
     bits = " || ".join(
         f"(CASE WHEN list_dot_product(vec, {_plane_literal(p)}) >= 0 "
         "THEN '1' ELSE '0' END)"
@@ -1172,7 +1176,7 @@ ex AS (
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY score DESC, neighbor_id) AS rank
         FROM ex_scored
-    ) WHERE rank <= {k}
+    ) WHERE rank <= {k} AND query_id % {sample_mod} = 0
 ),
 sig AS (
     SELECT vec_id, vec, norm2, ({bits}) AS bucket FROM n
@@ -1188,7 +1192,7 @@ ap AS (
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY score DESC, neighbor_id) AS rank
         FROM ap_scored
-    ) WHERE rank <= {k}
+    ) WHERE rank <= {k} AND query_id % {sample_mod} = 0
 ),
 exc AS (SELECT query_id, count(*) AS c FROM ex GROUP BY 1),
 apc AS (SELECT query_id, count(*) AS c FROM ap GROUP BY 1),
@@ -1205,7 +1209,8 @@ SELECT v.vec_id AS query_id,
 FROM v
 LEFT JOIN exc ON v.vec_id = exc.query_id
 LEFT JOIN apc ON v.vec_id = apc.query_id
-LEFT JOIN hit ON v.vec_id = hit.query_id"""
+LEFT JOIN hit ON v.vec_id = hit.query_id
+WHERE v.vec_id % {sample_mod} = 0"""
 
 
 def embedding_duplicates_sql(min_cosine: float) -> str:
