@@ -406,8 +406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
         ),
         # new round 4: integer-exact damped PageRank over the LSH-verified
-        # near-dup graph — template/boilerplate concentration score
+        # near-dup graph — template/boilerplate concentration score —
+        # plus the cluster-size histogram (the dedup health check)
         "pagerank_centrality": lambda s, d: D.pagerank_centrality(_docs(s, d)),
+        "dedup_cluster_sizes": lambda s, d: D.dedup_cluster_sizes(_docs(s, d)),
         # new round 4: asymmetric containment (near-supersets symmetric
         # Jaccard misses) and cross-doc boilerplate n-gram coverage
         "containment_pairs": lambda s, d: D.containment_pairs(_docs(s, d)),
@@ -453,7 +455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactly-once CDC file sink, graded vs the batch latest-event SQL
         "stream_upsert_snapshot": _q_stream_upsert_snapshot,
         "stream_incremental_jaccard": _q_stream_incremental_jaccard,
-        "stream_latest_event": _shipped(_q_stream_latest_event),
         # custom Python DataSource — golden-valued oracle (generation is
         # (seed, doc_id)-pure, so the aggregate is a pinned constant);
         # batch reader + multi-micro-batch streaming replay reader
@@ -577,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         "stream_user_counts": _shipped(_q_stream_user_counts),
         "stream_sessions": _q_stream_sessions,
+        "stream_latest_event": _shipped(_q_stream_latest_event),
         "synthetic_stream_stats": _shipped(_q_synthetic_stream_stats),
         # frame bytes hex-encoded in the contract projection only: binary
         # values round-trip through pandas as bytearray vs DuckDB bytes,
@@ -711,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": oracles.minhash_signatures_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_dedup_sql(0.7),
         "pagerank_centrality": oracles.pagerank_centrality_sql(0.7),
+        "dedup_cluster_sizes": oracles.dedup_cluster_sizes_sql(0.7),
         "containment_pairs": oracles.containment_pairs_sql(0.8),
         "source_overlap_matrix": oracles.source_overlap_matrix_sql(0.7),
         "gopher_quality_flags": oracles.gopher_quality_flags_sql(),

@@ -114,6 +114,7 @@ def main() -> None:
         "unigram_surprise",
         "ann_recall_audit",
         "customer_order_gaps",
+        "dedup_cluster_sizes",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

@@ -1157,3 +1157,39 @@ def source_overlap_matrix(
     return labeled.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+def dedup_cluster_sizes(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup cluster-size histogram —
+    ``(cluster_size, n_clusters, n_docs)``.
+
+    The one-page dedup health check: size-1 clusters are unique docs,
+    a long tail of large clusters is template contamination, and
+    ``Σ (size-1) · n_clusters`` is exactly how many docs dedup will
+    drop. Two tiny aggregates over the clustering the pipeline already
+    computes — the histogram relation is bounded by the largest cluster
+    size, not the corpus.
+    """
+    clusters = dedup_clusters(
+        documents.select(F.col(id_col).alias("doc_id")),
+        minhash_lsh_dedup(
+            documents, threshold=threshold, id_col=id_col, text_col=text_col
+        ),
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

@@ -1660,6 +1660,29 @@ reach AS (
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"""
 
 
+def dedup_cluster_sizes_sql(
+    threshold: float = 0.7,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    # histogram over the same recursive-CTE clustering
+    return f"""{dedup_clusters_sql(threshold, k, bands, seed).rstrip()}
+""".replace(
+        "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id",
+        """, labels AS (
+    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+csizes AS (
+    SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1
+)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       cluster_size * count(*) AS n_docs
+FROM csizes GROUP BY cluster_size""",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-2 relational additions: rollup / set ops / quantiles / rolling /
 # range-band join

@@ -336,3 +336,16 @@ def test_source_overlap_matrix_canonical_and_consistent(spark):
     assert all(r["source_a"] <= r["source_b"] and r["n_pairs"] > 0 for r in m)
     # cell totals re-add to the pair relation's size
     assert sum(r["n_pairs"] for r in m) == minhash_lsh_dedup(docs, threshold=0.7).count()
+
+
+def test_dedup_cluster_sizes_accounts_for_every_doc(spark):
+    from jaccard_mapreduce_spark.operators.dedup import dedup_cluster_sizes
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = dedup_cluster_sizes(docs, threshold=0.7).collect()
+    # the histogram partitions the corpus: Σ n_docs = corpus size, and
+    # each row's n_docs is internally consistent
+    assert sum(r["n_docs"] for r in hist) == docs.count()
+    for r in hist:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["cluster_size"] >= 1 and r["n_clusters"] >= 1
