@@ -989,6 +989,21 @@ def pagerank_centrality(
     pairs = minhash_lsh_dedup(
         documents, threshold=threshold, id_col=id_col, text_col=text_col
     ).select("doc_a", "doc_b")
+    nodes = documents.select(F.col(id_col).alias("doc_id"))
+    return pagerank_iterate(nodes, pairs, iters=iters, scale=scale)
+
+
+def pagerank_iterate(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The integer damped-update loop over an explicit undirected pair
+    relation ``(doc_a, doc_b)`` — the composable core of
+    :func:`pagerank_centrality` (property-tested directly against a
+    from-scratch Python reference, so any pair source — LSH, SimHash,
+    containment — can feed it)."""
     edges = _pin(
         pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
             pairs.selectExpr("doc_b AS src", "doc_a AS dst")
@@ -997,7 +1012,6 @@ def pagerank_centrality(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_d = _pin(edges.join(deg, "src"))
 
-    nodes = documents.select(F.col(id_col).alias("doc_id"))
     ranks = nodes.select("doc_id", F.lit(scale).cast("long").alias("rank"))
     # Short chains stay LAZY: the whole unrolled tree executes in one
     # pass, re-reading only the pinned edge relation per round —

@@ -269,3 +269,118 @@ def test_q17_decorrelation_matches_bruteforce(spark, data):
     for b, (ay, n) in expected.items():
         assert got[b][1] == n
         assert got[b][0] == pytest.approx(ay, rel=1e-9)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, width=32), min_size=4, max_size=4
+        ),
+        min_size=3,
+        max_size=12,
+    ),
+    k=st.integers(2, 3),
+)
+def test_kmeans_int8_matches_python_lloyd(spark, vecs, k):
+    """kmeans_int8 against a from-scratch Python integer-Lloyd: identical
+    quantization, seeding, argmin tie-break and floored-mean update."""
+    import math
+
+    from jaccard_mapreduce_spark.operators.similarity import kmeans_int8
+
+    def quant(v):
+        mn, mx = min(v), max(v)
+        if mx - mn <= 0:
+            return [-128] * len(v)
+        return [int(math.floor((x - mn) / (mx - mn) * 255.0 + 0.5)) - 128 for x in v]
+
+    q = {i: quant([float(x) for x in v]) for i, v in enumerate(vecs)}
+    cents = {c: list(q[i]) for c, i in enumerate(sorted(q)[:k])}
+
+    def assign(cents):
+        out = {}
+        for i, v in q.items():
+            best = min(
+                cents,
+                key=lambda c: (sum((a - b) ** 2 for a, b in zip(v, cents[c])), c),
+            )
+            out[i] = (best, sum((a - b) ** 2 for a, b in zip(v, cents[best])))
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        groups: dict[int, list] = {}
+        for i, (c, _d) in a.items():
+            groups.setdefault(c, []).append(q[i])
+        cents = {
+            c: [
+                int(math.floor(sum(col) / len(vs)))
+                for col in zip(*vs)
+            ]
+            for c, vs in groups.items()
+        }
+    expected = assign(cents)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    ).selectExpr("vec_id", "transform(embedding, x -> CAST(x AS FLOAT)) AS embedding")
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_int8(df, k=k, iters=2, dim=4).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=15,
+    )
+)
+def test_pagerank_update_matches_python_reference(spark, edges):
+    """The integer damped update against a from-scratch Python fold over
+    the same symmetrized edge set, fed directly into the factored
+    iteration core (pair sources - LSH/SimHash/containment - are
+    covered by their own oracles)."""
+    from jaccard_mapreduce_spark.operators.dedup import pagerank_iterate
+
+    n = 10
+    canon = {tuple(sorted(e)) for e in edges}
+    adj: dict[int, set[int]] = {i: set() for i in range(n)}
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    scale = 1_000_000
+    rank = {i: scale for i in range(n)}
+    for _ in range(2):
+        contrib = {i: 0 for i in range(n)}
+        for u in range(n):
+            if adj[u]:
+                share = rank[u] // len(adj[u])
+                for v in adj[u]:
+                    contrib[v] += share
+        rank = {i: (15 * scale + 85 * contrib[i]) // 100 for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        sorted(canon) or [], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in pagerank_iterate(nodes, pairs, iters=2).collect()
+    }
+    assert got == rank
