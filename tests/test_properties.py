@@ -384,3 +384,36 @@ def test_pagerank_update_matches_python_reference(spark, edges):
         for r in pagerank_iterate(nodes, pairs, iters=2).collect()
     }
     assert got == rank
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc_text, min_size=2, max_size=8))
+def test_containment_matches_python_sets(spark, texts):
+    from jaccard_mapreduce_spark.operators.dedup import containment_pairs
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    sets = {i: _py_tokenize(t) for i, t in docs}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                ca, cb = inter / len(sets[a]), inter / len(sets[b])
+                if inter >= 1 and (ca >= 0.8 or cb >= 0.8):
+                    expected[(a, b)] = (inter, ca, cb)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["intersection"], r["cont_a"], r["cont_b"])
+        for r in containment_pairs(df, min_containment=0.8).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (inter, ca, cb) in expected.items():
+        gi, gca, gcb = got[k]
+        assert gi == inter
+        assert gca == pytest.approx(ca, abs=1e-12)
+        assert gcb == pytest.approx(cb, abs=1e-12)

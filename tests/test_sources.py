@@ -184,3 +184,22 @@ def test_formats_roundtrip_lossless(spark):
         for c in ("n_key_mismatch", "n_ts_mismatch",
                   "n_value_mismatch", "n_props_mismatch"):
             assert r[c] == 0, (fmt, c)
+
+
+def test_formats_null_vs_empty_string_distinction(spark, tmp_path):
+    # the nullValue sentinel must round-trip null and '' as DIFFERENT
+    # values through CSV (default Spark conf collapses both to null)
+    from pyspark.sql import functions as F
+
+    from jaccard_mapreduce_spark.sources.formats import _text_options
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, None), (4, "with,comma"), (5, '"quoted"')],
+        ["id", "s"],
+    )
+    path = str(tmp_path / "csv")
+    w = df.write.mode("overwrite").format("csv").option("header", "true").option("escape", '"')
+    _text_options(w).save(path)
+    r = spark.read.format("csv").schema(df.schema).option("header", "true").option("escape", '"')
+    back = {row["id"]: row["s"] for row in _text_options(r).load(path).collect()}
+    assert back == {1: "hello", 2: "", 3: None, 4: "with,comma", 5: '"quoted"'}
