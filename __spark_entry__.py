@@ -394,10 +394,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
             ),
         ),
-        "stream_enrich_segments": _q_stream_enrich,
         # flagship composition: quality -> exact dedup -> LSH clusters ->
         # representatives -> global shuffle -> sequence packing
         "prepare_corpus": lambda s, d: P.prepare_corpus(_docs(s, d)),
+        # new round 4: the flagship with the Gopher rule tier composed
+        # in front (rules -> score -> dedup -> pack, the production order)
+        "prepare_corpus_rules": lambda s, d: P.prepare_corpus_rules(_docs(s, d)),
         # --- Deduplication ---
         "dedup_minhash_lsh": lambda s, d: D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
         "dedup_simhash": lambda s, d: D.simhash_duplicates(_tokens(s, d), max_distance=3),
@@ -574,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the graded window in round 4 (green in rounds 2
         # AND 3, unchanged since, pytest-parity-covered)
         "stream_hopping": _q_stream_hopping,
+        "stream_enrich_segments": _q_stream_enrich,
         "stream_dedup_events": _q_stream_dedup,
         "stream_interval_join": _q_stream_interval_join,
         "stream_user_counts": _shipped(_q_stream_user_counts),
@@ -781,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_representatives": oracles.dedup_representatives_sql(0.7),
         "stream_enrich_segments": oracles.stream_enrich_segments_sql(),
         "prepare_corpus": oracles.prepare_corpus_sql(),
+        "prepare_corpus_rules": oracles.prepare_corpus_rules_sql(),
         "repetition_stats": oracles.repetition_stats_sql(),
         "pii_scrub": oracles.pii_scrub_sql(TA.PII_EMAIL_RE, TA.PII_PHONE_RE),
         "pack_sequences": oracles.pack_sequences_sql(2048, 16, "pack-v1"),

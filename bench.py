@@ -115,6 +115,7 @@ def main() -> None:
         "ann_recall_audit",
         "customer_order_gaps",
         "dedup_cluster_sizes",
+        "prepare_corpus_rules",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

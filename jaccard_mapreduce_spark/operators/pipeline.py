@@ -86,3 +86,37 @@ def prepare_corpus(
         kept3, max_len=max_len, n_shards=n_shards, salt=pack_salt
     )
     return pk.join(sh.select("doc_id", "shuffle_pos"), "doc_id")
+
+
+def prepare_corpus_rules(
+    documents: DataFrame,
+    min_words: int = 25,
+    max_symbol_ratio: float = 0.1,
+    **prepare_kwargs,
+) -> DataFrame:
+    """The flagship pipeline with the round-4 RULE tier as a pre-gate:
+
+        Gopher rule flags  →  (everything :func:`prepare_corpus` runs)
+
+    Rule-based filtering runs FIRST in production pipelines — it is the
+    cheapest stage (pure projections) and the score-based gate,
+    dedup and packing then never touch rule-rejected docs at all. The
+    pre-gate is the same join-back-the-keep-list form as the
+    exact-dedup stage; ``min_words=25`` is deliberately stricter than
+    the Gopher default so the gate demonstrably bites on the test
+    corpus (drops ~15% of docs at sf0.01) while the downstream
+    pipeline still has a meaningful survivor set to verify.
+    """
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    keep = (
+        gopher_quality_flags(
+            documents, min_words=min_words, max_symbol_ratio=max_symbol_ratio
+        )
+        .where(F.col("pass_gopher"))
+        .select("doc_id")
+    )
+    kept0 = documents.join(keep, "doc_id")
+    return prepare_corpus(kept0, **prepare_kwargs)

@@ -2183,6 +2183,26 @@ SELECT pk.doc_id, pk.shard, pk.n_tokens, pk.start_offset, pk.pack_id,
 FROM pk JOIN sh ON pk.doc_id = sh.doc_id"""
 
 
+def prepare_corpus_rules_sql(
+    min_words: int = 25,
+    max_symbol_ratio: float = 0.1,
+    **prepare_kwargs,
+) -> str:
+    """The flagship oracle with the Gopher rule gate composed in front:
+    the entire prepare_corpus chain is retargeted at the rule
+    survivors (mirrors operators/pipeline.py::prepare_corpus_rules)."""
+    g = gopher_quality_flags_sql(
+        min_words=min_words, max_symbol_ratio=max_symbol_ratio
+    )
+    pc = _retarget(prepare_corpus_sql(**prepare_kwargs), "kept0").strip()
+    assert pc.startswith("WITH ")
+    return f"""WITH kept0 AS (
+    SELECT d.* FROM documents d
+    JOIN ({g}) g ON d.doc_id = g.doc_id AND g.pass_gopher
+),
+{pc[len("WITH "):]}"""
+
+
 def quantize_embeddings_sql() -> str:
     # identical IEEE double arithmetic: float32 widens exactly to double
     # in both engines; floor(x + 0.5) sidesteps round() tie differences.

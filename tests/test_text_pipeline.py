@@ -286,3 +286,36 @@ def test_unigram_surprise_orders_outliers_above_typical(spark):
     total = sum(got[d]["n_tokens"] for d in (1, 2, 3, 4, 5))
     for d in (1, 2, 3, 4):
         assert 0.0 < got[d]["surprise"] <= math.log(total) + 1e-9
+
+
+def test_prepare_corpus_rules_gates_before_pipeline(spark):
+    from jaccard_mapreduce_spark.operators.pipeline import (
+        prepare_corpus,
+        prepare_corpus_rules,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing in the trees"
+    )
+    short = "only nine words here not enough for the gate"
+    rows = [
+        (1, prose, len(prose)),
+        (2, short, len(short)),     # fails min_words=25 rule gate
+        (3, prose.replace("fox", "hare").replace("dog", "wolf")
+             .replace("cat", "owl").replace("birds", "crickets")
+             .replace("trees", "reeds").replace("windowsill", "porch"),
+         len(prose)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    # the fixture prose is 24 words: gate at 15 keeps it, drops the
+    # 9-word doc
+    with_rules = sorted(
+        r["doc_id"] for r in prepare_corpus_rules(df, min_words=15).collect()
+    )
+    without = sorted(r["doc_id"] for r in prepare_corpus(df).collect())
+    assert with_rules == [1, 3]
+    # without the rule gate the short doc still dies at the quality
+    # gate's min_tokens=10 -> same survivors here, but the rule variant
+    # must never ADD survivors
+    assert set(with_rules) <= set(without)
