@@ -101,22 +101,19 @@ def prepare_corpus_rules(
     Rule-based filtering runs FIRST in production pipelines — it is the
     cheapest stage (pure projections) and the score-based gate,
     dedup and packing then never touch rule-rejected docs at all. The
-    pre-gate is the same join-back-the-keep-list form as the
-    exact-dedup stage; ``min_words=25`` is deliberately stricter than
+    pre-gate is an in-place filter expression (the ``quality_keep``
+    convention — the rules are pure projections, so no flag relation
+    to join back); ``min_words=25`` is deliberately stricter than
     the Gopher default so the gate demonstrably bites on the test
     corpus (drops ~15% of docs at sf0.01) while the downstream
     pipeline still has a meaningful survivor set to verify.
     """
-    from jaccard_mapreduce_spark.operators.text_analysis import (
-        gopher_quality_flags,
-    )
+    from jaccard_mapreduce_spark.operators.text_analysis import gopher_keep
 
-    keep = (
-        gopher_quality_flags(
-            documents, min_words=min_words, max_symbol_ratio=max_symbol_ratio
-        )
-        .where(F.col("pass_gopher"))
-        .select("doc_id")
+    # in-place filter (the quality_keep convention): the rules are pure
+    # projections, so gating costs one scan — the flag-projection +
+    # join-back form measured +2.4 s at sf0.1 for zero semantic gain
+    kept0 = documents.where(
+        gopher_keep(min_words=min_words, max_symbol_ratio=max_symbol_ratio)
     )
-    kept0 = documents.join(keep, "doc_id")
     return prepare_corpus(kept0, **prepare_kwargs)

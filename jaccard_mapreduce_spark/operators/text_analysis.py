@@ -928,3 +928,49 @@ def unigram_surprise(
         F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         F.coalesce("surprise", F.lit(0.0)).alias("surprise"),
     )
+
+
+def gopher_keep(
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    text_col: str = "text",
+):
+    """Filter-EXPRESSION form of the Gopher rule gate (identical
+    arithmetic to :func:`gopher_quality_flags`): lets a pipeline filter
+    the document relation in place — one scan, no flag projection +
+    join back (the ``quality_keep`` convention)."""
+    toks = tokenize(text_col)
+    n_words = F.size(toks).cast("long")
+    len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    hash_count = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#")))
+    ).cast("long")
+    ellipsis_count = (
+        (
+            F.length(text_col)
+            - F.length(F.replace(F.col(text_col), F.lit("...")))
+        )
+        / F.lit(3)
+    ).cast("long")
+    mean_word_len = F.when(n_words > 0, len_sum / n_words).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0, (hash_count + ellipsis_count) / n_words
+    ).otherwise(F.lit(0.0))
+    return (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (symbol_ratio <= max_symbol_ratio)
+    )
