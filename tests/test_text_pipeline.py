@@ -319,3 +319,27 @@ def test_prepare_corpus_rules_gates_before_pipeline(spark):
     # gate's min_tokens=10 -> same survivors here, but the rule variant
     # must never ADD survivors
     assert set(with_rules) <= set(without)
+
+
+def test_gopher_keep_matches_flags_column(spark):
+    # the filter-expression twin must agree with the scored relation on
+    # every document (drift guard, same contract as quality_keep)
+    from pyspark.sql import functions as F
+
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        gopher_keep,
+        gopher_quality_flags,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    via_expr = {
+        r["doc_id"]
+        for r in docs.where(gopher_keep(min_words=25)).select("doc_id").collect()
+    }
+    via_flags = {
+        r["doc_id"]
+        for r in gopher_quality_flags(docs, min_words=25)
+        .where(F.col("pass_gopher"))
+        .collect()
+    }
+    assert via_expr == via_flags and via_expr
