@@ -417,3 +417,36 @@ def test_containment_matches_python_sets(spark, texts):
         assert gi == inter
         assert gca == pytest.approx(ca, abs=1e-12)
         assert gcb == pytest.approx(cb, abs=1e-12)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8), n=st.integers(2, 3))
+def test_boilerplate_spans_match_python_sets(spark, texts, n):
+    from jaccard_mapreduce_spark.operators.dedup import boilerplate_span_stats
+
+    def py_shingles(text: str) -> set[str]:
+        cleaned = _TOKEN_RE.sub(" ", text.lower())
+        toks = [t for t in cleaned.split() if t]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    grams = {i: py_shingles(t) for i, t in docs}
+    df_count: dict[str, int] = {}
+    for g in grams.values():
+        for s in g:
+            df_count[s] = df_count.get(s, 0) + 1
+    expected = {
+        i: (len(g), sum(1 for s in g if df_count[s] > 1))
+        for i, g in grams.items()
+    }
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared_grams"])
+        for r in boilerplate_span_stats(df, n=n).collect()
+    }
+    assert got == expected
