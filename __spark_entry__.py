@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer per-query counts, the audit-tier twin of
         # minhash_error_audit
         "ann_recall_audit": lambda s, d: S.ann_recall_audit(_emb(s, d)),
+        "ivf_recall_audit": lambda s, d: S.ivf_recall_audit(_emb(s, d)),
         "ann_fast_ranks": _shipped(
             lambda s, d: S.cosine_topk_fast(_emb(s, d), k=10).select(
                 "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
@@ -452,7 +453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         # --- Structured Streaming (run to completion, memory sink) ---
-        "stream_windowed_hourly": _q_stream_windowed_hourly,
         # new round 4: foreachBatch versioned-snapshot upsert — the
         # exactly-once CDC file sink, graded vs the batch latest-event SQL
         "stream_upsert_snapshot": _q_stream_upsert_snapshot,
@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the graded window in round 4 (green in rounds 2
         # AND 3, unchanged since, pytest-parity-covered)
         "stream_hopping": _q_stream_hopping,
+        "stream_windowed_hourly": _q_stream_windowed_hourly,
         "stream_enrich_segments": _q_stream_enrich,
         "stream_dedup_events": _q_stream_dedup,
         "stream_interval_join": _q_stream_interval_join,
@@ -723,6 +724,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprise": oracles.unigram_surprise_sql(),
         "ann_recall_audit": oracles.ann_recall_audit_sql(
             10, S.lsh_planes(64, n_planes=6)
+        ),
+        "ivf_recall_audit": oracles.ivf_recall_audit_sql(
+            10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
         ),
         "customer_order_gaps": oracles.customer_order_gaps_sql(),
         "cohort_retention": oracles.cohort_retention_sql(),

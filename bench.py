@@ -116,6 +116,7 @@ def main() -> None:
         "customer_order_gaps",
         "dedup_cluster_sizes",
         "prepare_corpus_rules",
+        "ivf_recall_audit",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

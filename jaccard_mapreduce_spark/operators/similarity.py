@@ -617,3 +617,55 @@ def ann_recall_audit(
             F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
         )
     )
+
+
+def ivf_recall_audit(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_cells: int = DEFAULT_IVF_CELLS,
+    n_probe: int = DEFAULT_IVF_PROBE,
+    sample_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF twin of :func:`ann_recall_audit` —
+    ``(query_id, n_exact, n_approx, n_hits)`` for the coarse-cell tier,
+    same sampled-queries/full-index discipline. Together the two audits
+    cover both approximate tiers: tune ``n_probe`` (IVF) or the hash
+    width (LSH) from MEASURED recall on a sample, never from the
+    geometry alone."""
+    is_sampled = (F.col("query_id") % sample_mod == 0)
+    exact = (
+        cosine_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+        .where(is_sampled)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        ann_ivf_topk(
+            embeddings, k=k, n_cells=n_cells, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .where(is_sampled)
+        .select("query_id", "neighbor_id")
+    )
+    ex_c = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    ap_c = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = (
+        embeddings.select(F.col(id_col).alias("query_id")).where(is_sampled)
+    )
+    return (
+        base.join(ex_c, "query_id", "left")
+        .join(ap_c, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_exact", F.lit(0).cast("long")).alias("n_exact"),
+            F.coalesce("n_approx", F.lit(0).cast("long")).alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        )
+    )

@@ -1213,6 +1213,42 @@ LEFT JOIN hit ON v.vec_id = hit.query_id
 WHERE v.vec_id % {sample_mod} = 0"""
 
 
+def ivf_recall_audit_sql(
+    k: int, n_cells: int, n_probe: int, sample_mod: int = 10
+) -> str:
+    # wrap the two tiers' own oracles as derived tables and reduce to
+    # per-query integer counts (same shape as ann_recall_audit_sql)
+    return f"""
+WITH ex AS (
+    SELECT query_id, neighbor_id FROM ({ann_cosine_topk_sql(k)}) _e
+    WHERE query_id % {sample_mod} = 0
+),
+ap AS (
+    SELECT query_id, neighbor_id
+    FROM ({ann_ivf_topk_sql(k, n_cells, n_probe)}) _a
+    WHERE query_id % {sample_mod} = 0
+),
+base AS (
+    SELECT vec_id FROM embeddings WHERE vec_id % {sample_mod} = 0
+),
+exc AS (SELECT query_id, count(*) AS c FROM ex GROUP BY 1),
+apc AS (SELECT query_id, count(*) AS c FROM ap GROUP BY 1),
+hit AS (
+    SELECT e.query_id, count(*) AS c
+    FROM ex e JOIN ap a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY 1
+)
+SELECT b.vec_id AS query_id,
+       CAST(COALESCE(exc.c, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(apc.c, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(hit.c, 0) AS BIGINT) AS n_hits
+FROM base b
+LEFT JOIN exc ON b.vec_id = exc.query_id
+LEFT JOIN apc ON b.vec_id = apc.query_id
+LEFT JOIN hit ON b.vec_id = hit.query_id"""
+
+
 def embedding_duplicates_sql(min_cosine: float) -> str:
     return f"""WITH {_VEC_CTES.strip()}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COSINE} AS score
