@@ -344,11 +344,46 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """LSH candidates verified with *exact* token Jaccard >= threshold.
 
-    Returns ``(doc_a, doc_b, similarity)``. The verify pass touches ONLY
-    candidate pairs: each doc's token set is collected once (a set is
-    small — it's a document, not a posting list) and candidates are
-    scored with ``array_intersect`` — per-pair O(|set|) work, never the
-    full Σ C(df,2) pair-vote matrix of the all-pairs pipeline.
+    Returns ``(doc_a, doc_b, similarity)``. See
+    :func:`_lsh_scored_pairs` for the candidate-generation and exact
+    verify plan (shared with :func:`containment_pruned`).
+    """
+    scored = _lsh_scored_pairs(
+        documents, k, bands, seed, id_col, text_col,
+        broadcast_max_docs, max_bucket_size,
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("intersection")
+    return (
+        scored.withColumn(
+            "similarity",
+            F.when(union > 0, F.col("intersection") / union).otherwise(F.lit(0.0)),
+        )
+        .where(F.col("similarity") >= threshold)
+        .select("doc_a", "doc_b", "similarity")
+    )
+
+
+def _lsh_scored_pairs(
+    documents: DataFrame,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_docs: int = DEFAULT_BROADCAST_MAX_DOCS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs with exact intersection/size counts —
+    ``(doc_a, doc_b, intersection, size_a, size_b)``; the shared
+    verify kernel behind :func:`minhash_lsh_dedup` (Jaccard
+    projection) and :func:`containment_pruned` (asymmetric
+    projection).
+
+    The verify pass touches ONLY candidate pairs: each doc's token set
+    is collected once (a set is small — it's a document, not a posting
+    list) and candidates are scored with ``array_intersect`` — per-pair
+    O(|set|) work, never the full Σ C(df,2) pair-vote matrix of the
+    all-pairs pipeline.
 
     Below ``broadcast_max_docs`` the per-doc relations (buckets, token
     sets) broadcast — the candidate relation never shuffles; above it
@@ -431,7 +466,7 @@ def minhash_lsh_dedup(
     s_rel, _ = _gated_broadcast(sets, n_docs, broadcast_max_docs)
     sa = s_rel.alias("sa")
     sb = s_rel.alias("sb")
-    scored = (
+    return (
         cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
@@ -442,14 +477,47 @@ def minhash_lsh_dedup(
             F.col("sb.size").alias("size_b"),
         )
     )
-    union = F.col("size_a") + F.col("size_b") - F.col("intersection")
+
+
+def containment_pruned(
+    documents: DataFrame,
+    min_containment: float = 0.8,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_docs: int = DEFAULT_BROADCAST_MAX_DOCS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH-pruned asymmetric containment —
+    ``(doc_a, doc_b, intersection, size_a, size_b, cont_a, cont_b)``
+    over the MinHash-LSH candidate relation instead of all pairs: the
+    scale form of :func:`containment_pairs` (same projection, candidate
+    generation linear in the corpus instead of quadratic).
+
+    Recall caveat, stated honestly: MinHash band collisions are
+    governed by symmetric JACCARD, so a containment pair is found with
+    probability driven by its Jaccard — high-containment pairs of
+    comparable size (truncations, light edits) collide reliably, but an
+    extreme near-superset (tiny doc inside a huge one; containment 1.0,
+    Jaccard → |A|/|B|) can fall below the band threshold and be
+    missed. At matched sizes ``J ≥ c/(2-c)`` (≥ 0.67 at containment
+    0.8), comfortably above the 32-hash/8-band knee; asymmetric-biased
+    candidate generation (size-stratified signatures, containment
+    sketches) is the upgrade path if extreme supersets matter.
+    """
+    scored = _lsh_scored_pairs(
+        documents, k, bands, seed, id_col, text_col,
+        broadcast_max_docs, max_bucket_size,
+    )
     return (
-        scored.withColumn(
-            "similarity",
-            F.when(union > 0, F.col("intersection") / union).otherwise(F.lit(0.0)),
+        scored.withColumn("cont_a", F.col("intersection") / F.col("size_a"))
+        .withColumn("cont_b", F.col("intersection") / F.col("size_b"))
+        .where(
+            (F.col("cont_a") >= min_containment)
+            | (F.col("cont_b") >= min_containment)
         )
-        .where(F.col("similarity") >= threshold)
-        .select("doc_a", "doc_b", "similarity")
     )
 
 
@@ -966,7 +1034,8 @@ def pagerank_centrality(
 
     Edges come from :func:`minhash_lsh_dedup` — the LSH-pruned verified
     pair relation, never all-pairs — symmetrized; isolated documents
-    keep the base rank. The iteration is the standard damped update
+    (contrib 0) converge to the teleport-only rank ``(15·scale) div 100``
+    after the first iteration. The iteration is the standard damped update
     re-expressed in exact integer arithmetic so the chain is
     hash-verifiable across engines (same reproducibility argument as
     :func:`~jaccard_mapreduce_spark.operators.similarity.kmeans_int8` —
@@ -1068,10 +1137,10 @@ def containment_pairs(
     so containment inherits the strategy gate for free (the naive
     token equi-join form measured 90 s at sf0.1 on this corpus's dense
     posting lists; the sketch-gated bitmask path is ~3 s for the
-    identical relation). At corpus scale the LSH tier prunes
-    candidates the same way — thresholding on max(cont) only widens
-    the band-probability bound, since containment >= Jaccard for
-    every pair.
+    identical relation). This exact form is still all-pairs; at corpus
+    scale use :func:`containment_pruned`, which runs the identical
+    projection over the LSH candidate relation (with the
+    Jaccard-governed recall caveat documented there).
     """
     from jaccard_mapreduce_spark.operators.jaccard import jaccard_pairs
 

@@ -357,6 +357,79 @@ def format_output(pairs: DataFrame) -> DataFrame:
     )
 
 
+def jaccard_formatted(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "auto",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """The reference's user-visible artifact as a graded relation —
+    ``(doc_a, doc_b, line, out_pos)`` where ``line`` is the formatted
+    output line (O16–O17, Reducer:105-107 + TextOutputFormat) and
+    ``out_pos`` the row's position in the global (doc_a, doc_b) order
+    (O18 — the single reducer's sorted file, made hash-visible as data).
+
+    ``%.2f`` runs Java's formatter: HALF_UP on the double's shortest
+    decimal repr, so exact ``.xx5`` ties round UP (9/200 → "0.05").
+    The oracle emulates that in integer arithmetic —
+    ``pct = (200·I + U) div (2·U)`` — which equals Java's output for
+    every pair: a tie requires ``200·I ≡ 0 (mod U)``, i.e. the rational
+    is a terminating 3-decimal ``.xx5`` whose shortest double repr is
+    itself; every non-tie rational sits ≥ ``1/(2U)`` from the boundary,
+    astronomically beyond double error for any real document size.
+
+    ``out_pos`` is composed scale-safely (the ``global_shuffle``
+    recipe): in-bucket ``row_number`` over fixed-width doc_a ranges +
+    broadcast cumulative bucket offsets — no data-sized
+    single-partition window. Requires integral ids (the documents
+    table); the string-id text pipeline keeps its single-reducer sort
+    in :func:`run_reference_pipeline`.
+    """
+    id_type = documents.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise NotImplementedError(
+            "jaccard_formatted needs integral doc ids for the bucketed "
+            "global rank; use run_reference_pipeline for string-id corpora"
+        )
+    lo, hi = documents.agg(F.min(id_col), F.max(id_col)).first()
+    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+
+    pairs = jaccard_pairs(documents, id_col, text_col, strategy)
+    # pinned: feeds the bucket-count aggregate AND the ranked join
+    keyed = _pin(
+        format_output(pairs).withColumn(
+            "_bucket", ((F.col("doc_a") - F.lit(int(lo))) / width).cast("long")
+        )
+    )
+    offsets = (
+        keyed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.sum("_n")
+            .over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .cast("long"),
+        )
+        .select("_bucket", F.coalesce("_off", F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("_bucket").orderBy("doc_a", "doc_b")
+    return (
+        keyed.withColumn("_pos", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_bucket")
+        .select(
+            "doc_a",
+            "doc_b",
+            "line",
+            (F.col("_off") + F.col("_pos")).cast("long").alias("out_pos"),
+        )
+    )
+
+
 def run_reference_pipeline(
     spark: SparkSession,
     input_path: str,

@@ -24,7 +24,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-DEFAULT_PLANES = 16
+DEFAULT_PLANES = 4
+DEFAULT_TABLES = 16
 DEFAULT_SEED = 42
 
 
@@ -32,6 +33,17 @@ def lsh_planes(dim: int, n_planes: int = DEFAULT_PLANES, seed: int = DEFAULT_SEE
     """Deterministic random hyperplanes (Gaussian components)."""
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_tables(
+    dim: int,
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = DEFAULT_SEED,
+) -> list[list[list[float]]]:
+    """Per-table hyperplane sets: table ``t`` draws its planes from
+    ``seed + t`` — deterministic, and reproducible one table at a time."""
+    return [lsh_planes(dim, n_planes, seed + t) for t in range(n_tables)]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -106,33 +118,76 @@ def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 10,
     n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
     seed: int = DEFAULT_SEED,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates share an LSH bucket
-    (same-side-of-every-hyperplane), exact rerank within the bucket.
+    """Approximate cosine top-k: candidates share an LSH bucket in ANY
+    of ``n_tables`` independent hash tables (the classic multi-table
+    construction), exact rerank over the deduplicated candidate set.
 
-    Recall < 1 by design; the bucket equi-join replaces the O(n²) probe.
+    One wide table (many planes) has miss probability ``1-(1-θ/π)^p``
+    per neighbor — round-4's audit measured recall 0.045 at 6 planes
+    and ~0 at 16 on this corpus. ``L`` narrow tables recover it:
+    miss = ``(1-(1-θ/π)^p)^L``, tunable without touching bucket
+    selectivity. Defaults (4 planes × 16 tables) are re-derived from
+    the measured audit: recall 0.87 at sf0.01 vs 0.045 before
+    (SCALE.md round 5).
+
+    Plan shape: the signature relation is ``n_tables`` rows per vector
+    (one explode — planes are literals, signatures pure projections),
+    candidates come from an equi-join on ``(table, bucket)`` followed
+    by a pair ``distinct`` (a pair found in several tables reranks
+    once), and scoring joins the skinny pair relation back to the
+    vector relation by id — every stage a hash shuffle on a real key,
+    no broadcast of data-sized state.
     """
-    planes = lsh_planes(dim, n_planes, seed)
-    v = vectors(embeddings, id_col, vec_col).withColumn(
-        "bucket", lsh_signature(F.col("vec"), planes)
-    )
-    a = v.alias("a")
-    b = v.alias("b")
-    dot = _dot(F.col("a.vec"), F.col("b.vec"))
-    scored = (
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    tables = lsh_tables(dim, n_planes, n_tables, seed)
+    # pinned: feeds the signature explode AND both score join-backs
+    v = _pin(vectors(embeddings, id_col, vec_col))
+    sig = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_signature(F.col("vec"), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.tbl", "s.bucket")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            _cosine(dot, F.col("a.norm2"), F.col("b.norm2")).alias("score"),
+        )
+        .distinct()
+    )
+    va = v.alias("va")
+    vb = v.alias("vb")
+    dot = _dot(F.col("va.vec"), F.col("vb.vec"))
+    scored = (
+        cand.join(va, cand.query_id == F.col("va.vec_id"))
+        .join(vb, cand.neighbor_id == F.col("vb.vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(dot, F.col("va.norm2"), F.col("vb.norm2")).alias("score"),
         )
     )
     return _topk(scored, k)
@@ -250,28 +305,48 @@ def cosine_topk_fast(
 
 
 DEFAULT_IVF_CELLS = 8
-DEFAULT_IVF_PROBE = 2
+DEFAULT_IVF_PROBE = 3
+DEFAULT_IVF_ITERS = 2
 
 
-def ivf_centroids(v: DataFrame, n_cells: int) -> DataFrame:
-    """Deterministic coarse-quantizer codebook: the ``n_cells`` vectors
-    with the smallest ids, numbered in id order.
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    iters: int = DEFAULT_IVF_ITERS,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained coarse-quantizer codebook —
+    ``(cell_id, cvec array<double>, cnorm2)`` — from the integer-exact
+    Lloyd's loop (:func:`kmeans_int8`), so the codebook is
+    deterministic and hash-gradeable like everything downstream.
 
-    Stand-in for an offline-trained k-means codebook — at scale the
-    codebook is always trained out-of-band (on a sample) and broadcast;
-    the engine's job is the cell-assignment + in-cell search plan, which
-    is identical whatever the codebook came from.
+    Round 4 shipped a stand-in codebook (the ``n_cells`` smallest-id
+    vectors); the recall audit measured it at 0.44 — training moves it
+    to ~0.60 at probe 3 (SCALE.md round 5). The k×dim codebook is
+    driver-resident (a few KB, the MLlib loop shape) and enters the
+    plan as a literal local relation; the vector relation never
+    shuffles for it. Centroids are integer centroids of the
+    int8-quantized codes used as double coordinates — cosine cell
+    assignment only needs the direction, and integer-valued doubles
+    dot-product exactly in any accumulation order.
     """
-    w = Window.orderBy("vec_id")
-    return (
-        v.orderBy("vec_id")
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(w) - 1).alias("cell_id"),
-            F.col("vec").alias("cvec"),
-            F.col("norm2").alias("cnorm2"),
-        )
+    spark = embeddings.sparkSession
+    if dim is None:
+        # one-row probe of the (uniform-width) embedding column
+        dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    q = _int8_codes(embeddings, id_col, vec_col)
+    q.persist()
+    try:
+        codebook = _train_codebook(q, n_cells, iters, dim)
+    finally:
+        q.unpersist()
+    cents = spark.createDataFrame(
+        [(cid, [float(x) for x in cvec]) for cid, cvec in codebook],
+        "cell_id bigint, cvec array<double>",
     )
+    return cents.withColumn("cnorm2", _dot(F.col("cvec"), F.col("cvec")))
 
 
 def ivf_assign(v: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
@@ -296,6 +371,8 @@ def ann_ivf_topk(
     k: int = 10,
     n_cells: int = DEFAULT_IVF_CELLS,
     n_probe: int = DEFAULT_IVF_PROBE,
+    iters: int = DEFAULT_IVF_ITERS,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -303,10 +380,15 @@ def ann_ivf_topk(
     cell; each query probes its ``n_probe`` nearest cells and reranks
     exactly within them. Candidate generation is an equi-join on
     ``cell_id`` — linear and shuffle-friendly like the LSH variant, with
-    recall tunable via ``n_probe`` instead of hash width.
+    recall tunable via ``n_probe`` instead of hash width. The codebook
+    is k-means-trained (:func:`ivf_centroids`); defaults re-derived
+    from :func:`ivf_recall_audit` (probe 3: measured 0.60 vs the
+    round-4 stand-in's 0.44).
     """
     v = vectors(embeddings, id_col, vec_col)
-    cents = ivf_centroids(v, n_cells)
+    cents = ivf_centroids(
+        embeddings, n_cells, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
     queries = ivf_assign(v, cents, n_probe).alias("a")
     index = ivf_assign(v, cents, 1).alias("b")
     dot = _dot(F.col("a.vec"), F.col("b.vec"))
@@ -327,21 +409,6 @@ def ann_ivf_topk(
     return _topk(scored, k)
 
 
-def _sq_dist_long(a: Column, b: Column) -> Column:
-    """Exact squared L2 distance between two ``array<long>`` vectors.
-
-    Pure integer arithmetic — a sequential fold of ``(x-y)^2`` — so the
-    result is bit-exact in any engine (no float accumulation order to
-    worry about). With int8-range components and 64 dims the max value
-    is ``64 * 255^2 < 2^23``: no overflow anywhere near long range.
-    """
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def kmeans_int8(
     embeddings: DataFrame,
     k: int = 8,
@@ -360,15 +427,18 @@ def kmeans_int8(
 
     - vectors are the int8 codes from :func:`quantize_embeddings`
       (deterministic per-row projection, no data-dependent state);
-    - distances are exact integer squared-L2 (:func:`_sq_dist_long`);
+    - distances are exact integer squared-L2 — a sequential
+      ``aggregate(zip_with(...))`` fold of ``(x-y)²`` built as one SQL
+      string inside ``with_assignment`` below (the single authoritative
+      distance kernel; with int8-range components and 64 dims the max
+      is ``64·255² < 2²³``, nowhere near long overflow);
     - centroid update is a per-dimension floored mean, computed as
       ``floor(double(sum)/count)`` — sums of ≤ a few million stay exact
       in double, and ``floor`` matches bit-for-bit across engines
       (unlike integer-division operators, whose negative-operand
       semantics differ between engines);
-    - seeding is the ``k`` smallest ids' codes (same convention as
-      :func:`ivf_centroids`), ties on distance break to the lower
-      cluster id.
+    - seeding is the ``k`` smallest ids' codes (deterministic), ties on
+      distance break to the lower cluster id.
 
     Scale shape: the codebook (k × dim longs, a few KB) lives on the
     driver and ships into each pass as literals — each iteration is one
@@ -384,70 +454,88 @@ def kmeans_int8(
     is LLM-pipeline tier — SemDeDup-style clustering,
     arXiv:2303.09540).
     """
-    q = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col).select(
-        "vec_id", F.transform("qvec", lambda x: x.cast("long")).alias("q")
-    )
+    q = _int8_codes(embeddings, id_col, vec_col)
     q.persist()
     try:
-        # The codebook is k×dim longs — a few KB. Iterating lazily would
-        # nest each round's plan inside the next (the final assignment
-        # would recompute every earlier round once per reference:
-        # measured 6.8 s at sf0.1); collecting the codebook per round
-        # keeps every pass a flat projection over the cached codes. This
-        # bounded driver round-trip per iteration is exactly how Spark
-        # MLlib's KMeans iterates, and integer sums make the collect
-        # order irrelevant (exact in any order).
-        cents: list[tuple[int, list[int]]] = [
-            (i, row["q"])
-            for i, row in enumerate(q.orderBy("vec_id").limit(k).collect())
-        ]
-
-        def with_assignment(codebook: list[tuple[int, list[int]]]) -> DataFrame:
-            # dist to every centroid as one literal-array projection;
-            # argmin = array_position of the min (first hit → ties break
-            # to the lower cluster id). No join, no window, no shuffle.
-            # The k×dim literals go through ONE F.expr string — building
-            # the same tree from k×dim F.lit() calls costs ~0.8 s of
-            # py4j round trips per pass (measured).
-            dists_sql = "array(" + ", ".join(
-                "aggregate(zip_with(q, array("
-                + ", ".join(f"{x}L" for x in cvec)
-                + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
-                for _, cvec in codebook
-            ) + ")"
-            cids_sql = "array(" + ", ".join(f"{cid}L" for cid, _ in codebook) + ")"
-            return (
-                q.withColumn("_ds", F.expr(dists_sql))
-                .withColumn("dist", F.array_min("_ds"))
-                .withColumn(
-                    "cluster",
-                    F.expr(
-                        f"element_at({cids_sql}, "
-                        "cast(array_position(_ds, dist) as int))"
-                    ),
-                )
-                .select("vec_id", "q", "cluster", "dist")
-            )
-
-        sums = [F.sum(F.element_at("q", i + 1)).alias(f"_s{i}") for i in range(dim)]
-        for _ in range(iters):
-            rows = (
-                with_assignment(cents)
-                .groupBy("cluster")
-                .agg(*sums, F.count(F.lit(1)).alias("_n"))
-                .collect()
-            )
-            cents = sorted(
-                (
-                    int(r["cluster"]),
-                    [int(math.floor(r[f"_s{i}"] / r["_n"])) for i in range(dim)],
-                )
-                for r in rows
-            )
-
-        return with_assignment(cents).select("vec_id", "cluster", "dist")
+        cents = _train_codebook(q, k, iters, dim)
+        return _codes_assignment(q, cents).select("vec_id", "cluster", "dist")
     finally:
         q.unpersist()
+
+
+def _int8_codes(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """``(vec_id, q array<long>)`` — the int8 codes the integer-exact
+    training loop runs on."""
+    return quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", F.transform("qvec", lambda x: x.cast("long")).alias("q")
+    )
+
+
+def _codes_assignment(
+    q: DataFrame, codebook: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Nearest-centroid assignment ``(vec_id, q, cluster, dist)`` —
+    dist to every centroid as one literal-array projection; argmin =
+    array_position of the min (first hit → ties break to the lower
+    cluster id). No join, no window, no shuffle. The k×dim literals go
+    through ONE F.expr string — building the same tree from k×dim
+    F.lit() calls costs ~0.8 s of py4j round trips per pass (measured).
+    """
+    dists_sql = "array(" + ", ".join(
+        "aggregate(zip_with(q, array("
+        + ", ".join(f"{x}L" for x in cvec)
+        + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+        for _, cvec in codebook
+    ) + ")"
+    cids_sql = "array(" + ", ".join(f"{cid}L" for cid, _ in codebook) + ")"
+    return (
+        q.withColumn("_ds", F.expr(dists_sql))
+        .withColumn("dist", F.array_min("_ds"))
+        .withColumn(
+            "cluster",
+            F.expr(
+                f"element_at({cids_sql}, "
+                "cast(array_position(_ds, dist) as int))"
+            ),
+        )
+        .select("vec_id", "q", "cluster", "dist")
+    )
+
+
+def _train_codebook(
+    q: DataFrame, k: int, iters: int, dim: int
+) -> list[tuple[int, list[int]]]:
+    """Lloyd's loop over a (persisted) code relation; returns the final
+    ``[(cluster_id, centroid ints)]`` codebook.
+
+    The codebook is k×dim longs — a few KB. Iterating lazily would
+    nest each round's plan inside the next (the final assignment
+    would recompute every earlier round once per reference:
+    measured 6.8 s at sf0.1); collecting the codebook per round
+    keeps every pass a flat projection over the cached codes. This
+    bounded driver round-trip per iteration is exactly how Spark
+    MLlib's KMeans iterates, and integer sums make the collect
+    order irrelevant (exact in any order)."""
+    cents: list[tuple[int, list[int]]] = [
+        (i, row["q"])
+        for i, row in enumerate(q.orderBy("vec_id").limit(k).collect())
+    ]
+    sums = [F.sum(F.element_at("q", i + 1)).alias(f"_s{i}") for i in range(dim)]
+    for _ in range(iters):
+        rows = (
+            _codes_assignment(q, cents)
+            .groupBy("cluster")
+            .agg(*sums, F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        cents = sorted(
+            (
+                int(r["cluster"]),
+                [int(math.floor(r[f"_s{i}"] / r["_n"])) for i in range(dim)],
+            )
+            for r in rows
+        )
+    return cents
 
 
 def semantic_dedup(
@@ -549,7 +637,8 @@ def quantize_embeddings(
 def ann_recall_audit(
     embeddings: DataFrame,
     k: int = 10,
-    n_planes: int = 6,
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
     seed: int = DEFAULT_SEED,
     dim: int = 64,
     sample_mod: int = 10,
@@ -571,11 +660,11 @@ def ann_recall_audit(
     baseline, so audit a sample, never the full index) and reduces to
     per-query counts with one join on (query, neighbor).
 
-    The default widens the hash to ``n_planes=6`` (64 buckets): the
-    search tier's 16-plane default is tuned for large indexes, where a
-    2^16-way split still leaves useful buckets — on an audit-sized
-    sample it isolates almost every vector (measured: 4 candidate rows
-    across 500 queries) and the audit reads all-zero.
+    Defaults track the SEARCH TIER's defaults — the audit measures
+    what ships, not a private configuration. Round-4's audit of the
+    old single-table tier measured recall 0.045 (6 planes) / ~0
+    (16 planes); the multi-table defaults it motivated measure 0.87
+    on this corpus (SCALE.md round 5).
     """
     # deterministic query sample (every sample_mod-th id), ranked
     # against the FULL index: recall needs complete neighborhoods per
@@ -592,8 +681,8 @@ def ann_recall_audit(
     )
     approx = (
         ann_lsh_topk(
-            embeddings, k=k, n_planes=n_planes, seed=seed, dim=dim,
-            id_col=id_col, vec_col=vec_col,
+            embeddings, k=k, n_planes=n_planes, n_tables=n_tables,
+            seed=seed, dim=dim, id_col=id_col, vec_col=vec_col,
         )
         .where(is_sampled)
         .select("query_id", "neighbor_id")

@@ -241,25 +241,72 @@ DEFAULT_SAMPLE_FRACTIONS: dict[str, float] = {
 }
 
 
-def vocabulary(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def vocabulary(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 2,
+) -> DataFrame:
     """Corpus vocabulary table: per token, total occurrences (``tf``),
     document frequency (``df``), and a deterministic frequency rank
     (df desc, then token) — the table behind stop-word thresholds,
     df-pruning, and tokenizer-vocab construction.
 
-    One explode + one hash agg; the rank is a global window over the
-    (small) vocabulary relation, not the token stream."""
+    One explode + one hash agg. The global rank is COMPOSED, not a
+    single unpartitioned window (at web scale the distinct-token
+    relation is 10⁸–10⁹ rows; ``row_number() OVER (ORDER BY ...)``
+    would funnel all of it through one partition): tokens bucket by
+    ``(df, token[:prefix_len])`` — fixed-length truncation is monotone
+    under the lexicographic sort, so buckets are contiguous ranges of
+    the (df desc, token asc) order — then rank = in-bucket
+    ``row_number`` (partitioned, parallel) + the cumulative count of
+    all earlier buckets. The offsets relation is one row per (df,
+    prefix) — bounded by distinct-df × alphabet^prefix_len, orders of
+    magnitude under the vocabulary — and broadcasts back. Same recipe
+    as :func:`global_shuffle`'s bucket-offset composition.
+    """
     from pyspark.sql import Window
 
     toks = documents.select(
         F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("token")
     )
-    counts = toks.groupBy("token").agg(
-        F.count("*").alias("tf"),
-        F.countDistinct("doc_id").alias("df"),
+    # pinned: feeds the bucket-count aggregate AND the ranked join
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    counts = _pin(
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .withColumn("_pfx", F.substring("token", 1, prefix_len))
     )
-    w = Window.orderBy(F.desc("df"), F.asc("token"))
-    return counts.withColumn("rank", F.row_number().over(w).cast("long"))
+    offsets = (
+        counts.groupBy("df", "_pfx")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.sum("_n")
+            .over(
+                Window.orderBy(F.desc("df"), F.asc("_pfx")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .cast("long"),
+        )
+        .select("df", "_pfx", F.coalesce("_off", F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("df", "_pfx").orderBy("token")
+    return (
+        counts.withColumn("_pos", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["df", "_pfx"])
+        .select(
+            "token",
+            "tf",
+            "df",
+            (F.col("_off") + F.col("_pos")).cast("long").alias("rank"),
+        )
+    )
 
 
 def tfidf_top_terms(
@@ -815,6 +862,33 @@ def gopher_quality_flags(
     One scan, no shuffle; divisions are int/int → double, identical in
     both engines.
     """
+    n_words, mean_word_len, alpha_frac, symbol_ratio = _gopher_metrics(text_col)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_word_len >= min_mean_word_len)
+            & (mean_word_len <= max_mean_word_len)
+            & (alpha_frac >= min_alpha_word_frac)
+            & (symbol_ratio <= max_symbol_ratio)
+        ).alias("pass_gopher"),
+    )
+
+
+def _gopher_metrics(text_col: str):
+    """The four Gopher rule metrics as column expressions —
+    ``(n_words, mean_word_len, alpha_word_frac, symbol_ratio)``.
+
+    Single authoritative definition of the rule arithmetic: both the
+    flag projection (:func:`gopher_quality_flags`) and the in-place
+    filter expression (:func:`gopher_keep`) compose these, so the gate
+    used by ``prepare_corpus_rules`` cannot drift from the graded flags.
+    """
     toks = tokenize(text_col)
     n_words = F.size(toks).cast("long")
     # sum of token lengths via the same sequential fold the similarity
@@ -840,22 +914,7 @@ def gopher_quality_flags(
     symbol_ratio = F.when(
         n_words > 0, (hash_count + ellipsis_count) / n_words
     ).otherwise(F.lit(0.0))
-    out = documents.select(
-        F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_word_frac"),
-        symbol_ratio.alias("symbol_ratio"),
-    )
-    return out.withColumn(
-        "pass_gopher",
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len)
-        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
-        & (F.col("symbol_ratio") <= max_symbol_ratio),
-    )
+    return n_words, mean_word_len, alpha_frac, symbol_ratio
 
 
 def unigram_surprise(
@@ -942,30 +1001,9 @@ def gopher_keep(
     """Filter-EXPRESSION form of the Gopher rule gate (identical
     arithmetic to :func:`gopher_quality_flags`): lets a pipeline filter
     the document relation in place — one scan, no flag projection +
-    join back (the ``quality_keep`` convention)."""
-    toks = tokenize(text_col)
-    n_words = F.size(toks).cast("long")
-    len_sum = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
-    hash_count = (
-        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#")))
-    ).cast("long")
-    ellipsis_count = (
-        (
-            F.length(text_col)
-            - F.length(F.replace(F.col(text_col), F.lit("...")))
-        )
-        / F.lit(3)
-    ).cast("long")
-    mean_word_len = F.when(n_words > 0, len_sum / n_words).otherwise(F.lit(0.0))
-    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
-    symbol_ratio = F.when(
-        n_words > 0, (hash_count + ellipsis_count) / n_words
-    ).otherwise(F.lit(0.0))
+    join back (the ``quality_keep`` convention). Composes the same
+    :func:`_gopher_metrics` expressions as the flag projection."""
+    n_words, mean_word_len, alpha_frac, symbol_ratio = _gopher_metrics(text_col)
     return (
         (n_words >= min_words)
         & (n_words <= max_words)

@@ -139,6 +139,31 @@ def jaccard_threshold_sql(threshold: float) -> str:
     )
 
 
+def jaccard_formatted_sql() -> str:
+    """Formatted-output tier (O16-O18): emulates Java's ``%.2f`` —
+    HALF_UP on the shortest decimal repr — with exact integer
+    arithmetic: ``pct = (200*I + U) // (2*U)``. Ties (``200*I % U = 0``)
+    are terminating ``.xx5`` decimals whose shortest double repr is the
+    decimal itself, so Java rounds them up exactly like the integer
+    formula; non-ties sit >= 1/(2U) from the boundary, far beyond
+    double error (operators/jaccard.py::jaccard_formatted docstring)."""
+    return jaccard_scored_sql(TOK_CTE) + """,
+fmt AS (
+    SELECT doc_a, doc_b,
+           CASE WHEN size_a + size_b - intersection > 0
+                THEN (200 * intersection + (size_a + size_b - intersection))
+                     // (2 * (size_a + size_b - intersection))
+                ELSE 0 END AS pct
+    FROM scored
+)
+SELECT doc_a, doc_b,
+       CAST(doc_a AS VARCHAR) || ', ' || CAST(doc_b AS VARCHAR) || chr(9)
+           || 'Similarity: ' || CAST(pct // 100 AS VARCHAR) || '.'
+           || lpad(CAST(pct % 100 AS VARCHAR), 2, '0') AS line,
+       CAST(row_number() OVER (ORDER BY doc_a, doc_b) AS BIGINT) AS out_pos
+FROM fmt"""
+
+
 def jaccard_topk_sql(k: int) -> str:
     return jaccard_scored_sql(TOK_CTE) + f""",
 sym AS (
@@ -265,7 +290,7 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag"""
 
 
-def q22_idle_customers_sql() -> str:
+def q22_idle_customers_sql(since: str = "2000-01-01") -> str:
     return f"""
 WITH avg_b AS (
     SELECT CAST(sum(CAST(c_acctbal AS {_DD})) AS DOUBLE) / count(*) AS a
@@ -276,7 +301,8 @@ SELECT c_mktsegment,
        CAST(sum(CAST(c_acctbal AS {_DD})) AS DOUBLE) AS total_bal
 FROM customer CROSS JOIN avg_b
 WHERE CAST(c_acctbal AS DOUBLE) > a
-  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '{since} 00:00:00')
 GROUP BY c_mktsegment"""
 
 
@@ -355,6 +381,60 @@ JOIN nation n2 ON n2.n_nationkey = s_nationkey
 WHERE p_type = '{part_type}' AND r_name = '{target_region}'
 GROUP BY 1
 ORDER BY 1"""
+
+
+def _partsupp_ctes() -> str:
+    """Synthetic partsupp (mirrors operators/relational.py::
+    partsupp_synth): pure deterministic function of (part,
+    supplier-count), integer cents for order-independent money math."""
+    return """s_cnt AS (SELECT count(*) AS s FROM supplier),
+ps0 AS (
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey + i.i * greatest(1, s // 4)) % s AS ps_suppkey
+    FROM part, (SELECT unnest(range(4)) AS i) i, s_cnt
+),
+partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           (ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS ps_availqty,
+           (ps_partkey * 131 + ps_suppkey * 29) % 99901 + 100
+               AS ps_supplycost_cents,
+           CAST((ps_partkey * 131 + ps_suppkey * 29) % 99901 + 100
+                AS DOUBLE) / 100.0 AS ps_supplycost
+    FROM ps0
+)"""
+
+
+def q2_min_cost_supplier_sql(
+    region_name: str = "EUROPE",
+    p_type: str = "ECONOMY",
+    size_lo: int = 10,
+    size_hi: int = 30,
+    limit: int = 100,
+) -> str:
+    return f"""
+WITH {_partsupp_ctes()},
+regional AS (
+    SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents,
+           ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
+    FROM partsupp ps
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{region_name}'
+),
+mn AS (
+    SELECT ps_partkey, min(ps_supplycost_cents) AS mc
+    FROM regional GROUP BY 1
+)
+SELECT rs.s_acctbal, rs.s_name, rs.n_name, rs.ps_partkey AS p_partkey,
+       p.p_brand, p.p_size, rs.ps_suppkey, rs.ps_supplycost
+FROM regional rs
+JOIN mn ON rs.ps_partkey = mn.ps_partkey
+       AND rs.ps_supplycost_cents = mn.mc
+JOIN part p ON p.p_partkey = rs.ps_partkey
+WHERE p.p_type = '{p_type}' AND p.p_size BETWEEN {size_lo} AND {size_hi}
+ORDER BY rs.s_acctbal DESC, rs.n_name, rs.s_name, rs.ps_partkey
+LIMIT {limit}"""
 
 
 def q13_customer_distribution_sql() -> str:
@@ -890,6 +970,36 @@ dup_pairs AS (
 )"""
 
 
+def containment_pruned_sql(
+    min_containment: float,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """LSH-candidate containment (mirrors operators/dedup.py::
+    containment_pruned): same bucket/candidate CTEs as the MinHash
+    dedup oracle, asymmetric projection instead of the Jaccard one."""
+    r = k // bands
+    return f"""WITH {_minhash_cte(k, seed)},
+buckets AS (
+    SELECT doc_id, h_idx // {r} AS band,
+           string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS bucket
+    FROM mh GROUP BY doc_id, h_idx // {r}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+{scored_ctes("tok")}
+SELECT c.doc_a, c.doc_b, s.intersection, s.size_a, s.size_b,
+       s.intersection / s.size_a AS cont_a,
+       s.intersection / s.size_b AS cont_b
+FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+WHERE s.intersection / s.size_a >= {min_containment}
+   OR s.intersection / s.size_b >= {min_containment}"""
+
+
 def source_overlap_matrix_sql(
     threshold: float,
     k: int = DEFAULT_NUM_HASHES,
@@ -1092,29 +1202,50 @@ def _plane_literal(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
 
 
-def ann_lsh_topk_sql(k: int, planes: list[list[float]]) -> str:
-    bits = " || ".join(
+def _lsh_bits(planes: list[list[float]]) -> str:
+    return " || ".join(
         f"(CASE WHEN list_dot_product(vec, {_plane_literal(p)}) >= 0 "
         "THEN '1' ELSE '0' END)"
         for p in planes
     )
+
+
+def _lsh_sig_cte(tables: list[list[list[float]]]) -> str:
+    """Multi-table signature CTE ``sig(vec_id, tbl, bucket)`` — one
+    UNION ALL branch per hash table (mirrors
+    operators/similarity.py::ann_lsh_topk's signature explode)."""
+    branches = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, {t} AS tbl, ({_lsh_bits(planes)}) AS bucket FROM n"
+        for t, planes in enumerate(tables)
+    )
+    return f"sig AS (\n{branches}\n)"
+
+
+def ann_lsh_topk_sql(k: int, tables: list[list[list[float]]]) -> str:
     return _ranked_sql(
         f"""WITH {_VEC_CTES.strip()},
-sig AS (
-    SELECT vec_id, vec, norm2, ({bits}) AS bucket FROM n
+{_lsh_sig_cte(tables)},
+cand AS (
+    SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+    FROM sig a JOIN sig b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
 ),
 scored AS (
-    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
-    FROM sig a JOIN sig b
-      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    SELECT c.query_id, c.neighbor_id, {_COSINE} AS score
+    FROM cand c
+    JOIN n a ON a.vec_id = c.query_id
+    JOIN n b ON b.vec_id = c.neighbor_id
 )""",
         k,
     )
 
 
-def ann_ivf_topk_sql(k: int, n_cells: int, n_probe: int) -> str:
+def ann_ivf_topk_sql(
+    k: int, n_cells: int, n_probe: int, iters: int = 2, dim: int = 64
+) -> str:
     # mirrors operators/similarity.py::ann_ivf_topk exactly: codebook =
-    # n_cells smallest-id vectors, cosine cell assignment with
+    # the integer-exact kmeans_int8 chain's final centroids (ints as
+    # double coordinates), cosine cell assignment with
     # (score DESC, cell_id) tie-break, index in 1 cell / query probes
     # n_probe cells, exact rerank within cells
     cos_c = (
@@ -1123,15 +1254,15 @@ def ann_ivf_topk_sql(k: int, n_cells: int, n_probe: int) -> str:
         "ELSE 0.0 END"
     )
     return _ranked_sql(
-        f"""WITH {_VEC_CTES.strip()},
-ranked_c AS (
-    SELECT vec_id, vec, norm2,
-           row_number() OVER (ORDER BY vec_id) AS rn
-    FROM n
-),
+        f"""WITH {_kmeans_int8_ctes(n_cells, iters, dim)},
+{_VEC_CTES.strip()},
 cents AS (
-    SELECT rn - 1 AS cell_id, vec AS cvec, norm2 AS cnorm2
-    FROM ranked_c WHERE rn <= {n_cells}
+    SELECT cluster AS cell_id,
+           list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,
+           list_dot_product(list_transform(cvec, x -> CAST(x AS DOUBLE)),
+                            list_transform(cvec, x -> CAST(x AS DOUBLE)))
+               AS cnorm2
+    FROM c{iters}
 ),
 assign AS (
     SELECT vec_id, vec, norm2, cell_id,
@@ -1154,17 +1285,12 @@ scored AS (
 
 
 def ann_recall_audit_sql(
-    k: int, planes: list[list[float]], sample_mod: int = 10
+    k: int, tables: list[list[list[float]]], sample_mod: int = 10
 ) -> str:
     # exact and LSH top-k as CTEs (same kernels as their own oracles),
     # reduced to integer per-query recall counts — engine-exact; the
     # query side is the deterministic every-sample_mod-th-id sample,
     # ranked against the full index (mirrors the Spark operator)
-    bits = " || ".join(
-        f"(CASE WHEN list_dot_product(vec, {_plane_literal(p)}) >= 0 "
-        "THEN '1' ELSE '0' END)"
-        for p in planes
-    )
     return f"""WITH {_VEC_CTES.strip()},
 ex_scored AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
@@ -1178,13 +1304,17 @@ ex AS (
         FROM ex_scored
     ) WHERE rank <= {k} AND query_id % {sample_mod} = 0
 ),
-sig AS (
-    SELECT vec_id, vec, norm2, ({bits}) AS bucket FROM n
+{_lsh_sig_cte(tables)},
+cand AS (
+    SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+    FROM sig a JOIN sig b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
 ),
 ap_scored AS (
-    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
-    FROM sig a JOIN sig b
-      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    SELECT c.query_id, c.neighbor_id, {_COSINE} AS score
+    FROM cand c
+    JOIN n a ON a.vec_id = c.query_id
+    JOIN n b ON b.vec_id = c.neighbor_id
 ),
 ap AS (
     SELECT query_id, neighbor_id FROM (

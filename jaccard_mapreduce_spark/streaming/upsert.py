@@ -90,8 +90,6 @@ def stream_upsert_snapshot(
         .parquet(in_dir)
     )
 
-    state: dict[str, str | None] = {"prev": None}
-
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_df.select(
             "user_id",
@@ -99,13 +97,17 @@ def stream_upsert_snapshot(
             F.col("value").alias("last_value"),
             F.col("event_type").alias("last_event_type"),
         )
-        if state["prev"] is not None:
-            delta = delta.unionByName(
-                batch_df.sparkSession.read.parquet(state["prev"])
-            )
+        # The previous snapshot comes from DISK, keyed by the stable
+        # batch_id — not from driver memory. After a driver restart
+        # Structured Streaming replays the last uncommitted batch b with
+        # the SAME batch_id, so v{b} is deterministically rebuilt from
+        # v{b-1} ∪ batch_b — the idempotent-replay property holds across
+        # real recoveries, not just within one driver process.
+        prev = os.path.join(snap_dir, f"v{batch_id - 1}")
+        if os.path.exists(prev):
+            delta = delta.unionByName(batch_df.sparkSession.read.parquet(prev))
         out = os.path.join(snap_dir, f"v{batch_id}")
         _latest_per_user(delta).write.mode("overwrite").parquet(out)
-        state["prev"] = out
 
     q = (
         stream.writeStream.foreachBatch(upsert)
@@ -114,5 +116,10 @@ def stream_upsert_snapshot(
         .start()
     )
     q.awaitTermination()
-    assert state["prev"] is not None, "stream produced no batches"
-    return spark.read.parquet(state["prev"])
+    versions = [
+        int(d[1:])
+        for d in os.listdir(snap_dir)
+        if re.fullmatch(r"v\d+", d)
+    ] if os.path.isdir(snap_dir) else []
+    assert versions, "stream produced no batches"
+    return spark.read.parquet(os.path.join(snap_dir, f"v{max(versions)}"))

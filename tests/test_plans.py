@@ -472,3 +472,58 @@ def test_pagerank_final_plan_reads_pinned_ranks(spark):
     # the edge relation is pinned — each round's join must read the
     # cache, not re-run the LSH verify subtree
     assert "InMemoryTableScan" in plan
+
+
+def test_vocabulary_rank_window_is_partitioned(spark):
+    """Round-5 de-weakening (VERDICT r4 item 4): the vocabulary rank no
+    longer funnels the distinct-token relation through one partition.
+    The only single-partition stage left is the bounded (df, prefix)
+    histogram's cumulative-offset window (≤ distinct-df × 37² rows,
+    the global_shuffle convention); the data-sized row_number runs
+    partitioned by (df, prefix)."""
+    from jaccard_mapreduce_spark.operators.text_analysis import vocabulary
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(vocabulary(docs))
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "hashpartitioning(df" in plan, (
+        "the vocab rank window lost its (df, prefix) partition spec"
+    )
+
+
+def test_jaccard_formatted_rank_window_is_partitioned(spark):
+    """The O18 global order is composed from bucketed in-partition
+    row_numbers + broadcast offsets — same discipline as vocabulary.
+    The pair-relation rank window MUST carry the _bucket partition
+    spec; the only single-partition stages allowed are bounded ones
+    (the ≤n_buckets offsets cume-sum and, on the bitmask path, the
+    strategy-gated ≤2048-row vocab-id window)."""
+    import re
+
+    from jaccard_mapreduce_spark.operators.jaccard import jaccard_formatted
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(jaccard_formatted(docs))
+    # the data-sized (doc_a, doc_b) rank window is partitioned by _bucket
+    rank_windows = [
+        line
+        for line in plan.splitlines()
+        if "row_number() windowspecdefinition" in line and "doc_a" in line
+    ]
+    assert rank_windows and all("[_bucket#" in line for line in rank_windows)
+    # bounded single-partition stages only: distinct exchanges ≤ 2
+    # (offsets cume-sum + the gated vocab-id window)
+    ids = set(re.findall(r"Exchange SinglePartition[^\[]*\[plan_id=(\d+)\]", plan))
+    assert len(ids) <= 2, f"unexpected single-partition exchanges: {ids}"
+
+
+def test_ann_lsh_candidates_dedup_before_rerank(spark):
+    """Multi-table LSH must score each candidate pair once: the plan
+    carries a pair-level dedup (HashAggregate on the distinct) between
+    the (table, bucket) join and the rerank join-backs."""
+    from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    plan = _plan(ann_lsh_topk(emb, k=5))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan

@@ -39,27 +39,20 @@ def test_bench_only_entries_stay_out_of_the_contract():
         assert k not in qs, f"bench-only entry {k} leaked into queries()"
 
 
-def test_round4_rotation_targets_are_in_the_graded_window():
-    """The round-4 window intent: every entry that has never received a
-    driver CORRECTNESS row sits inside the first 50."""
+def test_round5_rotation_targets_are_in_the_graded_window():
+    """The round-5 window intent: every entry that is NEW this round or
+    whose implementation/oracle CHANGED this round sits inside the
+    first 50 (the driver grades only those), alongside the once-graded
+    round-4 additions that stay for a second grade."""
     window = list(entrymod.queries())[:50]
-    never_graded = [
-        "source_mixture", "events_approx_check", "q10_returned_revenue",
-        "q12_priority_shipclass", "q22_idle_customers",
-        "dedup_cross_corpus", "length_histogram",
-        "q8_market_share", "q13_customer_distribution",
-        "q15_top_supplier", "q16_part_supplier_variety",
-        "q17_small_quantity_revenue", "q20_dominant_suppliers",
-        "q21_waiting_suppliers", "partitioned_events_summary",
-        "bloom_pruned_revenue", "quality_curriculum",
-        "minhash_error_audit", "q9_product_profit",
-        "q11_value_concentration", "kmeans_int8", "semantic_dedup",
-        "formats_roundtrip", "pagerank_centrality",
-        "containment_pairs", "boilerplate_span_stats",
-        "stream_upsert_snapshot", "source_overlap_matrix",
-        "gopher_quality_flags", "cohort_retention", "unigram_surprise",
-        "ann_recall_audit", "customer_order_gaps", "dedup_cluster_sizes",
-        "prepare_corpus_rules", "ivf_recall_audit",
+    must_grade = [
+        # new in round 5
+        "jaccard_formatted", "q2_min_cost_supplier", "containment_pruned",
+        # changed in round 5 (re-derived defaults / rebuilt plans)
+        "vocabulary", "ann_lsh_topk", "ann_ivf_topk",
+        "ann_recall_audit", "ivf_recall_audit", "q22_idle_customers",
+        "stream_upsert_snapshot", "dedup_minhash_lsh",
+        "gopher_quality_flags", "prepare_corpus_rules",
     ]
-    out = [k for k in never_graded if k not in window]
-    assert not out, f"never-driver-graded entries outside the window: {out}"
+    out = [k for k in must_grade if k not in window]
+    assert not out, f"round-5 must-grade entries outside the window: {out}"
