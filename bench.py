@@ -117,6 +117,17 @@ def main() -> None:
         "dedup_cluster_sizes",
         "prepare_corpus_rules",
         "ivf_recall_audit",
+        # round-5 additions
+        "jaccard_formatted",
+        "containment_pruned",
+        "vocabulary",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "q2_min_cost_supplier",
+        "q11_partsupp",
+        "q16_partsupp",
+        "q20_partsupp",
+        "q22_idle_customers",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

@@ -921,6 +921,130 @@ def _pin_local(df: DataFrame) -> DataFrame:
     return pin(df)
 
 
+def q11_partsupp(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_15",
+    denom: int = 200,
+) -> DataFrame:
+    """TPC-H Q11 in CANONICAL form over the synthetic partsupp: per
+    part, the total supply value held by one nation's suppliers, kept
+    when it exceeds ``1/denom`` of the nation's grand total (the HAVING
+    scalar-subquery shape) — ``(ps_partkey, value)``.
+
+    All money stays in integer cents until the output projection, and
+    the fraction test is the cross-multiplied integer comparison
+    ``value_cents · denom > total_cents`` — no float enters the
+    predicate, so the graded relation is engine-exact by construction.
+    Plan: partsupp ⋈ broadcast(nation's suppliers) → one hash agg on
+    partkey → 1-row total broadcast back (the q11 adapted shape, now
+    on the canonical relation)."""
+    ps = partsupp_synth(part, supplier)
+    nat_supp = (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        ps.join(F.broadcast(nat_supp), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("_vc")
+        )
+    )
+    total = pv.agg(F.sum("_vc").alias("_t"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("_vc") * denom > F.col("_t"))
+        .select(
+            "ps_partkey",
+            (F.col("_vc").cast("double") / F.lit(100.0)).alias("value"),
+        )
+    )
+
+
+def q16_partsupp(
+    part: DataFrame, supplier: DataFrame, excl_brand: str = "Brand#9"
+) -> DataFrame:
+    """TPC-H Q16 in CANONICAL form over the synthetic partsupp: how
+    many distinct suppliers can source each (brand, type, size) combo,
+    excluding one brand and the "complaint" suppliers (stand-in
+    predicate: negative account balance — the schema carries no comment
+    column) — ``(p_brand, p_type, p_size, supplier_cnt)``.
+
+    The exclusion is a LEFT ANTI join against the (tiny, broadcast)
+    bad-supplier set; the part dim broadcasts; one distinct-count agg."""
+    ps = partsupp_synth(part, supplier)
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep_parts = part.where(F.col("p_brand") != excl_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        ps.join(
+            F.broadcast(bad), ps.ps_suppkey == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(keep_parts), ps.ps_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_partsupp(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    name_prefix: str = "red",
+    year: int = 1997,
+) -> DataFrame:
+    """TPC-H Q20 in CANONICAL form over the synthetic partsupp:
+    suppliers holding EXCESS stock — a partsupp entry for a
+    ``name_prefix`` part whose ``ps_availqty`` exceeds half the
+    quantity that (part, supplier) actually shipped in ``year`` —
+    ``(s_suppkey, s_name)``.
+
+    The correlated quantity subquery decorrelates into one fact-table
+    agg keyed (partkey, suppkey); quantities are integer-valued doubles
+    cast to long, and the half threshold is integer ``div 2`` — the
+    comparison is engine-exact. The part-name prefix semi-joins
+    broadcast before the fact agg widens anything; the final supplier
+    filter is a LEFT SEMI join on the distinct excess-suppkey set."""
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("_qty"))
+    )
+    wanted_parts = part.where(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    excess = (
+        partsupp_synth(part, supplier)
+        .join(
+            F.broadcast(wanted_parts),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.expr("_qty div 2"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return supplier.join(
+        excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 def orders_returned_by_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4 shape: EXISTS-driven count per priority.
 

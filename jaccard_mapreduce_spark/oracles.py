@@ -437,6 +437,57 @@ ORDER BY rs.s_acctbal DESC, rs.n_name, rs.s_name, rs.ps_partkey
 LIMIT {limit}"""
 
 
+def q11_partsupp_sql(nation_name: str = "NATION_15", denom: int = 200) -> str:
+    return f"""
+WITH {_partsupp_ctes()},
+nat AS (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{nation_name}'
+),
+pv AS (
+    SELECT ps_partkey,
+           sum(ps_supplycost_cents * ps_availqty) AS vc
+    FROM partsupp JOIN nat ON ps_suppkey = s_suppkey
+    GROUP BY 1
+),
+tot AS (SELECT sum(vc) AS t FROM pv)
+SELECT ps_partkey, CAST(vc AS DOUBLE) / 100.0 AS value
+FROM pv, tot WHERE vc * {denom} > t"""
+
+
+def q16_partsupp_sql(excl_brand: str = "Brand#9") -> str:
+    return f"""
+WITH {_partsupp_ctes()}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> '{excl_brand}'
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3"""
+
+
+def q20_partsupp_sql(name_prefix: str = "red", year: int = 1997) -> str:
+    return f"""
+WITH {_partsupp_ctes()},
+shipped AS (
+    SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{year}-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '{year + 1}-01-01 00:00:00'
+    GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+    SELECT ps_suppkey
+    FROM partsupp
+    JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE ps_availqty > qty // 2
+      AND ps_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE '{name_prefix}%')
+)"""
+
+
 def q13_customer_distribution_sql() -> str:
     return """
 SELECT c_count, count(*) AS custdist
