@@ -114,6 +114,22 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _lsh_signature_expr(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL-string form of :func:`lsh_signature` — the plane literals go
+    through ONE F.expr instead of tables×planes×dim F.lit() py4j round
+    trips (the kmeans literal-codebook convention; ~0.5 s of driver
+    time per query construction at 16×4×64). ``repr()`` + the ``D``
+    suffix round-trips every double exactly."""
+    bits = ", ".join(
+        "CASE WHEN aggregate(zip_with({v}, array({lits}), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END".format(
+            v=vec_sql, lits=", ".join(f"{x!r}D" for x in plane)
+        )
+        for plane in planes
+    )
+    return f"concat({bits})"
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 10,
@@ -147,37 +163,51 @@ def ann_lsh_topk(
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
     tables = lsh_tables(dim, n_planes, n_tables, seed)
-    # pinned: feeds the signature explode AND both score join-backs
+    # pinned: feeds the id-range probe, the signature explode, AND both
+    # score join-backs (the probe also materializes the pin up front)
     v = _pin(vectors(embeddings, id_col, vec_col))
+    sig_structs = ", ".join(
+        f"struct({t} AS tbl, {_lsh_signature_expr('vec', planes)} AS bucket)"
+        for t, planes in enumerate(tables)
+    )
     sig = v.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_signature(F.col("vec"), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("s"),
+        "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
     ).select("vec_id", "s.tbl", "s.bucket")
     a = sig.alias("a")
     b = sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+    joined = a.join(
+        b,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    # The pair `distinct` is the dominant shuffle (collision
+    # multiplicity × bucket fanout rows). When ids fit 31 bits, pack the
+    # directed pair into ONE long for the dedup and unpack after — the
+    # minhash_lsh_candidates trick: half the shuffle bytes, a
+    # single-column hash dedup.
+    integral = embeddings.schema[id_col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    rng = v.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
+    if integral and rng["lo"] is not None and rng["lo"] >= 0 and rng["hi"] < (1 << 31):
+        cand = (
+            joined.select(
+                F.shiftleft(F.col("a.vec_id"), 32)
+                .bitwiseOR(F.col("b.vec_id"))
+                .alias("p")
+            )
+            .distinct()
+            .select(
+                F.shiftright(F.col("p"), 32).alias("query_id"),
+                F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("neighbor_id"),
+            )
         )
-        .select(
+    else:
+        cand = joined.select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-        )
-        .distinct()
-    )
+        ).distinct()
     va = v.alias("va")
     vb = v.alias("vb")
     dot = _dot(F.col("va.vec"), F.col("vb.vec"))
@@ -185,8 +215,8 @@ def ann_lsh_topk(
         cand.join(va, cand.query_id == F.col("va.vec_id"))
         .join(vb, cand.neighbor_id == F.col("vb.vec_id"))
         .select(
-            "query_id",
-            "neighbor_id",
+            F.col("va.vec_id").alias("query_id"),
+            F.col("vb.vec_id").alias("neighbor_id"),
             _cosine(dot, F.col("va.norm2"), F.col("vb.norm2")).alias("score"),
         )
     )
@@ -385,12 +415,19 @@ def ann_ivf_topk(
     from :func:`ivf_recall_audit` (probe 3: measured 0.60 vs the
     round-4 stand-in's 0.44).
     """
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
     v = vectors(embeddings, id_col, vec_col)
     cents = ivf_centroids(
         embeddings, n_cells, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
     )
-    queries = ivf_assign(v, cents, n_probe).alias("a")
-    index = ivf_assign(v, cents, 1).alias("b")
+    # ONE assignment pass serves both sides: the index relation is the
+    # crank==1 slice of the n_probe assignment (pinned — computing
+    # ivf_assign twice doubled the crossJoin + rank window, measured
+    # ~2.5 s of the 10.6 s at sf0.1)
+    assigned = _pin(ivf_assign(v, cents, n_probe))
+    queries = assigned.alias("a")
+    index = assigned.where(F.col("crank") == 1).alias("b")
     dot = _dot(F.col("a.vec"), F.col("b.vec"))
     scored = (
         queries.join(

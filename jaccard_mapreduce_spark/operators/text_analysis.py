@@ -863,20 +863,25 @@ def gopher_quality_flags(
     both engines.
     """
     n_words, mean_word_len, alpha_frac, symbol_ratio = _gopher_metrics(text_col)
-    return documents.select(
+    # two-step projection on purpose: pass_gopher reads the NAMED metric
+    # columns, so each metric expression (tokenize + folds) evaluates
+    # once per row — inlining the expressions into the predicate
+    # re-evaluates them per comparison (measured 0.72 → 1.33 s at sf0.1)
+    out = documents.select(
         F.col(id_col).alias("doc_id"),
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         alpha_frac.alias("alpha_word_frac"),
         symbol_ratio.alias("symbol_ratio"),
-        (
-            (n_words >= min_words)
-            & (n_words <= max_words)
-            & (mean_word_len >= min_mean_word_len)
-            & (mean_word_len <= max_mean_word_len)
-            & (alpha_frac >= min_alpha_word_frac)
-            & (symbol_ratio <= max_symbol_ratio)
-        ).alias("pass_gopher"),
+    )
+    return out.withColumn(
+        "pass_gopher",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("symbol_ratio") <= max_symbol_ratio),
     )
 
 
