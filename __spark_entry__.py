@@ -454,7 +454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round 4: foreachBatch versioned-snapshot upsert — the
         # exactly-once CDC file sink, graded vs the batch latest-event SQL
         "stream_upsert_snapshot": _q_stream_upsert_snapshot,
-        "stream_incremental_jaccard": _q_stream_incremental_jaccard,
         # --- Events / time-series relational ---
         "events_approx_check": lambda s, d: R.events_approx_check(
             _t(s, d, "events")
@@ -492,6 +491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adapted partsupp-less variants keep their original keys
         "q11_partsupp": lambda s, d: R.q11_partsupp(
             _t(s, d, "part"), _t(s, d, "supplier"), _t(s, d, "nation")
+        ),
+        "q9_partsupp": lambda s, d: R.q9_partsupp(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "part"),
+            _t(s, d, "supplier"), _t(s, d, "nation"),
         ),
         "q16_partsupp": lambda s, d: R.q16_partsupp(
             _t(s, d, "part"), _t(s, d, "supplier")
@@ -564,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4, unchanged since; jaccard_formatted / kmeans_int8 /
         # ann_recall_audit cover their chains transitively)
         "doc_tokens": lambda s, d: _tokens(s, d),
+        "stream_incremental_jaccard": _q_stream_incremental_jaccard,
         "dedup_simhash": lambda s, d: D.simhash_duplicates(_tokens(s, d), max_distance=3),
         # custom Python DataSource — golden-valued oracle (generation is
         # (seed, doc_id)-pure, so the aggregate is a pinned constant);
@@ -741,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": oracles.q13_customer_distribution_sql(),
         "q2_min_cost_supplier": oracles.q2_min_cost_supplier_sql(),
         "q11_partsupp": oracles.q11_partsupp_sql(),
+        "q9_partsupp": oracles.q9_partsupp_sql(),
         "q16_partsupp": oracles.q16_partsupp_sql(),
         "q20_partsupp": oracles.q20_partsupp_sql(),
         "q8_market_share": oracles.q8_market_share_sql(),

@@ -124,6 +124,7 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "q2_min_cost_supplier",
+        "q9_partsupp",
         "q11_partsupp",
         "q16_partsupp",
         "q20_partsupp",

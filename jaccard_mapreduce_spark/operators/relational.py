@@ -994,6 +994,72 @@ def q16_partsupp(
     )
 
 
+def q9_partsupp(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_pattern: str = "%ring%",
+) -> DataFrame:
+    """TPC-H Q9 in CANONICAL form over the synthetic partsupp: profit
+    per (supplier nation, order year) with the real
+    ``ps_supplycost · l_quantity`` cost term —
+    ``(nation, o_year, sum_profit, n_items)``. Completes the canonical
+    partsupp set (Q2/Q9/Q11/Q16/Q20 all verbatim; the adapted
+    ``q9_product_profit`` keeps its key).
+
+    Money exactness without decimal division: revenue folds in
+    DECIMAL(18,2) (exact, order-free) and cost in integer CENTS
+    (``ps_supplycost_cents × qty``); each sum casts to double once and
+    the profit is ONE double subtraction — bit-identical in both
+    engines. The (partkey, suppkey) inner join keeps only lineitems
+    whose supplier is one of the part's four synthetic slots — sparse
+    but deterministic, identical in the oracle.
+    """
+    rev = F.col("l_extendedprice").cast(_D) * (
+        _one() - F.col("l_discount").cast(_D)
+    )
+    cost_cents = F.col("ps_supplycost_cents") * F.col("l_quantity").cast("long")
+    ps = partsupp_synth(part, supplier).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_cents"
+    )
+    parts = part.where(F.col("p_name").like(name_pattern)).select("p_partkey")
+    return (
+        lineitem.join(
+            F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        # partsupp is dim-sized (4 rows per part) — broadcast, the fact
+        # relation never shuffles for the cost lookup
+        .join(
+            F.broadcast(ps),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(rev).alias("_r"),
+            F.sum(cost_cents).alias("_c"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            (
+                F.col("_r").cast("double")
+                - F.col("_c").cast("double") / F.lit(100.0)
+            ).alias("sum_profit"),
+            "n_items",
+        )
+    )
+
+
 def q20_partsupp(
     part: DataFrame,
     supplier: DataFrame,

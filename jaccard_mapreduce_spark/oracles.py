@@ -468,6 +468,26 @@ WHERE p_brand <> '{excl_brand}'
 GROUP BY 1, 2, 3"""
 
 
+def q9_partsupp_sql(name_pattern: str = "%ring%") -> str:
+    return f"""
+WITH {_partsupp_ctes()}
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS {_DD})
+                * ({_ONE_D} - CAST(l_discount AS {_DD}))) AS DOUBLE)
+           - CAST(sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT))
+                  AS DOUBLE) / 100.0 AS sum_profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM part
+                    WHERE p_name LIKE '{name_pattern}')
+GROUP BY 1, 2"""
+
+
 def q20_partsupp_sql(name_prefix: str = "red", year: int = 1997) -> str:
     return f"""
 WITH {_partsupp_ctes()},
