@@ -343,18 +343,21 @@ def jaccard_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _line_expr():
+    """The reference's output line ``"A, B\\tSimilarity: 0.XX"`` as a
+    column expression — single authoritative definition shared by
+    :func:`format_output` and :func:`jaccard_formatted`."""
+    return F.format_string(
+        "%s, %s\tSimilarity: %.2f", "doc_a", "doc_b", F.col("similarity")
+    )
+
+
 def format_output(pairs: DataFrame) -> DataFrame:
     """Reference output formatting: ``"A, B\\tSimilarity: 0.XX"``
     (Reducer:105-107 + TextOutputFormat). ``format_string`` runs Java's
     ``String.format`` — bit-identical HALF_UP tie rounding (SURVEY.md §2 O16).
     """
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.format_string(
-            "%s, %s\tSimilarity: %.2f", "doc_a", "doc_b", F.col("similarity")
-        ).alias("line"),
-    )
+    return pairs.select("doc_a", "doc_b", _line_expr().alias("line"))
 
 
 def jaccard_formatted(
@@ -396,10 +399,19 @@ def jaccard_formatted(
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
 
     pairs = jaccard_pairs(documents, id_col, text_col, strategy)
-    # pinned: feeds the bucket-count aggregate AND the ranked join
+    # pinned SKINNY: the cached relation carries only the pair key,
+    # similarity, and bucket — the formatted string materializes once,
+    # in the final projection, instead of being cached for both the
+    # bucket-count aggregate and the ranked join (string-heavy cache +
+    # string-carrying sort measured ~1.5× slower at sf0.1)
     keyed = _pin(
-        format_output(pairs).withColumn(
-            "_bucket", ((F.col("doc_a") - F.lit(int(lo))) / width).cast("long")
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "similarity",
+            ((F.col("doc_a") - F.lit(int(lo))) / width)
+            .cast("long")
+            .alias("_bucket"),
         )
     )
     offsets = (
@@ -424,7 +436,7 @@ def jaccard_formatted(
         .select(
             "doc_a",
             "doc_b",
-            "line",
+            _line_expr().alias("line"),
             (F.col("_off") + F.col("_pos")).cast("long").alias("out_pos"),
         )
     )

@@ -535,3 +535,32 @@ def test_ann_lsh_candidates_dedup_before_rerank(spark):
     plan = _plan(ann_lsh_topk(emb, k=5))
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_q2_canonical_broadcasts_dims_and_min_join(spark):
+    """Canonical Q2 over the synthetic partsupp: supplier/nation/region
+    and the filtered part dim all broadcast — the 4×|part| partsupp
+    flatMap is the only relation that ever shuffles (for its own agg)."""
+    plan = _plan(entrymod.queries()["q2_min_cost_supplier"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_canonical_is_semi_join_with_pushed_year_filter(spark):
+    plan = _plan(entrymod.queries()["q20_partsupp"](spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    # the shipdate year window reaches the LINEITEM scan's data filters
+    # (search that scan's own line — the first PushedFilters in the plan
+    # belongs to a dim scan)
+    li_scans = [
+        line for line in plan.splitlines()
+        if "FileScan" in line and "lineitem.parquet" in line
+    ]
+    assert li_scans and all("l_shipdate" in line for line in li_scans)
+
+
+def test_q9_canonical_broadcasts_partsupp_lookup(spark):
+    """The cost lookup joins the fact to the dim-sized synthetic
+    partsupp broadcast — lineitem must not shuffle for it."""
+    plan = _plan(entrymod.queries()["q9_partsupp"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 3
