@@ -244,6 +244,14 @@ def _q_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_upsert_snapshot(spark, sf_dir)
 
 
+def _q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        ivf_index_search_demo,
+    )
+
+    return ivf_index_search_demo(spark, sf_dir)
+
+
 def _q_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.operators.runtime_filters import (
         bloom_pruned_revenue,
@@ -388,6 +396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprise": lambda s, d: TA.unigram_surprise(_docs(s, d)),
         "minhash_error_audit": lambda s, d: D.minhash_error_audit(_docs(s, d)),
         "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
+        # round 5: per-source KL drift vs the corpus mixture — the
+        # alerting twin of source_mixture (libm-ln + sorted-fold parity
+        # recipe); prepare_corpus (green r3+r4, unchanged, its chain
+        # re-graded via prepare_corpus_rules) rotates to the tail
+        "source_token_drift": lambda s, d: TA.source_token_drift(_docs(s, d)),
         "dedup_representatives": lambda s, d: D.dedup_representatives(
             _docs(s, d),
             D.dedup_clusters(
@@ -395,18 +408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
             ),
         ),
-        # flagship composition: quality -> exact dedup -> LSH clusters ->
-        # representatives -> global shuffle -> sequence packing
-        "prepare_corpus": lambda s, d: P.prepare_corpus(_docs(s, d)),
         # new round 4: the flagship with the Gopher rule tier composed
         # in front (rules -> score -> dedup -> pack, the production order)
         "prepare_corpus_rules": lambda s, d: P.prepare_corpus_rules(_docs(s, d)),
         # --- Deduplication ---
         "dedup_minhash_lsh": lambda s, d: D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
-        "dedup_clusters": lambda s, d: D.dedup_clusters(
-            _docs(s, d).select("doc_id"),
-            D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
-        ),
         # new round 4: integer-exact damped PageRank over the LSH-verified
         # near-dup graph — template/boilerplate concentration score —
         # plus the cluster-size histogram (the dedup health check)
@@ -450,6 +456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_error_audit
         "ann_recall_audit": lambda s, d: S.ann_recall_audit(_emb(s, d)),
         "ivf_recall_audit": lambda s, d: S.ivf_recall_audit(_emb(s, d)),
+        # round 5: persisted-IVF-index lifecycle — build into session
+        # scratch, self-search, must hash-match the one-plan ann_ivf_topk
+        # oracle (layout is semantically invisible; dedup_clusters —
+        # green r3+r4, unchanged, chain re-graded via representatives +
+        # cluster_sizes — rotates to the tail)
+        "ivf_index_search": _q_ivf_index_search,
         # --- Structured Streaming (run to completion, memory sink) ---
         # new round 4: foreachBatch versioned-snapshot upsert — the
         # exactly-once CDC file sink, graded vs the batch latest-event SQL
@@ -568,6 +580,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_recall_audit cover their chains transitively)
         "doc_tokens": lambda s, d: _tokens(s, d),
         "stream_incremental_jaccard": _q_stream_incremental_jaccard,
+        # flagship composition: quality -> exact dedup -> LSH clusters ->
+        # representatives -> global shuffle -> sequence packing
+        "prepare_corpus": lambda s, d: P.prepare_corpus(_docs(s, d)),
+        "dedup_clusters": lambda s, d: D.dedup_clusters(
+            _docs(s, d).select("doc_id"),
+            D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
+        ),
         "dedup_simhash": lambda s, d: D.simhash_duplicates(_tokens(s, d), max_distance=3),
         # custom Python DataSource — golden-valued oracle (generation is
         # (seed, doc_id)-pure, so the aggregate is a pinned constant);
@@ -733,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": oracles.fingerprints_sql(),
         "quality_filter": oracles.quality_filter_sql(),
         "source_mixture": oracles.source_mixture_sql(),
+        "source_token_drift": oracles.source_token_drift_sql(),
         "quality_curriculum": oracles.quality_curriculum_sql(),
         "minhash_error_audit": oracles.minhash_error_audit_sql(),
         "events_approx_check": oracles.events_approx_check_sql(),
@@ -780,6 +800,10 @@ def oracle_sql() -> dict[str, str]:
             10, S.lsh_tables(64)
         ),
         "ivf_recall_audit": oracles.ivf_recall_audit_sql(
+            10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
+        ),
+        # persisted-index self-search must equal the one-plan IVF search
+        "ivf_index_search": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
         ),
         "customer_order_gaps": oracles.customer_order_gaps_sql(),

@@ -129,6 +129,8 @@ def main() -> None:
         "q16_partsupp",
         "q20_partsupp",
         "q22_idle_customers",
+        "source_token_drift",
+        "ivf_index_search",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

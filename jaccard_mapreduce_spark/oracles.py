@@ -902,6 +902,36 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
 
 
+def source_token_drift_sql() -> str:
+    # mirrors operators/text_analysis.py::source_token_drift — same
+    # libm-ln / sequential-token-sorted-fold conventions as
+    # unigram_surprise_sql; the log ratio is ONE divide of two
+    # integer-exact doubles
+    return f"""
+WITH toks AS (
+    SELECT source, unnest({TOKS_EXPR}) AS token FROM documents
+),
+st AS (
+    SELECT source, token, count(*) AS tf_st FROM toks GROUP BY 1, 2
+),
+tt AS (SELECT token, sum(tf_st) AS tf_t FROM st GROUP BY 1),
+ss AS (SELECT source, sum(tf_st) AS n_s FROM st GROUP BY 1),
+terms AS (
+    SELECT st.source, st.token,
+           CAST(st.tf_st AS DOUBLE)
+           * ln(CAST(st.tf_st * (SELECT sum(n_s) FROM ss) AS DOUBLE)
+                / CAST(tt.tf_t * ss.n_s AS DOUBLE)) AS v,
+           st.tf_st AS tf_st
+    FROM st JOIN tt ON st.token = tt.token
+    JOIN ss ON st.source = ss.source
+)
+SELECT source,
+       CAST(sum(tf_st) AS BIGINT) AS n_tokens,
+       list_reduce(list(v ORDER BY token), (a, b) -> a + b)
+           / CAST(sum(tf_st) AS DOUBLE) AS kl
+FROM terms GROUP BY source"""
+
+
 def customer_order_gaps_sql() -> str:
     # exact integer day gaps (DATE - DATE); ties on order date broken by
     # order key so the lag sequence is deterministic in both engines

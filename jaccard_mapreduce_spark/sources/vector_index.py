@@ -1,0 +1,143 @@
+"""Persisted IVF vector index — build once, search many.
+
+The missing lifecycle piece of the ANN tier: ``ann_ivf_topk`` trains
+and searches in one plan, which is right for a one-shot query but
+wrong for a serving corpus — at 100 TB the index build (codebook
+training + cell assignment + a full rewrite of the vectors) is a
+batch job you amortize over thousands of searches. This module
+materializes the index as two parquet datasets:
+
+  ``<path>/centroids``  (cell_id, cvec, cnorm2)         — KBs
+  ``<path>/cells``      (vec_id, vec, norm2) PARTITIONED BY cell_id
+
+Partitioning the vector relation by ``cell_id`` is the storage form
+of the IVF idea itself: a search that probes ``n_probe`` of
+``n_cells`` cells reads only those directories. With a STATIC probe
+list the pruning happens at PLANNING time (``PartitionFilters`` on
+the scan — asserted in tests/test_plans.py); with dynamic per-query
+assignment the cell equi-join still touches only matching partitions
+per task. The reference has no index lifecycle at all (its only
+artifact is a text file, DocumentSimilarityDriver.java:43-45); this
+is engine-extension surface in the spirit of the bucketed/partitioned
+table demos: layout pre-pays query cost, semantics stay identical —
+the contract query's self-search must value-hash-match the
+train-and-search-in-one-plan ``ann_ivf_topk`` oracle exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jaccard_mapreduce_spark.operators.similarity import (
+    DEFAULT_IVF_CELLS,
+    DEFAULT_IVF_ITERS,
+    DEFAULT_IVF_PROBE,
+    _dot,
+    _topk,
+    ivf_assign,
+    ivf_centroids,
+    vectors,
+)
+
+
+def _scratch_dir(spark: SparkSession) -> str:
+    app = re.sub(r"[^a-zA-Z0-9]+", "_", spark.sparkContext.applicationId)
+    return os.path.join(tempfile.gettempdir(), f"ivf_index_{app}".lower())
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = DEFAULT_IVF_CELLS,
+    iters: int = DEFAULT_IVF_ITERS,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the codebook (:func:`ivf_centroids` — the integer-exact
+    k-means loop) and materialize the index: centroids + the vector
+    relation assigned to its single nearest cell, written partitioned
+    by ``cell_id``. One pass over the vectors after training."""
+    cents = ivf_centroids(
+        embeddings, n_cells, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    v = vectors(embeddings, id_col, vec_col)
+    cells = ivf_assign(v, cents, 1).select("vec_id", "vec", "norm2", "cell_id")
+    (
+        cells.write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/cells")
+    )
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = DEFAULT_IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` cosine search against a persisted index —
+    ``(query_id, neighbor_id, score, rank)``. Queries assign to their
+    ``n_probe`` nearest stored centroids (broadcast codebook, no
+    shuffle of the query side) and rerank exactly within the matching
+    cell partitions. Identical semantics to :func:`~jaccard_mapreduce_
+    spark.operators.similarity.ann_ivf_topk` run with the same
+    codebook — the index build changes WHERE the vectors live, never
+    the answer."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    cells = spark.read.parquet(f"{path}/cells")
+    qv = vectors(queries, id_col, vec_col)
+    qa = ivf_assign(qv, cents, n_probe).alias("a")
+    b = cells.alias("b")
+    dot = _dot(F.col("a.vec"), F.col("b.vec"))
+    cos = F.when(
+        (F.col("a.norm2") > 0) & (F.col("b.norm2") > 0),
+        dot / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        qa.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("score"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def read_index_cells(
+    spark: SparkSession, path: str, cell_ids: list[int]
+) -> DataFrame:
+    """Static-probe read: a fixed cell list becomes a planning-time
+    partition filter on the cells dataset (the scan reads ONLY those
+    directories — plan-asserted). The serving-path shape when the
+    probe set is known up front (e.g. re-scoring one cluster)."""
+    return spark.read.parquet(f"{path}/cells").where(
+        F.col("cell_id").isin([int(c) for c in cell_ids])
+    )
+
+
+def ivf_index_search_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: build the index into session scratch, self-search
+    it, return the top-k relation. Must value-hash-match the
+    train-and-search ``ann_ivf_topk`` oracle — proving the persisted
+    layout is semantically invisible."""
+    base = _scratch_dir(spark)
+    shutil.rmtree(base, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build_ivf_index(emb, base)
+    return search_ivf_index(spark, base, emb)

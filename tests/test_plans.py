@@ -564,3 +564,22 @@ def test_q9_canonical_broadcasts_partsupp_lookup(spark):
     partsupp broadcast — lineitem must not shuffle for it."""
     plan = _plan(entrymod.queries()["q9_partsupp"](spark, SF_ORACLE))
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_ivf_index_static_probe_prunes_partitions(spark, tmp_path):
+    """A fixed probe list on the cell-partitioned index becomes a
+    planning-time PartitionFilters entry — the scan reads only the
+    probed cell directories."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        read_index_cells,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path)
+    plan = _plan(read_index_cells(spark, path, [0, 2]))
+    scan = plan[plan.index("FileScan") :].split("\n", 1)[0]
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1][:200]
+    assert "cell_id" in pf, f"no partition filter on cell_id: {pf}"
