@@ -396,6 +396,11 @@ def jaccard_formatted(
             "global rank; use run_reference_pipeline for string-id corpora"
         )
     lo, hi = documents.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:  # empty corpus -> empty formatted relation
+        spark = documents.sparkSession
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, line string, out_pos long"
+        )
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
 
     pairs = jaccard_pairs(documents, id_col, text_col, strategy)

@@ -826,6 +826,11 @@ def partsupp_synth(part: DataFrame, supplier: DataFrame) -> DataFrame:
     is the only driver value (a dim-table count).
     """
     s_count = supplier.count()
+    if s_count < 1:
+        raise ValueError(
+            "partsupp_synth needs a non-empty supplier dimension "
+            "(ps_suppkey is assigned modulo the supplier count)"
+        )
     step = max(1, s_count // 4)
     pk = F.col("ps_partkey")
     sk = F.col("ps_suppkey")
