@@ -401,13 +401,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recipe); prepare_corpus (green r3+r4, unchanged, its chain
         # re-graded via prepare_corpus_rules) rotates to the tail
         "source_token_drift": lambda s, d: TA.source_token_drift(_docs(s, d)),
-        "dedup_representatives": lambda s, d: D.dedup_representatives(
-            _docs(s, d),
-            D.dedup_clusters(
-                _docs(s, d).select("doc_id"),
-                D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
-            ),
-        ),
         # new round 4: the flagship with the Gopher rule tier composed
         # in front (rules -> score -> dedup -> pack, the production order)
         "prepare_corpus_rules": lambda s, d: P.prepare_corpus_rules(_docs(s, d)),
@@ -446,6 +439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-means can't be hash-graded), and SemDeDup-style semantic
         # dedup that scopes the cosine near-dup probe to a cluster
         "kmeans_int8": lambda s, d: S.kmeans_int8(_emb(s, d)),
+        # round 5: ground-truth cluster/label purity audit — the
+        # codebook-quality twin of the recall audits (integer-exact;
+        # dedup_representatives — green r3+r4, unchanged — rotates out)
+        "kmeans_label_purity": lambda s, d: S.kmeans_label_purity(_emb(s, d)),
         "semantic_dedup": lambda s, d: S.semantic_dedup(_emb(s, d)),
         # numpy kernel graded on RANK AGREEMENT only: scores are dropped
         # from the projection (pairwise vs sequential float accumulation
@@ -583,6 +580,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship composition: quality -> exact dedup -> LSH clusters ->
         # representatives -> global shuffle -> sequence packing
         "prepare_corpus": lambda s, d: P.prepare_corpus(_docs(s, d)),
+        "dedup_representatives": lambda s, d: D.dedup_representatives(
+            _docs(s, d),
+            D.dedup_clusters(
+                _docs(s, d).select("doc_id"),
+                D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
+            ),
+        ),
         "dedup_clusters": lambda s, d: D.dedup_clusters(
             _docs(s, d).select("doc_id"),
             D.minhash_lsh_dedup(_docs(s, d), threshold=0.7),
@@ -813,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracles.simhash_duplicates_sql(3),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(10),
         "kmeans_int8": oracles.kmeans_int8_sql(),
+        "kmeans_label_purity": oracles.kmeans_label_purity_sql(),
         "semantic_dedup": oracles.semantic_dedup_sql(),
         "ann_fast_ranks": oracles.ann_fast_ranks_sql(10),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(10, S.lsh_tables(64)),

@@ -131,6 +131,7 @@ def main() -> None:
         "q22_idle_customers",
         "source_token_drift",
         "ivf_index_search",
+        "kmeans_label_purity",
     ]
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query

@@ -654,6 +654,57 @@ def semantic_dedup(
     )
 
 
+def kmeans_label_purity(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Ground-truth audit of the k-means clustering —
+    ``(cluster, n_vectors, majority_label, n_majority)`` per cluster:
+    how concentrated each :func:`kmeans_int8` cell is on its dominant
+    ground-truth label (the testdata embeddings carry one). The
+    codebook-quality twin of the recall audits: semantic dedup and IVF
+    both scope work to cells, so cell/label alignment is the number
+    that says whether the trained codebook respects the data's actual
+    structure — measured, not assumed.
+
+    All integers (counts; majority tie breaks to the LOWER label id in
+    both engines), so the relation is hash-exact by construction. Plan:
+    the assignment projection joined to the (id, label) slice, one
+    (cluster, label) hash agg, then a per-cluster argmax over the
+    ≤ k×|labels| count relation.
+    """
+    clusters = kmeans_int8(
+        embeddings, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cluster")
+    labels = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")
+    )
+    counts = (
+        clusters.join(labels, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_vectors", F.sum("n").over(Window.partitionBy("cluster"))
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            "cluster",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",

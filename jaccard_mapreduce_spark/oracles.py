@@ -1557,6 +1557,28 @@ def kmeans_int8_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
 SELECT vec_id, cluster, dist FROM af"""
 
 
+def kmeans_label_purity_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    # mirrors operators/similarity.py::kmeans_label_purity — assignment
+    # from the integer-exact kmeans chain, per-(cluster,label) counts,
+    # per-cluster argmax with (count DESC, label) tie-break
+    return f"""WITH {_kmeans_int8_ctes(k, iters, dim)},
+cnt AS (
+    SELECT a.cluster, e.label, count(*) AS n
+    FROM af a JOIN embeddings e ON a.vec_id = e.vec_id
+    GROUP BY 1, 2
+),
+tot AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_vectors FROM cnt GROUP BY 1),
+rk AS (
+    SELECT cluster, label, n,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n DESC, label) AS rk
+    FROM cnt
+)
+SELECT r.cluster, t.n_vectors, r.label AS majority_label, r.n AS n_majority
+FROM rk r JOIN tot t ON r.cluster = t.cluster
+WHERE r.rk = 1"""
+
+
 def semantic_dedup_sql(
     k: int = 8, iters: int = 2, min_cosine: float = 0.3, dim: int = 64
 ) -> str:

@@ -48,7 +48,7 @@ def test_round5_rotation_targets_are_in_the_graded_window():
     must_grade = [
         # new in round 5
         "jaccard_formatted", "q2_min_cost_supplier", "containment_pruned",
-        "source_token_drift", "ivf_index_search",
+        "source_token_drift", "ivf_index_search", "kmeans_label_purity",
         "q9_partsupp", "q11_partsupp", "q16_partsupp", "q20_partsupp",
         # changed in round 5 (re-derived defaults / rebuilt plans)
         "vocabulary", "ann_lsh_topk", "ann_ivf_topk",
