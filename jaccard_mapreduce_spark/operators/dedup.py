@@ -314,9 +314,12 @@ def minhash_lsh_candidates(
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     if ids_fit_31_bits:
+        # cast to long BEFORE shifting: Java masks the shift amount mod
+        # the operand width, so shiftleft on a 32-bit int id column is a
+        # silent no-op that would corrupt the packed pair
         packed = joined.select(
-            F.shiftleft(F.col("a.doc_id"), 32)
-            .bitwiseOR(F.col("b.doc_id"))
+            F.shiftleft(F.col("a.doc_id").cast("long"), 32)
+            .bitwiseOR(F.col("b.doc_id").cast("long"))
             .alias("p")
         ).distinct()
         return packed.select(

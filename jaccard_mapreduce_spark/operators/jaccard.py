@@ -396,10 +396,23 @@ def jaccard_formatted(
             "global rank; use run_reference_pipeline for string-id corpora"
         )
     lo, hi = documents.agg(F.min(id_col), F.max(id_col)).first()
-    if lo is None:  # empty corpus -> empty formatted relation
+    if lo is None:  # empty corpus -> empty formatted relation, with the
+        # pair columns typed like the input ids (the non-empty branch
+        # inherits that type, so the schema must not depend on emptiness)
+        from pyspark.sql import types as T
+
         spark = documents.sparkSession
+        idt = documents.schema[id_col].dataType
         return spark.createDataFrame(
-            [], "doc_a long, doc_b long, line string, out_pos long"
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_a", idt),
+                    T.StructField("doc_b", idt),
+                    T.StructField("line", T.StringType()),
+                    T.StructField("out_pos", T.LongType()),
+                ]
+            ),
         )
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
 

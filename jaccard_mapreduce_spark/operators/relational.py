@@ -826,10 +826,14 @@ def partsupp_synth(part: DataFrame, supplier: DataFrame) -> DataFrame:
     is the only driver value (a dim-table count).
     """
     s_count = supplier.count()
-    if s_count < 1:
+    if s_count < 4:
+        # the 4-distinct-suppliers-per-part invariant (the partsupp
+        # primary key) only holds for S >= 4 — below that, slots repeat
+        # suppkeys and every downstream sum double-counts
         raise ValueError(
-            "partsupp_synth needs a non-empty supplier dimension "
-            "(ps_suppkey is assigned modulo the supplier count)"
+            f"partsupp_synth needs >= 4 suppliers (got {s_count}): "
+            "ps_suppkey = (p + i*(S div 4)) mod S is distinct per part "
+            "only when 4*(S div 4) <= S with a positive step"
         )
     step = max(1, s_count // 4)
     pk = F.col("ps_partkey")

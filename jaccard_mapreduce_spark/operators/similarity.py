@@ -171,7 +171,8 @@ def ann_lsh_topk(
     and ~0 at 16 on this corpus. ``L`` narrow tables recover it:
     miss = ``(1-(1-θ/π)^p)^L``, tunable without touching bucket
     selectivity. Defaults (4 planes × 16 tables) are re-derived from
-    the measured audit: recall 0.87 at sf0.01 vs 0.045 before
+    the measured audit: audited recall 0.844 at sf0.01 vs 0.045 before
+    (the offline numpy parameter sweep that chose (4,16) read 0.87)
     (SCALE.md round 5).
 
     Plan shape: the signature relation is ``n_tables`` rows per vector
@@ -214,9 +215,12 @@ def ann_lsh_topk(
     rng = v.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
     if integral and rng["lo"] is not None and rng["lo"] >= 0 and rng["hi"] < (1 << 31):
         cand = (
+            # cast to long BEFORE shifting: Java masks the shift amount
+            # mod the operand width, so shiftleft on a 32-bit int column
+            # is a silent no-op that would corrupt the packed pair
             joined.select(
-                F.shiftleft(F.col("a.vec_id"), 32)
-                .bitwiseOR(F.col("b.vec_id"))
+                F.shiftleft(F.col("a.vec_id").cast("long"), 32)
+                .bitwiseOR(F.col("b.vec_id").cast("long"))
                 .alias("p")
             )
             .distinct()
@@ -773,7 +777,7 @@ def ann_recall_audit(
     Defaults track the SEARCH TIER's defaults — the audit measures
     what ships, not a private configuration. Round-4's audit of the
     old single-table tier measured recall 0.045 (6 planes) / ~0
-    (16 planes); the multi-table defaults it motivated measure 0.87
+    (16 planes); the multi-table defaults it motivated measure 0.844
     on this corpus (SCALE.md round 5).
     """
     # deterministic query sample (every sample_mod-th id), ranked

@@ -38,6 +38,7 @@ from jaccard_mapreduce_spark.operators.similarity import (
     DEFAULT_IVF_CELLS,
     DEFAULT_IVF_ITERS,
     DEFAULT_IVF_PROBE,
+    _cosine,
     _dot,
     _topk,
     ivf_assign,
@@ -100,10 +101,10 @@ def search_ivf_index(
     qa = ivf_assign(qv, cents, n_probe).alias("a")
     b = cells.alias("b")
     dot = _dot(F.col("a.vec"), F.col("b.vec"))
-    cos = F.when(
-        (F.col("a.norm2") > 0) & (F.col("b.norm2") > 0),
-        dot / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))),
-    ).otherwise(F.lit(0.0))
+    # the ONE authoritative cosine-with-zero-norm guard — any divergence
+    # from ann_ivf_topk's kernel would break the layout-invisibility
+    # hash-parity contract
+    cos = _cosine(dot, F.col("a.norm2"), F.col("b.norm2"))
     scored = (
         qa.join(
             b,
@@ -148,10 +149,16 @@ def ivf_index_search_demo(
     base = _scratch_dir(spark)
     marker = os.path.join(base, "_built_for")
     tag = sf_dir.rstrip("/")
-    built = (
+    built = False
+    if (
         os.path.exists(marker)
-        and open(marker).read() == tag
-    )
+        # marker alone is not proof — a tmp cleaner can remove the data
+        # dirs and leave the marker, which must read as not-built
+        and os.path.isdir(os.path.join(base, "centroids"))
+        and os.path.isdir(os.path.join(base, "cells"))
+    ):
+        with open(marker) as fh:
+            built = fh.read() == tag
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if rebuild or not built:
         shutil.rmtree(base, ignore_errors=True)

@@ -11,7 +11,6 @@ else (operators/jaccard.py::jaccard_formatted).
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
@@ -77,6 +76,39 @@ def test_containment_pruned_is_a_subset_with_identical_scores(spark):
         assert e is not None, f"pruned pair {r} not in the exact relation"
         for c in ("intersection", "size_a", "size_b", "cont_a", "cont_b"):
             assert r[c] == e[c], f"{c} mismatch on {r['doc_a']},{r['doc_b']}"
+
+
+def test_packed_pair_dedup_survives_int_typed_ids(spark):
+    """Regression: the packed-pair fast path shifts ids left by 32, and
+    Java masks the shift amount mod the operand width — on a 32-bit INT
+    id column the shift was a silent no-op that corrupted the packed
+    pair. Ids are now cast to long before packing; int-typed ids must
+    produce the same relation as the same data typed long."""
+    from jaccard_mapreduce_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    as_int = emb.withColumn("vec_id", F.col("vec_id").cast("int"))
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ann_lsh_topk(emb, k=5).collect()
+    }
+    got = {
+        (int(r["query_id"]), int(r["neighbor_id"]), r["rank"])
+        for r in S.ann_lsh_topk(as_int, k=5).collect()
+    }
+    assert got == want
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    as_int_docs = docs.withColumn("doc_id", F.col("doc_id").cast("int"))
+    want_p = {
+        (r["doc_a"], r["doc_b"], round(r["similarity"], 12))
+        for r in D.minhash_lsh_dedup(docs, threshold=0.7).collect()
+    }
+    got_p = {
+        (int(r["doc_a"]), int(r["doc_b"]), round(r["similarity"], 12))
+        for r in D.minhash_lsh_dedup(as_int_docs, threshold=0.7).collect()
+    }
+    assert got_p == want_p
 
 
 def test_lsh_params_for_tracks_bucket_occupancy():
