@@ -450,3 +450,31 @@ def test_boilerplate_spans_match_python_sets(spark, texts, n):
         for r in boilerplate_span_stats(df, n=n).collect()
     }
     assert got == expected
+
+
+@given(
+    u=st.integers(min_value=1, max_value=1_000_000),
+    data=st.data(),
+)
+@settings(max_examples=300, deadline=None)
+def test_halfup_pct_formula_matches_exact_decimal_rounding(u, data):
+    """The jaccard_formatted oracle's integer formula
+    ``pct = (200*I + U) div (2*U)`` must equal HALF_UP rounding of the
+    exact rational ``100*I/U`` to 2 decimals for every (I, U) — the
+    arithmetic claim behind grading Java's %.2f with integers
+    (operators/jaccard.py::jaccard_formatted docstring). Checked
+    against Python's exact Decimal arithmetic at 50-digit precision
+    (a tie within 1e-48 of .xx5 is impossible for U <= 1e6, so the
+    high-precision quantize is exact)."""
+    import decimal
+
+    i = data.draw(st.integers(min_value=0, max_value=u))
+    pct = (200 * i + u) // (2 * u)
+    ctx = decimal.Context(prec=50, rounding=decimal.ROUND_HALF_UP)
+    exact = ctx.divide(decimal.Decimal(100 * i), decimal.Decimal(u))
+    want = int(
+        exact.quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP, context=ctx
+        )
+    )
+    assert pct == want, f"I={i} U={u}: formula {pct} != decimal {want}"
