@@ -63,6 +63,17 @@ def test_jaccard_formatted_positions_are_the_global_sort(spark):
         assert r["line"].startswith(f"{r['doc_a']}, {r['doc_b']}\tSimilarity: ")
 
 
+def test_jaccard_formatted_refuses_string_ids(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [("DocumentA", "alpha beta"), ("DocumentB", "beta gamma")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(NotImplementedError, match="run_reference_pipeline"):
+        J.jaccard_formatted(docs)
+
+
 def test_containment_pruned_is_a_subset_with_identical_scores(spark):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     exact = {
