@@ -1014,9 +1014,18 @@ def source_token_drift(
     scale; at 100 TB promote to two ln's of exact-double factors), ONE
     IEEE divide, ``ln`` through libm via a pandas_udf over the
     (source, token) relation — bounded by Σ per-source vocabularies,
-    never the token stream — and the per-source sum folds sequentially
-    over the token-sorted term list, pinning accumulation order in
-    both engines.
+    never the token stream.
+
+    The per-source sum is a TWO-LEVEL deterministic fold: terms fold
+    token-sorted within a ``(source, token[:2])`` segment, segment
+    sums fold prefix-sorted per source. A single flat per-source fold
+    (the unigram_surprise shape, fine per-DOC) would collect the
+    source's entire vocabulary into one aggregation buffer — data-sized
+    at web scale; segmenting bounds every collected array by the
+    per-(source, prefix) vocab slice and ≤ alphabet² segments. The
+    grouped IEEE addition order differs from a flat fold, but BOTH
+    engines compute the identical two-level order, which is all the
+    hash grade needs.
     """
     import math
 
@@ -1045,14 +1054,27 @@ def source_token_drift(
         .withColumn(
             "term", F.col("tf_st").cast("double") * _ln_libm(ratio)
         )
+        .withColumn("_seg", F.substring("token", 1, 2))
+    )
+    segments = terms.groupBy("source", "_seg").agg(
+        F.sum("tf_st").alias("_n_seg"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("token", F.col("term").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("_s_seg"),
     )
     return (
-        terms.groupBy("source")
+        segments.groupBy("source")
         .agg(
-            F.sum("tf_st").alias("n_tokens"),
+            F.sum("_n_seg").alias("n_tokens"),
             F.aggregate(
                 F.array_sort(
-                    F.collect_list(F.struct("token", F.col("term").alias("v")))
+                    F.collect_list(
+                        F.struct("_seg", F.col("_s_seg").alias("v"))
+                    )
                 ),
                 F.lit(0.0),
                 lambda acc, s: acc + s["v"],

@@ -904,9 +904,13 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
 
 def source_token_drift_sql() -> str:
     # mirrors operators/text_analysis.py::source_token_drift — same
-    # libm-ln / sequential-token-sorted-fold conventions as
-    # unigram_surprise_sql; the log ratio is ONE divide of two
-    # integer-exact doubles
+    # libm-ln conventions as unigram_surprise_sql; the log ratio is ONE
+    # divide of two integer-exact doubles, and the per-source sum is
+    # the operator's TWO-LEVEL fold (token-sorted within a
+    # (source, prefix) segment, prefix-sorted across segments) so the
+    # IEEE addition order is pinned identically in both engines while
+    # no engine ever materializes a source's whole vocabulary in one
+    # aggregation buffer
     return f"""
 WITH toks AS (
     SELECT source, unnest({TOKS_EXPR}) AS token FROM documents
@@ -917,19 +921,25 @@ st AS (
 tt AS (SELECT token, sum(tf_st) AS tf_t FROM st GROUP BY 1),
 ss AS (SELECT source, sum(tf_st) AS n_s FROM st GROUP BY 1),
 terms AS (
-    SELECT st.source, st.token,
+    SELECT st.source, st.token, substr(st.token, 1, 2) AS seg,
            CAST(st.tf_st AS DOUBLE)
            * ln(CAST(st.tf_st * (SELECT sum(n_s) FROM ss) AS DOUBLE)
                 / CAST(tt.tf_t * ss.n_s AS DOUBLE)) AS v,
            st.tf_st AS tf_st
     FROM st JOIN tt ON st.token = tt.token
     JOIN ss ON st.source = ss.source
+),
+segs AS (
+    SELECT source, seg,
+           sum(tf_st) AS n_seg,
+           list_reduce(list(v ORDER BY token), (a, b) -> a + b) AS s_seg
+    FROM terms GROUP BY 1, 2
 )
 SELECT source,
-       CAST(sum(tf_st) AS BIGINT) AS n_tokens,
-       list_reduce(list(v ORDER BY token), (a, b) -> a + b)
-           / CAST(sum(tf_st) AS DOUBLE) AS kl
-FROM terms GROUP BY source"""
+       CAST(sum(n_seg) AS BIGINT) AS n_tokens,
+       list_reduce(list(s_seg ORDER BY seg), (a, b) -> a + b)
+           / CAST(sum(n_seg) AS DOUBLE) AS kl
+FROM segs GROUP BY source"""
 
 
 def customer_order_gaps_sql() -> str:
