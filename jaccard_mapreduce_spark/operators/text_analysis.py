@@ -922,6 +922,24 @@ def _gopher_metrics(text_col: str):
     return n_words, mean_word_len, alpha_frac, symbol_ratio
 
 
+def _sorted_fold(key_col, val_col):
+    """Deterministic sequential float sum for an aggregation: collect
+    ``(key, v)`` structs, sort by key, fold left from 0.0.
+
+    THE load-bearing cross-engine hash contract for float aggregates —
+    the single authoritative definition shared by
+    :func:`unigram_surprise` and both levels of
+    :func:`source_token_drift`. DuckDB mirror:
+    ``list_reduce(list(v ORDER BY key), (a, b) -> a + b)`` (seeds from
+    the first element, identical IEEE sequence since ``0.0 + v1 == v1``
+    exactly)."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(key_col, val_col.alias("v")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["v"],
+    )
+
+
 def unigram_surprise(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -971,13 +989,7 @@ def unigram_surprise(
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_tokens"),
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct("token", (F.col("tf") * F.col("lp")).alias("v")))
-                ),
-                F.lit(0.0),
-                lambda acc, s: acc + s["v"],
-            ).alias("_s"),
+            _sorted_fold(F.col("token"), F.col("tf") * F.col("lp")).alias("_s"),
         )
         .select(
             "doc_id",
@@ -1058,27 +1070,13 @@ def source_token_drift(
     )
     segments = terms.groupBy("source", "_seg").agg(
         F.sum("tf_st").alias("_n_seg"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct("token", F.col("term").alias("v")))
-            ),
-            F.lit(0.0),
-            lambda acc, s: acc + s["v"],
-        ).alias("_s_seg"),
+        _sorted_fold(F.col("token"), F.col("term")).alias("_s_seg"),
     )
     return (
         segments.groupBy("source")
         .agg(
             F.sum("_n_seg").alias("n_tokens"),
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("_seg", F.col("_s_seg").alias("v"))
-                    )
-                ),
-                F.lit(0.0),
-                lambda acc, s: acc + s["v"],
-            ).alias("_s"),
+            _sorted_fold(F.col("_seg"), F.col("_s_seg")).alias("_s"),
         )
         .select(
             "source",
