@@ -360,8 +360,17 @@ def cosine_topk_fast(
     return embeddings.mapInPandas(score, schema=schema)
 
 
-DEFAULT_IVF_CELLS = 8
-DEFAULT_IVF_PROBE = 3
+# Re-derived from the round-6 ivf_recall_audit sweep (docs/SCALE.md):
+# recall on this corpus tracks the scanned fraction almost linearly
+# (the synthetic embeddings are weakly clustered), but finer codebooks
+# still win at a FIXED scan fraction — at probe/cells = 0.50,
+# 8/4 → 0.720, 16/8 → 0.737, 32/16 → 0.795, 64/32 → 0.840. Shipped:
+# 64 cells / probe 32 — audited recall@10 0.840 (vs the round-5
+# 8/3 config's 0.642 at 0.38 scan fraction), matching the LSH tier's
+# 0.844. Extra Lloyd iterations measured flat (iters 2 == iters 4 to
+# within noise), so training stays at 2.
+DEFAULT_IVF_CELLS = 64
+DEFAULT_IVF_PROBE = 32
 DEFAULT_IVF_ITERS = 2
 
 
@@ -379,8 +388,9 @@ def ivf_centroids(
     deterministic and hash-gradeable like everything downstream.
 
     Round 4 shipped a stand-in codebook (the ``n_cells`` smallest-id
-    vectors); the recall audit measured it at 0.44 — training moves it
-    to ~0.60 at probe 3 (SCALE.md round 5). The k×dim codebook is
+    vectors); the recall audit measured it at 0.44 — training plus the
+    round-6 (n_cells, n_probe) retune moves the shipped tier to 0.840
+    (SCALE.md rounds 5–6). The k×dim codebook is
     driver-resident (a few KB, the MLlib loop shape) and enters the
     plan as a literal local relation; the vector relation never
     shuffles for it. Centroids are integer centroids of the
@@ -438,8 +448,10 @@ def ann_ivf_topk(
     ``cell_id`` — linear and shuffle-friendly like the LSH variant, with
     recall tunable via ``n_probe`` instead of hash width. The codebook
     is k-means-trained (:func:`ivf_centroids`); defaults re-derived
-    from :func:`ivf_recall_audit` (probe 3: measured 0.60 vs the
-    round-4 stand-in's 0.44).
+    from the round-6 :func:`ivf_recall_audit` sweep — 64 cells /
+    probe 32, audited recall@10 0.840 at a 0.50 scan fraction (the
+    full grid and the recall-vs-fraction finding are in docs/SCALE.md
+    round 6).
     """
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
@@ -529,7 +541,19 @@ def kmeans_int8(
 def _int8_codes(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """``(vec_id, q array<long>)`` — the int8 codes the integer-exact
     training loop runs on."""
-    return quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col).select(
+    # Spread the codes before they are persisted for the Lloyd loop: a
+    # single-file parquet scan (or an AQE-coalesced upstream) otherwise
+    # caches as ONE partition, and every training pass evaluates its
+    # k×dim interpreted distance folds on a single task (measured 9.2 s
+    # of a 64-cell sf0.1 training at 1 partition vs ~1.5 s spread —
+    # the same single-task failure mode the round-6 index-search fix
+    # closed). Integer sums are order-free, so the shuffle is
+    # semantically invisible.
+    spark = embeddings.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col).repartition(
+        n_shuffle, "vec_id"
+    ).select(
         "vec_id", F.transform("qvec", lambda x: x.cast("long")).alias("q")
     )
 
@@ -544,12 +568,20 @@ def _codes_assignment(
     through ONE F.expr string — building the same tree from k×dim
     F.lit() calls costs ~0.8 s of py4j round trips per pass (measured).
     """
-    dists_sql = "array(" + ", ".join(
-        "aggregate(zip_with(q, array("
-        + ", ".join(f"{x}L" for x in cvec)
-        + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    # ONE transform over an array-of-arrays literal, not k separate
+    # aggregate(zip_with) expressions: Catalyst resolves each named
+    # lambda independently, so the k-expression form costs O(k)
+    # analysis passes per training round — measured ~8.5 s of a
+    # 64-cell training spent in planning, execution unchanged. The
+    # single-transform form has three lambdas total regardless of k.
+    cb_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x}L" for x in cvec) + ")"
         for _, cvec in codebook
     ) + ")"
+    dists_sql = (
+        f"transform({cb_sql}, c -> aggregate(zip_with(q, c, "
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x))"
+    )
     cids_sql = "array(" + ", ".join(f"{cid}L" for cid, _ in codebook) + ")"
     return (
         q.withColumn("_ds", F.expr(dists_sql))
