@@ -252,6 +252,14 @@ def _q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_search_demo(spark, sf_dir)
 
 
+def _q_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        ivf_index_upsert_demo,
+    )
+
+    return ivf_index_upsert_demo(spark, sf_dir)
+
+
 def _q_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.operators.runtime_filters import (
         bloom_pruned_revenue,
@@ -459,6 +467,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green r3+r4, unchanged, chain re-graded via representatives +
         # cluster_sizes — rotates to the tail)
         "ivf_index_search": _q_ivf_index_search,
+        # round 6: incremental maintenance — build on the base slice,
+        # upsert the newcomers into their cell partitions under the
+        # stored codebook, self-search the union; must hash-match the
+        # one-plan union search with the training CTE filtered to the
+        # base slice (mutation changes where vectors land, not answers)
+        "ivf_index_upsert": _q_ivf_index_upsert,
         # --- Structured Streaming (run to completion, memory sink) ---
         # new round 4: foreachBatch versioned-snapshot upsert — the
         # exactly-once CDC file sink, graded vs the batch latest-event SQL
@@ -809,6 +823,12 @@ def oracle_sql() -> dict[str, str]:
         # persisted-index self-search must equal the one-plan IVF search
         "ivf_index_search": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
+        ),
+        # build-then-upsert must equal build-over-union with the
+        # base-trained codebook held fixed
+        "ivf_index_upsert": oracles.ann_ivf_topk_sql(
+            10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
+            train_where="WHERE vec_id % 5 != 0",
         ),
         "customer_order_gaps": oracles.customer_order_gaps_sql(),
         "cohort_retention": oracles.cohort_retention_sql(),

@@ -1352,20 +1352,28 @@ scored AS (
 
 
 def ann_ivf_topk_sql(
-    k: int, n_cells: int, n_probe: int, iters: int = 2, dim: int = 64
+    k: int,
+    n_cells: int,
+    n_probe: int,
+    iters: int = 2,
+    dim: int = 64,
+    train_where: str = "",
 ) -> str:
     # mirrors operators/similarity.py::ann_ivf_topk exactly: codebook =
     # the integer-exact kmeans_int8 chain's final centroids (ints as
     # double coordinates), cosine cell assignment with
     # (score DESC, cell_id) tie-break, index in 1 cell / query probes
-    # n_probe cells, exact rerank within cells
+    # n_probe cells, exact rerank within cells. With train_where set,
+    # the codebook trains on a slice while assignment/search cover the
+    # full corpus — the ivf_index_upsert oracle (build-then-upsert must
+    # equal build-over-union under the held-fixed codebook)
     cos_c = (
         "CASE WHEN a.norm2 > 0 AND c.cnorm2 > 0 "
         "THEN list_dot_product(a.vec, c.cvec) / (sqrt(a.norm2) * sqrt(c.cnorm2)) "
         "ELSE 0.0 END"
     )
     return _ranked_sql(
-        f"""WITH {_kmeans_int8_ctes(n_cells, iters, dim)},
+        f"""WITH {_kmeans_int8_ctes(n_cells, iters, dim, train_where)},
 {_VEC_CTES.strip()},
 cents AS (
     SELECT cluster AS cell_id,
@@ -1497,13 +1505,18 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_COSINE} >= {min_cosine}"""
 
 
-def _kmeans_int8_ctes(k: int, iters: int, dim: int) -> str:
+def _kmeans_int8_ctes(
+    k: int, iters: int, dim: int, train_where: str = ""
+) -> str:
     """Unrolled Lloyd iterations over the int8 codes — mirrors
     operators/similarity.py::kmeans_int8. Every step is integer-exact
     (squared-L2 over BIGINT codes; floored double mean for the update),
     so the chain hash-matches Spark bit-for-bit with no float-order
     hazard. Ends with CTE ``af`` = final assignment
-    (vec_id, cluster, dist)."""
+    (vec_id, cluster, dist). ``train_where`` (e.g.
+    ``"WHERE vec_id % 5 != 0"``) restricts the TRAINING corpus — the
+    ivf_index_upsert contract trains on the base slice while assigning
+    the union."""
     dist = (
         f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
         "i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i]))) AS BIGINT)"
@@ -1523,7 +1536,7 @@ def _kmeans_int8_ctes(k: int, iters: int, dim: int) -> str:
                list_aggregate(vec, 'max') AS mx
         FROM (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-              FROM embeddings)
+              FROM embeddings {train_where})
     )
 ),
 c0 AS (

@@ -1,0 +1,171 @@
+"""Round-6 additions: persisted-IVF incremental maintenance (upsert
+path, staleness counter, streaming face) and the parallelized search
+path's invariants."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _collect_topk(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in df.collect()
+    )
+
+
+def test_upsert_equals_union_build_under_fixed_codebook(spark, emb, tmp_path):
+    """build(base) + upsert(new) must yield the same cells relation —
+    and therefore the same search answers — as build(union) would with
+    the base-trained codebook. This is the mutation-invisibility
+    contract the graded ivf_index_upsert entry pins vs DuckDB."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        search_ivf_index,
+        upsert_ivf_index,
+    )
+
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+
+    p_inc = str(tmp_path / "inc")
+    build_ivf_index(base, p_inc, n_cells=8)
+    n_appended = upsert_ivf_index(spark, p_inc, new)
+    assert n_appended == new.count()
+
+    # union build with the SAME codebook: reuse the stored centroids by
+    # assigning the union manually against them
+    p_union = str(tmp_path / "union")
+    os.makedirs(p_union)
+    shutil.copytree(f"{p_inc}/centroids", f"{p_union}/centroids")
+    from jaccard_mapreduce_spark.operators.similarity import ivf_assign, vectors
+
+    cents = spark.read.parquet(f"{p_union}/centroids")
+    cells = ivf_assign(vectors(emb), cents, 1).select(
+        "vec_id", "vec", "norm2", "cell_id"
+    )
+    cells.write.partitionBy("cell_id").parquet(f"{p_union}/cells")
+
+    got = _collect_topk(search_ivf_index(spark, p_inc, emb, k=5, n_probe=3))
+    want = _collect_topk(search_ivf_index(spark, p_union, emb, k=5, n_probe=3))
+    assert got == want and len(got) > 0
+
+
+def test_staleness_counter_accumulates_and_resets(spark, emb, tmp_path):
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        index_staleness,
+        upsert_ivf_index,
+    )
+
+    p = str(tmp_path / "ix")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    build_ivf_index(base, p, n_cells=8)
+    assert index_staleness(p) == 0
+    first = emb.where(F.col("vec_id") % 10 == 0)
+    second = emb.where(F.col("vec_id") % 10 == 5)
+    upsert_ivf_index(spark, p, first)
+    upsert_ivf_index(spark, p, second)
+    assert index_staleness(p) == first.count() + second.count()
+    # retrain resets the trigger
+    build_ivf_index(emb, p, n_cells=8)
+    assert index_staleness(p) == 0
+
+
+def test_upsert_touches_only_matching_cell_partitions(spark, emb, tmp_path):
+    """The append must not rewrite existing cell files — incremental
+    cost is proportional to the batch, not the index."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+
+    p = str(tmp_path / "ix")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    build_ivf_index(base, p, n_cells=8)
+
+    def files():
+        out = {}
+        for dirpath, _d, names in os.walk(f"{p}/cells"):
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(dirpath, n)
+                    out[fp] = os.stat(fp).st_mtime_ns
+        return out
+
+    before = files()
+    upsert_ivf_index(spark, p, emb.where(F.col("vec_id") % 5 == 0))
+    after = files()
+    # every pre-existing file survives untouched; new files appeared
+    assert set(before) < set(after)
+    assert all(after[f] == m for f, m in before.items())
+
+
+def test_streaming_upsert_appends_each_microbatch(spark, emb, tmp_path):
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        index_staleness,
+        upsert_ivf_index_stream,
+    )
+
+    p = str(tmp_path / "ix")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    build_ivf_index(base, p, n_cells=8)
+
+    src = str(tmp_path / "src")
+    new.write.parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = upsert_ivf_index_stream(
+        stream, p, checkpoint=str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    assert index_staleness(p) == new.count()
+    got = spark.read.parquet(f"{p}/cells")
+    assert got.count() == emb.count()
+    # appended rows carry the same cell assignment the batch path gives
+    from jaccard_mapreduce_spark.operators.similarity import ivf_assign, vectors
+
+    cents = spark.read.parquet(f"{p}/centroids")
+    want = {
+        (r["vec_id"], r["cell_id"])
+        for r in ivf_assign(vectors(emb), cents, 1).collect()
+    }
+    assert {(r["vec_id"], r["cell_id"]) for r in got.collect()} == want
+
+
+def test_index_search_parallelism_survives_aqe(spark, emb):
+    """The scored join's probe side must NOT be a bare ENSURE_REQUIREMENTS
+    exchange (AQE would coalesce it to one partition and serialize the
+    cosine rerank — the round-5 perf-weak finding). The explicit
+    user-numbered repartition must survive in the plan."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        build_ivf_index(emb, td, n_cells=8)
+        plan = (
+            search_ivf_index(spark, td, emb, k=5, n_probe=3)
+            ._jdf.queryExecution()
+            .sparkPlan()
+            .toString()
+        )
+    assert "REPARTITION_BY_NUM" in plan
