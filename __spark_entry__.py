@@ -260,6 +260,12 @@ def _q_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_upsert_demo(spark, sf_dir)
 
 
+def _q_corpus_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.corpus import corpus_text_roundtrip
+
+    return corpus_text_roundtrip(spark, sf_dir)
+
+
 def _q_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.operators.runtime_filters import (
         bloom_pruned_revenue,
@@ -425,6 +431,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generation — the scale path the r4 docstring promised)
         "containment_pairs": lambda s, d: D.containment_pairs(_docs(s, d)),
         "containment_pruned": lambda s, d: D.containment_pruned(_docs(s, d)),
+        # round 6: measures the recall caveat containment_pruned only
+        # derives — exact vs LSH-pruned pair counts per document
+        "containment_recall_audit": lambda s, d: D.containment_recall_audit(
+            _docs(s, d)
+        ),
         "boilerplate_span_stats": lambda s, d: D.boilerplate_span_stats(_docs(s, d)),
         # round 5: vocabulary's global rank rebuilt on the bucket-offset
         # composition (the unpartitioned WindowExec is gone) — re-graded
@@ -473,6 +484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-plan union search with the training CTE filtered to the
         # base slice (mutation changes where vectors land, not answers)
         "ivf_index_upsert": _q_ivf_index_upsert,
+        # round 6: O1/O19 graded in-contract — the reference text format
+        # written through the distributed sink and re-read through the
+        # O1–O3 scan/filter/split chain, mismatch counters pinned to 0
+        "corpus_text_roundtrip": _q_corpus_text_roundtrip,
         # --- Structured Streaming (run to completion, memory sink) ---
         # new round 4: foreachBatch versioned-snapshot upsert — the
         # exactly-once CDC file sink, graded vs the batch latest-event SQL
@@ -811,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_sizes": oracles.dedup_cluster_sizes_sql(0.7),
         "containment_pairs": oracles.containment_pairs_sql(0.8),
         "containment_pruned": oracles.containment_pruned_sql(0.8),
+        "containment_recall_audit": oracles.containment_recall_audit_sql(0.8),
         "source_overlap_matrix": oracles.source_overlap_matrix_sql(0.7),
         "gopher_quality_flags": oracles.gopher_quality_flags_sql(),
         "unigram_surprise": oracles.unigram_surprise_sql(),
@@ -830,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
             train_where="WHERE vec_id % 5 != 0",
         ),
+        "corpus_text_roundtrip": oracles.corpus_text_roundtrip_sql(),
         "customer_order_gaps": oracles.customer_order_gaps_sql(),
         "cohort_retention": oracles.cohort_retention_sql(),
         "boilerplate_span_stats": oracles.boilerplate_span_stats_sql(5),

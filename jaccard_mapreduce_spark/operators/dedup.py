@@ -479,6 +479,12 @@ def _lsh_scored_pairs(
             F.col("sa.size").alias("size_a"),
             F.col("sb.size").alias("size_b"),
         )
+        # token-disjoint band collisions are structurally absent from
+        # the oracles' token-equi-join candidate relations; dropping
+        # them here makes the Spark relation match even at a
+        # min_containment/threshold of 0 (ADVICE r5) and is invisible
+        # to every thresholded consumer
+        .where(F.col("intersection") > 0)
     )
 
 
@@ -520,6 +526,48 @@ def containment_pruned(
         .where(
             (F.col("cont_a") >= min_containment)
             | (F.col("cont_b") >= min_containment)
+        )
+    )
+
+
+def containment_recall_audit(
+    documents: DataFrame,
+    min_containment: float = 0.8,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Measures what :func:`containment_pruned`'s docstring only
+    derives: per-document ``(doc_a, n_exact, n_pruned)`` — exact
+    containment pairs (the all-pairs kernel) vs LSH-pruned pairs at the
+    same threshold, integer counts in the established audit shape
+    (:func:`minhash_error_audit`, ``ann_recall_audit``). Because the
+    pruned relation is a strict subset of the exact one (same scoring,
+    candidates ⊆ all pairs), recall is simply
+    ``Σ n_pruned / Σ n_exact`` and no separate hit join is needed; a
+    per-doc row with ``n_pruned < n_exact`` pinpoints exactly which
+    documents' near-supersets fall below the Jaccard-governed band
+    threshold (the J ≥ c/(2−c) caveat, measured instead of assumed).
+    Grouping is by the canonical pair's a-side (pairs are doc_a <
+    doc_b), one row per document so misses cannot hide by omission."""
+    exact = containment_pairs(
+        documents, min_containment, id_col=id_col, text_col=text_col
+    ).select("doc_a")
+    pruned = containment_pruned(
+        documents, min_containment, k, bands, seed, id_col, text_col
+    ).select("doc_a")
+    ex_c = exact.groupBy("doc_a").agg(F.count(F.lit(1)).alias("n_exact"))
+    pr_c = pruned.groupBy("doc_a").agg(F.count(F.lit(1)).alias("n_pruned"))
+    base = documents.select(F.col(id_col).alias("doc_a"))
+    return (
+        base.join(ex_c, "doc_a", "left")
+        .join(pr_c, "doc_a", "left")
+        .select(
+            "doc_a",
+            F.coalesce("n_exact", F.lit(0).cast("long")).alias("n_exact"),
+            F.coalesce("n_pruned", F.lit(0).cast("long")).alias("n_pruned"),
         )
     )
 

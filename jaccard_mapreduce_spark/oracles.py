@@ -595,6 +595,17 @@ SELECT f.fmt,
 FROM (VALUES {values}) AS f(fmt)"""
 
 
+def corpus_text_roundtrip_sql() -> str:
+    # O1/O19 in-contract: the reference-format text write -> scan cycle
+    # must be lossless and row-preserving — mismatch counters pinned at
+    # zero, n_rows at the documents row count (formats_roundtrip style)
+    return """
+SELECT 'corpus_text' AS surface,
+       (SELECT count(*) FROM documents) AS n_rows,
+       CAST(0 AS BIGINT) AS n_id_mismatch,
+       CAST(0 AS BIGINT) AS n_text_mismatch"""
+
+
 def q21_waiting_suppliers_sql(k: int = 20) -> str:
     # the literal correlated double-EXISTS form — Spark runs the
     # decorrelated one-aggregate rewrite; hash equality proves them
@@ -1109,6 +1120,48 @@ SELECT c.doc_a, c.doc_b, s.intersection, s.size_a, s.size_b,
 FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
 WHERE s.intersection / s.size_a >= {min_containment}
    OR s.intersection / s.size_b >= {min_containment}"""
+
+
+def containment_recall_audit_sql(
+    min_containment: float,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """Mirrors operators/dedup.py::containment_recall_audit — exact vs
+    LSH-pruned containment pair counts per canonical a-side document
+    (pruned ⊆ exact, so no hit join; recall = Σn_pruned / Σn_exact)."""
+    r = k // bands
+    cfilter = (
+        f"intersection / size_a >= {min_containment} "
+        f"OR intersection / size_b >= {min_containment}"
+    )
+    return f"""WITH {_minhash_cte(k, seed)},
+buckets AS (
+    SELECT doc_id, h_idx // {r} AS band,
+           string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS bucket
+    FROM mh GROUP BY doc_id, h_idx // {r}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+{scored_ctes("tok")},
+ex AS (SELECT doc_a, doc_b FROM scored WHERE {cfilter}),
+pr AS (
+    SELECT s.doc_a, s.doc_b
+    FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+    WHERE {cfilter}
+),
+exc AS (SELECT doc_a, count(*) AS c FROM ex GROUP BY 1),
+prc AS (SELECT doc_a, count(*) AS c FROM pr GROUP BY 1)
+SELECT d.doc_id AS doc_a,
+       CAST(COALESCE(exc.c, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(prc.c, 0) AS BIGINT) AS n_pruned
+FROM documents d
+LEFT JOIN exc ON d.doc_id = exc.doc_a
+LEFT JOIN prc ON d.doc_id = prc.doc_a"""
 
 
 def source_overlap_matrix_sql(

@@ -134,3 +134,60 @@ def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan of a documents relation previously exported with
     ``write_documents_orc`` (schema travels in the file footer)."""
     return spark.read.orc(path)
+
+
+def write_corpus_text(
+    documents: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Serialize a documents relation back into the reference's INPUT
+    line format — ``DocumentID <text...>`` (README.md:8) — through the
+    same distributed text sink the formatted output uses (O19,
+    TextOutputFormat at DocumentSimilarityDriver.java:45). Natural
+    partitioning: one part file per task, the cluster-scale posture."""
+    out = documents.select(
+        F.concat(F.col(id_col).cast("string"), F.lit(" "), F.col(text_col)).alias(
+            "value"
+        )
+    )
+    out.write.mode("overwrite").text(path)
+
+
+def corpus_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query closing the O1/O19 grading gap: the text SINK and
+    the text SCAN, exercised in-contract. Writes the documents table as
+    reference-format lines (:func:`write_corpus_text`), re-reads it
+    through the O1–O3 scan/filter/split chain (:func:`read_corpus_text`),
+    and grades one integer row —
+    ``(surface, n_rows, n_id_mismatch, n_text_mismatch)`` — with the
+    mismatch counters pinned to zero by the oracle (the
+    ``formats_roundtrip`` recipe applied to the reference's own text
+    format). A full outer join on doc_id makes dropped OR invented rows
+    show up as id mismatches, not silent count drift."""
+    import os
+    import re as _re
+    import shutil
+    import tempfile
+
+    app = _re.sub(r"[^a-zA-Z0-9]+", "_", spark.sparkContext.applicationId)
+    base = os.path.join(tempfile.gettempdir(), f"corpus_text_{app}".lower())
+    shutil.rmtree(base, ignore_errors=True)
+
+    orig = read_documents(spark, sf_dir).select("doc_id", "text")
+    write_corpus_text(orig, base)
+    back = read_corpus_text(spark, base).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    a = orig.alias("a")
+    b = back.alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full")
+    miss = (
+        F.col("a.doc_id").isNull() | F.col("b.doc_id").isNull()
+    ).cast("long")
+    return joined.agg(
+        F.lit("corpus_text").alias("surface"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(miss).alias("n_id_mismatch"),
+        F.sum(
+            (~F.col("a.text").eqNullSafe(F.col("b.text"))).cast("long")
+        ).alias("n_text_mismatch"),
+    )

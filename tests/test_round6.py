@@ -169,3 +169,37 @@ def test_index_search_parallelism_survives_aqe(spark, emb):
             .toString()
         )
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_containment_recall_audit_pruned_subset_of_exact(spark):
+    """Pruned counts can never exceed exact counts (pruned ⊆ exact), and
+    overall recall on the small corpus should be high (matched-size
+    near-dups sit above the band threshold)."""
+    from jaccard_mapreduce_spark.operators.dedup import containment_recall_audit
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = containment_recall_audit(docs).collect()
+    assert len(rows) == docs.count()
+    assert all(r["n_pruned"] <= r["n_exact"] for r in rows)
+    n_ex = sum(r["n_exact"] for r in rows)
+    n_pr = sum(r["n_pruned"] for r in rows)
+    assert n_ex > 0
+    assert n_pr / n_ex > 0.5
+
+
+def test_lsh_scored_pairs_drops_token_disjoint_collisions(spark):
+    """Zero-intersection band collisions must not survive the kernel —
+    the structural match with the oracles' token-equi-join candidate
+    relations even at a threshold of 0 (ADVICE r5)."""
+    from jaccard_mapreduce_spark.operators.dedup import containment_pruned
+
+    docs = spark.createDataFrame(
+        # two identical docs (collide, intersect) and two token-disjoint
+        # docs that share NO tokens but may band-collide on tiny corpora
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta"), (4, "eta theta iota")],
+        "doc_id long, text string",
+    )
+    rows = containment_pruned(docs, min_containment=0.0).collect()
+    assert all(r["intersection"] > 0 for r in rows)
+    assert any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in rows)
