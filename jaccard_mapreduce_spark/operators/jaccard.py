@@ -366,6 +366,7 @@ def jaccard_formatted(
     text_col: str = "text",
     strategy: str = "auto",
     n_buckets: int = 1024,
+    id_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The reference's user-visible artifact as a graded relation —
     ``(doc_a, doc_b, line, out_pos)`` where ``line`` is the formatted
@@ -388,6 +389,11 @@ def jaccard_formatted(
     single-partition window. Requires integral ids (the documents
     table); the string-id text pipeline keeps its single-reducer sort
     in :func:`run_reference_pipeline`.
+
+    Building the plan runs ONE eager id-range probe for the bucket
+    width; pass ``id_range=(lo, hi)`` to keep construction fully lazy
+    when the bounds are known (ADVICE r5 — the
+    ``ids_fit_31_bits`` convention from ``minhash_lsh_candidates``).
     """
     id_type = documents.schema[id_col].dataType.simpleString()
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
@@ -395,7 +401,10 @@ def jaccard_formatted(
             "jaccard_formatted needs integral doc ids for the bucketed "
             "global rank; use run_reference_pipeline for string-id corpora"
         )
-    lo, hi = documents.agg(F.min(id_col), F.max(id_col)).first()
+    if id_range is not None:
+        lo, hi = id_range
+    else:
+        lo, hi = documents.agg(F.min(id_col), F.max(id_col)).first()
     if lo is None:  # empty corpus -> empty formatted relation, with the
         # pair columns typed like the input ids (the non-empty branch
         # inherits that type, so the schema must not depend on emptiness)

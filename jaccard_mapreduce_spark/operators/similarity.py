@@ -161,6 +161,7 @@ def ann_lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ids_fit_31_bits: bool | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket in ANY
     of ``n_tables`` independent hash tables (the classic multi-table
@@ -209,11 +210,23 @@ def ann_lsh_topk(
     # directed pair into ONE long for the dedup and unpack after — the
     # minhash_lsh_candidates trick: half the shuffle bytes, a
     # single-column hash dedup.
+    # ids_fit_31_bits=None probes eagerly (and pre-materializes the
+    # pin); passing True/False keeps plan construction fully lazy for
+    # composability (ADVICE r5, the minhash_lsh_candidates convention)
     integral = embeddings.schema[id_col].dataType.simpleString() in (
         "tinyint", "smallint", "int", "bigint"
     )
-    rng = v.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
-    if integral and rng["lo"] is not None and rng["lo"] >= 0 and rng["hi"] < (1 << 31):
+    if ids_fit_31_bits is None:
+        rng = v.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).first()
+        ids_fit_31_bits = (
+            integral
+            and rng["lo"] is not None
+            and rng["lo"] >= 0
+            and rng["hi"] < (1 << 31)
+        )
+    if integral and ids_fit_31_bits:
         cand = (
             # cast to long BEFORE shifting: Java masks the shift amount
             # mod the operand width, so shiftleft on a 32-bit int column
@@ -441,6 +454,7 @@ def ann_ivf_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: index vectors live in their single nearest
     cell; each query probes its ``n_probe`` nearest cells and reranks
@@ -456,9 +470,15 @@ def ann_ivf_topk(
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
     v = vectors(embeddings, id_col, vec_col)
-    cents = ivf_centroids(
-        embeddings, n_cells, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
-    )
+    # training collects the tiny codebook to the driver (the MLlib loop
+    # shape) — pass prebuilt ``cents`` (cell_id, cvec, cnorm2) to keep
+    # plan construction fully lazy, e.g. a codebook read from a
+    # persisted index (ADVICE r5)
+    if cents is None:
+        cents = ivf_centroids(
+            embeddings, n_cells, iters=iters, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
     # ONE assignment pass serves both sides: the index relation is the
     # crank==1 slice of the n_probe assignment (pinned — computing
     # ivf_assign twice doubled the crossJoin + rank window, measured

@@ -387,7 +387,16 @@ def _partsupp_ctes() -> str:
     """Synthetic partsupp (mirrors operators/relational.py::
     partsupp_synth): pure deterministic function of (part,
     supplier-count), integer cents for order-independent money math."""
-    return """s_cnt AS (SELECT count(*) AS s FROM supplier),
+    return """s_cnt AS (
+    -- mirror partsupp_synth's S >= 4 ValueError: below 4 suppliers the
+    -- stride collapses and (ps_partkey, ps_suppkey) stops being unique,
+    -- so the oracle must FAIL like Spark does, not silently double-count
+    SELECT CASE WHEN count(*) >= 4 THEN count(*)
+                ELSE CAST(error('partsupp_synth requires >= 4 suppliers')
+                          AS BIGINT)
+           END AS s
+    FROM supplier
+),
 ps0 AS (
     SELECT p_partkey AS ps_partkey,
            (p_partkey + i.i * greatest(1, s // 4)) % s AS ps_suppkey

@@ -203,3 +203,46 @@ def test_lsh_scored_pairs_drops_token_disjoint_collisions(spark):
     rows = containment_pruned(docs, min_containment=0.0).collect()
     assert all(r["intersection"] > 0 for r in rows)
     assert any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in rows)
+
+
+def test_plan_only_construction_runs_no_jobs(spark, emb):
+    """With the probe results supplied, building the three previously
+    eager plans must trigger ZERO Spark jobs (ADVICE r5 — lazy
+    composability for plan-only callers)."""
+    from jaccard_mapreduce_spark.operators.jaccard import jaccard_formatted
+    from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-only-probe", "plan-only construction")
+    try:
+        ann_lsh_topk(emb, k=5, ids_fit_31_bits=True)
+        # strategy='join' skips the auto gate's sketch probe — auto is
+        # eager BY DESIGN (it measures before choosing the kernel)
+        jaccard_formatted(docs, id_range=(0, 10_000), strategy="join")
+    finally:
+        sc.setJobGroup(None, None)
+    ran = tracker.getJobIdsForGroup("plan-only-probe")
+    assert not ran, f"plan construction ran jobs: {ran} (before={before})"
+
+
+def test_ann_lsh_topk_gated_probe_matches_probed(spark, emb):
+    from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    probed = ann_lsh_topk(emb, k=5).collect()
+    gated = ann_lsh_topk(emb, k=5, ids_fit_31_bits=True).collect()
+    assert sorted(map(tuple, probed)) == sorted(map(tuple, gated))
+
+
+def test_jaccard_formatted_id_range_matches_probed(spark):
+    from jaccard_mapreduce_spark.operators.jaccard import jaccard_formatted
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(80)
+    import pyspark.sql.functions as _F
+
+    lo, hi = docs.agg(_F.min("doc_id"), _F.max("doc_id")).first()
+    probed = jaccard_formatted(docs).collect()
+    gated = jaccard_formatted(docs, id_range=(int(lo), int(hi))).collect()
+    assert sorted(map(tuple, probed)) == sorted(map(tuple, gated))
