@@ -117,6 +117,10 @@ def main() -> None:
         "dedup_cluster_sizes",
         "prepare_corpus_rules",
         "ivf_recall_audit",
+        # round-6 additions
+        "ivf_index_upsert",
+        "corpus_text_roundtrip",
+        "containment_recall_audit",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",
@@ -139,37 +143,62 @@ def main() -> None:
     # attributable to plan changes, not scheduler noise. min/max recorded
     # per query for the spread.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # spread bound = ±40% of the median (round-5 verdict ask): a query
+    # whose min/max straddle more than that gets up to EXTRA_REPS
+    # additional samples (ambient-load spikes hit one rep, not all);
+    # if the spread is STILL wider, the query is flagged noisy in
+    # bench_detail.json so its median is read as low-confidence rather
+    # than silently trusted.
+    extra_reps = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2")))
 
-    def timed(fn) -> tuple[float, float, float]:
+    def timed(fn) -> tuple[float, float, float, bool]:
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
         samples.sort()
+        grants = extra_reps
+        while (
+            samples[-1] - samples[0] > 0.8 * samples[len(samples) // 2]
+            and grants > 0
+        ):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+            samples.sort()
+            grants -= 1
+        med = samples[len(samples) // 2]
+        noisy = samples[-1] - samples[0] > 0.8 * med
         return (
-            round(samples[len(samples) // 2], 3),
+            round(med, 3),
             round(samples[0], 3),
             round(samples[-1], 3),
+            noisy,
         )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    noisy_queries: list[str] = []
 
     # Reference-parity pipeline on the reference's own largest dataset —
     # the direct apples-to-apples number vs BASELINE.md (1DN local mode).
-    med, lo, hi = timed(
+    med, lo, hi, noisy = timed(
         lambda: _force(
             run_reference_pipeline(spark, "/root/reference/datasets/large.txt")
         )
     )
     timings["jaccard_ref_large"] = med
     spread["jaccard_ref_large"] = [lo, hi]
+    if noisy:
+        noisy_queries.append("jaccard_ref_large")
 
     for name in bench_queries:
-        med, lo, hi = timed(lambda: _force(qs[name](spark, sf_dir)))
+        med, lo, hi, noisy = timed(lambda: _force(qs[name](spark, sf_dir)))
         timings[name] = med
         spread[name] = [lo, hi]
+        if noisy:
+            noisy_queries.append(name)
 
     loadavg.append(_load1())
     total = round(sum(timings.values()), 3)
@@ -183,7 +212,11 @@ def main() -> None:
     detail = {
         "queries_median": timings,
         "spread_min_max": spread,
+        # medians whose spread exceeded ±40% even after extra reps —
+        # read these as low-confidence (host noise), not plan deltas
+        "noisy_queries": sorted(noisy_queries),
         "reps": reps,
+        "extra_reps_budget": extra_reps,
         "sf": sf_val,
         "warmup_seconds": warmup_s,
         # ambient host load at start/end: local[32] wall-clock inflates

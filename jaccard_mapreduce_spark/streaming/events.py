@@ -194,11 +194,15 @@ def typed_user_counts_tws(events: DataFrame) -> DataFrame:
     (user, event_type) is the exact group count, so the plain GROUP BY
     SQL is the oracle.
 
-    ENVIRONMENT-GATED (the Pillow/ffmpeg precedent): the state-v2
-    Python protocol speaks protobuf to the JVM state server, so running
-    this operator requires the ``protobuf`` package (absent in this
-    sandbox — the test skips, and the operator is deliberately NOT a
-    graded contract entry until the environment carries it).
+    ENVIRONMENT-GATED, PERMANENTLY in this sandbox (the Pillow/ffmpeg
+    precedent): the state-v2 Python protocol speaks protobuf to the JVM
+    state server. Round-6 audit: no ``google.protobuf`` anywhere on the
+    path (not even vendored inside the pyspark 4.1.2 wheel — the
+    connect/grpc extras are not installed) and package installation is
+    out of contract, so vendoring is not an option either. The operator
+    stays implemented + unit-skipped; ``stateful_user_counts``
+    (``applyInPandasWithState``, protobuf-free) is the graded stateful
+    representative.
 
     Scale shape: state lives in the per-partition RocksDB/HDFS state
     store keyed by user — no driver involvement; Arrow batches cross

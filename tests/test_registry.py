@@ -39,22 +39,45 @@ def test_bench_only_entries_stay_out_of_the_contract():
         assert k not in qs, f"bench-only entry {k} leaked into queries()"
 
 
-def test_round5_rotation_targets_are_in_the_graded_window():
-    """The round-5 window intent: every entry that is NEW this round or
-    whose implementation/oracle CHANGED this round sits inside the
-    first 50 (the driver grades only those), alongside the once-graded
-    round-4 additions that stay for a second grade."""
+def test_round6_rotation_targets_are_in_the_graded_window():
+    """The round-6 window intent: the window IS _R6_WINDOW, in order —
+    new/changed round-6 entries first, round-5 single-grades for a
+    second green, then the 30 entries whose driver grade was last
+    refreshed in round 1."""
     window = list(entrymod.queries())[:50]
+    assert window == entrymod._R6_WINDOW
     must_grade = [
-        # new in round 5
-        "jaccard_formatted", "q2_min_cost_supplier", "containment_pruned",
-        "source_token_drift", "ivf_index_search", "kmeans_label_purity",
-        "q9_partsupp", "q11_partsupp", "q16_partsupp", "q20_partsupp",
-        # changed in round 5 (re-derived defaults / rebuilt plans)
-        "vocabulary", "ann_lsh_topk", "ann_ivf_topk",
-        "ann_recall_audit", "ivf_recall_audit", "q22_idle_customers",
-        "stream_upsert_snapshot", "dedup_minhash_lsh",
-        "gopher_quality_flags", "prepare_corpus_rules",
+        # new in round 6
+        "ivf_index_upsert", "corpus_text_roundtrip",
+        "containment_recall_audit",
+        # changed in round 6 (IVF retune, kernel filter, repartitions)
+        "ivf_index_search", "ann_ivf_topk", "ivf_recall_audit",
+        "dedup_minhash_lsh", "containment_pruned", "kmeans_int8",
+        "semantic_dedup", "ann_lsh_topk",
+        # round-5 first-grades staying for their second green
+        "jaccard_formatted", "kmeans_label_purity", "source_token_drift",
+        "q2_min_cost_supplier", "q11_partsupp", "q16_partsupp",
+        "q9_partsupp", "q20_partsupp",
     ]
     out = [k for k in must_grade if k not in window]
-    assert not out, f"round-5 must-grade entries outside the window: {out}"
+    assert not out, f"round-6 must-grade entries outside the window: {out}"
+
+
+def test_round1_stale_cohort_pulled_forward():
+    """Cross-referencing CORRECTNESS_r01..r05: 31 entries were last
+    driver-graded in round 1; all but the bench-only
+    ann_cosine_topk_fast must sit in the round-6 window."""
+    window = set(list(entrymod.queries())[:50])
+    stale = [
+        "customer_order_windows", "customers_semi_anti", "dedup_embedding",
+        "dedup_exact", "doc_sizes", "doc_split", "fingerprints", "lang_id",
+        "lineitem_unpivot", "min_cost_supplier", "minhash_signatures",
+        "orders_exists_returned", "orders_grouping_sets", "orders_pivot",
+        "orders_rollup", "orders_status_cube", "pair_intersections",
+        "part_brand_stats", "q1_pricing_summary", "q3_top_orders",
+        "q5_region_revenue", "q6_revenue", "quality_filter",
+        "salted_customer_revenue", "shard_assign", "stratified_sample",
+        "text_stats", "tfidf_top_terms", "token_counts", "top_suppliers",
+    ]
+    out = [k for k in stale if k not in window]
+    assert not out, f"round-1-stale entries outside the window: {out}"
