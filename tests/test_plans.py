@@ -424,7 +424,12 @@ def test_kmeans_assignment_is_flat_projection(spark):
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     plan = _plan(kmeans_int8(emb, k=4, iters=0, dim=64))
     assert "Join" not in plan and "Window" not in plan
-    assert "Exchange" not in plan
+    # the argmin itself must not require a distribution (no
+    # ENSURE_REQUIREMENTS exchange); the one allowed exchange is the
+    # deliberate round-6 REPARTITION_BY_NUM that spreads the codes
+    # before the training persist (a single-file scan otherwise caches
+    # as one partition and every Lloyd pass runs single-task)
+    assert "ENSURE_REQUIREMENTS" not in plan
 
 
 def test_semantic_dedup_pairs_join_on_cluster_not_cartesian(spark):
