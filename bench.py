@@ -54,6 +54,18 @@ def main() -> None:
     _force(qs["media_meta"](spark, "/root/testdata/sf0.001"))
     warmup_s = round(time.perf_counter() - t0, 3)
 
+    # The persisted-index queries are BIMODAL by design: the session's
+    # first call pays codebook training + the partitioned write, every
+    # later call is search-only (the amortization the lifecycle exists
+    # for). Averaging the two modes would measure neither, so the build
+    # happens here, ONCE, and is reported separately — the per-query
+    # medians below then measure the amortized serving cost, which is
+    # the number a build-once/search-many index should be judged on.
+    t0 = time.perf_counter()
+    _force(qs["ivf_index_search"](spark, sf_dir))
+    _force(qs["ivf_index_upsert"](spark, sf_dir))
+    index_build_s = round(time.perf_counter() - t0, 3)
+
     bench_queries = [
         "jaccard_pairs",
         "jaccard_topk",
@@ -217,6 +229,10 @@ def main() -> None:
         "noisy_queries": sorted(noisy_queries),
         "reps": reps,
         "extra_reps_budget": extra_reps,
+        # one-time cost of building BOTH persisted IVF indexes (search +
+        # upsert demos) — paid before the reps so their medians measure
+        # amortized search, not a build/search mixture
+        "ivf_index_build_seconds": index_build_s,
         "sf": sf_val,
         "warmup_seconds": warmup_s,
         # ambient host load at start/end: local[32] wall-clock inflates
