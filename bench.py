@@ -133,6 +133,7 @@ def main() -> None:
         "ivf_index_upsert",
         "corpus_text_roundtrip",
         "containment_recall_audit",
+        "q4_order_priority",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

@@ -587,6 +587,42 @@ def q12_priority_shipclass(
     )
 
 
+def q4_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — per priority, how many
+    orders placed inside a 3-month window have at least one late line
+    item. The fixture carries no commit/receipt dates (TESTDATA.md), so
+    "late" is re-expressed as ``l_shipdate >= o_orderdate + late_days``
+    — the identical correlated-EXISTS decorrelation either way: a LEFT
+    SEMI join hashed on the order key with the lateness residual
+    evaluated join-side (each order emitted at most once, no distinct
+    needed), then a 5-group count. The date window prunes the orders
+    scan (pushed to the parquet reader) before anything shuffles, and
+    the semi join never materializes lineitem columns."""
+    late_days = int(late_days)
+    windowed = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    return (
+        windowed.join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            (F.col("l_orderkey") == F.col("o_orderkey")) & late,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
 def q22_idle_customers(
     customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
 ) -> DataFrame:

@@ -290,6 +290,25 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag"""
 
 
+def q4_order_priority_sql(
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+    late_days: int = 60,
+) -> str:
+    """Oracle for the adapted Q4: correlated EXISTS with the lateness
+    residual inside the subquery — DuckDB decorrelates it to the same
+    semi join the Spark plan declares. Counts are integers; hash-exact."""
+    return f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{start} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{end} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= o_orderdate + INTERVAL {int(late_days)} DAY)
+GROUP BY o_orderpriority"""
+
+
 def q22_idle_customers_sql(since: str = "2000-01-01") -> str:
     return f"""
 WITH avg_b AS (
