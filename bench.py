@@ -64,6 +64,7 @@ def main() -> None:
     t0 = time.perf_counter()
     _force(qs["ivf_index_search"](spark, sf_dir))
     _force(qs["ivf_index_upsert"](spark, sf_dir))
+    _force(qs["lsh_index_search"](spark, sf_dir))
     index_build_s = round(time.perf_counter() - t0, 3)
 
     bench_queries = [
@@ -134,6 +135,7 @@ def main() -> None:
         "corpus_text_roundtrip",
         "containment_recall_audit",
         "q4_order_priority",
+        "lsh_index_search",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

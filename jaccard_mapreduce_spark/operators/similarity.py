@@ -152,6 +152,36 @@ def _lsh_signature_expr(vec_sql: str, planes: list[list[float]]) -> str:
     return f"concat({bits})"
 
 
+def _distinct_directed_pairs(joined: DataFrame, packed: bool) -> DataFrame:
+    """Deduplicate the directed candidate pair relation
+    ``(a.vec_id, b.vec_id)`` — the dominant shuffle of every LSH-family
+    plan (collision multiplicity × bucket fanout rows in, one row per
+    distinct pair out). With ``packed`` (ids fit 31 bits) the pair is
+    packed into ONE long for the dedup and unpacked after: half the
+    shuffle bytes, a single-column hash dedup. The ONE authoritative
+    copy of the pack/unpack — the round-5 review found that
+    ``shiftleft`` on a 32-bit int column is a silent no-op (Java masks
+    the shift amount mod the operand width), so the cast to long below
+    is load-bearing and regression-tested."""
+    if packed:
+        return (
+            joined.select(
+                F.shiftleft(F.col("a.vec_id").cast("long"), 32)
+                .bitwiseOR(F.col("b.vec_id").cast("long"))
+                .alias("p")
+            )
+            .distinct()
+            .select(
+                F.shiftright(F.col("p"), 32).alias("query_id"),
+                F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("neighbor_id"),
+            )
+        )
+    return joined.select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+    ).distinct()
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 10,
@@ -226,27 +256,7 @@ def ann_lsh_topk(
             and rng["lo"] >= 0
             and rng["hi"] < (1 << 31)
         )
-    if integral and ids_fit_31_bits:
-        cand = (
-            # cast to long BEFORE shifting: Java masks the shift amount
-            # mod the operand width, so shiftleft on a 32-bit int column
-            # is a silent no-op that would corrupt the packed pair
-            joined.select(
-                F.shiftleft(F.col("a.vec_id").cast("long"), 32)
-                .bitwiseOR(F.col("b.vec_id").cast("long"))
-                .alias("p")
-            )
-            .distinct()
-            .select(
-                F.shiftright(F.col("p"), 32).alias("query_id"),
-                F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("neighbor_id"),
-            )
-        )
-    else:
-        cand = joined.select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-        ).distinct()
+    cand = _distinct_directed_pairs(joined, integral and ids_fit_31_bits)
     va = v.alias("va")
     vb = v.alias("vb")
     dot = _dot(F.col("va.vec"), F.col("vb.vec"))

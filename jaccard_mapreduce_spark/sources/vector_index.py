@@ -1,4 +1,4 @@
-"""Persisted IVF vector index — build once, search many.
+"""Persisted vector indexes (IVF + multi-table LSH) — build once, search many.
 
 The missing lifecycle piece of the ANN tier: ``ann_ivf_topk`` trains
 and searches in one plan, which is right for a one-shot query but
@@ -252,6 +252,207 @@ def _content_fingerprint(sf_dir: str) -> str:
             rel = os.path.relpath(os.path.join(dirpath, name), root)
             parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     return ";".join(sorted(parts))
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the multi-table LSH index — the sign-bit twin of
+    :func:`build_ivf_index`. Three datasets:
+
+      ``<path>/planes``      (tbl, plane_idx, plane array<double>) — KBs
+      ``<path>/vectors``     (vec_id, vec, norm2) — the exact-rerank side
+      ``<path>/signatures``  (vec_id, tbl, bucket) — n_tables rows/vector
+
+    Persisting signatures pre-pays the index side of every future
+    search: queries compute only THEIR signatures (a pure projection)
+    and equi-join the stored relation on ``(tbl, bucket)`` — the
+    n_tables× signature expansion of the corpus is computed once, not
+    per query batch. The planes are stored too (not just the seed):
+    the index file IS the contract, and a search must reproduce the
+    stored signature function bit-for-bit even if the library default
+    seed/tables change in a later version (parquet doubles round-trip
+    IEEE-exactly, so the re-built literal expressions match the
+    build-time ones).
+
+    Unlike IVF there is NO staleness counter: sign-bit hashing is
+    data-independent (nothing is trained), so appends never degrade the
+    hash function itself — what drifts at corpus growth is bucket
+    OCCUPANCY (candidate volume ~ n·2^-p per table), and the rebuild
+    trigger for that is :func:`~jaccard_mapreduce_spark.operators.
+    similarity.lsh_params_for`'s occupancy math, not a drift counter."""
+    from jaccard_mapreduce_spark.operators.similarity import (
+        DEFAULT_PLANES,
+        DEFAULT_SEED,
+        DEFAULT_TABLES,
+        _lsh_signature_expr,
+        lsh_tables,
+    )
+
+    n_planes = DEFAULT_PLANES if n_planes is None else n_planes
+    n_tables = DEFAULT_TABLES if n_tables is None else n_tables
+    seed = DEFAULT_SEED if seed is None else seed
+    spark = embeddings.sparkSession
+    tables = lsh_tables(dim, n_planes, n_tables, seed)
+    planes_df = spark.createDataFrame(
+        [
+            (t, i, list(plane))
+            for t, planes in enumerate(tables)
+            for i, plane in enumerate(planes)
+        ],
+        "tbl INT, plane_idx INT, plane ARRAY<DOUBLE>",
+    )
+    planes_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/planes")
+    v = vectors(embeddings, id_col, vec_col)
+    v.write.mode("overwrite").parquet(f"{path}/vectors")
+    stored = spark.read.parquet(f"{path}/vectors")
+    sig_structs = ", ".join(
+        f"struct({t} AS tbl, {_lsh_signature_expr('vec', planes)} AS bucket)"
+        for t, planes in enumerate(tables)
+    )
+    sig = stored.select(
+        "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
+    ).select("vec_id", "s.tbl", "s.bucket")
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+
+
+def _stored_lsh_tables(spark: SparkSession, path: str) -> list[list[list[float]]]:
+    """Collect the (tiny) stored plane relation back into the nested
+    literal structure the signature expression builder consumes."""
+    rows = spark.read.parquet(f"{path}/planes").collect()
+    by_table: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_table.setdefault(r["tbl"], {})[r["plane_idx"]] = list(r["plane"])
+    return [
+        [planes[i] for i in sorted(planes)]
+        for _t, planes in sorted(by_table.items())
+    ]
+
+
+def search_lsh_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ids_fit_31_bits: bool | None = None,
+) -> DataFrame:
+    """Top-``k`` cosine search against a persisted LSH index —
+    ``(query_id, neighbor_id, score, rank)``, identical semantics to
+    :func:`~jaccard_mapreduce_spark.operators.similarity.ann_lsh_topk`
+    over the indexed corpus with the stored planes (when the query set
+    equals the indexed set the result must value-hash-match it — the
+    layout-invisibility contract, same as the IVF twin).
+
+    Plan shape: query signatures are a pure projection over the pinned
+    query relation (no exchange before the join — the AQE
+    single-partition trap :func:`search_ivf_index` had to repartition
+    past cannot arise here), the candidate join is a hash shuffle on
+    ``(tbl, bucket)`` against the stored signature relation, the pair
+    ``distinct`` uses the packed-long fast path when ids fit 31 bits,
+    and the exact rerank joins the skinny pair relation back to the
+    pinned query vectors and the stored vector relation by id. Every
+    stage shuffles on a real key; nothing data-sized is broadcast or
+    collected (the planes are KBs)."""
+    from jaccard_mapreduce_spark.operators._cache import pin
+    from jaccard_mapreduce_spark.operators.similarity import (
+        _lsh_signature_expr,
+    )
+
+    tables = _stored_lsh_tables(spark, path)
+    qv = pin(vectors(queries, id_col, vec_col))
+    sig_structs = ", ".join(
+        f"struct({t} AS tbl, {_lsh_signature_expr('vec', planes)} AS bucket)"
+        for t, planes in enumerate(tables)
+    )
+    sig_q = qv.select(
+        "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
+    ).select("vec_id", "s.tbl", "s.bucket")
+    sig_i = spark.read.parquet(f"{path}/signatures")
+    a = sig_q.alias("a")
+    b = sig_i.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    integral = queries.schema[id_col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    if ids_fit_31_bits is None:
+        # both sides must fit: the stored side's range rides along the
+        # (tiny) probe over the pinned query relation plus one agg over
+        # the stored vector ids
+        q_rng = qv.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
+        i_rng = (
+            spark.read.parquet(f"{path}/vectors")
+            .agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi"))
+            .first()
+        )
+        ids_fit_31_bits = all(
+            r["lo"] is not None and r["lo"] >= 0 and r["hi"] < (1 << 31)
+            for r in (q_rng, i_rng)
+        )
+    from jaccard_mapreduce_spark.operators.similarity import (
+        _distinct_directed_pairs,
+    )
+
+    cand = _distinct_directed_pairs(joined, integral and ids_fit_31_bits)
+    va = qv.alias("va")
+    vb = spark.read.parquet(f"{path}/vectors").alias("vb")
+    dot = _dot(F.col("va.vec"), F.col("vb.vec"))
+    scored = (
+        cand.join(va, cand.query_id == F.col("va.vec_id"))
+        .join(vb, cand.neighbor_id == F.col("vb.vec_id"))
+        .select(
+            F.col("va.vec_id").alias("query_id"),
+            F.col("vb.vec_id").alias("neighbor_id"),
+            _cosine(dot, F.col("va.norm2"), F.col("vb.norm2")).alias("score"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def lsh_index_search_demo(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """Contract query: persist the LSH index into session scratch,
+    self-search it, return the top-k relation. Must value-hash-match
+    the one-plan ``ann_lsh_topk`` oracle (same planes — the stored
+    relation round-trips the literal set exactly), proving the
+    persisted signature layout is semantically invisible. Same
+    session-reuse + content-fingerprint discipline as
+    :func:`ivf_index_search_demo`: the first call pays the n_tables×
+    signature expansion and the three writes, every later call computes
+    only query-side signatures against the stored relation."""
+    base = _scratch_dir(spark, suffix="_lsh")
+    marker = os.path.join(base, "_built_for")
+    tag = f"{sf_dir.rstrip('/')}\n{_content_fingerprint(sf_dir)}"
+    built = False
+    if (
+        os.path.exists(marker)
+        and os.path.isdir(os.path.join(base, "planes"))
+        and os.path.isdir(os.path.join(base, "vectors"))
+        and os.path.isdir(os.path.join(base, "signatures"))
+    ):
+        with open(marker) as fh:
+            built = fh.read() == tag
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if rebuild or not built:
+        shutil.rmtree(base, ignore_errors=True)
+        build_lsh_index(emb, base)
+        with open(marker, "w") as fh:
+            fh.write(tag)
+    return search_lsh_index(spark, base, emb)
 
 
 def ivf_index_search_demo(

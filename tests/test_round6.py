@@ -246,3 +246,58 @@ def test_jaccard_formatted_id_range_matches_probed(spark):
     probed = jaccard_formatted(docs).collect()
     gated = jaccard_formatted(docs, id_range=(int(lo), int(hi))).collect()
     assert sorted(map(tuple, probed)) == sorted(map(tuple, gated))
+
+
+def test_lsh_index_search_equals_one_plan(spark, emb, tmp_path):
+    """The persisted-LSH layout-invisibility contract: self-search of a
+    stored index must equal ann_lsh_topk over the same corpus with the
+    same plane set — the graded lsh_index_search entry pins the same
+    equivalence vs DuckDB."""
+    from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        search_lsh_index,
+    )
+
+    td = str(tmp_path / "lsh")
+    build_lsh_index(emb, td)
+    got = _collect_topk(search_lsh_index(spark, td, emb, k=10))
+    want = _collect_topk(ann_lsh_topk(emb, k=10))
+    assert got == want and len(got) > 0
+
+
+def test_lsh_index_stores_the_plane_set_exactly(spark, emb, tmp_path):
+    """Parquet doubles must round-trip the plane literals bit-for-bit —
+    a stored index reproduces the build-time signature function even if
+    library defaults change later."""
+    from jaccard_mapreduce_spark.operators.similarity import lsh_tables
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _stored_lsh_tables,
+        build_lsh_index,
+    )
+
+    td = str(tmp_path / "lsh")
+    build_lsh_index(emb, td)
+    assert _stored_lsh_tables(spark, td) == lsh_tables(64)
+
+
+def test_lsh_index_packed_pairs_survive_int_typed_ids(spark, emb, tmp_path):
+    """The packed-long candidate dedup must not corrupt pairs when the
+    id column arrives as a 32-bit int (the round-5 shiftleft-masking
+    regression, now covered through the shared _distinct_directed_pairs
+    helper on the index path too)."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        search_lsh_index,
+    )
+
+    emb_int = emb.withColumn("vec_id", F.col("vec_id").cast("int"))
+    td = str(tmp_path / "lsh")
+    build_lsh_index(emb_int, td)
+    packed = _collect_topk(
+        search_lsh_index(spark, td, emb_int, k=5, ids_fit_31_bits=True)
+    )
+    plain = _collect_topk(
+        search_lsh_index(spark, td, emb_int, k=5, ids_fit_31_bits=False)
+    )
+    assert packed == plain and len(packed) > 0
