@@ -136,6 +136,7 @@ def main() -> None:
         "containment_recall_audit",
         "q4_order_priority",
         "lsh_index_search",
+        "lsh_index_serve",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

@@ -1413,14 +1413,21 @@ def _lsh_sig_cte(tables: list[list[list[float]]]) -> str:
     return f"sig AS (\n{branches}\n)"
 
 
-def ann_lsh_topk_sql(k: int, tables: list[list[list[float]]]) -> str:
+def ann_lsh_topk_sql(
+    k: int, tables: list[list[list[float]]], query_where: str = ""
+) -> str:
+    # query_where (e.g. "a.vec_id % 10 = 0") restricts the QUERY side of
+    # the candidate join while the index side stays the full corpus —
+    # the oracle for the batch-serving shape (lsh_index_serve): the
+    # per-query top-k window is unaffected by dropping other queries
+    q_filter = f" AND ({query_where})" if query_where else ""
     return _ranked_sql(
         f"""WITH {_VEC_CTES.strip()},
 {_lsh_sig_cte(tables)},
 cand AS (
     SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
     FROM sig a JOIN sig b
-      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id{q_filter}
 ),
 scored AS (
     SELECT c.query_id, c.neighbor_id, {_COSINE} AS score

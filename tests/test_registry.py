@@ -50,7 +50,7 @@ def test_round6_rotation_targets_are_in_the_graded_window():
         # new in round 6
         "ivf_index_upsert", "corpus_text_roundtrip",
         "containment_recall_audit", "q4_order_priority",
-        "lsh_index_search",
+        "lsh_index_search", "lsh_index_serve",
         # changed in round 6 (IVF retune, kernel filter, repartitions)
         "ivf_index_search", "ann_ivf_topk", "ivf_recall_audit",
         "dedup_minhash_lsh", "containment_pruned", "kmeans_int8",
@@ -68,17 +68,17 @@ def test_round1_stale_cohort_pulled_forward():
     """Cross-referencing CORRECTNESS_r01..r05: 31 entries were last
     driver-graded in round 1; all but the bench-only
     ann_cosine_topk_fast must sit in the round-6 window. Exception:
-    doc_split and doc_sizes rotate back out to make room for the
-    never-graded q4_order_priority and lsh_index_search — their O3/O7
-    chains are graded transitively through jaccard_formatted every
-    round."""
+    doc_split, doc_sizes and pair_intersections rotate back out to make
+    room for the never-graded q4_order_priority, lsh_index_search and
+    lsh_index_serve — their O3/O7/O8-O13 chains are graded transitively
+    through jaccard_formatted every round."""
     window = set(list(entrymod.queries())[:50])
     stale = [
         "customer_order_windows", "customers_semi_anti", "dedup_embedding",
         "dedup_exact", "fingerprints", "lang_id",
         "lineitem_unpivot", "min_cost_supplier", "minhash_signatures",
         "orders_exists_returned", "orders_grouping_sets", "orders_pivot",
-        "orders_rollup", "orders_status_cube", "pair_intersections",
+        "orders_rollup", "orders_status_cube",
         "part_brand_stats", "q1_pricing_summary", "q3_top_orders",
         "q5_region_revenue", "q6_revenue", "quality_filter",
         "salted_customer_revenue", "shard_assign", "stratified_sample",

