@@ -233,10 +233,11 @@ def main() -> None:
         "noisy_queries": sorted(noisy_queries),
         "reps": reps,
         "extra_reps_budget": extra_reps,
-        # one-time cost of building BOTH persisted IVF indexes (search +
-        # upsert demos) — paid before the reps so their medians measure
-        # amortized search, not a build/search mixture
-        "ivf_index_build_seconds": index_build_s,
+        # one-time cost of building ALL THREE persisted indexes (IVF
+        # search + IVF upsert + LSH demos) — paid before the reps so
+        # their medians measure amortized search, not a build/search
+        # mixture
+        "index_build_seconds": index_build_s,
         "sf": sf_val,
         "warmup_seconds": warmup_s,
         # ambient host load at start/end: local[32] wall-clock inflates

@@ -158,11 +158,14 @@ def _distinct_directed_pairs(joined: DataFrame, packed: bool) -> DataFrame:
     plan (collision multiplicity × bucket fanout rows in, one row per
     distinct pair out). With ``packed`` (ids fit 31 bits) the pair is
     packed into ONE long for the dedup and unpacked after: half the
-    shuffle bytes, a single-column hash dedup. The ONE authoritative
-    copy of the pack/unpack — the round-5 review found that
-    ``shiftleft`` on a 32-bit int column is a silent no-op (Java masks
-    the shift amount mod the operand width), so the cast to long below
-    is load-bearing and regression-tested."""
+    shuffle bytes, a single-column hash dedup. The single copy of the
+    pack/unpack for the directed ``vec_id`` pair paths (one-plan LSH +
+    the persisted-index search); ``dedup.py``'s undirected doc-pair
+    twin keeps its own regression-tested copy because its canonical
+    ``a < b`` direction and column names differ. The round-5 review
+    found that ``shiftleft`` on a 32-bit int column is a silent no-op
+    (Java masks the shift amount mod the operand width), so the cast
+    to long below is load-bearing and regression-tested."""
     if packed:
         return (
             joined.select(

@@ -374,7 +374,14 @@ def search_lsh_index(
     and the exact rerank joins the skinny pair relation back to the
     pinned query vectors and the stored vector relation by id. Every
     stage shuffles on a real key; nothing data-sized is broadcast or
-    collected (the planes are KBs)."""
+    collected (the planes are KBs).
+
+    Id contract: a candidate whose query id EQUALS a stored id is
+    dropped (the self-pair exclusion the top-k semantics require when
+    the query set is drawn from the corpus — the graded shapes). A
+    batch of genuinely NEW vectors must therefore use ids disjoint
+    from the indexed set, or stored vector X would silently never
+    appear among query X's neighbors."""
     from jaccard_mapreduce_spark.operators._cache import pin
     from jaccard_mapreduce_spark.operators.similarity import (
         _lsh_signature_expr,
@@ -402,19 +409,26 @@ def search_lsh_index(
         "tinyint", "smallint", "int", "bigint"
     )
     if ids_fit_31_bits is None:
-        # both sides must fit: the stored side's range rides along the
-        # (tiny) probe over the pinned query relation plus one agg over
-        # the stored vector ids
-        q_rng = qv.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
-        i_rng = (
-            spark.read.parquet(f"{path}/vectors")
-            .agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi"))
-            .first()
-        )
-        ids_fit_31_bits = all(
-            r["lo"] is not None and r["lo"] >= 0 and r["hi"] < (1 << 31)
-            for r in (q_rng, i_rng)
-        )
+        ids_fit_31_bits = False
+        # probe only when the type could pack at all (non-integral ids
+        # can never take the packed path, and min/max on e.g. string
+        # ids would compare against ints and throw); both sides must
+        # fit — the stored side's range rides along the (tiny) probe
+        # over the pinned query relation plus one agg over the stored
+        # vector ids
+        if integral:
+            q_rng = qv.agg(
+                F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+            ).first()
+            i_rng = (
+                spark.read.parquet(f"{path}/vectors")
+                .agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi"))
+                .first()
+            )
+            ids_fit_31_bits = all(
+                r["lo"] is not None and r["lo"] >= 0 and r["hi"] < (1 << 31)
+                for r in (q_rng, i_rng)
+            )
     from jaccard_mapreduce_spark.operators.similarity import (
         _distinct_directed_pairs,
     )
@@ -435,32 +449,54 @@ def search_lsh_index(
     return _topk(scored, k)
 
 
-def _ensure_lsh_index(
-    spark: SparkSession, sf_dir: str, rebuild: bool = False
+def _ensure_index(
+    spark: SparkSession,
+    sf_dir: str,
+    suffix: str,
+    required_dirs: list[str],
+    build,
+    rebuild: bool = False,
+    tag_extra: str = "",
 ) -> tuple[str, DataFrame]:
-    """Session-scoped build-once gate shared by the LSH demos: returns
-    (index path, embeddings relation), building the index on the first
-    call for a given (sf_dir, content fingerprint) and reusing it after
-    — the same discipline as :func:`ivf_index_search_demo`."""
-    base = _scratch_dir(spark, suffix="_lsh")
+    """Session-scoped build-once gate shared by ALL the index demos:
+    returns (index path, embeddings relation), calling ``build(emb,
+    path)`` on the first call for a given (sf_dir, tag_extra, content
+    fingerprint) and reusing the on-disk index after. The marker file
+    alone is not proof of a usable index — a tmp cleaner can remove
+    the data dirs and leave the marker — so every ``required_dirs``
+    entry must exist too; any mismatch rebuilds from scratch rather
+    than serving stale or partial state (which would silently break
+    the hash-parity contracts)."""
+    base = _scratch_dir(spark, suffix=suffix)
     marker = os.path.join(base, "_built_for")
-    tag = f"{sf_dir.rstrip('/')}\n{_content_fingerprint(sf_dir)}"
+    extra = f"{tag_extra}\n" if tag_extra else ""
+    tag = f"{sf_dir.rstrip('/')}\n{extra}{_content_fingerprint(sf_dir)}"
     built = False
-    if (
-        os.path.exists(marker)
-        and os.path.isdir(os.path.join(base, "planes"))
-        and os.path.isdir(os.path.join(base, "vectors"))
-        and os.path.isdir(os.path.join(base, "signatures"))
+    if os.path.exists(marker) and all(
+        os.path.isdir(os.path.join(base, d)) for d in required_dirs
     ):
         with open(marker) as fh:
             built = fh.read() == tag
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if rebuild or not built:
         shutil.rmtree(base, ignore_errors=True)
-        build_lsh_index(emb, base)
+        build(emb, base)
         with open(marker, "w") as fh:
             fh.write(tag)
     return base, emb
+
+
+def _ensure_lsh_index(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> tuple[str, DataFrame]:
+    return _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_lsh",
+        required_dirs=["planes", "vectors", "signatures"],
+        build=build_lsh_index,
+        rebuild=rebuild,
+    )
 
 
 def lsh_index_search_demo(
@@ -533,25 +569,14 @@ def ivf_index_search_demo(
     ~2.0 s — vs 3.9 s for the train-and-search-in-one-plan
     ``ann_ivf_topk``, so the amortization is real). ``rebuild=True``
     forces a fresh build."""
-    base = _scratch_dir(spark)
-    marker = os.path.join(base, "_built_for")
-    tag = f"{sf_dir.rstrip('/')}\n{_content_fingerprint(sf_dir)}"
-    built = False
-    if (
-        os.path.exists(marker)
-        # marker alone is not proof — a tmp cleaner can remove the data
-        # dirs and leave the marker, which must read as not-built
-        and os.path.isdir(os.path.join(base, "centroids"))
-        and os.path.isdir(os.path.join(base, "cells"))
-    ):
-        with open(marker) as fh:
-            built = fh.read() == tag
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if rebuild or not built:
-        shutil.rmtree(base, ignore_errors=True)
-        build_ivf_index(emb, base)
-        with open(marker, "w") as fh:
-            fh.write(tag)
+    base, emb = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="",
+        required_dirs=["centroids", "cells"],
+        build=build_ivf_index,
+        rebuild=rebuild,
+    )
     return search_ivf_index(spark, base, emb)
 
 
@@ -572,24 +597,20 @@ def ivf_index_upsert_demo(
     vectors land, never the answer. Same session-reuse discipline as
     :func:`ivf_index_search_demo` (an unguarded second upsert would
     double-append, so the marker gates BOTH steps)."""
-    base = _scratch_dir(spark, suffix="_upsert")
-    marker = os.path.join(base, "_built_for")
-    tag = f"{sf_dir.rstrip('/')}\nbase_mod={base_mod}\n{_content_fingerprint(sf_dir)}"
-    built = False
-    if (
-        os.path.exists(marker)
-        and os.path.isdir(os.path.join(base, "centroids"))
-        and os.path.isdir(os.path.join(base, "cells"))
-    ):
-        with open(marker) as fh:
-            built = fh.read() == tag
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if rebuild or not built:
-        shutil.rmtree(base, ignore_errors=True)
+
+    def _build(emb: DataFrame, path: str) -> None:
         base_slice = emb.where(F.col("vec_id") % base_mod != 0)
         newcomers = emb.where(F.col("vec_id") % base_mod == 0)
-        build_ivf_index(base_slice, base)
-        upsert_ivf_index(spark, base, newcomers)
-        with open(marker, "w") as fh:
-            fh.write(tag)
+        build_ivf_index(base_slice, path)
+        upsert_ivf_index(spark, path, newcomers)
+
+    base, emb = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_upsert",
+        required_dirs=["centroids", "cells"],
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"base_mod={base_mod}",
+    )
     return search_ivf_index(spark, base, emb)

@@ -319,3 +319,23 @@ def test_lsh_index_serve_equals_batch_rows_of_self_search(spark, emb, tmp_path):
     full = _collect_topk(search_lsh_index(spark, td, emb, k=10))
     want = [r for r in full if r[0] % 10 == 0]
     assert got == want and len(got) > 0
+
+
+def test_lsh_index_search_tolerates_non_integral_ids(spark, tmp_path):
+    """The auto-probe must not compare string min/max against ints —
+    non-integral ids simply take the unpacked dedup path (the guard
+    ann_lsh_topk applies via short-circuit and dedup.py via an explicit
+    False; the index path needs its own)."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        search_lsh_index,
+    )
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    td = str(tmp_path / "lsh")
+    build_lsh_index(emb, td, n_planes=2, n_tables=2, dim=2)
+    rows = search_lsh_index(spark, td, emb, k=2).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
