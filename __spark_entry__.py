@@ -404,6 +404,13 @@ _R6_WINDOW = [
     # transitively through jaccard_formatted)
     "ivf_index_upsert", "corpus_text_roundtrip", "containment_recall_audit",
     "q4_order_priority", "lsh_index_search", "lsh_index_serve",
+    # new in round 6 (late): epoch-style mixture re-mixing — the plan
+    # (per-source repetition factors) and its materialization.
+    # minhash_signatures and quality_filter rotate to the tail to make
+    # room: the former is the first stage of the in-window
+    # dedup_minhash_lsh chain, the latter is the in-window text_stats
+    # plus one flag column.
+    "mixture_plan", "mixture_resample",
     # changed in round 6 (retune / kernel filter / repartition fixes)
     "ivf_index_search", "ann_ivf_topk", "ivf_recall_audit",
     "dedup_minhash_lsh", "containment_pruned", "kmeans_int8",
@@ -417,11 +424,11 @@ _R6_WINDOW = [
     # the round-1-stale cohort, pulled forward for a fresh driver grade
     "customer_order_windows", "customers_semi_anti", "dedup_embedding",
     "dedup_exact", "fingerprints", "lang_id",
-    "lineitem_unpivot", "min_cost_supplier", "minhash_signatures",
+    "lineitem_unpivot", "min_cost_supplier",
     "orders_exists_returned", "orders_grouping_sets", "orders_pivot",
     "orders_rollup", "orders_status_cube",
     "part_brand_stats", "q1_pricing_summary", "q3_top_orders",
-    "q5_region_revenue", "q6_revenue", "quality_filter",
+    "q5_region_revenue", "q6_revenue",
     "salted_customer_revenue", "shard_assign", "stratified_sample",
     "text_stats", "tfidf_top_terms", "token_counts", "top_suppliers",
 ]
@@ -467,6 +474,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprise": lambda s, d: TA.unigram_surprise(_docs(s, d)),
         "minhash_error_audit": lambda s, d: D.minhash_error_audit(_docs(s, d)),
         "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
+        # new round 6: epoch-style domain re-mixing — source_mixture
+        # MEASURES the mixture, mixture_plan computes the per-source
+        # repetition factors (integer basis points, capped) that hit a
+        # target mixture, and mixture_resample materializes them
+        # (floor whole copies + salted-hash fractional copy + a
+        # per-copy global-shuffle order key). minhash_signatures and
+        # quality_filter rotate to the tail to keep the window at 50 —
+        # minhash_signatures is the first stage of the in-window
+        # dedup_minhash_lsh chain, and quality_filter is text_stats
+        # (in-window) plus one boolean flag column.
+        "mixture_plan": lambda s, d: TA.mixture_plan(_docs(s, d)),
+        "mixture_resample": lambda s, d: TA.mixture_resample(_docs(s, d)),
         # round 5: per-source KL drift vs the corpus mixture — the
         # alerting twin of source_mixture (libm-ln + sorted-fold parity
         # recipe); prepare_corpus (green r3+r4, unchanged, its chain
@@ -899,6 +918,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": oracles.tfidf_top_terms_sql(5),
         "stratified_sample": oracles.stratified_sample_sql(
             TA.DEFAULT_SAMPLE_FRACTIONS
+        ),
+        "mixture_plan": oracles.mixture_plan_sql(TA.DEFAULT_MIXTURE_TARGETS_BP),
+        "mixture_resample": oracles.mixture_resample_sql(
+            targets_bp=TA.DEFAULT_MIXTURE_TARGETS_BP
         ),
         "dedup_exact": oracles.exact_duplicates_sql(),
         "dedup_ngram": oracles.ngram_duplicates_sql(3, 0.8),

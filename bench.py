@@ -137,6 +137,8 @@ def main() -> None:
         "q4_order_priority",
         "lsh_index_search",
         "lsh_index_serve",
+        "mixture_plan",
+        "mixture_resample",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

@@ -739,6 +739,139 @@ def source_mixture(
     )
 
 
+# Default target mixture for the synthetic documents corpus (20 uniform
+# sources): upweight src0-src3, spread the remainder uniformly. Basis
+# points sum to 10000 so the expected resampled corpus size equals the
+# input size (a same-budget re-mix, the common production shape).
+DEFAULT_MIXTURE_TARGETS_BP: dict[str, int] = {
+    "src0": 1400,
+    "src1": 1200,
+    "src2": 1000,
+    "src3": 800,
+}
+DEFAULT_MIXTURE_DEFAULT_BP = 350
+
+
+def mixture_plan(
+    documents: DataFrame,
+    targets_bp: dict[str, int] | None = None,
+    default_bp: int = DEFAULT_MIXTURE_DEFAULT_BP,
+    by: str = "source",
+    max_factor_bp: int = 40000,
+) -> DataFrame:
+    """Per-source repetition factors that turn the corpus's NATURAL
+    mixture into a TARGET mixture — the scheduling half of epoch-style
+    domain re-mixing (Pile/DoReMi shape: "wiki counts 3.2 epochs, web
+    0.4"). ``source_mixture`` measures the mixture; this plans the fix.
+
+    All arithmetic is exact integer basis points so the plan is
+    hash-gradeable: ``natural_bp = (10000 * n_s) div N`` and
+    ``factor_bp = (target_bp * N) div n_s`` (the repetition factor
+    ``target_share / natural_share`` scaled to 1e4), capped at
+    ``max_factor_bp`` — production pipelines bound repetition (~4
+    epochs) because loss on repeated data degrades past that, and the
+    cap is what protects a tiny source from a huge target share.
+
+    Scale shape: one partial-agg shuffle keyed by source (a handful of
+    groups at any corpus size), a 1-row total broadcast back over the
+    per-source relation — nothing data-sized moves.
+    """
+    t = DEFAULT_MIXTURE_TARGETS_BP if targets_bp is None else targets_bp
+    target = F.lit(int(default_bp)).cast("long")
+    for src, bp in sorted(t.items(), reverse=True):
+        target = F.when(F.col("source") == src, F.lit(int(bp)).cast("long")).otherwise(
+            target
+        )
+    per = documents.groupBy(F.col(by).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("target_bp", target)
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(10000 * n_docs) div total_docs").alias("natural_bp"),
+            "target_bp",
+            F.least(
+                F.expr("(target_bp * total_docs) div n_docs"),
+                F.lit(int(max_factor_bp)).cast("long"),
+            ).alias("factor_bp"),
+        )
+    )
+
+
+def mixture_resample(
+    documents: DataFrame,
+    targets_bp: dict[str, int] | None = None,
+    default_bp: int = DEFAULT_MIXTURE_DEFAULT_BP,
+    by: str = "source",
+    max_factor_bp: int = 40000,
+    salt: str = "mixture-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a :func:`mixture_plan`: emit each document
+    ``factor_bp / 10000`` times — ``floor`` whole copies for every doc,
+    plus one fractional copy iff ``hash(salt:id) % 10000 <
+    factor_bp % 10000`` (the same salted-bucket device as
+    ``stratified_sample``, so the fractional epoch is deterministic
+    across runs, engines, and partitionings). Output is
+    ``(doc_id, source, copy, order_key)`` where ``copy`` numbers the
+    repetitions and ``order_key = hash(salt:id:copy)`` gives each copy
+    an independent position in the global training shuffle — repeats of
+    a document must land far apart, not adjacent.
+
+    Scale shape: the plan is ~#sources rows and broadcasts; the corpus
+    maps through one filter + one explode with NO shuffle — row count
+    scales by exactly the planned factor, which is the operator's whole
+    contract. Downsampling (factor < 1) and epoch-style upsampling
+    (factor > 1) are the same code path.
+    """
+    plan = mixture_plan(documents, targets_bp, default_bp, by, max_factor_bp)
+    bucket = (
+        portable_hash64(
+            F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string"))
+        )
+        % 10000
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), F.col(by).alias("source"))
+        .join(F.broadcast(plan.select("source", "factor_bp")), "source")
+        .withColumn(
+            "n_copies",
+            F.expr("factor_bp div 10000")
+            + F.when(bucket < F.col("factor_bp") % 10000, F.lit(1)).otherwise(
+                F.lit(0)
+            ).cast("long"),
+        )
+        # sequence(0, -1) would produce a DESCENDING [0, -1], not an
+        # empty array — dropped docs must leave before the explode
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)
+            ).alias("copy"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "copy",
+            portable_hash64(
+                F.concat(
+                    F.lit(salt),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("copy").cast("string"),
+                )
+            ).alias("order_key"),
+        )
+    )
+
+
 def dedup_cross_corpus(
     train: DataFrame,
     held_out: DataFrame,

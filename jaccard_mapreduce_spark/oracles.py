@@ -2370,6 +2370,69 @@ WITH b AS (
 SELECT doc_id, stratum, bucket FROM b WHERE bucket < cutoff"""
 
 
+def _mixture_plan_ctes(
+    targets_bp: dict[str, int],
+    default_bp: int = 350,
+    max_factor_bp: int = 40000,
+) -> str:
+    """Shared CTE chain for the mixture plan (mirrors
+    text_analysis.mixture_plan's integer-basis-point arithmetic; `//`
+    floor division == Spark `div` on the all-positive operands here)."""
+    t = targets_bp
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(bp)}" for s, bp in sorted(t.items())
+    )
+    return f"""
+per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per),
+tgt AS (
+    SELECT source, n_docs, total_docs,
+           (10000 * n_docs) // total_docs AS natural_bp,
+           CAST(CASE {cases} ELSE {int(default_bp)} END AS BIGINT) AS target_bp
+    FROM per, tot
+),
+plan AS (
+    SELECT source, n_docs, natural_bp, target_bp,
+           LEAST((target_bp * total_docs) // n_docs,
+                 CAST({int(max_factor_bp)} AS BIGINT)) AS factor_bp
+    FROM tgt
+)
+"""
+
+
+def mixture_plan_sql(targets_bp: dict[str, int]) -> str:
+    return f"""
+WITH {_mixture_plan_ctes(targets_bp)}
+SELECT source, n_docs, natural_bp, target_bp, factor_bp FROM plan"""
+
+
+def mixture_resample_sql(
+    targets_bp: dict[str, int], salt: str = "mixture-v1"
+) -> str:
+    h_doc = hash64(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    h_copy = hash64(
+        f"'{salt}:' || CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)"
+    )
+    return f"""
+WITH {_mixture_plan_ctes(targets_bp)},
+b AS (
+    SELECT d.doc_id, d.source, p.factor_bp,
+           {h_doc} % 10000 AS bucket
+    FROM documents d JOIN plan p USING (source)
+),
+c AS (
+    SELECT doc_id, source,
+           factor_bp // 10000
+           + CASE WHEN bucket < factor_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+    FROM b
+),
+e AS (
+    SELECT doc_id, source, unnest(range(n_copies)) AS copy FROM c
+)
+SELECT doc_id, source, CAST(copy AS BIGINT) AS copy, {h_copy} AS order_key
+FROM e"""
+
+
 def user_funnel_sql(stages: tuple[str, str, str] = ("view", "click", "purchase")) -> str:
     s1, s2, s3 = stages
     return f"""

@@ -51,6 +51,7 @@ def test_round6_rotation_targets_are_in_the_graded_window():
         "ivf_index_upsert", "corpus_text_roundtrip",
         "containment_recall_audit", "q4_order_priority",
         "lsh_index_search", "lsh_index_serve",
+        "mixture_plan", "mixture_resample",
         # changed in round 6 (IVF retune, kernel filter, repartitions)
         "ivf_index_search", "ann_ivf_topk", "ivf_recall_audit",
         "dedup_minhash_lsh", "containment_pruned", "kmeans_int8",
@@ -67,20 +68,24 @@ def test_round6_rotation_targets_are_in_the_graded_window():
 def test_round1_stale_cohort_pulled_forward():
     """Cross-referencing CORRECTNESS_r01..r05: 31 entries were last
     driver-graded in round 1; all but the bench-only
-    ann_cosine_topk_fast must sit in the round-6 window. Exception:
-    doc_split, doc_sizes and pair_intersections rotate back out to make
-    room for the never-graded q4_order_priority, lsh_index_search and
-    lsh_index_serve — their O3/O7/O8-O13 chains are graded transitively
-    through jaccard_formatted every round."""
+    ann_cosine_topk_fast must sit in the round-6 window. Exceptions
+    (each rotates out ONLY because an in-window entry grades its chain
+    transitively): doc_split, doc_sizes and pair_intersections make
+    room for q4_order_priority, lsh_index_search and lsh_index_serve
+    (their O3/O7/O8-O13 chains ride through jaccard_formatted);
+    minhash_signatures and quality_filter make room for mixture_plan
+    and mixture_resample (the former is the first stage of the
+    in-window dedup_minhash_lsh chain, the latter is the in-window
+    text_stats plus one boolean flag column)."""
     window = set(list(entrymod.queries())[:50])
     stale = [
         "customer_order_windows", "customers_semi_anti", "dedup_embedding",
         "dedup_exact", "fingerprints", "lang_id",
-        "lineitem_unpivot", "min_cost_supplier", "minhash_signatures",
+        "lineitem_unpivot", "min_cost_supplier",
         "orders_exists_returned", "orders_grouping_sets", "orders_pivot",
         "orders_rollup", "orders_status_cube",
         "part_brand_stats", "q1_pricing_summary", "q3_top_orders",
-        "q5_region_revenue", "q6_revenue", "quality_filter",
+        "q5_region_revenue", "q6_revenue",
         "salted_customer_revenue", "shard_assign", "stratified_sample",
         "text_stats", "tfidf_top_terms", "token_counts", "top_suppliers",
     ]

@@ -339,3 +339,113 @@ def test_lsh_index_search_tolerates_non_integral_ids(spark, tmp_path):
     build_lsh_index(emb, td, n_planes=2, n_tables=2, dim=2)
     rows = search_lsh_index(spark, td, emb, k=2).collect()
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+# --- epoch-style mixture re-mixing (mixture_plan / mixture_resample) ---
+
+
+@pytest.fixture()
+def docs_small(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_mixture_plan_factors_are_target_over_natural(spark, docs_small):
+    """factor_bp must equal (target_bp * N) div n_s — the integer
+    basis-point repetition factor, checked against a Python recompute
+    from the raw counts."""
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        DEFAULT_MIXTURE_DEFAULT_BP,
+        DEFAULT_MIXTURE_TARGETS_BP,
+        mixture_plan,
+    )
+
+    rows = {r["source"]: r for r in mixture_plan(docs_small).collect()}
+    total = sum(r["n_docs"] for r in rows.values())
+    for src, r in rows.items():
+        tgt = DEFAULT_MIXTURE_TARGETS_BP.get(src, DEFAULT_MIXTURE_DEFAULT_BP)
+        assert r["target_bp"] == tgt
+        assert r["natural_bp"] == (10000 * r["n_docs"]) // total
+        assert r["factor_bp"] == min((tgt * total) // r["n_docs"], 40000)
+
+
+def test_mixture_plan_cap_binds_on_tiny_source(spark):
+    """A 1-doc source with a large target share must hit max_factor_bp —
+    the bounded-epochs guard that keeps a tiny domain from exploding."""
+    from jaccard_mapreduce_spark.operators.text_analysis import mixture_plan
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(99)] + [(99, "rare")],
+        "doc_id long, source string",
+    )
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(
+            df, targets_bp={"rare": 5000, "big": 5000}, max_factor_bp=40000
+        ).collect()
+    }
+    # uncapped factor would be 5000*100/1 = 500000 bp (50 epochs)
+    assert plan["rare"]["factor_bp"] == 40000
+    assert plan["big"]["factor_bp"] == (5000 * 100) // 99
+
+
+def test_mixture_resample_copy_semantics(spark, docs_small):
+    """Every doc from a factor>=1 source appears floor(factor) or
+    floor(factor)+1 times with contiguous copy indexes from 0; docs
+    from factor<1 sources appear 0 or 1 times; (doc_id, copy) is
+    unique; per-source totals equal the sum of per-doc copy counts
+    implied by the salted-hash fractional rule."""
+    import hashlib
+
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        mixture_plan,
+        mixture_resample,
+    )
+
+    plan = {r["source"]: r["factor_bp"] for r in mixture_plan(docs_small).collect()}
+    out = mixture_resample(docs_small).collect()
+    seen = {}
+    for r in out:
+        seen.setdefault((r["source"], r["doc_id"]), []).append(r["copy"])
+    # (doc_id, copy) unique + contiguous from 0
+    for (src, did), copies in seen.items():
+        assert sorted(copies) == list(range(len(copies)))
+    # exact per-doc count from the salted-hash rule
+    docs = docs_small.select("doc_id", "source").collect()
+    for d in docs:
+        fbp = plan[d["source"]]
+        h = int(
+            hashlib.md5(f"mixture-v1:{d['doc_id']}".encode()).hexdigest()[:15], 16
+        )
+        want = fbp // 10000 + (1 if h % 10000 < fbp % 10000 else 0)
+        got = len(seen.get((d["source"], d["doc_id"]), []))
+        assert got == want, (d["doc_id"], d["source"], fbp, got, want)
+
+
+def test_mixture_resample_order_keys_scatter_copies(spark, docs_small):
+    """Copies of the same document must get DIFFERENT order keys (the
+    global-shuffle position is per copy, not per doc)."""
+    from jaccard_mapreduce_spark.operators.text_analysis import mixture_resample
+
+    out = mixture_resample(docs_small).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], set()).add(r["order_key"])
+        assert r["order_key"] >= 0
+    multi = [d for d, ks in per_doc.items() if len(ks) > 1]
+    assert multi, "expected at least one upsampled doc with 2+ copies"
+    for d, ks in per_doc.items():
+        n = sum(1 for r in out if r["doc_id"] == d)
+        assert len(ks) == n
+
+
+def test_mixture_resample_plan_broadcasts_and_never_shuffles_the_corpus(
+    spark, docs_small
+):
+    """The corpus side must reach the explode through a broadcast join —
+    a sort-merge join here would shuffle the full corpus for a
+    #sources-row plan relation."""
+    from jaccard_mapreduce_spark.operators.text_analysis import mixture_resample
+
+    plan = mixture_resample(docs_small)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
