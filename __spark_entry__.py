@@ -411,6 +411,10 @@ _R6_WINDOW = [
     # dedup_minhash_lsh chain, the latter is the in-window text_stats
     # plus one flag column.
     "mixture_plan", "mixture_resample",
+    # new in round 6 (late): the pack_sequences layout audit.
+    # shard_assign rotates to the tail — its hash + token-count chain
+    # is the audit's base relation, graded transitively.
+    "packing_efficiency",
     # changed in round 6 (retune / kernel filter / repartition fixes)
     "ivf_index_search", "ann_ivf_topk", "ivf_recall_audit",
     "dedup_minhash_lsh", "containment_pruned", "kmeans_int8",
@@ -429,7 +433,7 @@ _R6_WINDOW = [
     "orders_rollup", "orders_status_cube",
     "part_brand_stats", "q1_pricing_summary", "q3_top_orders",
     "q5_region_revenue", "q6_revenue",
-    "salted_customer_revenue", "shard_assign", "stratified_sample",
+    "salted_customer_revenue", "stratified_sample",
     "text_stats", "tfidf_top_terms", "token_counts", "top_suppliers",
 ]
 
@@ -819,6 +823,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("rank", F.col("rank").cast("long")),
         "repetition_stats": lambda s, d: TA.repetition_stats(_docs(s, d)),
         "pack_sequences": lambda s, d: TA.pack_sequences(_docs(s, d)),
+        # new round 6 (late): layout-quality audit of pack_sequences —
+        # per-shard chunk count, tail fill, boundary-straddling docs.
+        # Its base relation IS shard_assign's hash + the bpe-ish token
+        # count, so shard_assign rotates to the tail with its chain
+        # graded transitively here.
+        "packing_efficiency": lambda s, d: TA.packing_efficiency(_docs(s, d)),
         "dedup_ngram": lambda s, d: D.ngram_duplicates(_docs(s, d), n=3, threshold=0.8),
         "simhash": lambda s, d: D.simhash(_tokens(s, d)),
         "media_meta": _shipped(
@@ -1021,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": oracles.repetition_stats_sql(),
         "pii_scrub": oracles.pii_scrub_sql(TA.PII_EMAIL_RE, TA.PII_PHONE_RE),
         "pack_sequences": oracles.pack_sequences_sql(2048, 16, "pack-v1"),
+        "packing_efficiency": oracles.packing_efficiency_sql(2048, 16, "pack-v1"),
         # streaming queries verified against batch-equivalent SQL — the
         # watermark/window machinery must converge to the batch answer
         "stream_windowed_hourly": oracles.stream_windowed_hourly_sql(),

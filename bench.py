@@ -139,6 +139,7 @@ def main() -> None:
         "lsh_index_serve",
         "mixture_plan",
         "mixture_resample",
+        "packing_efficiency",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

@@ -535,6 +535,57 @@ def pack_sequences(
     )
 
 
+def packing_efficiency(
+    documents: DataFrame,
+    max_len: int = 2048,
+    n_shards: int = 16,
+    salt: str = "pack-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Layout-quality audit of :func:`pack_sequences` — measure, don't
+    assume. Per shard: doc/token totals, the chunk count the packing
+    produces (``ceil(total / max_len)``), the tail chunk's fill
+    (``total mod max_len`` — everything past it is padding, the only
+    waste concat-and-chunk has), and how many documents STRADDLE a
+    chunk boundary (their span crosses a ``max_len`` multiple) — the
+    number that decides whether cross-document attention masking can be
+    per-chunk-exact or needs fragment bookkeeping.
+
+    All counts are exact integers; ``straddle_frac`` is one IEEE
+    division of two exact integers (the repo's float-parity
+    convention). Straddle detection reuses pack's own
+    ``floor(double)`` offset arithmetic so the audit can never disagree
+    with the layout it audits.
+
+    Scale shape: one agg keyed by shard over the packed relation —
+    #shards output rows, no shuffle beyond pack's own.
+    """
+    packed = pack_sequences(documents, max_len, n_shards, salt, id_col, text_col)
+    end_pack = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / F.lit(max_len)
+    ).cast("long")
+    straddler = (
+        (F.col("n_tokens") > 0) & (end_pack > F.col("pack_id"))
+    ).cast("long")
+    per = packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(straddler).alias("n_straddlers"),
+    )
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.expr(f"(total_tokens + {max_len} - 1) div {max_len}").alias("n_chunks"),
+        (F.col("total_tokens") % max_len).alias("tail_tokens"),
+        "n_straddlers",
+        (
+            F.col("n_straddlers").cast("double") / F.col("n_docs").cast("double")
+        ).alias("straddle_frac"),
+    )
+
+
 def contamination_check(
     documents: DataFrame,
     n: int = 5,

@@ -839,6 +839,52 @@ SELECT doc_id, shard, n_tokens,
 FROM c"""
 
 
+def packing_efficiency_sql(
+    max_len: int = 2048, n_shards: int = 16, salt: str = "pack-v1"
+) -> str:
+    """Per-shard audit over the pack_sequences relation (same base +
+    cumulative-offset CTEs; straddle uses the same floor(double) offset
+    arithmetic as pack_id so audit and layout can never disagree)."""
+    h = hash64(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    n_tok = (
+        r"CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        r" t -> t <> ''))"
+        r" + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, {h} % {n_shards} AS shard, {n_tok} AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+    FROM base
+),
+p AS (
+    SELECT shard, n_tokens,
+           CASE WHEN n_tokens > 0
+                 AND floor(CAST(start_offset + n_tokens - 1 AS DOUBLE) / {max_len})
+                     > floor(CAST(start_offset AS DOUBLE) / {max_len})
+                THEN 1 ELSE 0 END AS straddler
+    FROM c
+),
+agg AS (
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(straddler) AS BIGINT) AS n_straddlers
+    FROM p GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens,
+       (total_tokens + {max_len} - 1) // {max_len} AS n_chunks,
+       total_tokens % {max_len} AS tail_tokens,
+       n_straddlers,
+       CAST(n_straddlers AS DOUBLE) / CAST(n_docs AS DOUBLE) AS straddle_frac
+FROM agg"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

@@ -51,7 +51,7 @@ def test_round6_rotation_targets_are_in_the_graded_window():
         "ivf_index_upsert", "corpus_text_roundtrip",
         "containment_recall_audit", "q4_order_priority",
         "lsh_index_search", "lsh_index_serve",
-        "mixture_plan", "mixture_resample",
+        "mixture_plan", "mixture_resample", "packing_efficiency",
         # changed in round 6 (IVF retune, kernel filter, repartitions)
         "ivf_index_search", "ann_ivf_topk", "ivf_recall_audit",
         "dedup_minhash_lsh", "containment_pruned", "kmeans_int8",
@@ -76,7 +76,9 @@ def test_round1_stale_cohort_pulled_forward():
     minhash_signatures and quality_filter make room for mixture_plan
     and mixture_resample (the former is the first stage of the
     in-window dedup_minhash_lsh chain, the latter is the in-window
-    text_stats plus one boolean flag column)."""
+    text_stats plus one boolean flag column); shard_assign makes room
+    for packing_efficiency, whose base relation IS shard_assign's hash
+    plus the bpe-ish token count."""
     window = set(list(entrymod.queries())[:50])
     stale = [
         "customer_order_windows", "customers_semi_anti", "dedup_embedding",
@@ -86,7 +88,7 @@ def test_round1_stale_cohort_pulled_forward():
         "orders_rollup", "orders_status_cube",
         "part_brand_stats", "q1_pricing_summary", "q3_top_orders",
         "q5_region_revenue", "q6_revenue",
-        "salted_customer_revenue", "shard_assign", "stratified_sample",
+        "salted_customer_revenue", "stratified_sample",
         "text_stats", "tfidf_top_terms", "token_counts", "top_suppliers",
     ]
     out = [k for k in stale if k not in window]

@@ -449,3 +449,56 @@ def test_mixture_resample_plan_broadcasts_and_never_shuffles_the_corpus(
     plan = mixture_resample(docs_small)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- pack_sequences layout audit (packing_efficiency) ---
+
+
+def test_packing_efficiency_hand_computed_single_shard(spark):
+    """3 docs of 1500/1000/300 ws-tokens at max_len=2048 in one shard:
+    2 chunks, 752-token tail, exactly one boundary straddler (doc 2
+    spans [1500, 2500) across the 2048 boundary)."""
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        packing_efficiency,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a " * 1500), (2, "a " * 1000), (3, "a " * 300)],
+        "doc_id long, text string",
+    )
+    rows = packing_efficiency(df, max_len=2048, n_shards=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["shard"], r["n_docs"], r["total_tokens"]) == (0, 3, 2800)
+    assert (r["n_chunks"], r["tail_tokens"], r["n_straddlers"]) == (2, 752, 1)
+    assert r["straddle_frac"] == 1 / 3
+
+
+def test_packing_efficiency_agrees_with_pack_sequences(spark, docs_small):
+    """The audit must be a pure aggregation of the pack_sequences
+    relation — recompute every column from the packed rows in Python."""
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    packed = pack_sequences(docs_small).collect()
+    got = {r["shard"]: r for r in packing_efficiency(docs_small).collect()}
+    per: dict[int, list] = {}
+    for r in packed:
+        per.setdefault(r["shard"], []).append(r)
+    assert set(per) == set(got)
+    for shard, rs in per.items():
+        total = sum(r["n_tokens"] for r in rs)
+        strad = sum(
+            1
+            for r in rs
+            if r["n_tokens"] > 0
+            and (r["start_offset"] + r["n_tokens"] - 1) // 2048 > r["pack_id"]
+        )
+        g = got[shard]
+        assert g["n_docs"] == len(rs)
+        assert g["total_tokens"] == total
+        assert g["n_chunks"] == (total + 2047) // 2048
+        assert g["tail_tokens"] == total % 2048
+        assert g["n_straddlers"] == strad
