@@ -255,18 +255,32 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+    # The driver records only a bounded stdout tail (~2000 chars). At 80+
+    # queries the full per-query map is ~2.1 KB and the HEAD of the line —
+    # including the metric itself — gets truncated away (BENCH_r06:
+    # "parsed": null). So stdout carries a headline subset only:
+    # jaccard_ref_large (the BASELINE.md comparison) plus the slowest
+    # queries, budgeted to stay well under 1.5 KB with growth headroom;
+    # the complete map lives in bench_detail.json.
+    headline = {"jaccard_ref_large": timings["jaccard_ref_large"]}
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if len(headline) >= 8:
+            break
+        headline.setdefault(name, sec)
+    line = json.dumps(
+        {
+            "metric": "bench_total_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in headline.items()},
+            "n_queries": len(timings),
+            "detail": "bench_detail.json",
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) <= 1500, f"bench stdout line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -546,8 +546,13 @@ def packing_efficiency(
     """Layout-quality audit of :func:`pack_sequences` — measure, don't
     assume. Per shard: doc/token totals, the chunk count the packing
     produces (``ceil(total / max_len)``), the tail chunk's fill
-    (``total mod max_len`` — everything past it is padding, the only
-    waste concat-and-chunk has), and how many documents STRADDLE a
+    (``tail_tokens = total mod max_len`` — NOTE this reads 0 both for
+    an empty shard and for a shard whose total is an exact multiple of
+    ``max_len``, where the tail chunk is completely FULL; consumers
+    must not compute waste as ``max_len - tail_tokens``), the padding
+    directly (``pad_tokens = (max_len - total mod max_len) mod
+    max_len`` — zero in the exact-multiple case, the only waste
+    concat-and-chunk has), and how many documents STRADDLE a
     chunk boundary (their span crosses a ``max_len`` multiple) — the
     number that decides whether cross-document attention masking can be
     per-chunk-exact or needs fragment bookkeeping.
@@ -579,6 +584,9 @@ def packing_efficiency(
         "total_tokens",
         F.expr(f"(total_tokens + {max_len} - 1) div {max_len}").alias("n_chunks"),
         (F.col("total_tokens") % max_len).alias("tail_tokens"),
+        ((max_len - F.col("total_tokens") % max_len) % max_len).alias(
+            "pad_tokens"
+        ),
         "n_straddlers",
         (
             F.col("n_straddlers").cast("double") / F.col("n_docs").cast("double")

@@ -880,6 +880,7 @@ agg AS (
 SELECT shard, n_docs, total_tokens,
        (total_tokens + {max_len} - 1) // {max_len} AS n_chunks,
        total_tokens % {max_len} AS tail_tokens,
+       ({max_len} - total_tokens % {max_len}) % {max_len} AS pad_tokens,
        n_straddlers,
        CAST(n_straddlers AS DOUBLE) / CAST(n_docs AS DOUBLE) AS straddle_frac
 FROM agg"""

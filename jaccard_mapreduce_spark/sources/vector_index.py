@@ -65,6 +65,51 @@ def _scratch_dir(spark: SparkSession, suffix: str = "") -> str:
     return os.path.join(tempfile.gettempdir(), f"ivf_index_{app}{suffix}".lower())
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Resolve ``path`` through Hadoop's FileSystem API so index-side
+    marker files work on whatever filesystem the index itself lives on
+    (``hdfs://``, ``s3a://``, plain local paths). Driver-local
+    ``os.path`` calls against a remote URI silently see nothing —
+    ``exists`` is always False — which would make the staleness counter
+    report 0 forever and write to a bogus local path; routing through
+    the same FileSystem the parquet writes use keeps the marker next to
+    the data on any deployment."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Contents of a (small) text file via Hadoop FS, or None if absent."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        # commons-io ships with Hadoop; avoids byte-at-a-time py4j reads
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text, "utf-8"))
+    finally:
+        out.close()
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -90,9 +135,8 @@ def build_ivf_index(
         .parquet(f"{path}/cells")
     )
     # a rebuild starts a fresh codebook: reset the upsert counter
-    stale = os.path.join(path, "_staleness")
-    if os.path.exists(stale):
-        os.remove(stale)
+    # (via Hadoop FS so hdfs:///s3a:// index paths behave the same)
+    _fs_delete(embeddings.sparkSession, f"{path}/_staleness")
 
 
 def search_ivf_index(
@@ -193,26 +237,25 @@ def upsert_ivf_index(
         )
     finally:
         cells.unpersist()
-    stale = os.path.join(path, "_staleness")
-    prev = 0
-    if os.path.exists(stale):
-        with open(stale) as fh:
-            prev = int(fh.read().strip() or 0)
-    with open(stale, "w") as fh:
-        fh.write(str(prev + n_new))
+    # counter reads/writes go through Hadoop FS (not driver-local
+    # os.path) so an index on hdfs:///s3a:// keeps its retrain trigger
+    stale = f"{path}/_staleness"
+    prev = int((_fs_read_text(spark, stale) or "0").strip() or 0)
+    _fs_write_text(spark, stale, str(prev + n_new))
     return n_new
 
 
-def index_staleness(path: str) -> int:
+def index_staleness(path: str, spark: SparkSession | None = None) -> int:
     """Vectors appended since the codebook was trained — the retrain
     trigger. ``build_ivf_index`` resets it to zero implicitly (the
     counter file lives inside the index directory, which a rebuild
-    replaces)."""
-    stale = os.path.join(path, "_staleness")
-    if not os.path.exists(stale):
-        return 0
-    with open(stale) as fh:
-        return int(fh.read().strip() or 0)
+    replaces). Resolved via Hadoop FS against the index's own
+    filesystem; ``spark`` defaults to the active session."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover - no session, no FS access
+        raise RuntimeError("index_staleness needs an active SparkSession")
+    text = _fs_read_text(spark, f"{path}/_staleness")
+    return int((text or "0").strip() or 0)
 
 
 def upsert_ivf_index_stream(stream, path: str, checkpoint: str):
@@ -397,22 +440,42 @@ def search_lsh_index(
         "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
     ).select("vec_id", "s.tbl", "s.bucket")
     sig_i = spark.read.parquet(f"{path}/signatures")
+    _integral_types = ("tinyint", "smallint", "int", "bigint")
+    stored_v = spark.read.parquet(f"{path}/vectors")
+    q_type = queries.schema[id_col].dataType.simpleString()
+    s_type = stored_v.schema["vec_id"].dataType.simpleString()
     a = sig_q.alias("a")
     b = sig_i.alias("b")
+    if q_type == s_type:
+        neq = F.col("a.vec_id") != F.col("b.vec_id")
+    else:
+        # mixed id types (e.g. string-id index probed by an int batch):
+        # Spark's implicit coercion would cast the string side to
+        # bigint inside the `!=` and throw CAST_INVALID_INPUT on any
+        # non-numeric id — compare canonical string forms instead (a
+        # cross-type id can only be a self-pair if its string form
+        # matches, which is the identity a mixed deployment means)
+        neq = F.col("a.vec_id").cast("string") != F.col(
+            "b.vec_id"
+        ).cast("string")
     joined = a.join(
         b,
         (F.col("a.tbl") == F.col("b.tbl"))
         & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
+        & neq,
     )
-    integral = queries.schema[id_col].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint"
+    integral = (
+        q_type in _integral_types
+        # BOTH sides must be integral before the range probe runs: an
+        # index built with e.g. string vec_ids queried by an int batch
+        # would otherwise feed a string lo/hi into the `>= 0`
+        # comparison below and throw instead of falling back to the
+        # unpacked distinct
+        and s_type in _integral_types
     )
     if ids_fit_31_bits is None:
         ids_fit_31_bits = False
-        # probe only when the type could pack at all (non-integral ids
-        # can never take the packed path, and min/max on e.g. string
-        # ids would compare against ints and throw); both sides must
+        # probe only when the types could pack at all; both sides must
         # fit — the stored side's range rides along the (tiny) probe
         # over the pinned query relation plus one agg over the stored
         # vector ids
@@ -420,11 +483,9 @@ def search_lsh_index(
             q_rng = qv.agg(
                 F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
             ).first()
-            i_rng = (
-                spark.read.parquet(f"{path}/vectors")
-                .agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi"))
-                .first()
-            )
+            i_rng = stored_v.agg(
+                F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+            ).first()
             ids_fit_31_bits = all(
                 r["lo"] is not None and r["lo"] >= 0 and r["hi"] < (1 << 31)
                 for r in (q_rng, i_rng)
@@ -435,7 +496,7 @@ def search_lsh_index(
 
     cand = _distinct_directed_pairs(joined, integral and ids_fit_31_bits)
     va = qv.alias("va")
-    vb = spark.read.parquet(f"{path}/vectors").alias("vb")
+    vb = stored_v.alias("vb")
     dot = _dot(F.col("va.vec"), F.col("vb.vec"))
     scored = (
         cand.join(va, cand.query_id == F.col("va.vec_id"))
@@ -466,7 +527,14 @@ def _ensure_index(
     the data dirs and leave the marker — so every ``required_dirs``
     entry must exist too; any mismatch rebuilds from scratch rather
     than serving stale or partial state (which would silently break
-    the hash-parity contracts)."""
+    the hash-parity contracts).
+
+    The marker here is read with plain ``os.path`` deliberately: the
+    base is ALWAYS a driver-local tempdir (:func:`_scratch_dir`), never
+    a user-supplied URI — demo scaffolding, not the index API. The
+    library entry points (``build_ivf_index``/``upsert_ivf_index``/
+    ``index_staleness``) take arbitrary paths and route their markers
+    through Hadoop FS instead."""
     base = _scratch_dir(spark, suffix=suffix)
     marker = os.path.join(base, "_built_for")
     extra = f"{tag_extra}\n" if tag_extra else ""

@@ -341,6 +341,32 @@ def test_lsh_index_search_tolerates_non_integral_ids(spark, tmp_path):
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
 
 
+def test_lsh_index_search_tolerates_string_store_int_queries(spark, tmp_path):
+    """ADVICE r6: the packed-pair probe gated only on the QUERY side's
+    id type — a string-id index probed by an int-id batch fed a string
+    lo/hi into `>= 0` and threw TypeError. Both sides must be integral
+    before the range probe runs."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        search_lsh_index,
+    )
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    td = str(tmp_path / "lsh")
+    build_lsh_index(emb, td, n_planes=2, n_tables=2, dim=2)
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = search_lsh_index(spark, td, q, k=2).collect()
+    # int query ids never equal string stored ids: every stored bucket
+    # mate is a legal neighbor
+    assert all(isinstance(r["query_id"], int) for r in rows)
+
+
 # --- epoch-style mixture re-mixing (mixture_plan / mixture_resample) ---
 
 
@@ -471,7 +497,24 @@ def test_packing_efficiency_hand_computed_single_shard(spark):
     r = rows[0]
     assert (r["shard"], r["n_docs"], r["total_tokens"]) == (0, 3, 2800)
     assert (r["n_chunks"], r["tail_tokens"], r["n_straddlers"]) == (2, 752, 1)
+    assert r["pad_tokens"] == 2048 - 752
     assert r["straddle_frac"] == 1 / 3
+
+
+def test_packing_efficiency_pad_tokens_zero_when_tail_exactly_full(spark):
+    """The ADVICE-flagged corner: total an exact multiple of max_len.
+    tail_tokens reads 0 (documented) but pad_tokens must ALSO read 0 —
+    the tail chunk is completely full, there is no padding."""
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        packing_efficiency,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a " * 1024), (2, "a " * 1024)], "doc_id long, text string"
+    )
+    r = packing_efficiency(df, max_len=2048, n_shards=1).collect()[0]
+    assert r["total_tokens"] == 2048
+    assert (r["n_chunks"], r["tail_tokens"], r["pad_tokens"]) == (1, 0, 0)
 
 
 def test_packing_efficiency_agrees_with_pack_sequences(spark, docs_small):
@@ -501,4 +544,5 @@ def test_packing_efficiency_agrees_with_pack_sequences(spark, docs_small):
         assert g["total_tokens"] == total
         assert g["n_chunks"] == (total + 2047) // 2048
         assert g["tail_tokens"] == total % 2048
+        assert g["pad_tokens"] == (2048 - total % 2048) % 2048
         assert g["n_straddlers"] == strad
