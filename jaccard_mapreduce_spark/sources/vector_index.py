@@ -52,7 +52,9 @@ from jaccard_mapreduce_spark.operators.similarity import (
     DEFAULT_IVF_ITERS,
     DEFAULT_IVF_PROBE,
     _cosine,
+    _check_rerank,
     _dot,
+    _score_pairs_fast,
     _topk,
     ivf_assign,
     ivf_centroids,
@@ -147,6 +149,7 @@ def search_ivf_index(
     n_probe: int = DEFAULT_IVF_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: str = "exact",
 ) -> DataFrame:
     """Top-``k`` cosine search against a persisted index —
     ``(query_id, neighbor_id, score, rank)``. Queries assign to their
@@ -178,17 +181,26 @@ def search_ivf_index(
         n_shuffle, "cell_id", "vec_id"
     ).alias("a")
     b = cells.alias("b")
+    _check_rerank(rerank)
+    cond = (F.col("a.cell_id") == F.col("b.cell_id")) & (
+        F.col("a.vec_id") != F.col("b.vec_id")
+    )
+    if rerank == "fast":
+        # partition-pruned cell join stays relational; skinny id pairs
+        # cross to the broadcast-matrix scorer (query side + stored
+        # cells each collected under the size guard)
+        cand = qa.join(b, cond).select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        return _topk(_score_pairs_fast(cand, qv, cells), k)
     dot = _dot(F.col("a.vec"), F.col("b.vec"))
     # the ONE authoritative cosine-with-zero-norm guard — any divergence
     # from ann_ivf_topk's kernel would break the layout-invisibility
     # hash-parity contract
     cos = _cosine(dot, F.col("a.norm2"), F.col("b.norm2"))
     scored = (
-        qa.join(
-            b,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
+        qa.join(b, cond)
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
@@ -400,6 +412,7 @@ def search_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ids_fit_31_bits: bool | None = None,
+    rerank: str = "exact",
 ) -> DataFrame:
     """Top-``k`` cosine search against a persisted LSH index —
     ``(query_id, neighbor_id, score, rank)``, identical semantics to
@@ -495,6 +508,9 @@ def search_lsh_index(
     )
 
     cand = _distinct_directed_pairs(joined, integral and ids_fit_31_bits)
+    _check_rerank(rerank)
+    if rerank == "fast":
+        return _topk(_score_pairs_fast(cand, qv, stored_v), k)
     va = qv.alias("va")
     vb = stored_v.alias("vb")
     dot = _dot(F.col("va.vec"), F.col("vb.vec"))

@@ -39,57 +39,76 @@ def test_bench_only_entries_stay_out_of_the_contract():
         assert k not in qs, f"bench-only entry {k} leaked into queries()"
 
 
-def test_round6_rotation_targets_are_in_the_graded_window():
-    """The round-6 window intent: the window IS _R6_WINDOW, in order —
-    new/changed round-6 entries first, round-5 single-grades for a
-    second green, then the 30 entries whose driver grade was last
-    refreshed in round 1."""
+def test_window_is_the_declared_rotation():
     window = list(entrymod.queries())[:50]
-    assert window == entrymod._R6_WINDOW
-    must_grade = [
-        # new in round 6
-        "ivf_index_upsert", "corpus_text_roundtrip",
-        "containment_recall_audit", "q4_order_priority",
-        "lsh_index_search", "lsh_index_serve",
-        "mixture_plan", "mixture_resample", "packing_efficiency",
-        # changed in round 6 (IVF retune, kernel filter, repartitions)
-        "ivf_index_search", "ann_ivf_topk", "ivf_recall_audit",
-        "dedup_minhash_lsh", "containment_pruned", "kmeans_int8",
-        "semantic_dedup", "ann_lsh_topk",
-        # round-5 first-grades staying for their second green
-        "jaccard_formatted", "kmeans_label_purity", "source_token_drift",
-        "q2_min_cost_supplier", "q11_partsupp", "q16_partsupp",
-        "q9_partsupp", "q20_partsupp",
-    ]
-    out = [k for k in must_grade if k not in window]
-    assert not out, f"round-6 must-grade entries outside the window: {out}"
+    assert window == entrymod._R7_WINDOW
+    assert len(set(entrymod._R7_WINDOW)) == 50
 
 
-def test_round1_stale_cohort_pulled_forward():
-    """Cross-referencing CORRECTNESS_r01..r05: 31 entries were last
-    driver-graded in round 1; all but the bench-only
-    ann_cosine_topk_fast must sit in the round-6 window. Exceptions
-    (each rotates out ONLY because an in-window entry grades its chain
-    transitively): doc_split, doc_sizes and pair_intersections make
-    room for q4_order_priority, lsh_index_search and lsh_index_serve
-    (their O3/O7/O8-O13 chains ride through jaccard_formatted);
-    minhash_signatures and quality_filter make room for mixture_plan
-    and mixture_resample (the former is the first stage of the
-    in-window dedup_minhash_lsh chain, the latter is the in-window
-    text_stats plus one boolean flag column); shard_assign makes room
-    for packing_efficiency, whose base relation IS shard_assign's hash
-    plus the bpe-ish token count."""
+def _last_green_before(design_round: int) -> dict[str, int]:
+    """Each key's most recent green driver grade among the committed
+    CORRECTNESS_r*.json files BEFORE the design round — the evidence
+    the window rotation was designed against."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    seen: list[int] = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        seen.append(r)
+        if r >= design_round:
+            continue
+        with open(path) as fh:
+            graded = json.load(fh)
+        for key, v in graded.items():
+            green = v.get("hash_match") or (
+                v.get("rows_match") and not v.get("err")
+            )
+            if green:
+                last[key] = max(last.get(key, 0), r)
+    # one round of grace: the design round's own report may land before
+    # the next rotation, but a report from a LATER round means the
+    # rotation (and _WINDOW_DESIGN_ROUND) was never bumped — rotate.
+    assert max(seen) <= design_round, (
+        f"CORRECTNESS_r{max(seen):02d} postdates the window design round "
+        f"{design_round}: rotate the window and bump _WINDOW_DESIGN_ROUND"
+    )
+    return last
+
+
+def test_rotation_cannot_starve_a_stale_key():
+    """The automated replacement for the old hand-curated cohort lists:
+    staleness is computed from the committed CORRECTNESS reports, and
+    the graded window must contain (a) every entry declared new/changed
+    for the design round and (b) the stalest remaining keys — no key
+    outside the window may be strictly staler than a key inside it, so
+    rotation can never silently starve a key of its independent driver
+    grade. Never-graded keys rank stalest of all, which also enforces
+    the 'new entries sit in the first 50' invariant."""
+    design = entrymod._WINDOW_DESIGN_ROUND
+    last = _last_green_before(design)
     window = set(list(entrymod.queries())[:50])
-    stale = [
-        "customer_order_windows", "customers_semi_anti", "dedup_embedding",
-        "dedup_exact", "fingerprints", "lang_id",
-        "lineitem_unpivot", "min_cost_supplier",
-        "orders_exists_returned", "orders_grouping_sets", "orders_pivot",
-        "orders_rollup", "orders_status_cube",
-        "part_brand_stats", "q1_pricing_summary", "q3_top_orders",
-        "q5_region_revenue", "q6_revenue",
-        "salted_customer_revenue", "stratified_sample",
-        "text_stats", "tfidf_top_terms", "token_counts", "top_suppliers",
-    ]
-    out = [k for k in stale if k not in window]
-    assert not out, f"round-1-stale entries outside the window: {out}"
+    new_or_changed = set(entrymod._NEW_OR_CHANGED)
+
+    missing = [k for k in new_or_changed if k not in window]
+    assert not missing, f"new/changed entries outside the window: {missing}"
+
+    ranked = {
+        k: last.get(k, 0)
+        for k in entrymod.queries()
+        if k not in new_or_changed
+    }
+    freshest_inside = max(ranked[k] for k in ranked if k in window)
+    starved = sorted(
+        k
+        for k, r in ranked.items()
+        if k not in window and r < freshest_inside
+    )
+    assert not starved, (
+        f"keys staler (last green round < {freshest_inside}) than an "
+        f"in-window key were left outside the graded window: {starved}"
+    )

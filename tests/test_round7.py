@@ -1,0 +1,189 @@
+"""Round-7 additions: corpus-size-derived IVF sizing (ivf_params_for)
+and the vectorized ANN rerank fast path."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jaccard_mapreduce_spark.operators.similarity import (
+    DEFAULT_IVF_CELLS,
+    DEFAULT_IVF_PROBE,
+    ivf_params_for,
+)
+
+
+# --- ivf_params_for: the formula vs the recorded sweep/probe points ---
+
+
+def test_derives_the_shipped_graded_config_exactly():
+    """The audited sweep winner (64 cells / probe 32 at the 2,000-vector
+    sf0.1 corpus, recall 0.840) must fall out of the formula with
+    defaults — the derived config IS the graded config."""
+    assert ivf_params_for(2000) == (DEFAULT_IVF_CELLS, DEFAULT_IVF_PROBE)
+
+
+def test_sf001_derivations():
+    # 500 vectors: 16 cells; the default 1000-pair budget caps at a
+    # full scan, the graded 250-pair budget is a genuine 1/2 fraction
+    assert ivf_params_for(500) == (16, 16)
+    assert ivf_params_for(500, candidate_budget=250) == (16, 8)
+
+
+def test_ten_x_probe_regime():
+    """SCALE.md's 20k probe: the fixed 64/32 config implies ~10k rerank
+    pairs/query at 20k vectors; the derived config keeps the per-query
+    budget flat instead."""
+    n_cells, n_probe = ivf_params_for(20000)
+    assert n_cells == 1024
+    per_query = n_probe * 20000 / n_cells
+    assert per_query <= 1000
+    # the fixed config at the same n blows the budget 10x
+    assert DEFAULT_IVF_PROBE * 20000 / DEFAULT_IVF_CELLS == 10000
+
+
+def test_tiny_corpus_degenerates_to_one_cell():
+    assert ivf_params_for(1) == (1, 1)
+    assert ivf_params_for(32) == (1, 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=33, max_value=10**9),
+    budget=st.integers(min_value=32, max_value=10**6),
+)
+def test_formula_properties(n, budget):
+    n_cells, n_probe = ivf_params_for(n, candidate_budget=budget)
+    # cells are a power of two and fine enough that per-cell size stays
+    # within (target/2, target] — the cells-prop-to-n discipline
+    assert n_cells & (n_cells - 1) == 0
+    cell = n / n_cells
+    assert cell <= 32
+    assert cell > 16 or n_cells == 1
+    assert 1 <= n_probe <= n_cells
+    # per-query rerank volume respects the budget whenever the probe is
+    # neither floored to 1 nor capped at a full scan
+    per_query = n_probe * cell
+    if 1 < n_probe < n_cells:
+        assert per_query <= budget
+        assert per_query > budget - 32
+
+
+@settings(max_examples=50, deadline=None)
+@given(n=st.integers(min_value=33, max_value=10**8))
+def test_cells_monotone_in_n(n):
+    c1, _ = ivf_params_for(n)
+    c2, _ = ivf_params_for(2 * n)
+    assert c2 >= c1
+
+
+# --- vectorized rerank fast path: rank agreement with the exact fold ---
+
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def emb_small(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _ranks(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in df.select("query_id", "neighbor_id", "rank").collect()
+    )
+
+
+def _scores(df):
+    return {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in df.collect()
+    }
+
+
+def test_lsh_fast_rerank_matches_exact_ranks(spark, emb_small):
+    from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    exact = ann_lsh_topk(emb_small, k=5)
+    fast = ann_lsh_topk(emb_small, k=5, rerank="fast")
+    assert _ranks(fast) == _ranks(exact)
+    # scores agree to float error (numpy pairwise vs sequential fold)
+    se, sf_ = _scores(exact), _scores(fast)
+    assert all(abs(se[p] - sf_[p]) < 1e-9 for p in se)
+
+
+def test_ivf_fast_rerank_matches_exact_ranks(spark, emb_small):
+    from jaccard_mapreduce_spark.operators.similarity import ann_ivf_topk
+
+    exact = ann_ivf_topk(emb_small, k=5, n_cells=4, n_probe=2)
+    fast = ann_ivf_topk(emb_small, k=5, n_cells=4, n_probe=2, rerank="fast")
+    assert _ranks(fast) == _ranks(exact)
+
+
+def test_index_searches_accept_fast_rerank(spark, emb_small, tmp_path):
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        build_lsh_index,
+        search_ivf_index,
+        search_lsh_index,
+    )
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb_small, ivf, n_cells=4)
+    exact = search_ivf_index(spark, ivf, emb_small, k=5, n_probe=2)
+    fast = search_ivf_index(
+        spark, ivf, emb_small, k=5, n_probe=2, rerank="fast"
+    )
+    assert _ranks(fast) == _ranks(exact)
+
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(emb_small, lsh)
+    exact = search_lsh_index(spark, lsh, emb_small, k=5)
+    fast = search_lsh_index(spark, lsh, emb_small, k=5, rerank="fast")
+    assert _ranks(fast) == _ranks(exact)
+
+
+def test_unknown_rerank_kind_refused(spark, emb_small):
+    from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    with pytest.raises(ValueError, match="rerank"):
+        ann_lsh_topk(emb_small, k=5, rerank="blazing")
+
+
+def test_fast_rerank_guard_refuses_oversized_index(spark, emb_small):
+    from jaccard_mapreduce_spark.operators.similarity import (
+        _score_pairs_fast,
+        vectors,
+    )
+
+    v = vectors(emb_small)
+    cand = spark.createDataFrame(
+        [(0, 1)], "query_id long, neighbor_id long"
+    )
+    with pytest.raises(ValueError, match="max_index_rows"):
+        _score_pairs_fast(cand, v, max_index_rows=3)
+
+
+def test_fast_rerank_zero_vector_scores_zero(spark):
+    """The broadcast-matrix kernel must reproduce the _cosine zero-norm
+    guard: pairs touching a zero vector score 0.0, not NaN."""
+    from jaccard_mapreduce_spark.operators.similarity import (
+        _score_pairs_fast,
+        vectors,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    v = vectors(emb)
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "query_id long, neighbor_id long"
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in _score_pairs_fast(cand, v).collect()
+    }
+    assert got[(1, 2)] == 0.0 and got[(2, 3)] == 0.0
+    assert abs(got[(1, 3)] - 1 / 2**0.5) < 1e-12
