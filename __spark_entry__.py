@@ -409,6 +409,7 @@ _NEW_OR_CHANGED = [
     "packing_efficiency",  # grew the pad_tokens column (ADVICE mod==0)
     "ivf_params_derived",  # new: corpus-size-derived IVF config
     "lsh_fast_ranks",  # new: vectorized-rerank rank-agreement audit
+    "ann_scale_probe",  # new: graded 10x-replication retuned search
 ]
 
 _R7_WINDOW = [
@@ -418,7 +419,7 @@ _R7_WINDOW = [
     # new in round 7: the ivf_params_for-derived IVF search and the
     # fast-rerank rank-agreement audit (round-4 fillers rotate out
     # one-for-one below)
-    "ivf_params_derived", "lsh_fast_ranks",
+    "ivf_params_derived", "lsh_fast_ranks", "ann_scale_probe",
     # the full round-<=3 stale cohort (43 keys): the reference-chain
     # per-row stages, the streaming family, the events family, the
     # TPC-H stragglers, and the round-1 projections that rotated out
@@ -442,7 +443,6 @@ _R7_WINDOW = [
     # next-stalest fillers (round-4 grades) up to the 50-slot budget;
     # swapped out one-for-one as round-7 additions land at the head
     "doc_tokens", "jaccard_pairs", "prepare_corpus",
-    "dedup_simhash",
 ]
 
 
@@ -561,6 +561,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_params_derived": lambda s, d: (
             lambda emb: S.ann_ivf_topk(
                 emb, 10, *S.ivf_params_for(emb.count(), candidate_budget=250)
+            )
+        )(_emb(s, d)),
+        # new round 7: the 10x scale probe GRADED — deterministic
+        # integer-perturbed corpus replication (rounds 5-6 measured this
+        # shape only in SCALE.md prose) searched with the plane count
+        # lsh_params_for derives for the replicated size, so the retune
+        # workflow's scale behavior is regression-checked, not a
+        # one-time measurement
+        "ann_scale_probe": lambda s, d: (
+            lambda emb: S.ann_lsh_topk(
+                S.replicate_embeddings(emb, factor=10),
+                k=10,
+                n_planes=S.lsh_params_for(emb.count() * 10),
             )
         )(_emb(s, d)),
         # new round 4: iterative Lloyd's k-means run entirely in
@@ -1022,6 +1035,12 @@ def oracle_sql() -> dict[str, str]:
         # emb.count() at runtime
         "ivf_params_derived": oracles.ann_ivf_topk_sql(
             10, *S.ivf_params_for(500, candidate_budget=250)
+        ),
+        # sf0.01 has 500 vectors -> replicated 5,000 -> 7 derived planes
+        "ann_scale_probe": oracles.ann_lsh_topk_sql(
+            10,
+            S.lsh_tables(64, S.lsh_params_for(5000), 16),
+            vec_ctes=oracles.replicated_vec_ctes(10, 1_000_000),
         ),
         "dedup_embedding": oracles.embedding_duplicates_sql(0.3),
         "quantize_embeddings": oracles.quantize_embeddings_sql(),

@@ -140,6 +140,10 @@ def main() -> None:
         "mixture_plan",
         "mixture_resample",
         "packing_efficiency",
+        # round-7 additions
+        "ivf_params_derived",
+        "lsh_fast_ranks",
+        "ann_scale_probe",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

@@ -204,6 +204,56 @@ def vectors(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
     ).withColumn("norm2", _dot(F.col("vec"), F.col("vec")))
 
 
+def replicate_embeddings(
+    embeddings: DataFrame,
+    factor: int = 10,
+    id_stride: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic ``factor``× corpus replication — the scale-probe
+    fixture (rounds 5–6 ran 10× ANN probes as one-off SCALE.md
+    measurements; this makes the replication a graded, regression-
+    checked operator). Copy ``r`` of vector ``v`` gets
+    ``vec_id + r·id_stride`` and, for ``r > 0``, an integer
+    perturbation per coordinate::
+
+        vec[i] += ((vec_id·31 + r·17 + (i+1)·7) mod 5) - 2
+
+    so copies are near the original but not identical (an exact clone
+    would make every LSH bucket a trivial dup cluster). The
+    perturbation is INTEGER-VALUED, and integer-valued doubles add
+    exactly in any engine — the replicated corpus is hash-paritable
+    with a DuckDB replica of the same formula (the kmeans-int8
+    convention), which is what lets a retuned search over it be graded
+    rather than merely timed. Copy 0 is the original corpus verbatim.
+
+    Plan shape: one explode per input row — no shuffle, no driver
+    state; at cluster scale replication is a map-side row multiplier."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("embedding"),
+    )
+    rep = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("r"),
+    )
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + (
+            (F.col("vec_id") * 31 + F.col("r") * 17 + (i + 1) * 7) % 5 - 2
+        ).cast("double"),
+    )
+    return rep.select(
+        (F.col("vec_id") + F.col("r") * id_stride).alias("vec_id"),
+        F.when(F.col("r") == 0, F.col("embedding"))
+        .otherwise(pert)
+        .alias("embedding"),
+    )
+
+
 def _cosine(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
     return F.when(
         (norm2_a > 0) & (norm2_b > 0),

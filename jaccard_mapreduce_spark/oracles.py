@@ -1460,16 +1460,46 @@ def _lsh_sig_cte(tables: list[list[list[float]]]) -> str:
     return f"sig AS (\n{branches}\n)"
 
 
+def replicated_vec_ctes(factor: int, id_stride: int, dim: int = 64) -> str:
+    """``v``/``n`` CTEs over the :func:`~jaccard_mapreduce_spark.
+    operators.similarity.replicate_embeddings` corpus — same formula,
+    DuckDB syntax: copy r of vector v gets ``vec_id + r·id_stride`` and
+    (for r > 0) the integer per-coordinate perturbation
+    ``((vec_id·31 + r·17 + i·7) mod 5) - 2`` (1-based i here matches
+    Spark's 0-based transform index + 1). Integer-valued doubles add
+    exactly, so the replica hash-matches Spark bit-for-bit."""
+    return f"""
+v AS (
+    SELECT e.vec_id + r.r * {id_stride} AS vec_id,
+           CASE WHEN r.r = 0 THEN e.embedding::DOUBLE[]
+                ELSE list_transform(range(1, {dim + 1}),
+                     i -> e.embedding[i]::DOUBLE
+                          + ((e.vec_id * 31 + r.r * 17 + i * 7) % 5 - 2))
+           END AS vec
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range({factor})) AS r) r
+),
+n AS (
+    SELECT vec_id, vec, list_dot_product(vec, vec) AS norm2 FROM v
+)"""
+
+
 def ann_lsh_topk_sql(
-    k: int, tables: list[list[list[float]]], query_where: str = ""
+    k: int,
+    tables: list[list[list[float]]],
+    query_where: str = "",
+    vec_ctes: str | None = None,
 ) -> str:
     # query_where (e.g. "a.vec_id % 10 = 0") restricts the QUERY side of
     # the candidate join while the index side stays the full corpus —
     # the oracle for the batch-serving shape (lsh_index_serve): the
-    # per-query top-k window is unaffected by dropping other queries
+    # per-query top-k window is unaffected by dropping other queries.
+    # vec_ctes swaps the base corpus (e.g. replicated_vec_ctes for the
+    # graded 10x scale probe).
     q_filter = f" AND ({query_where})" if query_where else ""
+    base = (vec_ctes or _VEC_CTES).strip()
     return _ranked_sql(
-        f"""WITH {_VEC_CTES.strip()},
+        f"""WITH {base},
 {_lsh_sig_cte(tables)},
 cand AS (
     SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id

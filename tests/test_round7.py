@@ -144,6 +144,31 @@ def test_index_searches_accept_fast_rerank(spark, emb_small, tmp_path):
     assert _ranks(fast) == _ranks(exact)
 
 
+def test_replicate_embeddings_shape_and_determinism(spark, emb_small):
+    from jaccard_mapreduce_spark.operators.similarity import (
+        replicate_embeddings,
+    )
+
+    n = emb_small.count()
+    rep = replicate_embeddings(emb_small, factor=3, id_stride=1000)
+    rows = {r["vec_id"]: r["embedding"] for r in rep.collect()}
+    assert len(rows) == 3 * n
+    base = {r["vec_id"]: r["embedding"] for r in emb_small.collect()}
+    for vid, vec in base.items():
+        # copy 0 is the original verbatim (modulo the double cast)
+        assert rows[vid] == [float(x) for x in vec]
+        for r in (1, 2):
+            got = rows[vid + r * 1000]
+            deltas = [g - float(x) for g, x in zip(got, vec)]
+            # integer perturbation in [-2, 2], matching the formula
+            for i, dlt in enumerate(deltas):
+                want = (vid * 31 + r * 17 + (i + 1) * 7) % 5 - 2
+                assert dlt == want
+    # deterministic: a second evaluation is identical
+    again = {r["vec_id"]: r["embedding"] for r in rep.collect()}
+    assert again == rows
+
+
 def test_unknown_rerank_kind_refused(spark, emb_small):
     from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
 
