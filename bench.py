@@ -144,6 +144,7 @@ def main() -> None:
         "ivf_params_derived",
         "lsh_fast_ranks",
         "ann_scale_probe",
+        "boilerplate_scrub",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

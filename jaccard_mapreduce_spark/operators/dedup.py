@@ -1251,6 +1251,83 @@ def boilerplate_span_stats(
     )
 
 
+def boilerplate_scrub(
+    documents: DataFrame,
+    n: int = 5,
+    max_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the scrub :func:`boilerplate_span_stats` only
+    measures — ``(doc_id, n_tokens, n_removed, scrubbed_text)`` where
+    the scrubbed text drops every token covered by a word ``n``-gram
+    appearing in more than ``max_df`` DISTINCT documents (navigation
+    chrome, license blocks, templated spans — the RefinedWeb-style
+    exact-substring removal, at token granularity so reassembly is
+    deterministic).
+
+    Exactness: a token at position ``p`` is removed iff SOME flagged
+    n-gram's span ``[s, s+n)`` contains ``p``. Coverage is computed by
+    exploding each flagged span into its ``n`` positions and taking
+    the distinct — linear in flagged spans, never a range join — and
+    the surviving tokens reassemble via a per-doc sort on position, so
+    the output is a pure function of the corpus (hash-graded against
+    the DuckDB replica).
+
+    Plan at scale: tokenize/posexplode (map) → positioned-gram
+    projection (map) → gram document-frequency agg (vocabulary-sized)
+    → flagged-span join back (shuffle on gram) → covered-position
+    distinct + anti-join + reassembly (all keyed by (doc_id, pos) /
+    doc_id). Every shuffle is on a real key; no driver state."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "token"),
+    )
+    grams = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams(tokenize(text_col), n)).alias(
+            "s_pos", "gram"
+        ),
+    )
+    grams = _pin(grams)
+    dfc = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = grams.join(
+        dfc.where(F.col("df") > max_df), "gram"
+    ).select("doc_id", "s_pos")
+    covered = flagged.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("s_pos"), F.col("s_pos") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("scrubbed_text"),
+    )
+    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    ids = documents.select(F.col(id_col).alias("doc_id"))
+    zero = F.lit(0).cast("long")
+    return ids.join(totals, "doc_id", "left").join(
+        rebuilt, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_total", zero).alias("n_tokens"),
+        (
+            F.coalesce("n_total", zero) - F.coalesce("n_kept", zero)
+        ).alias("n_removed"),
+        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+    )
+
+
 def source_overlap_matrix(
     documents: DataFrame,
     threshold: float = 0.7,

@@ -1098,6 +1098,53 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
 
 
+def boilerplate_scrub_sql(n: int = 5, max_df: int = 1) -> str:
+    """Mirror of operators/dedup.py::boilerplate_scrub: positioned
+    grams (0-based start like Spark's posexplode), document-frequency
+    over DISTINCT docs, span explode to covered positions, anti-join,
+    order-by-position reassembly. All joins/aggregates integer- or
+    string-exact, so the rebuilt text hash-matches bit-for-bit."""
+    parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""WITH t AS (SELECT doc_id, {TOKS_EXPR} AS toks FROM documents),
+tokp AS (
+    SELECT doc_id, unnest(toks) AS token,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM t
+),
+g AS (
+    SELECT doc_id, i - 1 AS s_pos, concat_ws(' ', {parts}) AS gram
+    FROM (SELECT doc_id, toks,
+                 unnest(range(1, len(toks) - {n - 2})) AS i
+          FROM t)
+),
+dfc AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+cov AS (
+    SELECT DISTINCT g.doc_id, g.s_pos + j.j AS pos
+    FROM g
+    JOIN dfc ON g.gram = dfc.gram AND dfc.df > {max_df}
+    CROSS JOIN (SELECT unnest(range({n})) AS j) j
+),
+kept AS (
+    SELECT tokp.doc_id, tokp.pos, tokp.token
+    FROM tokp ANTI JOIN cov
+      ON tokp.doc_id = cov.doc_id AND tokp.pos = cov.pos
+),
+reb AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(token, ' ' ORDER BY pos) AS scrubbed_text
+    FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_total FROM tokp GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.n_total, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(tot.n_total, 0) - COALESCE(reb.n_kept, 0) AS BIGINT)
+           AS n_removed,
+       COALESCE(reb.scrubbed_text, '') AS scrubbed_text
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN reb ON d.doc_id = reb.doc_id"""
+
+
 def _minhash_cte(k: int, seed: int) -> str:
     params = minhash_params(k, seed)
     values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))

@@ -169,6 +169,61 @@ def test_replicate_embeddings_shape_and_determinism(spark, emb_small):
     assert again == rows
 
 
+# --- boilerplate_scrub: hand-computed coverage semantics ---
+
+
+def test_boilerplate_scrub_hand_computed(spark):
+    """Docs 1 and 2 share the 3-gram 'a b c'; every token covered by a
+    shared 3-gram span is removed, everything else survives in order.
+    Doc 3 shares nothing and is untouched; doc 4 is shorter than n and
+    survives verbatim."""
+    from jaccard_mapreduce_spark.operators.dedup import boilerplate_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "x a b c y"),
+            (2, "a b c z w"),
+            (3, "p q r s t"),
+            (4, "u v"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["scrubbed_text"])
+        for r in boilerplate_scrub(df, n=3, max_df=1).collect()
+    }
+    assert got[1] == (5, 3, "x y")
+    assert got[2] == (5, 3, "z w")
+    assert got[3] == (5, 0, "p q r s t")
+    assert got[4] == (2, 0, "u v")
+
+
+def test_boilerplate_scrub_within_doc_repeat_not_flagged(spark):
+    """df counts DISTINCT documents: an n-gram repeated inside one doc
+    is not boilerplate and must survive."""
+    from jaccard_mapreduce_spark.operators.dedup import boilerplate_scrub
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "q r s t u")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in boilerplate_scrub(df, n=3).collect()}
+    assert got[1]["n_removed"] == 0
+    assert got[1]["scrubbed_text"] == "a b c a b c"
+
+
+def test_boilerplate_scrub_fully_scrubbed_doc_yields_empty_text(spark):
+    from jaccard_mapreduce_spark.operators.dedup import boilerplate_scrub
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in boilerplate_scrub(df, n=3).collect()}
+    for vid in (1, 2):
+        assert got[vid]["n_removed"] == 3
+        assert got[vid]["scrubbed_text"] == ""
+
+
 def test_unknown_rerank_kind_refused(spark, emb_small):
     from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
 
