@@ -411,6 +411,7 @@ _NEW_OR_CHANGED = [
     "lsh_fast_ranks",  # new: vectorized-rerank rank-agreement audit
     "ann_scale_probe",  # new: graded 10x-replication retuned search
     "boilerplate_scrub",  # new: cross-doc repeated-span removal
+    "chunk_documents",  # new: overlapping retrieval-style chunking
 ]
 
 _R7_WINDOW = [
@@ -421,7 +422,7 @@ _R7_WINDOW = [
     # fast-rerank rank-agreement audit (round-4 fillers rotate out
     # one-for-one below)
     "ivf_params_derived", "lsh_fast_ranks", "ann_scale_probe",
-    "boilerplate_scrub",
+    "boilerplate_scrub", "chunk_documents",
     # the full round-<=3 stale cohort (43 keys): the reference-chain
     # per-row stages, the streaming family, the events family, the
     # TPC-H stragglers, and the round-1 projections that rotated out
@@ -444,7 +445,7 @@ _R7_WINDOW = [
     "user_funnel",
     # next-stalest fillers (round-4 grades) up to the 50-slot budget;
     # swapped out one-for-one as round-7 additions land at the head
-    "doc_tokens", "jaccard_pairs",
+    "doc_tokens",
 ]
 
 
@@ -533,6 +534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reassemble the text deterministically (RefinedWeb-style
         # exact-substring removal at token granularity)
         "boilerplate_scrub": lambda s, d: D.boilerplate_scrub(_docs(s, d)),
+        # new round 7: overlapping retrieval-style chunking (stride =
+        # chunk - overlap; chunks never cross documents, map-only plan)
+        "chunk_documents": lambda s, d: TA.chunk_documents(_docs(s, d)),
         # round 5: vocabulary's global rank rebuilt on the bucket-offset
         # composition (the unpartitioned WindowExec is gone) — re-graded
         "vocabulary": lambda s, d: TA.vocabulary(_docs(s, d)),
@@ -1020,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": oracles.cohort_retention_sql(),
         "boilerplate_span_stats": oracles.boilerplate_span_stats_sql(5),
         "boilerplate_scrub": oracles.boilerplate_scrub_sql(5, 1),
+        "chunk_documents": oracles.chunk_documents_sql(64, 16),
         "simhash": oracles.simhash_sql(),
         "dedup_simhash": oracles.simhash_duplicates_sql(3),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(10),

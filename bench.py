@@ -145,6 +145,7 @@ def main() -> None:
         "lsh_fast_ranks",
         "ann_scale_probe",
         "boilerplate_scrub",
+        "chunk_documents",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

@@ -35,6 +35,62 @@ def token_counts(documents: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping retrieval-style chunking —
+    ``(doc_id, chunk_id, n_tokens, chunk_text)``: consecutive
+    ``chunk_tokens``-token windows with ``overlap`` tokens shared
+    between neighbors (stride = chunk − overlap), the layout a RAG /
+    embedding-index ingestion pass feeds the encoder. Differs from
+    :func:`pack_sequences` on both axes that matter to retrieval:
+    chunks never cross documents, and the overlap preserves context at
+    window boundaries.
+
+    Chunk starts are ``0, stride, 2·stride, …`` while a start still
+    sees at least one token past the previous chunk's overlap (the
+    final window may be short; empty documents produce no chunks).
+    ``chunk_id = start div stride`` is stable under re-chunking a
+    grown corpus.
+
+    Plan shape: tokenize + one ``explode`` of the per-doc start list —
+    a map-only row multiplier like :func:`~jaccard_mapreduce_spark.
+    operators.similarity.replicate_embeddings`; no shuffle at any
+    corpus size. All outputs are integers/strings, hash-graded."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).withColumn(
+        "last_start",
+        F.expr(
+            f"(greatest(size(toks) - {overlap} - 1, 0) div {stride})"
+            f" * {stride}"
+        ),
+    )
+    starts = base.where(F.size("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("last_start"), F.lit(stride))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, chunk_tokens)
+    return starts.select(
+        "doc_id",
+        F.expr(f"s div {stride}").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def text_stats(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document quality statistics + composite quality score.
 

@@ -1098,6 +1098,28 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
 
 
+def chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Mirror of text_analysis.chunk_documents: same start-list rule
+    (DuckDB ``range`` is stop-exclusive, so ``range(0, greatest(len -
+    overlap, 1), stride)`` equals Spark's inclusive-sequence-to-
+    last-start form), 1-based clamped list_slice = Spark's
+    length-clamped slice."""
+    stride = chunk_tokens - overlap
+    return f"""WITH t AS (SELECT doc_id, {TOKS_EXPR} AS toks FROM documents),
+s AS (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks) - {overlap}, 1), {stride})) AS s
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(s // {stride} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, s + 1, s + {chunk_tokens})) AS BIGINT)
+           AS n_tokens,
+       array_to_string(list_slice(toks, s + 1, s + {chunk_tokens}), ' ')
+           AS chunk_text
+FROM s"""
+
+
 def boilerplate_scrub_sql(n: int = 5, max_df: int = 1) -> str:
     """Mirror of operators/dedup.py::boilerplate_scrub: positioned
     grams (0-based start like Spark's posexplode), document-frequency

@@ -169,6 +169,67 @@ def test_replicate_embeddings_shape_and_determinism(spark, emb_small):
     assert again == rows
 
 
+# --- chunk_documents: hand-computed window layout ---
+
+
+def test_chunk_documents_hand_computed(spark):
+    """10 tokens at chunk=4/overlap=1 (stride 3): starts 0,3,6 — the
+    last window is short; a start past n-overlap would add no new
+    token and must not be emitted."""
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in rows
+    }
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert (1, 3) not in got
+    # short doc: one short chunk; empty doc: no chunks
+    assert got[(2, 0)] == (2, "a b")
+    assert not any(d == 3 for d, _c in got)
+
+
+def test_chunk_documents_exact_boundary_no_trailing_chunk(spark):
+    """n == chunk_tokens must produce exactly one chunk, and
+    n == chunk_tokens + 1 exactly two."""
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(64))),
+         (2, " ".join(f"w{i}" for i in range(65)))],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r)
+    assert len(per[1]) == 1 and per[1][0]["n_tokens"] == 64
+    assert len(per[2]) == 2
+    tail = [r for r in per[2] if r["chunk_id"] == 1][0]
+    # stride 48: second window starts at 48, covers 48..64 (17 tokens)
+    assert tail["n_tokens"] == 17
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    with pytest.raises(ValueError):
+        chunk_documents(spark.range(1), chunk_tokens=8, overlap=8)
+
+
 # --- boilerplate_scrub: hand-computed coverage semantics ---
 
 
