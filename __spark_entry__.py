@@ -412,6 +412,7 @@ _NEW_OR_CHANGED = [
     "ann_scale_probe",  # new: graded 10x-replication retuned search
     "boilerplate_scrub",  # new: cross-doc repeated-span removal
     "chunk_documents",  # new: overlapping retrieval-style chunking
+    "ann_sq8_topk",  # new: int8-quantized-space IVF rerank
 ]
 
 _R7_WINDOW = [
@@ -422,7 +423,7 @@ _R7_WINDOW = [
     # fast-rerank rank-agreement audit (round-4 fillers rotate out
     # one-for-one below)
     "ivf_params_derived", "lsh_fast_ranks", "ann_scale_probe",
-    "boilerplate_scrub", "chunk_documents",
+    "boilerplate_scrub", "chunk_documents", "ann_sq8_topk",
     # the full round-<=3 stale cohort (43 keys): the reference-chain
     # per-row stages, the streaming family, the events family, the
     # TPC-H stragglers, and the round-1 projections that rotated out
@@ -443,9 +444,10 @@ _R7_WINDOW = [
     "stream_latest_event", "stream_sessions", "stream_user_counts",
     "stream_windowed_hourly", "synthetic_stream_stats", "top_ngrams",
     "user_funnel",
-    # next-stalest fillers (round-4 grades) up to the 50-slot budget;
-    # swapped out one-for-one as round-7 additions land at the head
-    "doc_tokens",
+    # (the round-4 next-stalest fillers all rotated back out as round-7
+    # additions landed at the head; doc_tokens — last graded r4 — exits
+    # last, its chain graded transitively through jaccard_formatted,
+    # the r6 precedent)
 ]
 
 
@@ -563,6 +565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
         ),
         "ann_ivf_topk": lambda s, d: S.ann_ivf_topk(_emb(s, d), k=10),
+        # new round 7: the rerank run entirely in int8-quantized space
+        # (8x less rerank memory bandwidth at scale); the integer pair
+        # fold + pinned scalar expression make even the SCORES
+        # hash-gradeable, unlike the float-cosine tiers
+        "ann_sq8_topk": lambda s, d: S.ann_sq8_topk(_emb(s, d), k=10),
         # new round 7: the IVF config DERIVED from the corpus size via
         # ivf_params_for (cells ∝ n, per-query rerank budget) instead of
         # pinned literals — the graded proof that the documented retune
@@ -1048,6 +1055,9 @@ def oracle_sql() -> dict[str, str]:
         # emb.count() at runtime
         "ivf_params_derived": oracles.ann_ivf_topk_sql(
             10, *S.ivf_params_for(500, candidate_budget=250)
+        ),
+        "ann_sq8_topk": oracles.ann_sq8_topk_sql(
+            10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
         ),
         # sf0.01 has 500 vectors -> replicated 5,000 -> 7 derived planes
         "ann_scale_probe": oracles.ann_lsh_topk_sql(

@@ -146,6 +146,7 @@ def main() -> None:
         "ann_scale_probe",
         "boilerplate_scrub",
         "chunk_documents",
+        "ann_sq8_topk",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

@@ -741,6 +741,109 @@ def ann_ivf_topk(
     return _topk(scored, k)
 
 
+def ann_sq8_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_cells: int = DEFAULT_IVF_CELLS,
+    n_probe: int = DEFAULT_IVF_PROBE,
+    iters: int = DEFAULT_IVF_ITERS,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search with the rerank run ENTIRELY in int8-quantized space —
+    the memory-bandwidth scale path: at 10⁹ vectors the rerank reads
+    8× fewer bytes than float64 (the reason production IVF indexes
+    store SQ8 codes, not floats), at the price of quantization error
+    in the scores.
+
+    Candidate generation is byte-identical to :func:`ann_ivf_topk`
+    (same trained codebook, same cell equi-join). The rerank
+    reconstructs each dot product from the per-vector
+    (scale, zero_point, codes) of :func:`quantize_embeddings`::
+
+        dot(a,b) = (sa·sb)·Σ(qa+128)(qb+128) + (sa·zb)·Σ(qa+128)
+                 + (sb·za)·Σ(qb+128) + d·(za·zb)
+
+    The only pair-level fold (Σ(qa+128)(qb+128)) is an INTEGER fold —
+    order-free, so it can never ulp-drift — and every float factor is
+    a per-vector scalar combined in one pinned expression tree the
+    DuckDB oracle reproduces operation-for-operation. Unlike the
+    float-cosine tiers, SQ8 SCORES are therefore fully hash-gradeable,
+    not just ranks. Norms reconstruct the same way (per-vector
+    Σ(q+128) and Σ(q+128)² ride along as precomputed columns), with
+    the zero-norm guard matching :func:`_cosine`."""
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    v = vectors(embeddings, id_col, vec_col)
+    cents = ivf_centroids(
+        embeddings, n_cells, iters=iters, dim=dim, id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = _pin(ivf_assign(v, cents, n_probe))
+    queries = assigned.alias("a")
+    index = assigned.where(F.col("crank") == 1).alias("b")
+    cand = queries.join(
+        index,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+    )
+    zero = F.lit(0).cast("long")
+    sq = _pin(
+        quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
+        .select(
+            "vec_id",
+            "scale",
+            F.col("zero_point").alias("zp"),
+            F.transform("qvec", lambda x: x.cast("long") + 128).alias("qs"),
+        )
+        .withColumn(
+            "qsum", F.aggregate(F.col("qs"), zero, lambda a, x: a + x)
+        )
+        .withColumn(
+            "q2", F.aggregate(F.col("qs"), zero, lambda a, x: a + x * x)
+        )
+        .withColumn("d", F.size("qs").cast("double"))
+        # reconstructed ||x||²: (s·s)·Σq² + ((2s)·z)·Σq + d·(z·z) —
+        # parenthesization is the cross-engine contract
+        .withColumn(
+            "qnorm2",
+            (F.col("scale") * F.col("scale")) * F.col("q2")
+            + ((F.lit(2.0) * F.col("scale")) * F.col("zp")) * F.col("qsum")
+            + F.col("d") * (F.col("zp") * F.col("zp")),
+        )
+    )
+    sa = sq.alias("sa")
+    sb = sq.alias("sb")
+    s1 = F.aggregate(
+        F.zip_with(F.col("sa.qs"), F.col("sb.qs"), lambda x, y: x * y),
+        zero,
+        lambda a, x: a + x,
+    )
+    dot = (
+        (F.col("sa.scale") * F.col("sb.scale")) * s1.cast("double")
+        + (F.col("sa.scale") * F.col("sb.zp")) * F.col("sa.qsum").cast("double")
+    ) + (
+        (F.col("sb.scale") * F.col("sa.zp")) * F.col("sb.qsum").cast("double")
+        + F.col("sa.d") * (F.col("sa.zp") * F.col("sb.zp"))
+    )
+    scored = (
+        cand.join(sa, cand.query_id == F.col("sa.vec_id"))
+        .join(sb, cand.neighbor_id == F.col("sb.vec_id"))
+        .select(
+            F.col("sa.vec_id").alias("query_id"),
+            F.col("sb.vec_id").alias("neighbor_id"),
+            _cosine(dot, F.col("sa.qnorm2"), F.col("sb.qnorm2")).alias(
+                "score"
+            ),
+        )
+    )
+    return _topk(scored, k)
+
+
 def kmeans_int8(
     embeddings: DataFrame,
     k: int = 8,

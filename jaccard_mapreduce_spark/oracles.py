@@ -1637,6 +1637,110 @@ scored AS (
     )
 
 
+def ann_sq8_topk_sql(
+    k: int,
+    n_cells: int,
+    n_probe: int,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Mirror of similarity.ann_sq8_topk: identical candidate CTEs to
+    ann_ivf_topk_sql, rerank from the quantize_embeddings codes with
+    the SAME pinned expression tree — the integer pair fold is
+    order-free and every float factor is a per-vector scalar, so the
+    SCORES hash-match (not just ranks)."""
+    cos_c = (
+        "CASE WHEN a.norm2 > 0 AND c.cnorm2 > 0 "
+        "THEN list_dot_product(a.vec, c.cvec) / (sqrt(a.norm2) * sqrt(c.cnorm2)) "
+        "ELSE 0.0 END"
+    )
+    sq8_dot = (
+        "((scale_a * scale_b) * CAST(s1 AS DOUBLE)"
+        " + (scale_a * zp_b) * CAST(qsum_a AS DOUBLE))"
+        " + ((scale_b * zp_a) * CAST(qsum_b AS DOUBLE)"
+        " + d_a * (zp_a * zp_b))"
+    )
+    return _ranked_sql(
+        f"""WITH {_kmeans_int8_ctes(n_cells, iters, dim)},
+{_VEC_CTES.strip()},
+cents AS (
+    SELECT cluster AS cell_id,
+           list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,
+           list_dot_product(list_transform(cvec, x -> CAST(x AS DOUBLE)),
+                            list_transform(cvec, x -> CAST(x AS DOUBLE)))
+               AS cnorm2
+    FROM c{iters}
+),
+assign AS (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cell_id) AS crank
+    FROM (
+        SELECT a.vec_id, c.cell_id, {cos_c} AS cscore
+        FROM n a CROSS JOIN cents c
+    )
+),
+cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+    FROM (SELECT * FROM assign WHERE crank <= {n_probe}) a
+    JOIN (SELECT * FROM assign WHERE crank = 1) b
+      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+),
+mm AS (
+    SELECT vec_id, vec,
+           list_aggregate(vec, 'min') AS mn,
+           list_aggregate(vec, 'max') AS mx
+    FROM v
+),
+sq0 AS (
+    SELECT vec_id,
+           (mx - mn) / 255.0 AS scale,
+           mn AS zp,
+           CASE WHEN mx - mn > 0
+                THEN list_transform(vec,
+                     x -> CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5)
+                               - 128 AS BIGINT) + 128)
+                ELSE list_transform(vec, x -> CAST(0 AS BIGINT))
+           END AS qs
+    FROM mm
+),
+sq AS (
+    SELECT vec_id, scale, zp, qs,
+           list_sum(qs) AS qsum,
+           list_sum(list_transform(qs, x -> x * x)) AS q2,
+           CAST(len(qs) AS DOUBLE) AS d
+    FROM sq0
+),
+sqn AS (
+    SELECT vec_id, scale, zp, qs, qsum, q2, d,
+           (scale * scale) * q2
+           + ((2.0 * scale) * zp) * qsum
+           + d * (zp * zp) AS qnorm2
+    FROM sq
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN qnorm2_a > 0 AND qnorm2_b > 0
+                THEN ({sq8_dot}) / (sqrt(qnorm2_a) * sqrt(qnorm2_b))
+                ELSE 0.0 END AS score
+    FROM (
+        SELECT c.query_id, c.neighbor_id,
+               sa.scale AS scale_a, sb.scale AS scale_b,
+               sa.zp AS zp_a, sb.zp AS zp_b,
+               sa.qsum AS qsum_a, sb.qsum AS qsum_b,
+               sa.d AS d_a,
+               sa.qnorm2 AS qnorm2_a, sb.qnorm2 AS qnorm2_b,
+               CAST(list_sum(list_transform(range(1, {dim + 1}),
+                    i -> sa.qs[i] * sb.qs[i])) AS BIGINT) AS s1
+        FROM cand c
+        JOIN sqn sa ON sa.vec_id = c.query_id
+        JOIN sqn sb ON sb.vec_id = c.neighbor_id
+    )
+)""",
+        k,
+    )
+
+
 def ann_recall_audit_sql(
     k: int, tables: list[list[list[float]]], sample_mod: int = 10
 ) -> str:

@@ -169,6 +169,63 @@ def test_replicate_embeddings_shape_and_determinism(spark, emb_small):
     assert again == rows
 
 
+# --- ann_sq8_topk: quantized-space rerank semantics ---
+
+
+def test_sq8_scores_approximate_exact_cosine(spark, emb_small):
+    """SQ8 reconstruction error is bounded by per-vector min/max
+    scaling: the quantized cosine must track the exact cosine closely
+    on real vectors (and the candidate set — same cells — is
+    identical, so pairs line up 1:1)."""
+    from jaccard_mapreduce_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_sq8_topk,
+    )
+
+    # k past the corpus size keeps EVERY candidate pair, so the two
+    # tiers' pair sets line up 1:1 (a top-k cut would select different
+    # pairs near the boundary where scores differ by quantization error)
+    big_k = emb_small.count() + 1
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in ann_ivf_topk(
+            emb_small, k=big_k, n_cells=4, n_probe=4
+        ).collect()
+    }
+    sq8 = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in ann_sq8_topk(
+            emb_small, k=big_k, n_cells=4, n_probe=4
+        ).collect()
+    }
+    assert set(sq8) == set(exact)
+    errs = [abs(sq8[p] - exact[p]) for p in exact]
+    assert max(errs) < 0.02, max(errs)
+
+
+def test_sq8_zero_and_constant_vectors_guarded(spark):
+    """A zero vector scores 0 everywhere (the _cosine guard) and a
+    constant vector quantizes to scale 0 without dividing by zero."""
+    from jaccard_mapreduce_spark.operators.similarity import ann_sq8_topk
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [5.0, 5.0, 5.0, 5.0]),
+            (3, [1.0, 2.0, 3.0, 4.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ann_sq8_topk(emb, k=3, n_cells=1, n_probe=1).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["score"]
+    assert all(s == 0.0 for s in by_query[1].values())
+    # constant-vs-varied: recon of vec 2 is exact (zp carries it), so
+    # the score is the true cosine of (5,5,5,5)x(recon of 3) — positive
+    assert by_query[2][3] > 0.9
+
+
 # --- chunk_documents: hand-computed window layout ---
 
 
