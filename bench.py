@@ -65,6 +65,7 @@ def main() -> None:
     _force(qs["ivf_index_search"](spark, sf_dir))
     _force(qs["ivf_index_upsert"](spark, sf_dir))
     _force(qs["lsh_index_search"](spark, sf_dir))
+    _force(qs["lsh_index_upsert"](spark, sf_dir))
     index_build_s = round(time.perf_counter() - t0, 3)
 
     bench_queries = [
@@ -147,6 +148,7 @@ def main() -> None:
         "boilerplate_scrub",
         "chunk_documents",
         "ann_sq8_topk",
+        "lsh_index_upsert",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",
@@ -243,10 +245,10 @@ def main() -> None:
         "noisy_queries": sorted(noisy_queries),
         "reps": reps,
         "extra_reps_budget": extra_reps,
-        # one-time cost of building ALL THREE persisted indexes (IVF
-        # search + IVF upsert + LSH demos) — paid before the reps so
-        # their medians measure amortized search, not a build/search
-        # mixture
+        # one-time cost of building ALL FOUR persisted indexes (IVF
+        # search/upsert + LSH search/upsert demos) — paid before the
+        # reps so their medians measure amortized search, not a
+        # build/search mixture
         "index_build_seconds": index_build_s,
         "sf": sf_val,
         "warmup_seconds": warmup_s,

@@ -97,10 +97,18 @@ def test_rotation_cannot_starve_a_stale_key():
     missing = [k for k in new_or_changed if k not in window]
     assert not missing, f"new/changed entries outside the window: {missing}"
 
+    # documented transitive-coverage exemptions: allowed to sit outside
+    # the window while stale, but the list must stay small and every
+    # entry must carry a justification — the guard's escape hatch, not
+    # a bypass
+    exempt = entrymod._TRANSITIVE_EXEMPT
+    assert len(exempt) <= 5, "transitive-exempt list is growing unchecked"
+    assert all(isinstance(v, str) and len(v) > 20 for v in exempt.values())
+
     ranked = {
         k: last.get(k, 0)
         for k in entrymod.queries()
-        if k not in new_or_changed
+        if k not in new_or_changed and k not in exempt
     }
     freshest_inside = max(ranked[k] for k in ranked if k in window)
     starved = sorted(

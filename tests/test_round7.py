@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from jaccard_mapreduce_spark.operators.similarity import (
     DEFAULT_IVF_CELLS,
@@ -167,6 +168,31 @@ def test_replicate_embeddings_shape_and_determinism(spark, emb_small):
     # deterministic: a second evaluation is identical
     again = {r["vec_id"]: r["embedding"] for r in rep.collect()}
     assert again == rows
+
+
+# --- upsert_lsh_index: build-then-upsert == build-over-union ---
+
+
+def test_lsh_upsert_equals_union_build(spark, emb_small, tmp_path):
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        search_lsh_index,
+        upsert_lsh_index,
+    )
+
+    union_path = str(tmp_path / "union")
+    build_lsh_index(emb_small, union_path)
+    split_path = str(tmp_path / "split")
+    build_lsh_index(
+        emb_small.where(F.col("vec_id") % 5 != 0), split_path
+    )
+    n = upsert_lsh_index(
+        spark, split_path, emb_small.where(F.col("vec_id") % 5 == 0)
+    )
+    assert n > 0
+    got = _ranks(search_lsh_index(spark, split_path, emb_small, k=5))
+    want = _ranks(search_lsh_index(spark, union_path, emb_small, k=5))
+    assert got == want and len(got) > 0
 
 
 # --- ann_sq8_topk: quantized-space rerank semantics ---
