@@ -422,6 +422,7 @@ _NEW_OR_CHANGED = [
     "chunk_documents",  # new: overlapping retrieval-style chunking
     "ann_sq8_topk",  # new: int8-quantized-space IVF rerank
     "lsh_index_upsert",  # new: incremental LSH index maintenance
+    "sq8_rank_audit",  # new: measured SQ8-vs-exact rank overlap
 ]
 
 # Keys OUTSIDE the graded window despite ranking stale, each with the
@@ -431,6 +432,11 @@ _NEW_OR_CHANGED = [
 _TRANSITIVE_EXEMPT = {
     "doc_sizes": (
         "O7 chain is hash-graded through the in-window jaccard_formatted"
+        " (r6 precedent); full-oracle parity re-checked at sf0.01 every"
+        " pytest run (test_oracle_parity)"
+    ),
+    "doc_split": (
+        "O3 chain is hash-graded through the in-window jaccard_formatted"
         " (r6 precedent); full-oracle parity re-checked at sf0.01 every"
         " pytest run (test_oracle_parity)"
     ),
@@ -445,13 +451,13 @@ _R7_WINDOW = [
     # one-for-one below)
     "ivf_params_derived", "lsh_fast_ranks", "ann_scale_probe",
     "boilerplate_scrub", "chunk_documents", "ann_sq8_topk",
-    "lsh_index_upsert",
+    "lsh_index_upsert", "sq8_rank_audit",
     # the full round-<=3 stale cohort (43 keys): the reference-chain
     # per-row stages, the streaming family, the events family, the
     # TPC-H stragglers, and the round-1 projections that rotated out
     # last round on transitive-grading grounds — cycled back for a
     # fresh independent grade
-    "doc_split", "minhash_signatures", "pair_intersections",
+    "minhash_signatures", "pair_intersections",
     "quality_filter", "shard_assign",
     "q18_large_orders", "q19_disjunctive_revenue",
     "asof_clicks_views", "contamination_check", "customer_trailing_spend",
@@ -592,6 +598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fold + pinned scalar expression make even the SCORES
         # hash-gradeable, unlike the float-cosine tiers
         "ann_sq8_topk": lambda s, d: S.ann_sq8_topk(_emb(s, d), k=10),
+        # new round 7: measured quantization cost — per-query overlap
+        # between the exact and SQ8 top-k over identical cells
+        "sq8_rank_audit": lambda s, d: S.sq8_rank_audit(_emb(s, d), k=10),
         # new round 7: the IVF config DERIVED from the corpus size via
         # ivf_params_for (cells ∝ n, per-query rerank budget) instead of
         # pinned literals — the graded proof that the documented retune
@@ -1087,6 +1096,9 @@ def oracle_sql() -> dict[str, str]:
             10, *S.ivf_params_for(500, candidate_budget=250)
         ),
         "ann_sq8_topk": oracles.ann_sq8_topk_sql(
+            10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
+        ),
+        "sq8_rank_audit": oracles.sq8_rank_audit_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
         ),
         # sf0.01 has 500 vectors -> replicated 5,000 -> 7 derived planes

@@ -149,6 +149,7 @@ def main() -> None:
         "chunk_documents",
         "ann_sq8_topk",
         "lsh_index_upsert",
+        "sq8_rank_audit",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

@@ -750,6 +750,7 @@ def ann_sq8_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search with the rerank run ENTIRELY in int8-quantized space —
     the memory-bandwidth scale path: at 10⁹ vectors the rerank reads
@@ -776,10 +777,11 @@ def ann_sq8_topk(
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
     v = vectors(embeddings, id_col, vec_col)
-    cents = ivf_centroids(
-        embeddings, n_cells, iters=iters, dim=dim, id_col=id_col,
-        vec_col=vec_col,
-    )
+    if cents is None:
+        cents = ivf_centroids(
+            embeddings, n_cells, iters=iters, dim=dim, id_col=id_col,
+            vec_col=vec_col,
+        )
     assigned = _pin(ivf_assign(v, cents, n_probe))
     queries = assigned.alias("a")
     index = assigned.where(F.col("crank") == 1).alias("b")
@@ -842,6 +844,57 @@ def ann_sq8_topk(
         )
     )
     return _topk(scored, k)
+
+
+def sq8_rank_audit(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_cells: int = DEFAULT_IVF_CELLS,
+    n_probe: int = DEFAULT_IVF_PROBE,
+    iters: int = DEFAULT_IVF_ITERS,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantization-quality audit — measure, don't assume (the
+    ann_recall_audit discipline applied to SQ8): per query,
+    ``(query_id, n_exact, n_sq8, n_common)`` where ``n_common`` is the
+    overlap between the exact-rerank top-``k`` and the SQ8-rerank
+    top-``k`` over the SAME candidate cells (one codebook trains once
+    and serves both tiers). A deployment choosing the 8×-cheaper SQ8
+    rerank reads this relation to know what the compression costs in
+    ranking fidelity ON ITS corpus, instead of trusting a paper
+    number. All counts integer — hash-graded."""
+    cents = ivf_centroids(
+        embeddings, n_cells, iters=iters, dim=dim, id_col=id_col,
+        vec_col=vec_col,
+    )
+    ex = ann_ivf_topk(
+        embeddings, k, n_cells, n_probe, iters=iters, dim=dim,
+        id_col=id_col, vec_col=vec_col, cents=cents,
+    ).select("query_id", "neighbor_id")
+    q8 = ann_sq8_topk(
+        embeddings, k, n_cells, n_probe, iters=iters, dim=dim,
+        id_col=id_col, vec_col=vec_col, cents=cents,
+    ).select("query_id", "neighbor_id")
+    n_ex = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_q8 = q8.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_sq8"))
+    common = (
+        ex.join(q8, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        n_ex.join(n_q8, "query_id")
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "n_sq8",
+            F.coalesce("n_common", zero).alias("n_common"),
+        )
+    )
 
 
 def kmeans_int8(

@@ -1637,33 +1637,17 @@ scored AS (
     )
 
 
-def ann_sq8_topk_sql(
-    k: int,
-    n_cells: int,
-    n_probe: int,
-    iters: int = 2,
-    dim: int = 64,
-) -> str:
-    """Mirror of similarity.ann_sq8_topk: identical candidate CTEs to
-    ann_ivf_topk_sql, rerank from the quantize_embeddings codes with
-    the SAME pinned expression tree — the integer pair fold is
-    order-free and every float factor is a per-vector scalar, so the
-    SCORES hash-match (not just ranks)."""
+def _ivf_cells_ctes(n_cells: int, n_probe: int, iters: int) -> str:
+    """``cents``/``assign``/``cand`` fragments shared by the SQ8 oracle
+    and the SQ8 rank audit — candidate generation identical to
+    ann_ivf_topk_sql's (same codebook chain, cosine cell assignment,
+    1-cell index / n_probe-cell queries)."""
     cos_c = (
         "CASE WHEN a.norm2 > 0 AND c.cnorm2 > 0 "
         "THEN list_dot_product(a.vec, c.cvec) / (sqrt(a.norm2) * sqrt(c.cnorm2)) "
         "ELSE 0.0 END"
     )
-    sq8_dot = (
-        "((scale_a * scale_b) * CAST(s1 AS DOUBLE)"
-        " + (scale_a * zp_b) * CAST(qsum_a AS DOUBLE))"
-        " + ((scale_b * zp_a) * CAST(qsum_b AS DOUBLE)"
-        " + d_a * (zp_a * zp_b))"
-    )
-    return _ranked_sql(
-        f"""WITH {_kmeans_int8_ctes(n_cells, iters, dim)},
-{_VEC_CTES.strip()},
-cents AS (
+    return f"""cents AS (
     SELECT cluster AS cell_id,
            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,
            list_dot_product(list_transform(cvec, x -> CAST(x AS DOUBLE)),
@@ -1685,8 +1669,23 @@ cand AS (
     FROM (SELECT * FROM assign WHERE crank <= {n_probe}) a
     JOIN (SELECT * FROM assign WHERE crank = 1) b
       ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
-),
-mm AS (
+)"""
+
+
+def _sq8_scored_ctes(dim: int) -> str:
+    """``mm``/``sq0``/``sq``/``sqn``/``scored`` fragments: per-vector
+    quantization stats and the pinned SQ8 dot reconstruction over the
+    ``cand`` relation (expression tree mirrored operation-for-operation
+    from similarity.ann_sq8_topk — the integer pair fold is order-free
+    and every float factor is a per-vector scalar, so SCORES
+    hash-match)."""
+    sq8_dot = (
+        "((scale_a * scale_b) * CAST(s1 AS DOUBLE)"
+        " + (scale_a * zp_b) * CAST(qsum_a AS DOUBLE))"
+        " + ((scale_b * zp_a) * CAST(qsum_b AS DOUBLE)"
+        " + d_a * (zp_a * zp_b))"
+    )
+    return f"""mm AS (
     SELECT vec_id, vec,
            list_aggregate(vec, 'min') AS mn,
            list_aggregate(vec, 'max') AS mx
@@ -1736,9 +1735,81 @@ scored AS (
         JOIN sqn sa ON sa.vec_id = c.query_id
         JOIN sqn sb ON sb.vec_id = c.neighbor_id
     )
-)""",
+)"""
+
+
+def ann_sq8_topk_sql(
+    k: int,
+    n_cells: int,
+    n_probe: int,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Mirror of similarity.ann_sq8_topk: identical candidate CTEs to
+    ann_ivf_topk_sql, rerank from the quantize_embeddings codes with
+    the SAME pinned expression tree — the integer pair fold is
+    order-free and every float factor is a per-vector scalar, so the
+    SCORES hash-match (not just ranks)."""
+    return _ranked_sql(
+        f"""WITH {_kmeans_int8_ctes(n_cells, iters, dim)},
+{_VEC_CTES.strip()},
+{_ivf_cells_ctes(n_cells, n_probe, iters)},
+{_sq8_scored_ctes(dim)}""",
         k,
     )
+
+
+def sq8_rank_audit_sql(
+    k: int,
+    n_cells: int,
+    n_probe: int,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Mirror of similarity.sq8_rank_audit: exact-cosine and SQ8 top-k
+    over the SAME cand relation (one codebook), reduced to integer
+    per-query overlap counts."""
+    return f"""WITH {_kmeans_int8_ctes(n_cells, iters, dim)},
+{_VEC_CTES.strip()},
+{_ivf_cells_ctes(n_cells, n_probe, iters)},
+{_sq8_scored_ctes(dim)},
+sq8_top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+),
+ex_scored AS (
+    SELECT c.query_id, c.neighbor_id, {_COSINE} AS score
+    FROM cand c
+    JOIN n a ON a.vec_id = c.query_id
+    JOIN n b ON b.vec_id = c.neighbor_id
+),
+ex_top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM ex_scored
+    ) WHERE rank <= {k}
+),
+ne AS (SELECT query_id, count(*) AS n_exact FROM ex_top GROUP BY query_id),
+ns AS (SELECT query_id, count(*) AS n_sq8 FROM sq8_top GROUP BY query_id),
+nc AS (
+    SELECT e.query_id, count(*) AS n_common
+    FROM ex_top e JOIN sq8_top s
+      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT ne.query_id,
+       CAST(ne.n_exact AS BIGINT) AS n_exact,
+       CAST(ns.n_sq8 AS BIGINT) AS n_sq8,
+       CAST(COALESCE(nc.n_common, 0) AS BIGINT) AS n_common
+FROM ne
+JOIN ns ON ne.query_id = ns.query_id
+LEFT JOIN nc ON ne.query_id = nc.query_id"""
 
 
 def ann_recall_audit_sql(

@@ -252,6 +252,22 @@ def test_sq8_zero_and_constant_vectors_guarded(spark):
     assert by_query[2][3] > 0.9
 
 
+def test_sq8_rank_audit_counts_are_consistent(spark, emb_small):
+    """n_common <= min(n_exact, n_sq8) <= k, and the measured overlap
+    should be high on real vectors (quantization error is small
+    relative to cosine gaps)."""
+    from jaccard_mapreduce_spark.operators.similarity import sq8_rank_audit
+
+    rows = sq8_rank_audit(emb_small, k=5, n_cells=4, n_probe=2).collect()
+    assert rows
+    tot_c = tot_e = 0
+    for r in rows:
+        assert r["n_common"] <= min(r["n_exact"], r["n_sq8"]) <= 5
+        tot_c += r["n_common"]
+        tot_e += r["n_exact"]
+    assert tot_c / tot_e > 0.8, (tot_c, tot_e)
+
+
 # --- chunk_documents: hand-computed window layout ---
 
 
