@@ -290,6 +290,14 @@ def _q_corpus_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_text_roundtrip(spark, sf_dir)
 
 
+def _q_zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.zorder import (
+        zordered_events_summary,
+    )
+
+    return zordered_events_summary(spark, sf_dir)
+
+
 def _q_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.operators.runtime_filters import (
         bloom_pruned_revenue,
@@ -423,6 +431,7 @@ _NEW_OR_CHANGED = [
     "ann_sq8_topk",  # new: int8-quantized-space IVF rerank
     "lsh_index_upsert",  # new: incremental LSH index maintenance
     "sq8_rank_audit",  # new: measured SQ8-vs-exact rank overlap
+    "zordered_events_summary",  # new: Z-order clustered layout demo
 ]
 
 # Keys OUTSIDE the graded window despite ranking stale, each with the
@@ -440,6 +449,11 @@ _TRANSITIVE_EXEMPT = {
         " (r6 precedent); full-oracle parity re-checked at sf0.01 every"
         " pytest run (test_oracle_parity)"
     ),
+    "pair_intersections": (
+        "O8-O13 chain is hash-graded through the in-window"
+        " jaccard_formatted (r6 precedent); full-oracle parity re-checked"
+        " at sf0.01 every pytest run (test_oracle_parity)"
+    ),
 }
 
 _R7_WINDOW = [
@@ -451,13 +465,13 @@ _R7_WINDOW = [
     # one-for-one below)
     "ivf_params_derived", "lsh_fast_ranks", "ann_scale_probe",
     "boilerplate_scrub", "chunk_documents", "ann_sq8_topk",
-    "lsh_index_upsert", "sq8_rank_audit",
+    "lsh_index_upsert", "sq8_rank_audit", "zordered_events_summary",
     # the full round-<=3 stale cohort (43 keys): the reference-chain
     # per-row stages, the streaming family, the events family, the
     # TPC-H stragglers, and the round-1 projections that rotated out
     # last round on transitive-grading grounds — cycled back for a
     # fresh independent grade
-    "minhash_signatures", "pair_intersections",
+    "minhash_signatures",
     "quality_filter", "shard_assign",
     "q18_large_orders", "q19_disjunctive_revenue",
     "asof_clicks_views", "contamination_check", "customer_trailing_spend",
@@ -777,6 +791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # layout/optimizer demos: the techniques must be semantically
         # invisible — oracles run the plain join / plain filtered scan
         "partitioned_events_summary": _q_partitioned_events,
+        # new round 7: Z-order (Morton) clustered layout — row-group
+        # pruning selective on BOTH filter dimensions at once; layout
+        # semantically invisible like the other layout demos
+        "zordered_events_summary": _q_zordered_events,
         # new round 4: the ORC/JSON/CSV write→read round trip, graded on
         # integer mismatch counters pinned to zero by the oracle
         "formats_roundtrip": _q_formats_roundtrip,
@@ -1015,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_profit": oracles.q9_product_profit_sql(),
         "q11_value_concentration": oracles.q11_value_concentration_sql(),
         "partitioned_events_summary": oracles.partitioned_events_summary_sql(),
+        "zordered_events_summary": oracles.zordered_events_summary_sql(),
         "formats_roundtrip": oracles.formats_roundtrip_sql(),
         "bloom_pruned_revenue": oracles.bloom_pruned_revenue_sql(),
         "dedup_cross_corpus": oracles.dedup_cross_corpus_sql(97),

@@ -150,6 +150,7 @@ def main() -> None:
         "ann_sq8_topk",
         "lsh_index_upsert",
         "sq8_rank_audit",
+        "zordered_events_summary",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

@@ -606,6 +606,25 @@ WHERE day(ts) BETWEEN {day_lo} AND {day_hi}
 GROUP BY event_type"""
 
 
+def zordered_events_summary_sql(
+    user_lo: int = 100,
+    user_hi: int = 300,
+    minute_lo: int = 300,
+    minute_hi: int = 600,
+) -> str:
+    # plain-table oracle: the Z-ordered layout must be invisible (the
+    # bucketed/partitioned/salted convention)
+    return f"""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS {_DD})) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id BETWEEN {user_lo} AND {user_hi}
+  AND (hour(ts) * 60 + minute(ts)) BETWEEN {minute_lo} AND {minute_hi}
+GROUP BY event_type"""
+
+
 def formats_roundtrip_sql(formats: tuple[str, ...] = ("orc", "json", "csv")) -> str:
     # the round trip must be LOSSLESS and row-preserving: the oracle pins
     # every mismatch counter at zero and n_rows at the table's row count
