@@ -631,13 +631,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape only in SCALE.md prose) searched with the plane count
         # lsh_params_for derives for the replicated size, so the retune
         # workflow's scale behavior is regression-checked, not a
-        # one-time measurement
+        # one-time measurement. The factor targets a ~5,000-vector
+        # replica: exactly 10x at the graded sf0.01 (500 vectors,
+        # matching the pinned oracle), and a bounded 2-3x at bigger
+        # bench fixtures — an unconditional 10x of sf0.1 is the 20k/79M-
+        # candidate search SCALE.md measures at 200+ s, which would
+        # dominate the whole bench run for no extra signal
         "ann_scale_probe": lambda s, d: (
-            lambda emb: S.ann_lsh_topk(
-                S.replicate_embeddings(emb, factor=10),
-                k=10,
-                n_planes=S.lsh_params_for(emb.count() * 10),
-            )
+            lambda emb: (
+                lambda n: S.ann_lsh_topk(
+                    S.replicate_embeddings(
+                        emb, factor=max(2, 5000 // max(n, 1))
+                    ),
+                    k=10,
+                    n_planes=S.lsh_params_for(n * max(2, 5000 // max(n, 1))),
+                )
+            )(emb.count())
         )(_emb(s, d)),
         # new round 4: iterative Lloyd's k-means run entirely in
         # int8-quantized INTEGER space (exact cross-engine parity — float
