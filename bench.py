@@ -229,6 +229,15 @@ def main() -> None:
         spread[name] = [lo, hi]
         if noisy:
             noisy_queries.append(name)
+        # Drop this query's pinned relations before the next one: the
+        # pin() persists are session-lived, and across 90+ queries the
+        # accumulated storage triggers eviction storms that inflate
+        # LATE queries' medians 3x (observed: ann_lsh_topk min 7.4 s /
+        # median 23.5 s in the same run). Within a query's reps the
+        # cache still works exactly as before (rep 1 builds, later
+        # reps reuse); the persisted-index demos live on DISK behind
+        # session markers and are unaffected.
+        spark.catalog.clearCache()
 
     loadavg.append(_load1())
     total = round(sum(timings.values()), 3)

@@ -782,19 +782,8 @@ def ann_sq8_topk(
             embeddings, n_cells, iters=iters, dim=dim, id_col=id_col,
             vec_col=vec_col,
         )
-    assigned = _pin(ivf_assign(v, cents, n_probe))
-    queries = assigned.alias("a")
-    index = assigned.where(F.col("crank") == 1).alias("b")
-    cand = queries.join(
-        index,
-        (F.col("a.cell_id") == F.col("b.cell_id"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-    )
     zero = F.lit(0).cast("long")
-    sq = _pin(
+    sq = (
         quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
         .select(
             "vec_id",
@@ -818,27 +807,42 @@ def ann_sq8_topk(
             + F.col("d") * (F.col("zp") * F.col("zp")),
         )
     )
-    sa = sq.alias("sa")
-    sb = sq.alias("sb")
+    # Attach the quantized columns BEFORE the cell join (an n-sized
+    # equi-join), so both sides carry them INTO the join and the score
+    # computes inline — the first cut joined the candidate relation
+    # back to the quantized relation twice, shuffling ~candidate-count
+    # rows of 64-long arrays (measured 18.7 s at sf0.1 vs 5.7 s for the
+    # exact tier whose scores compute inline; this shape removes both
+    # candidate-scale join-backs)
+    enriched = _pin(
+        ivf_assign(v, cents, n_probe).join(
+            sq.drop("q2"), "vec_id"
+        )
+    )
+    queries = enriched.alias("a")
+    index = enriched.where(F.col("crank") == 1).alias("b")
     s1 = F.aggregate(
-        F.zip_with(F.col("sa.qs"), F.col("sb.qs"), lambda x, y: x * y),
+        F.zip_with(F.col("a.qs"), F.col("b.qs"), lambda x, y: x * y),
         zero,
         lambda a, x: a + x,
     )
     dot = (
-        (F.col("sa.scale") * F.col("sb.scale")) * s1.cast("double")
-        + (F.col("sa.scale") * F.col("sb.zp")) * F.col("sa.qsum").cast("double")
+        (F.col("a.scale") * F.col("b.scale")) * s1.cast("double")
+        + (F.col("a.scale") * F.col("b.zp")) * F.col("a.qsum").cast("double")
     ) + (
-        (F.col("sb.scale") * F.col("sa.zp")) * F.col("sb.qsum").cast("double")
-        + F.col("sa.d") * (F.col("sa.zp") * F.col("sb.zp"))
+        (F.col("b.scale") * F.col("a.zp")) * F.col("b.qsum").cast("double")
+        + F.col("a.d") * (F.col("a.zp") * F.col("b.zp"))
     )
     scored = (
-        cand.join(sa, cand.query_id == F.col("sa.vec_id"))
-        .join(sb, cand.neighbor_id == F.col("sb.vec_id"))
+        queries.join(
+            index,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
         .select(
-            F.col("sa.vec_id").alias("query_id"),
-            F.col("sb.vec_id").alias("neighbor_id"),
-            _cosine(dot, F.col("sa.qnorm2"), F.col("sb.qnorm2")).alias(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _cosine(dot, F.col("a.qnorm2"), F.col("b.qnorm2")).alias(
                 "score"
             ),
         )
