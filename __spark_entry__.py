@@ -432,6 +432,9 @@ _NEW_OR_CHANGED = [
     "lsh_index_upsert",  # new: incremental LSH index maintenance
     "sq8_rank_audit",  # new: measured SQ8-vs-exact rank overlap
     "zordered_events_summary",  # new: Z-order clustered layout demo
+    "key_skew_stats",  # new: heavy-hitter shuffle-key diagnosis
+    "train_val_split",  # new: deterministic hash train/val split
+    "split_leakage_audit",  # new: cross-split near-dup leakage matrix
 ]
 
 # Keys OUTSIDE the graded window despite ranking stale, each with the
@@ -466,6 +469,11 @@ _R7_WINDOW = [
     "ivf_params_derived", "lsh_fast_ranks", "ann_scale_probe",
     "boilerplate_scrub", "chunk_documents", "ann_sq8_topk",
     "lsh_index_upsert", "sq8_rank_audit", "zordered_events_summary",
+    "key_skew_stats", "train_val_split", "split_leakage_audit",
+    # (three round-3-graded cohort keys — top_ngrams, global_shuffle,
+    # user_funnel — rotate back out to fund these slots: legal under
+    # the staleness guard because the freshest remaining in-window
+    # cohort key is also round-3, and they re-enter in round 8)
     # the full round-<=3 stale cohort (43 keys): the reference-chain
     # per-row stages, the streaming family, the events family, the
     # TPC-H stragglers, and the round-1 projections that rotated out
@@ -476,7 +484,7 @@ _R7_WINDOW = [
     "q18_large_orders", "q19_disjunctive_revenue",
     "asof_clicks_views", "contamination_check", "customer_trailing_spend",
     "customer_year_setops", "dedup_ngram", "events_daily", "events_hopping",
-    "events_interval_join", "events_json_props", "global_shuffle",
+    "events_interval_join", "events_json_props",
     "jaccard_threshold", "jaccard_topk", "lineitem_quantiles",
     "media_features", "media_frames", "orders_above_customer_avg",
     "orders_rolling_stats", "pack_sequences", "part_price_band_join",
@@ -484,8 +492,7 @@ _R7_WINDOW = [
     "repetition_stats", "simhash", "stream_dedup_events",
     "stream_enrich_segments", "stream_hopping", "stream_interval_join",
     "stream_latest_event", "stream_sessions", "stream_user_counts",
-    "stream_windowed_hourly", "synthetic_stream_stats", "top_ngrams",
-    "user_funnel",
+    "stream_windowed_hourly", "synthetic_stream_stats",
     # (the round-4 next-stalest fillers all rotated back out as round-7
     # additions landed at the head; doc_tokens — last graded r4 — exits
     # last, its chain graded transitively through jaccard_formatted,
@@ -813,6 +820,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q19_disjunctive_revenue": lambda s, d: R.q19_disjunctive_revenue(
             _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        # new round 7: heavy-hitter shuffle-key diagnosis (the skew
+        # pre-flight), the deterministic train/val split, and the
+        # cross-split near-dup leakage matrix
+        "key_skew_stats": lambda s, d: SK.key_skew_stats(
+            _t(s, d, "events"), "user_id", k=20
+        ),
+        "train_val_split": lambda s, d: TA.train_val_split(_docs(s, d)),
+        "split_leakage_audit": lambda s, d: D.split_leakage_audit(
+            _docs(s, d)
         ),
         "salted_customer_revenue": lambda s, d: SK.salted_customer_revenue(
             _t(s, d, "orders"), _t(s, d, "customer")
@@ -1156,6 +1173,9 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": oracles.interval_join_events_sql(),
         "user_funnel": oracles.user_funnel_sql(),
         "salted_customer_revenue": oracles.salted_customer_revenue_sql(),
+        "key_skew_stats": oracles.key_skew_stats_sql("events", "user_id", 20),
+        "train_val_split": oracles.train_val_split_sql(),
+        "split_leakage_audit": oracles.split_leakage_audit_sql(),
         "orders_pivot": oracles.orders_priority_pivot_sql(),
         "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
         "lineitem_unpivot": oracles.lineitem_unpivot_sql(),

@@ -151,6 +151,9 @@ def main() -> None:
         "lsh_index_upsert",
         "sq8_rank_audit",
         "zordered_events_summary",
+        "key_skew_stats",
+        "train_val_split",
+        "split_leakage_audit",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

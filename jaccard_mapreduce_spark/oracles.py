@@ -1327,6 +1327,60 @@ LEFT JOIN exc ON d.doc_id = exc.doc_a
 LEFT JOIN prc ON d.doc_id = prc.doc_a"""
 
 
+def train_val_split_sql(val_bp: int = 1000, salt: str = "split-v1") -> str:
+    h = hash64(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {h} % 10000 < {val_bp} THEN 'val' ELSE 'train' END AS split
+FROM documents"""
+
+
+def split_leakage_audit_sql(
+    threshold: float = 0.7,
+    val_bp: int = 1000,
+    salt: str = "split-v1",
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """Mirrors operators/dedup.py::split_leakage_audit: the
+    minhash_lsh_dedup pair relation joined to the deterministic split,
+    reduced to per-(split_a, split_b) pair counts."""
+    h = hash64(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH {_lsh_pairs_ctes(threshold, k, bands, seed)},
+spl AS (
+    SELECT doc_id,
+           CASE WHEN {h} % 10000 < {val_bp}
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       count(*) AS n_pairs
+FROM dup_pairs p
+JOIN spl sa ON p.doc_a = sa.doc_id
+JOIN spl sb ON p.doc_b = sb.doc_id
+GROUP BY 1, 2"""
+
+
+def key_skew_stats_sql(table: str, key_col: str, k: int = 20) -> str:
+    return f"""
+WITH c AS (
+    SELECT CAST({key_col} AS VARCHAR) AS key, count(*) AS n_rows
+    FROM {table} GROUP BY 1
+),
+t AS (SELECT sum(n_rows) AS total FROM c),
+r AS (
+    SELECT key, n_rows,
+           row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+    FROM c
+)
+SELECT CAST(rank AS BIGINT) AS rank, key,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((10000 * n_rows) // total AS BIGINT) AS share_bp
+FROM r, t WHERE rank <= {k}"""
+
+
 def source_overlap_matrix_sql(
     threshold: float,
     k: int = DEFAULT_NUM_HASHES,

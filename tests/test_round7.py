@@ -170,6 +170,73 @@ def test_replicate_embeddings_shape_and_determinism(spark, emb_small):
     assert again == rows
 
 
+# --- skew diagnosis / train-val split / leakage audit ---
+
+
+def test_key_skew_stats_hand_computed(spark):
+    from jaccard_mapreduce_spark.operators.skew import key_skew_stats
+
+    df = spark.createDataFrame(
+        [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 1, "k long"
+    )
+    rows = {r["rank"]: r for r in key_skew_stats(df, "k", k=2).collect()}
+    assert len(rows) == 2
+    assert (rows[1]["key"], rows[1]["n_rows"], rows[1]["share_bp"]) == (
+        "1", 6, 6000
+    )
+    assert (rows[2]["key"], rows[2]["n_rows"], rows[2]["share_bp"]) == (
+        "2", 3, 3000
+    )
+
+
+def test_train_val_split_is_stable_under_corpus_growth(spark):
+    """A document's split must not change when other documents arrive —
+    the property df.randomSplit does not have."""
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        train_val_split,
+    )
+
+    small = spark.range(100).withColumnRenamed("id", "doc_id")
+    big = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in train_val_split(small).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in train_val_split(big).collect()}
+    assert all(s2[d] == s for d, s in s1.items())
+    # both labels occur at the default 10% cut over 1000 docs
+    assert set(s2.values()) == {"train", "val"}
+
+
+def test_split_leakage_audit_counts_cross_split_pairs(spark):
+    """Two near-identical docs forced onto opposite sides of the split
+    must show up in the train|val leakage cell."""
+    from jaccard_mapreduce_spark.operators.dedup import split_leakage_audit
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        train_val_split,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)]
+        + [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(40, 60)],
+        "doc_id long, text string",
+    )
+    spl = {
+        r["doc_id"]: r["split"]
+        for r in train_val_split(docs, val_bp=3000).collect()
+    }
+    dup_ids = [d for d in spl if d < 40]
+    n_train = sum(1 for d in dup_ids if spl[d] == "train")
+    n_val = len(dup_ids) - n_train
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in split_leakage_audit(docs, val_bp=3000).collect()
+    }
+    # identical docs: every pair is a near-dup pair; counts follow the
+    # split composition exactly
+    assert got.get(("train", "train"), 0) == n_train * (n_train - 1) // 2
+    assert got.get(("train", "val"), 0) == n_train * n_val
+    assert got.get(("val", "val"), 0) == n_val * (n_val - 1) // 2
+
+
 # --- Z-order layout: interleave correctness + measured pruning ---
 
 
