@@ -435,6 +435,8 @@ _NEW_OR_CHANGED = [
     "key_skew_stats",  # new: heavy-hitter shuffle-key diagnosis
     "train_val_split",  # new: deterministic hash train/val split
     "split_leakage_audit",  # new: cross-split near-dup leakage matrix
+    "clustered_split",  # new: cluster-atomic split (the leakage fix)
+    "clustered_split_leakage",  # new: graded proof of zero cross pairs
 ]
 
 # Keys OUTSIDE the graded window despite ranking stale, each with the
@@ -470,10 +472,12 @@ _R7_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "ann_sq8_topk",
     "lsh_index_upsert", "sq8_rank_audit", "zordered_events_summary",
     "key_skew_stats", "train_val_split", "split_leakage_audit",
-    # (three round-3-graded cohort keys — top_ngrams, global_shuffle,
-    # user_funnel — rotate back out to fund these slots: legal under
-    # the staleness guard because the freshest remaining in-window
-    # cohort key is also round-3, and they re-enter in round 8)
+    "clustered_split", "clustered_split_leakage",
+    # (five round-3-graded cohort keys — top_ngrams, global_shuffle,
+    # user_funnel, contamination_check, repetition_stats — rotate back
+    # out to fund these slots: legal under the staleness guard because
+    # the freshest remaining in-window cohort key is also round-3, and
+    # they re-enter in round 8)
     # the full round-<=3 stale cohort (43 keys): the reference-chain
     # per-row stages, the streaming family, the events family, the
     # TPC-H stragglers, and the round-1 projections that rotated out
@@ -482,14 +486,14 @@ _R7_WINDOW = [
     "minhash_signatures",
     "quality_filter", "shard_assign",
     "q18_large_orders", "q19_disjunctive_revenue",
-    "asof_clicks_views", "contamination_check", "customer_trailing_spend",
+    "asof_clicks_views", "customer_trailing_spend",
     "customer_year_setops", "dedup_ngram", "events_daily", "events_hopping",
     "events_interval_join", "events_json_props",
     "jaccard_threshold", "jaccard_topk", "lineitem_quantiles",
     "media_features", "media_frames", "orders_above_customer_avg",
     "orders_rolling_stats", "pack_sequences", "part_price_band_join",
     "pii_scrub", "q14_promo_revenue", "q7_nation_volume",
-    "repetition_stats", "simhash", "stream_dedup_events",
+    "simhash", "stream_dedup_events",
     "stream_enrich_segments", "stream_hopping", "stream_interval_join",
     "stream_latest_event", "stream_sessions", "stream_user_counts",
     "stream_windowed_hourly", "synthetic_stream_stats",
@@ -829,6 +833,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "train_val_split": lambda s, d: TA.train_val_split(_docs(s, d)),
         "split_leakage_audit": lambda s, d: D.split_leakage_audit(
+            _docs(s, d)
+        ),
+        # new round 7: the fix the leakage audit motivates — split on
+        # the near-dup CLUSTER hash so no verified pair can straddle
+        # the cut, and the graded proof (only same-side cells exist)
+        "clustered_split": lambda s, d: D.clustered_split(_docs(s, d)),
+        "clustered_split_leakage": lambda s, d: D.clustered_split_leakage(
             _docs(s, d)
         ),
         "salted_customer_revenue": lambda s, d: SK.salted_customer_revenue(
@@ -1176,6 +1187,8 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_stats": oracles.key_skew_stats_sql("events", "user_id", 20),
         "train_val_split": oracles.train_val_split_sql(),
         "split_leakage_audit": oracles.split_leakage_audit_sql(),
+        "clustered_split": oracles.clustered_split_sql(),
+        "clustered_split_leakage": oracles.clustered_split_leakage_sql(),
         "orders_pivot": oracles.orders_priority_pivot_sql(),
         "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
         "lineitem_unpivot": oracles.lineitem_unpivot_sql(),

@@ -154,6 +154,8 @@ def main() -> None:
         "key_skew_stats",
         "train_val_split",
         "split_leakage_audit",
+        "clustered_split",
+        "clustered_split_leakage",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

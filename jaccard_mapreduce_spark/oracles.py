@@ -2454,6 +2454,64 @@ reach AS (
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"""
 
 
+_CLUSTER_FINAL = "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"
+
+
+def clustered_split_sql(
+    threshold: float = 0.7,
+    val_bp: int = 1000,
+    salt: str = "split-v1",
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """Mirror of dedup.clustered_split: the recursive-CTE cluster
+    labels with the split hash computed on the CLUSTER id."""
+    h = hash64(f"'{salt}:' || CAST(cluster_id AS VARCHAR)")
+    return dedup_clusters_sql(threshold, k, bands, seed).replace(
+        _CLUSTER_FINAL,
+        f""", labels AS (
+    {_CLUSTER_FINAL}
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {h} % 10000 < {val_bp} THEN 'val' ELSE 'train' END AS split
+FROM labels""",
+    )
+
+
+def clustered_split_leakage_sql(
+    threshold: float = 0.7,
+    val_bp: int = 1000,
+    salt: str = "split-v1",
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """Mirror of dedup.clustered_split_leakage: the ``dup`` pair
+    relation from the same CTE chain, counted per split cell of the
+    cluster-aware split — the train|val cell cannot exist."""
+    h = hash64(f"'{salt}:' || CAST(cluster_id AS VARCHAR)")
+    return dedup_clusters_sql(threshold, k, bands, seed).replace(
+        _CLUSTER_FINAL,
+        f""", labels AS (
+    {_CLUSTER_FINAL}
+),
+spl AS (
+    SELECT doc_id,
+           CASE WHEN {h} % 10000 < {val_bp}
+                THEN 'val' ELSE 'train' END AS split
+    FROM labels
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       count(*) AS n_pairs
+FROM dup p
+JOIN spl sa ON p.doc_a = sa.doc_id
+JOIN spl sb ON p.doc_b = sb.doc_id
+GROUP BY 1, 2""",
+    )
+
+
 def dedup_cluster_sizes_sql(
     threshold: float = 0.7,
     k: int = DEFAULT_NUM_HASHES,

@@ -237,6 +237,32 @@ def test_split_leakage_audit_counts_cross_split_pairs(spark):
     assert got.get(("val", "val"), 0) == n_val * (n_val - 1) // 2
 
 
+def test_clustered_split_has_zero_cross_split_pairs(spark):
+    """The fix: with the split computed on cluster representatives,
+    the planted duplicate block lands entirely on ONE side and the
+    leakage matrix has no train|val cell."""
+    from jaccard_mapreduce_spark.operators.dedup import (
+        clustered_split,
+        clustered_split_leakage,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)]
+        + [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(40, 60)],
+        "doc_id long, text string",
+    )
+    spl = clustered_split(docs, val_bp=3000).collect()
+    sides = {r["split"] for r in spl if r["doc_id"] < 40}
+    assert len(sides) == 1  # the whole dup cluster on one side
+    cells = {
+        (r["split_a"], r["split_b"])
+        for r in clustered_split_leakage(docs, val_bp=3000).collect()
+    }
+    assert ("train", "val") not in cells
+    assert cells  # the within-cluster pairs still counted somewhere
+
+
 # --- Z-order layout: interleave correctness + measured pruning ---
 
 
