@@ -593,3 +593,46 @@ def test_ivf_index_static_probe_prunes_partitions(spark, tmp_path):
         line.split("PartitionFilters", 1)[1]
         for line in scans
     ), f"no partition filter on cell_id in any scan: {scans}"
+
+
+def test_chunk_documents_is_map_only(spark):
+    # tokenize + one explode of the per-doc start list: no shuffle at
+    # any corpus size
+    plan = _plan(entrymod.queries()["chunk_documents"](spark, SF_ORACLE))
+    assert "Exchange" not in plan
+
+
+def test_replicate_embeddings_is_map_only(spark):
+    from jaccard_mapreduce_spark.operators.similarity import (
+        replicate_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    plan = _plan(replicate_embeddings(emb, factor=10))
+    assert "Exchange" not in plan
+
+
+def test_train_val_split_is_pure_projection(spark):
+    plan = _plan(entrymod.queries()["train_val_split"](spark, SF_ORACLE))
+    assert "Exchange" not in plan
+
+
+def test_key_skew_stats_has_partial_aggregation(spark):
+    # the diagnosis must survive the skew it detects: the count's
+    # map-side partial combine pre-reduces the hot key per executor
+    plan = _plan(entrymod.queries()["key_skew_stats"](spark, SF_ORACLE))
+    assert "partial_count" in plan
+
+
+def test_boilerplate_scrub_no_cartesian(spark):
+    # coverage via span explode + anti-join, never a range/cross join
+    plan = _plan(entrymod.queries()["boilerplate_scrub"](spark, SF_ORACLE))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_sq8_scores_stay_jvm_side(spark):
+    # the quantized rerank is pure column arithmetic: no Python eval
+    # anywhere in the plan
+    plan = _plan(entrymod.queries()["ann_sq8_topk"](spark, SF_ORACLE))
+    assert "Python" not in plan
