@@ -276,6 +276,14 @@ def _q_lsh_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_index_upsert_demo(spark, sf_dir)
 
 
+def _q_lsh_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        lsh_index_compact_demo,
+    )
+
+    return lsh_index_compact_demo(spark, sf_dir)
+
+
 def _q_lsh_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.vector_index import (
         lsh_index_serve_demo,
@@ -437,6 +445,7 @@ _NEW_OR_CHANGED = [
     "split_leakage_audit",  # new: cross-split near-dup leakage matrix
     "clustered_split",  # new: cluster-atomic split (the leakage fix)
     "clustered_split_leakage",  # new: graded proof of zero cross pairs
+    "lsh_index_compact",  # new: small-file compaction, layout-invisible
 ]
 
 # Keys OUTSIDE the graded window despite ranking stale, each with the
@@ -472,12 +481,13 @@ _R7_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "ann_sq8_topk",
     "lsh_index_upsert", "sq8_rank_audit", "zordered_events_summary",
     "key_skew_stats", "train_val_split", "split_leakage_audit",
-    "clustered_split", "clustered_split_leakage",
-    # (five round-3-graded cohort keys — top_ngrams, global_shuffle,
-    # user_funnel, contamination_check, repetition_stats — rotate back
-    # out to fund these slots: legal under the staleness guard because
-    # the freshest remaining in-window cohort key is also round-3, and
-    # they re-enter in round 8)
+    "clustered_split", "clustered_split_leakage", "lsh_index_compact",
+    # (six round-3-graded cohort keys — top_ngrams, global_shuffle,
+    # user_funnel, contamination_check, repetition_stats,
+    # events_json_props — rotate back out to fund these slots: legal
+    # under the staleness guard because the freshest remaining
+    # in-window cohort key is also round-3, and they re-enter in
+    # round 8)
     # the full round-<=3 stale cohort (43 keys): the reference-chain
     # per-row stages, the streaming family, the events family, the
     # TPC-H stragglers, and the round-1 projections that rotated out
@@ -488,7 +498,7 @@ _R7_WINDOW = [
     "q18_large_orders", "q19_disjunctive_revenue",
     "asof_clicks_views", "customer_trailing_spend",
     "customer_year_setops", "dedup_ngram", "events_daily", "events_hopping",
-    "events_interval_join", "events_json_props",
+    "events_interval_join",
     "jaccard_threshold", "jaccard_topk", "lineitem_quantiles",
     "media_features", "media_frames", "orders_above_customer_avg",
     "orders_rolling_stats", "pack_sequences", "part_price_band_join",
@@ -702,6 +712,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training filter (sign-bit hashing is data-independent; the
         # stronger invisibility claim than the IVF twin's)
         "lsh_index_upsert": _q_lsh_index_upsert,
+        # new round 7: small-file compaction after append batches —
+        # pure layout rewrite, search unchanged (completing the
+        # lifecycle: build -> search -> serve -> upsert -> compact)
+        "lsh_index_compact": _q_lsh_index_compact,
         # round 6: the serving shape — a deterministic 10% query batch
         # against the full stored index; oracle = the one-plan SQL with
         # the candidate join's query side filtered to the batch (the
@@ -1114,6 +1128,8 @@ def oracle_sql() -> dict[str, str]:
         # build-base-then-upsert must equal one-plan over the union,
         # with no training filter: sign-bit hashing is data-independent
         "lsh_index_upsert": oracles.ann_lsh_topk_sql(10, S.lsh_tables(64)),
+        # post-compaction search must still equal the one-plan union
+        "lsh_index_compact": oracles.ann_lsh_topk_sql(10, S.lsh_tables(64)),
         "lsh_index_serve": oracles.ann_lsh_topk_sql(
             10, S.lsh_tables(64), query_where="a.vec_id % 10 = 0"
         ),

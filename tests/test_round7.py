@@ -345,6 +345,49 @@ def test_lsh_upsert_equals_union_build(spark, emb_small, tmp_path):
     assert got == want and len(got) > 0
 
 
+# --- compact_lsh_index: layout rewrite, search-invisible ---
+
+
+def test_lsh_compact_shrinks_files_and_preserves_search(
+    spark, emb_small, tmp_path
+):
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        compact_lsh_index,
+        search_lsh_index,
+        upsert_lsh_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb_small.where(F.col("vec_id") % 5 != 0), path)
+    # three upsert generations: each append adds its own file set
+    for m in range(3):
+        upsert_lsh_index(
+            spark,
+            path,
+            emb_small.where(
+                (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 == m)
+            ),
+        )
+    before = _ranks(search_lsh_index(spark, path, emb_small, k=5))
+    stats = compact_lsh_index(spark, path, n_files=2)
+    assert set(stats) == {"vectors", "signatures"}
+    for name, (n_before, n_after) in stats.items():
+        assert n_after == 2, (name, n_after)
+        assert n_after < n_before, (name, n_before, n_after)
+    after = _ranks(search_lsh_index(spark, path, emb_small, k=5))
+    assert after == before and len(after) > 0
+
+
+def test_lsh_compact_rejects_missing_dataset(spark, tmp_path):
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        compact_lsh_index,
+    )
+
+    with pytest.raises(ValueError, match="not an LSH index"):
+        compact_lsh_index(spark, str(tmp_path / "nope"))
+
+
 # --- ann_sq8_topk: quantized-space rerank semantics ---
 
 
