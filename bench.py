@@ -66,6 +66,7 @@ def main() -> None:
     _force(qs["ivf_index_upsert"](spark, sf_dir))
     _force(qs["lsh_index_search"](spark, sf_dir))
     _force(qs["lsh_index_upsert"](spark, sf_dir))
+    _force(qs["lsh_index_compact"](spark, sf_dir))
     index_build_s = round(time.perf_counter() - t0, 3)
 
     bench_queries = [
@@ -156,6 +157,7 @@ def main() -> None:
         "split_leakage_audit",
         "clustered_split",
         "clustered_split_leakage",
+        "lsh_index_compact",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",
