@@ -782,8 +782,44 @@ def ann_sq8_topk(
             embeddings, n_cells, iters=iters, dim=dim, id_col=id_col,
             vec_col=vec_col,
         )
+    # Attach the quantized columns BEFORE the cell join (an n-sized
+    # equi-join), so both sides carry them INTO the join and the score
+    # computes inline — the first cut joined the candidate relation
+    # back to the quantized relation twice, shuffling ~candidate-count
+    # rows of 64-long arrays (measured 18.7 s at sf0.1 vs 5.7 s for the
+    # exact tier whose scores compute inline; this shape removes both
+    # candidate-scale join-backs)
+    enriched = _pin(
+        ivf_assign(v, cents, n_probe).join(
+            _sq8_vector_cols(embeddings, id_col, vec_col), "vec_id"
+        )
+    )
+    queries = enriched.alias("a")
+    index = enriched.where(F.col("crank") == 1).alias("b")
+    scored = (
+        queries.join(
+            index,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _sq8_pair_score().alias("score"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def _sq8_vector_cols(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-vector SQ8 scoring columns — ``(vec_id, scale, zp, qs, qsum,
+    d, qnorm2)``. One authoritative builder shared by the SQ8 tier and
+    the rank audit so the reconstructed norms can never drift between
+    them."""
     zero = F.lit(0).cast("long")
-    sq = (
+    return (
         quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
         .select(
             "vec_id",
@@ -806,21 +842,17 @@ def ann_sq8_topk(
             + ((F.lit(2.0) * F.col("scale")) * F.col("zp")) * F.col("qsum")
             + F.col("d") * (F.col("zp") * F.col("zp")),
         )
+        .drop("q2")
     )
-    # Attach the quantized columns BEFORE the cell join (an n-sized
-    # equi-join), so both sides carry them INTO the join and the score
-    # computes inline — the first cut joined the candidate relation
-    # back to the quantized relation twice, shuffling ~candidate-count
-    # rows of 64-long arrays (measured 18.7 s at sf0.1 vs 5.7 s for the
-    # exact tier whose scores compute inline; this shape removes both
-    # candidate-scale join-backs)
-    enriched = _pin(
-        ivf_assign(v, cents, n_probe).join(
-            sq.drop("q2"), "vec_id"
-        )
-    )
-    queries = enriched.alias("a")
-    index = enriched.where(F.col("crank") == 1).alias("b")
+
+
+def _sq8_pair_score() -> Column:
+    """The SQ8 reconstructed-cosine expression over an ``a``/``b``
+    aliased self-join carrying :func:`_sq8_vector_cols` columns. The
+    only pair-level fold is integer (order-free); the float factors are
+    per-vector scalars combined in the pinned parenthesization the
+    DuckDB oracle reproduces operation-for-operation."""
+    zero = F.lit(0).cast("long")
     s1 = F.aggregate(
         F.zip_with(F.col("a.qs"), F.col("b.qs"), lambda x, y: x * y),
         zero,
@@ -833,21 +865,7 @@ def ann_sq8_topk(
         (F.col("b.scale") * F.col("a.zp")) * F.col("b.qsum").cast("double")
         + F.col("a.d") * (F.col("a.zp") * F.col("b.zp"))
     )
-    scored = (
-        queries.join(
-            index,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            _cosine(dot, F.col("a.qnorm2"), F.col("b.qnorm2")).alias(
-                "score"
-            ),
-        )
-    )
-    return _topk(scored, k)
+    return _cosine(dot, F.col("a.qnorm2"), F.col("b.qnorm2"))
 
 
 def sq8_rank_audit(
@@ -868,19 +886,68 @@ def sq8_rank_audit(
     and serves both tiers). A deployment choosing the 8×-cheaper SQ8
     rerank reads this relation to know what the compression costs in
     ranking fidelity ON ITS corpus, instead of trusting a paper
-    number. All counts integer — hash-graded."""
+    number. All counts integer — hash-graded.
+
+    Plan shape: the two tiers share their candidate generation exactly
+    (same codebook, same cell equi-join), so the audit runs ONE
+    enriched cell join that computes BOTH scores inline and feeds two
+    top-k windows from the pinned pair relation — the first cut called
+    each tier separately and then consumed each result twice (count agg
+    + overlap join), paying the assignment, the candidate join, and
+    both rerank folds twice over (measured 12.2 s at sf0.1 vs 8–9 s
+    fused). Both score expressions are the tiers' own (shared helpers),
+    so the graded counts are identical to running the tiers verbatim —
+    pinned by ``test_sq8_audit_fused_equals_tiers``."""
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    v = vectors(embeddings, id_col, vec_col)
     cents = ivf_centroids(
         embeddings, n_cells, iters=iters, dim=dim, id_col=id_col,
         vec_col=vec_col,
     )
-    ex = ann_ivf_topk(
-        embeddings, k, n_cells, n_probe, iters=iters, dim=dim,
-        id_col=id_col, vec_col=vec_col, cents=cents,
-    ).select("query_id", "neighbor_id")
-    q8 = ann_sq8_topk(
-        embeddings, k, n_cells, n_probe, iters=iters, dim=dim,
-        id_col=id_col, vec_col=vec_col, cents=cents,
-    ).select("query_id", "neighbor_id")
+    enriched = _pin(
+        ivf_assign(v, cents, n_probe).join(
+            _sq8_vector_cols(embeddings, id_col, vec_col), "vec_id"
+        )
+    )
+    queries = enriched.alias("a")
+    index = enriched.where(F.col("crank") == 1).alias("b")
+    pairs = _pin(
+        queries.join(
+            index,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _cosine(
+                _dot(F.col("a.vec"), F.col("b.vec")),
+                F.col("a.norm2"),
+                F.col("b.norm2"),
+            ).alias("score_exact"),
+            _sq8_pair_score().alias("score_sq8"),
+        )
+    )
+    ex = _pin(
+        _topk(
+            pairs.select(
+                "query_id",
+                "neighbor_id",
+                F.col("score_exact").alias("score"),
+            ),
+            k,
+        ).select("query_id", "neighbor_id")
+    )
+    q8 = _pin(
+        _topk(
+            pairs.select(
+                "query_id",
+                "neighbor_id",
+                F.col("score_sq8").alias("score"),
+            ),
+            k,
+        ).select("query_id", "neighbor_id")
+    )
     n_ex = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     n_q8 = q8.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_sq8"))
     common = (

@@ -445,6 +445,42 @@ def test_sq8_zero_and_constant_vectors_guarded(spark):
     assert by_query[2][3] > 0.9
 
 
+def test_sq8_audit_fused_equals_tiers(spark, emb_small):
+    """The fused single-join audit must produce byte-identical counts
+    to composing the two tiers verbatim (the pre-fusion shape)."""
+    from jaccard_mapreduce_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_sq8_topk,
+        sq8_rank_audit,
+    )
+
+    k, n_cells, n_probe = 5, 4, 2
+    ex = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(
+            emb_small, k=k, n_cells=n_cells, n_probe=n_probe
+        ).collect()
+    }
+    q8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_sq8_topk(
+            emb_small, k=k, n_cells=n_cells, n_probe=n_probe
+        ).collect()
+    }
+    want = {}
+    for qid in {p[0] for p in ex} | {p[0] for p in q8}:
+        e = {n for q, n in ex if q == qid}
+        s = {n for q, n in q8 if q == qid}
+        want[qid] = (len(e), len(s), len(e & s))
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_sq8"], r["n_common"])
+        for r in sq8_rank_audit(
+            emb_small, k=k, n_cells=n_cells, n_probe=n_probe
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_sq8_rank_audit_counts_are_consistent(spark, emb_small):
     """n_common <= min(n_exact, n_sq8) <= k, and the measured overlap
     should be high on real vectors (quantization error is small
