@@ -1303,13 +1303,18 @@ def ann_recall_audit(
     # probe side (Catalyst — the window partitions by query_id), so the
     # exact side costs n_sample x n, not n^2: measured 24 s -> ~2.5 s
     # at sf0.1 with sample_mod=10.
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    # pin both sampled top-k relations (tiny: <= k rows per audited
+    # query) — each is consumed twice below (count agg + hits join),
+    # which would re-run the full scoring kernel per consumer otherwise
     is_sampled = (F.col("query_id") % sample_mod == 0)
-    exact = (
+    exact = _pin(
         cosine_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
         .where(is_sampled)
         .select("query_id", "neighbor_id")
     )
-    approx = (
+    approx = _pin(
         ann_lsh_topk(
             embeddings, k=k, n_planes=n_planes, n_tables=n_tables,
             seed=seed, dim=dim, id_col=id_col, vec_col=vec_col,
@@ -1353,13 +1358,18 @@ def ivf_recall_audit(
     cover both approximate tiers: tune ``n_probe`` (IVF) or the hash
     width (LSH) from MEASURED recall on a sample, never from the
     geometry alone."""
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    # same twice-consumed shape as ann_recall_audit: pin the sampled
+    # top-k relations so the brute-force baseline and the IVF pipeline
+    # each evaluate once
     is_sampled = (F.col("query_id") % sample_mod == 0)
-    exact = (
+    exact = _pin(
         cosine_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
         .where(is_sampled)
         .select("query_id", "neighbor_id")
     )
-    approx = (
+    approx = _pin(
         ann_ivf_topk(
             embeddings, k=k, n_cells=n_cells, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col,
