@@ -1453,6 +1453,7 @@ def clustered_split(
     salt: str = "split-v1",
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The FIX :func:`split_leakage_audit` motivates —
     ``(doc_id, cluster_id, split)`` where the split hash is computed on
@@ -1462,14 +1463,20 @@ def clustered_split(
     eval-contamination by construction, checked by
     :func:`clustered_split_leakage`). Singleton documents hash on
     their own id (they are their own representative), so the split
-    fraction still tracks ``val_bp`` over a mostly-unique corpus."""
+    fraction still tracks ``val_bp`` over a mostly-unique corpus.
+
+    Pass a precomputed ``pairs`` relation (``(doc_a, doc_b)`` from the
+    same LSH kernel) when the caller already has one — the leakage
+    audit does — so the shingle→minhash→band-join→verify pipeline runs
+    once, not once per consumer."""
     from jaccard_mapreduce_spark.operators.text_analysis import (  # noqa: F401
         train_val_split,
     )
 
-    pairs = minhash_lsh_dedup(
-        documents, threshold=threshold, id_col=id_col, text_col=text_col
-    ).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = minhash_lsh_dedup(
+            documents, threshold=threshold, id_col=id_col, text_col=text_col
+        ).select("doc_a", "doc_b")
     labels = dedup_clusters(
         documents.select(F.col(id_col).alias("doc_id")), pairs
     )
@@ -1501,12 +1508,27 @@ def clustered_split_leakage(
     cluster is atomic under the split), so the ``train|val`` row that
     measures contamination under the naive hash split cannot exist
     here."""
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    # ONE LSH pair kernel feeds both the audit matrix and the cluster
+    # contraction inside clustered_split — structurally, via the
+    # pairs= pass-through, not via Catalyst exchange reuse (which
+    # usually deduplicates the identical subtrees here but is not
+    # contractual). The pair relation itself is NOT pinned: it is
+    # O(near-dup pairs) — 5M rows at sf0.1 — and caching it buys
+    # nothing the reused exchange doesn't (measured neutral) while
+    # holding executor memory that scales with the corpus. The split
+    # relation IS pinned: it is O(n) skinny, embeds the iterative
+    # contraction, and sits on BOTH sides of the pair join.
     pairs = minhash_lsh_dedup(
         documents, threshold=threshold, id_col=id_col, text_col=text_col
     ).select("doc_a", "doc_b")
-    spl = clustered_split(
-        documents, threshold, val_bp, salt, id_col, text_col
-    ).select("doc_id", "split")
+    spl = _pin(
+        clustered_split(
+            documents, threshold, val_bp, salt, id_col, text_col,
+            pairs=pairs,
+        ).select("doc_id", "split")
+    )
     sa = spl.alias("sa")
     sb = spl.alias("sb")
     return (
