@@ -292,6 +292,22 @@ def _q_lsh_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_index_serve_demo(spark, sf_dir)
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        dedup_incremental_demo,
+    )
+
+    return dedup_incremental_demo(spark, sf_dir)
+
+
+def _q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        minhash_index_upsert_demo,
+    )
+
+    return minhash_index_upsert_demo(spark, sf_dir)
+
+
 def _q_corpus_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.corpus import corpus_text_roundtrip
 
@@ -446,6 +462,8 @@ _NEW_OR_CHANGED = [
     "clustered_split",  # new: cluster-atomic split (the leakage fix)
     "clustered_split_leakage",  # new: graded proof of zero cross pairs
     "lsh_index_compact",  # new: small-file compaction, layout-invisible
+    "dedup_incremental",  # new: batch-vs-store dedup over the signature store
+    "minhash_index_upsert",  # new: signature-store append == union build
 ]
 
 # Keys OUTSIDE the graded window despite ranking stale, each with the
@@ -482,12 +500,16 @@ _R7_WINDOW = [
     "lsh_index_upsert", "sq8_rank_audit", "zordered_events_summary",
     "key_skew_stats", "train_val_split", "split_leakage_audit",
     "clustered_split", "clustered_split_leakage", "lsh_index_compact",
-    # (six round-3-graded cohort keys — top_ngrams, global_shuffle,
+    "dedup_incremental", "minhash_index_upsert",
+    # (eight round-3-graded cohort keys — top_ngrams, global_shuffle,
     # user_funnel, contamination_check, repetition_stats,
-    # events_json_props — rotate back out to fund these slots: legal
-    # under the staleness guard because the freshest remaining
-    # in-window cohort key is also round-3, and they re-enter in
-    # round 8)
+    # events_json_props, stream_hopping, customer_trailing_spend —
+    # rotate back out to fund these slots: legal under the staleness
+    # guard because the freshest remaining in-window cohort key is also
+    # round-3 (rotating out an r1/r2 key would trip the guard), their
+    # semantics stay covered by in-window siblings (events_hopping,
+    # orders_rolling_stats, the 6 other stream_* keys), and they
+    # re-enter in round 8)
     # the full round-<=3 stale cohort (43 keys): the reference-chain
     # per-row stages, the streaming family, the events family, the
     # TPC-H stragglers, and the round-1 projections that rotated out
@@ -496,7 +518,7 @@ _R7_WINDOW = [
     "minhash_signatures",
     "quality_filter", "shard_assign",
     "q18_large_orders", "q19_disjunctive_revenue",
-    "asof_clicks_views", "customer_trailing_spend",
+    "asof_clicks_views",
     "customer_year_setops", "dedup_ngram", "events_daily", "events_hopping",
     "events_interval_join",
     "jaccard_threshold", "jaccard_topk", "lineitem_quantiles",
@@ -504,7 +526,7 @@ _R7_WINDOW = [
     "orders_rolling_stats", "pack_sequences", "part_price_band_join",
     "pii_scrub", "q14_promo_revenue", "q7_nation_volume",
     "simhash", "stream_dedup_events",
-    "stream_enrich_segments", "stream_hopping", "stream_interval_join",
+    "stream_enrich_segments", "stream_interval_join",
     "stream_latest_event", "stream_sessions", "stream_user_counts",
     "stream_windowed_hourly", "synthetic_stream_stats",
     # (the round-4 next-stalest fillers all rotated back out as round-7
@@ -716,6 +738,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pure layout rewrite, search unchanged (completing the
         # lifecycle: build -> search -> serve -> upsert -> compact)
         "lsh_index_compact": _q_lsh_index_compact,
+        # new round 7: the dedup twin of the index lifecycle — a
+        # persisted MinHash signature store answering "which new docs
+        # near-duplicate the corpus" without re-reading the corpus
+        # (estimated Jaccard from signature agreement; the estimate
+        # error is what minhash_error_audit measures)
+        "dedup_incremental": _q_dedup_incremental,
+        # new round 7: signature-store append-invisibility — build the
+        # store on a base slice, upsert the rest, probe a deterministic
+        # batch; must equal the same probe against a one-shot store
+        # over the full corpus (seed-derived data-independent hashing)
+        "minhash_index_upsert": _q_minhash_index_upsert,
         # round 6: the serving shape — a deterministic 10% query batch
         # against the full stored index; oracle = the one-plan SQL with
         # the candidate join's query side filtered to the batch (the
@@ -1130,6 +1163,16 @@ def oracle_sql() -> dict[str, str]:
         "lsh_index_upsert": oracles.ann_lsh_topk_sql(10, S.lsh_tables(64)),
         # post-compaction search must still equal the one-plan union
         "lsh_index_compact": oracles.ann_lsh_topk_sql(10, S.lsh_tables(64)),
+        # store = % 5 != 0 slice, batch = the rest (the demo's split)
+        "dedup_incremental": oracles.dedup_incremental_sql(
+            0.7,
+            store_where="b.doc_id % 5 <> 0",
+            batch_where="a.doc_id % 5 = 0",
+        ),
+        # store after upsert = the FULL corpus; probe batch = % 10 = 0
+        "minhash_index_upsert": oracles.dedup_incremental_sql(
+            0.7, store_where="TRUE", batch_where="a.doc_id % 10 = 0"
+        ),
         "lsh_index_serve": oracles.ann_lsh_topk_sql(
             10, S.lsh_tables(64), query_where="a.vec_id % 10 = 0"
         ),

@@ -67,6 +67,8 @@ def main() -> None:
     _force(qs["lsh_index_search"](spark, sf_dir))
     _force(qs["lsh_index_upsert"](spark, sf_dir))
     _force(qs["lsh_index_compact"](spark, sf_dir))
+    _force(qs["dedup_incremental"](spark, sf_dir))
+    _force(qs["minhash_index_upsert"](spark, sf_dir))
     index_build_s = round(time.perf_counter() - t0, 3)
 
     bench_queries = [
@@ -158,6 +160,8 @@ def main() -> None:
         "clustered_split",
         "clustered_split_leakage",
         "lsh_index_compact",
+        "dedup_incremental",
+        "minhash_index_upsert",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

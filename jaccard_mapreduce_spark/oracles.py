@@ -1229,6 +1229,52 @@ FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
 WHERE s.similarity >= {threshold}"""
 
 
+def dedup_incremental_sql(
+    threshold: float = 0.7,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+    store_where: str = "b.doc_id % 5 <> 0",
+    batch_where: str = "a.doc_id % 5 = 0",
+) -> str:
+    """Oracle for sources/signature_index.py::dedup_incremental — the
+    store/batch split is expressed as predicates over ONE signature
+    relation (the one-shot union), so the same SQL also grades
+    ``minhash_index_upsert`` (store_where=TRUE): build-base-then-append
+    must equal the one-shot build because MinHash params are
+    seed-derived and data-independent. ``est_matches`` is the integer
+    signature-position agreement; ``est_sim = est_matches / k`` divides
+    a small integer by a power of two, exact in both engines."""
+    import math
+
+    r = k // bands
+    min_matches = math.ceil(threshold * k)
+    return f"""WITH {_minhash_cte(k, seed)},
+buckets AS (
+    SELECT doc_id, h_idx // {r} AS band,
+           string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS bucket
+    FROM mh GROUP BY doc_id, h_idx // {r}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS stored_id
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+    WHERE ({batch_where}) AND ({store_where})
+),
+agree AS (
+    SELECT c.new_id, c.stored_id,
+           CAST(sum(CASE WHEN ma.min_hash = mb.min_hash
+                         THEN 1 ELSE 0 END) AS BIGINT) AS est_matches
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.new_id
+    JOIN mh mb ON mb.doc_id = c.stored_id AND mb.h_idx = ma.h_idx
+    GROUP BY c.new_id, c.stored_id
+)
+SELECT new_id, stored_id, est_matches,
+       CAST(est_matches AS DOUBLE) / {float(k)} AS est_sim
+FROM agree WHERE est_matches >= {min_matches}"""
+
+
 def _lsh_pairs_ctes(
     threshold: float, k: int, bands: int, seed: int
 ) -> str:

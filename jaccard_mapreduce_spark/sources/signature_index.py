@@ -1,0 +1,341 @@
+"""Persisted MinHash signature store — incremental document dedup.
+
+The dedup twin of the vector-index lifecycle
+(:mod:`~jaccard_mapreduce_spark.sources.vector_index`): at 100 TB the
+corpus you dedup AGAINST is not re-readable per batch — a new crawl
+slice must be checked against the stored corpus using only its
+signatures. This module materializes the MinHash state of a corpus as
+two parquet datasets plus a params marker:
+
+  ``<path>/signatures``  (doc_id, sig array<long>)       — k longs/doc
+  ``<path>/buckets``     (doc_id, band, bucket) PARTITIONED BY band
+  ``<path>/_params``     JSON {k, bands, seed}            — the contract
+
+and answers "which new documents near-duplicate the store?" with
+:func:`dedup_incremental` — candidate generation by band-bucket
+equi-join against the stored buckets, similarity ESTIMATED from
+signature position agreement (``est_matches / k``). The estimate —
+not exact token Jaccard — is the deliberate scale semantics: exact
+verification needs the stored documents' token sets, i.e. the corpus
+itself; the signature store is k longs per document, and
+``minhash_error_audit`` (operators/dedup.py) measures exactly what the
+estimate costs on this corpus instead of assuming the Chernoff bound.
+
+Plan shape in the operating regime (small batch, huge store): every
+batch-derived relation broadcasts, and the stored datasets are only
+ever scanned and filtered — the store is never shuffled. Candidate
+stored-side signatures are fetched with a broadcast left-semi join
+(scan-filter), so the per-batch cost is O(batch × collisions), not
+O(store). MinHash params are seed-derived and data-independent, so
+appends under the stored params equal a from-scratch union build —
+the same invisibility claim :func:`~jaccard_mapreduce_spark.sources.
+vector_index.upsert_lsh_index` grades for hyperplane LSH, graded here
+by ``minhash_index_upsert``.
+
+Reference has no index or incremental surface at all (its only
+artifact is the final text file, DocumentSimilarityDriver.java:43-45);
+this is LLM-pipeline engine extension in the lineage of
+minhash_lsh_dedup (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jaccard_mapreduce_spark.operators.dedup import (
+    DEFAULT_BROADCAST_MAX_DOCS,
+    DEFAULT_NUM_HASHES,
+    DEFAULT_SEED,
+    lsh_buckets,
+    minhash_signatures,
+)
+from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
+from jaccard_mapreduce_spark.sources.vector_index import (
+    _content_fingerprint,
+    _fs_read_text,
+    _fs_write_text,
+    _hadoop_fs,
+    _scratch_dir,
+)
+
+
+def build_minhash_index(
+    documents: DataFrame,
+    path: str,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the MinHash state of ``documents`` at ``path``.
+
+    ONE tokenize+signature pass feeds both datasets (the buckets are a
+    projection of the signatures, so the signature relation is pinned
+    for the two writes). The bucket dataset is partitioned by ``band``:
+    a band-bucket probe scans only matching band directories, the same
+    planning-time pruning the IVF cells dataset gets from ``cell_id``.
+    """
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    assert k % bands == 0, "num hashes must divide evenly into bands"
+    sigs = _pin(
+        minhash_signatures(doc_tokens(documents, id_col, text_col), k, seed)
+    )
+    try:
+        sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+        (
+            lsh_buckets(sigs, bands, k // bands)
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(f"{path}/buckets")
+        )
+    finally:
+        sigs.unpersist()
+    _fs_write_text(
+        documents.sparkSession,
+        f"{path}/_params",
+        json.dumps({"k": k, "bands": bands, "seed": seed}),
+    )
+
+
+def _stored_params(spark: SparkSession, path: str) -> dict:
+    raw = _fs_read_text(spark, f"{path}/_params")
+    if raw is None:
+        raise ValueError(f"not a MinHash index (missing _params): {path}")
+    return json.loads(raw)
+
+
+def upsert_minhash_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append ``new_docs``' signatures and buckets under the STORED
+    params. MinHash hash functions are seed-derived and
+    data-independent — nothing retrains and no stored row changes — so
+    build-base-then-upsert equals a from-scratch build over the union
+    (the ``minhash_index_upsert`` graded contract). Returns the number
+    of appended documents."""
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    p = _stored_params(spark, path)
+    sigs = _pin(
+        minhash_signatures(
+            doc_tokens(new_docs, id_col, text_col), p["k"], p["seed"]
+        )
+    )
+    try:
+        n_new = sigs.count()
+        sigs.write.mode("append").parquet(f"{path}/signatures")
+        (
+            lsh_buckets(sigs, p["bands"], p["k"] // p["bands"])
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(f"{path}/buckets")
+        )
+    finally:
+        sigs.unpersist()
+    return n_new
+
+
+def dedup_incremental(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_docs: int = DEFAULT_BROADCAST_MAX_DOCS,
+) -> DataFrame:
+    """Near-duplicates of ``new_docs`` in the stored corpus —
+    ``(new_id, stored_id, est_matches, est_sim)`` for every stored
+    document sharing >= 1 band bucket with a batch document and
+    agreeing on at least ``ceil(threshold * k)`` signature positions.
+
+    ``est_sim = est_matches / k`` is the MinHash estimate of Jaccard —
+    a ratio of small integers, exact in both engines, so the graded
+    hash covers the scores, not just the pair set. Pairs are directed
+    (batch → store); a batch id that also exists in the store never
+    pairs with itself (``new_id != stored_id``) — re-submitting a
+    stored document should report its near-duplicates, not the
+    tautology.
+
+    Below ``broadcast_max_docs`` batch docs, every batch-derived
+    relation broadcasts and the stored buckets/signatures are only
+    scanned (filtered by band-bucket match and a broadcast semi-join
+    respectively) — the store never shuffles, which is the whole point
+    at 10^9 stored docs. Above the gate the joins fall back to
+    shuffles on their keys."""
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    p = _stored_params(spark, path)
+    k, bands = p["k"], p["bands"]
+    min_matches = math.ceil(threshold * k)
+    new_sigs = _pin(
+        minhash_signatures(
+            doc_tokens(new_docs, id_col, text_col), k, p["seed"]
+        ).withColumnRenamed("doc_id", "new_id")
+    )
+    small = new_sigs.count() <= broadcast_max_docs
+    bc = F.broadcast if small else (lambda df: df)
+    new_buckets = lsh_buckets(
+        new_sigs.withColumnRenamed("new_id", "doc_id"), bands, k // bands
+    ).withColumnRenamed("doc_id", "new_id")
+    stored_buckets = spark.read.parquet(f"{path}/buckets")
+    cand = _pin(
+        bc(new_buckets)
+        .alias("a")
+        .join(
+            stored_buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.new_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.new_id"), F.col("b.doc_id").alias("stored_id"))
+        .distinct()
+    )
+    # scan-filter the stored signatures down to candidate ids before
+    # anything joins them: the semi-join side is batch-scale, so the
+    # store-scale relation is pruned without a shuffle
+    hit_sigs = (
+        spark.read.parquet(f"{path}/signatures")
+        .join(
+            bc(cand.select("stored_id").distinct()),
+            F.col("doc_id") == F.col("stored_id"),
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("stored_id"), F.col("sig").alias("sb"))
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sa"),
+            F.col("sb"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # the fold is named once and est_sim derives from the named column
+    # (inlining it twice re-evaluates the k-wide fold per projection —
+    # the shared-metric-projection lesson from the Gopher gate)
+    return (
+        cand.join(
+            bc(new_sigs.select("new_id", F.col("sig").alias("sa"))), "new_id"
+        )
+        .join(bc(hit_sigs) if small else hit_sigs, "stored_id")
+        .select("new_id", "stored_id", est.alias("est_matches"))
+        .where(F.col("est_matches") >= min_matches)
+        .withColumn(
+            "est_sim", F.col("est_matches").cast("double") / F.lit(float(k))
+        )
+    )
+
+
+def _ensure_doc_index(
+    spark: SparkSession,
+    sf_dir: str,
+    suffix: str,
+    build,
+    rebuild: bool = False,
+    tag_extra: str = "",
+) -> tuple[str, DataFrame]:
+    """Documents twin of vector_index._ensure_index: session-scoped
+    build-once gate keyed on (sf_dir, tag_extra, content fingerprint of
+    documents.parquet); plain ``os.path`` is fine because the base is
+    always a driver-local tempdir (demo scaffolding — the library entry
+    points take arbitrary URIs and go through Hadoop FS)."""
+    base = _scratch_dir(spark, suffix=suffix)
+    marker = os.path.join(base, "_built_for")
+    extra = f"{tag_extra}\n" if tag_extra else ""
+    tag = (
+        f"{sf_dir.rstrip('/')}\n{extra}"
+        f"{_content_fingerprint(sf_dir, 'documents.parquet')}"
+    )
+    built = False
+    if os.path.exists(marker) and all(
+        os.path.isdir(os.path.join(base, d))
+        for d in ("signatures", "buckets")
+    ):
+        with open(marker) as fh:
+            built = fh.read() == tag
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if rebuild or not built:
+        shutil.rmtree(base, ignore_errors=True)
+        build(docs, base)
+        with open(marker, "w") as fh:
+            fh.write(tag)
+    return base, docs
+
+
+def dedup_incremental_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.7,
+    base_mod: int = 5,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query: index the ``doc_id % base_mod != 0`` slice of the
+    corpus, then dedup the remaining documents (the "new crawl batch")
+    against the store. The DuckDB oracle recomputes the same split with
+    shared signature CTEs — the directed pair set AND the estimated
+    similarities must hash-match."""
+
+    def _build(docs: DataFrame, path: str) -> None:
+        build_minhash_index(docs.where(F.col("doc_id") % base_mod != 0), path)
+
+    base, docs = _ensure_doc_index(
+        spark,
+        sf_dir,
+        suffix="_mh_incr",
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"base_mod={base_mod}",
+    )
+    return dedup_incremental(
+        spark, base, docs.where(F.col("doc_id") % base_mod == 0), threshold
+    )
+
+
+def minhash_index_upsert_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.7,
+    base_mod: int = 7,
+    batch_mod: int = 10,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for append-invisibility: build the store on the
+    ``% base_mod != 0`` slice, UPSERT the rest, then dedup a
+    deterministic ``% batch_mod == 0`` probe batch against the store.
+    The oracle computes the same probe against a one-shot store over
+    the FULL corpus — equality proves the upsert equals a union build
+    (data-independent hashing, the ``lsh_index_upsert`` claim for the
+    MinHash tier)."""
+
+    def _build(docs: DataFrame, path: str) -> None:
+        build_minhash_index(docs.where(F.col("doc_id") % base_mod != 0), path)
+        n = upsert_minhash_index(
+            spark, path, docs.where(F.col("doc_id") % base_mod == 0)
+        )
+        assert n > 0
+
+    base, docs = _ensure_doc_index(
+        spark,
+        sf_dir,
+        suffix="_mh_upsert",
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"base_mod={base_mod}",
+    )
+    return dedup_incremental(
+        spark, base, docs.where(F.col("doc_id") % batch_mod == 0), threshold
+    )

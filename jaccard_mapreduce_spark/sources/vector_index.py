@@ -305,14 +305,14 @@ def read_index_cells(
     )
 
 
-def _content_fingerprint(sf_dir: str) -> str:
-    """Cheap identity of the embeddings fixture: sorted (name, size,
-    mtime_ns) of every file under ``embeddings.parquet``. If the data
+def _content_fingerprint(sf_dir: str, table: str = "embeddings.parquet") -> str:
+    """Cheap identity of a fixture table: sorted (name, size,
+    mtime_ns) of every file under ``table``. If the data
     under a previously-indexed path is rewritten within a session, the
     fingerprint changes and the index is rebuilt rather than serving
     stale cells (which would silently break the hash-parity contract
     with the one-plan oracle)."""
-    root = os.path.join(sf_dir, "embeddings.parquet")
+    root = os.path.join(sf_dir, table)
     parts = []
     for dirpath, _dirs, files in os.walk(root):
         for name in files:

@@ -656,3 +656,104 @@ def test_fast_rerank_zero_vector_scores_zero(spark):
     }
     assert got[(1, 2)] == 0.0 and got[(2, 3)] == 0.0
     assert abs(got[(1, 3)] - 1 / 2**0.5) < 1e-12
+
+
+# --- persisted MinHash signature store: incremental dedup lifecycle ---
+
+
+DOCS_SMALL = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture()
+def docs_small(spark):
+    return spark.read.parquet(DOCS_SMALL)
+
+
+def test_incremental_dedup_bounds_and_threshold(spark, docs_small, tmp_path):
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        dedup_incremental,
+    )
+
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs_small.where(F.col("doc_id") % 5 != 0), path)
+    rows = dedup_incremental(
+        spark, path, docs_small.where(F.col("doc_id") % 5 == 0), 0.7
+    ).collect()
+    assert rows
+    for r in rows:
+        # directed batch -> store: new side is the % 5 == 0 slice
+        assert r["new_id"] % 5 == 0 and r["stored_id"] % 5 != 0
+        assert 23 <= r["est_matches"] <= 32  # ceil(0.7 * 32) = 23
+        assert r["est_sim"] == r["est_matches"] / 32.0
+
+
+def test_upsert_store_equals_union_store(spark, docs_small, tmp_path):
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        dedup_incremental,
+        upsert_minhash_index,
+    )
+
+    split = str(tmp_path / "split")
+    build_minhash_index(docs_small.where(F.col("doc_id") % 7 != 0), split)
+    n = upsert_minhash_index(
+        spark, split, docs_small.where(F.col("doc_id") % 7 == 0)
+    )
+    assert n > 0
+    union = str(tmp_path / "union")
+    build_minhash_index(docs_small, union)
+    probe = docs_small.where(F.col("doc_id") % 10 == 0)
+    got = sorted(map(tuple, dedup_incremental(spark, split, probe).collect()))
+    want = sorted(map(tuple, dedup_incremental(spark, union, probe).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_excludes_self_pairs(spark, docs_small, tmp_path):
+    """Re-submitting stored documents reports their near-duplicates,
+    never the (x, x) tautology."""
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        dedup_incremental,
+    )
+
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs_small, path)
+    rows = dedup_incremental(
+        spark, path, docs_small.where(F.col("doc_id") % 10 == 0), 0.7
+    ).collect()
+    assert rows
+    assert all(r["new_id"] != r["stored_id"] for r in rows)
+
+
+def test_signature_store_rejects_missing_params(spark, docs_small, tmp_path):
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        dedup_incremental,
+        upsert_minhash_index,
+    )
+
+    with pytest.raises(ValueError, match="not a MinHash index"):
+        dedup_incremental(spark, str(tmp_path / "nope"), docs_small)
+    with pytest.raises(ValueError, match="not a MinHash index"):
+        upsert_minhash_index(spark, str(tmp_path / "nope"), docs_small)
+
+
+def test_incremental_plan_broadcasts_batch_not_store(spark, docs_small, tmp_path):
+    """In the small-batch regime every batch-derived relation
+    broadcasts; the stored buckets/signatures scans must not sit under
+    an Exchange (the store never shuffles — the 10^9-doc contract)."""
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        dedup_incremental,
+    )
+
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs_small.where(F.col("doc_id") % 5 != 0), path)
+    df = dedup_incremental(
+        spark, path, docs_small.where(F.col("doc_id") % 5 == 0), 0.7
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # every join the stored datasets participate in is a broadcast join
+    # (batch side builds) or a broadcast semi-join filter
+    assert "SortMergeJoin" not in plan, plan
