@@ -240,6 +240,33 @@ def dedup_incremental(
     )
 
 
+def compact_minhash_index(
+    spark: SparkSession,
+    path: str,
+    n_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, tuple[int, int]]:
+    """Size-targeted compaction of the signature store's append-heavy
+    datasets — the MinHash twin of :func:`~jaccard_mapreduce_spark.
+    sources.vector_index.compact_lsh_index` (same tmp-write +
+    two-rename swap, same row-identical contract). The buckets dataset
+    keeps its band partitioning: the rewrite hash-distributes the band
+    column so compaction cannot multiply files across partition dirs."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _compact_datasets,
+    )
+
+    return _compact_datasets(
+        spark,
+        path,
+        ("signatures", "buckets"),
+        "a MinHash index",
+        n_files,
+        target_file_bytes,
+        partition_by={"buckets": "band"},
+    )
+
+
 def _ensure_doc_index(
     spark: SparkSession,
     sf_dir: str,

@@ -461,41 +461,82 @@ def compact_lsh_index(
     same one every non-transactional parquet layout (including the
     upsert path's appends) already makes. Returns per-dataset
     ``(files_before, files_after)``."""
+    return _compact_datasets(
+        spark,
+        path,
+        ("vectors", "signatures"),
+        "an LSH index",
+        n_files,
+        target_file_bytes,
+    )
+
+
+def _compact_datasets(
+    spark: SparkSession,
+    path: str,
+    names: tuple[str, ...],
+    kind: str,
+    n_files: int | None,
+    target_file_bytes: int,
+    partition_by: dict[str, str] | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Shared size-targeted compaction over an index's append-heavy
+    datasets (see :func:`compact_lsh_index` for the contract). A
+    dataset named in ``partition_by`` keeps its partition column on
+    rewrite (file counting then recurses into partition dirs)."""
+    partition_by = partition_by or {}
     out: dict[str, tuple[int, int]] = {}
-    for name in ("vectors", "signatures"):
+    for name in names:
         ds = f"{path}/{name}"
         fs, hpath = _hadoop_fs(spark, ds)
         if not fs.exists(hpath):
             raise ValueError(
-                f"not an LSH index (missing {name} dataset): {path}"
+                f"not {kind} (missing {name} dataset): {path}"
             )
-        parts = [
-            st
-            for st in fs.listStatus(hpath)
-            if st.getPath().getName().endswith(".parquet")
-        ]
-        before = len(parts)
+        before, total_bytes = _count_parquet_files(spark, fs, hpath)
         if n_files is None:
-            total_bytes = sum(st.getLen() for st in parts)
             n_out = max(1, -(-total_bytes // target_file_bytes))
         else:
             n_out = n_files
         tmp = f"{path}/{name}__compacting"
-        (
-            spark.read.parquet(ds)
-            .repartition(n_out)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        rel = spark.read.parquet(ds)
+        if name in partition_by:
+            # repartition BY the partition column: a plain round-robin
+            # repartition would put every partition value in every
+            # task, writing n_out files into EVERY partition dir —
+            # n_out x n_partitions files, worse than the fragmentation
+            # being fixed. Hash-distributing the partition column caps
+            # output at ~one file per (task, value) pair.
+            pcol = partition_by[name]
+            writer = (
+                rel.repartition(n_out, F.col(pcol))
+                .write.mode("overwrite")
+                .partitionBy(pcol)
+            )
+        else:
+            writer = rel.repartition(n_out).write.mode("overwrite")
+        writer.parquet(tmp)
         fs.delete(hpath, True)
         fs.rename(_hadoop_fs(spark, tmp)[1], hpath)
-        after = sum(
-            1
-            for st in fs.listStatus(hpath)
-            if st.getPath().getName().endswith(".parquet")
-        )
+        after, _ = _count_parquet_files(spark, fs, hpath)
         out[name] = (before, after)
     return out
+
+
+def _count_parquet_files(spark: SparkSession, fs, hpath) -> tuple[int, int]:
+    """(count, total bytes) of ``*.parquet`` files under ``hpath``,
+    recursing one level into partition directories."""
+    n = 0
+    total = 0
+    for st in fs.listStatus(hpath):
+        if st.isDirectory():
+            sub_n, sub_b = _count_parquet_files(spark, fs, st.getPath())
+            n += sub_n
+            total += sub_b
+        elif st.getPath().getName().endswith(".parquet"):
+            n += 1
+            total += st.getLen()
+    return n, total
 
 
 def lsh_index_compact_demo(

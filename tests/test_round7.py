@@ -757,3 +757,40 @@ def test_incremental_plan_broadcasts_batch_not_store(spark, docs_small, tmp_path
     # every join the stored datasets participate in is a broadcast join
     # (batch side builds) or a broadcast semi-join filter
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_minhash_compact_shrinks_files_and_preserves_results(
+    spark, docs_small, tmp_path
+):
+    import glob
+
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        dedup_incremental,
+        upsert_minhash_index,
+    )
+
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs_small.where(F.col("doc_id") % 5 != 0), path)
+    for m in range(3):
+        upsert_minhash_index(
+            spark,
+            path,
+            docs_small.where(
+                (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 == m)
+            ),
+        )
+    probe = docs_small.where(F.col("doc_id") % 10 == 0)
+    before = sorted(map(tuple, dedup_incremental(spark, path, probe).collect()))
+    stats = compact_minhash_index(spark, path, n_files=2)
+    assert set(stats) == {"signatures", "buckets"}
+    for name, (n_before, n_after) in stats.items():
+        assert n_after < n_before, (name, n_before, n_after)
+    # band partitioning survived (per-band dirs, ~1 file each)
+    bands = glob.glob(path + "/buckets/band=*")
+    assert len(bands) == 8
+    for b in bands:
+        assert len(glob.glob(b + "/*.parquet")) <= 2
+    after = sorted(map(tuple, dedup_incremental(spark, path, probe).collect()))
+    assert after == before and len(after) > 0
