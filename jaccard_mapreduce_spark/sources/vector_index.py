@@ -471,6 +471,31 @@ def compact_lsh_index(
     )
 
 
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    n_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, tuple[int, int]]:
+    """Compaction for the IVF index's ``cells`` dataset — every
+    :func:`upsert_ivf_index` batch appends its own file set into each
+    touched ``cell_id`` partition dir, and the per-cell file count is
+    what the partition-pruned search scan pays for. Same contract as
+    :func:`compact_lsh_index` (row-identical, tmp-write + two-rename
+    swap); the rewrite hash-distributes ``cell_id`` so compaction
+    cannot fan files back out across partition dirs. The centroids
+    dataset is codebook-sized and never appended to — not rewritten."""
+    return _compact_datasets(
+        spark,
+        path,
+        ("cells",),
+        "an IVF index",
+        n_files,
+        target_file_bytes,
+        partition_by={"cells": "cell_id"},
+    )
+
+
 def _compact_datasets(
     spark: SparkSession,
     path: str,

@@ -794,3 +794,31 @@ def test_minhash_compact_shrinks_files_and_preserves_results(
         assert len(glob.glob(b + "/*.parquet")) <= 2
     after = sorted(map(tuple, dedup_incremental(spark, path, probe).collect()))
     assert after == before and len(after) > 0
+
+
+def test_ivf_compact_shrinks_cells_and_preserves_search(
+    spark, emb_small, tmp_path
+):
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        search_ivf_index,
+        upsert_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb_small.where(F.col("vec_id") % 5 != 0), path, n_cells=4)
+    for m in range(3):
+        upsert_ivf_index(
+            spark,
+            path,
+            emb_small.where(
+                (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 == m)
+            ),
+        )
+    before = _ranks(search_ivf_index(spark, path, emb_small, k=5, n_probe=2))
+    stats = compact_ivf_index(spark, path, n_files=4)
+    n_before, n_after = stats["cells"]
+    assert n_after < n_before, stats
+    after = _ranks(search_ivf_index(spark, path, emb_small, k=5, n_probe=2))
+    assert after == before and len(after) > 0
