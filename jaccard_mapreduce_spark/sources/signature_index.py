@@ -175,6 +175,26 @@ def dedup_incremental(
     respectively) — the store never shuffles, which is the whole point
     at 10^9 stored docs. Above the gate the joins fall back to
     shuffles on their keys."""
+    df, _pins = _dedup_incremental_plan(
+        spark, path, new_docs, threshold, id_col, text_col,
+        broadcast_max_docs,
+    )
+    return df
+
+
+def _dedup_incremental_plan(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_docs: int = DEFAULT_BROADCAST_MAX_DOCS,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """:func:`dedup_incremental` plus the list of pinned relations, so
+    per-batch callers (the streaming face) can unpersist them — pins
+    are keyed by analyzed plan and every micro-batch's plans are new,
+    so a 24/7 stream would otherwise accumulate cached batch state."""
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
     p = _stored_params(spark, path)
@@ -227,7 +247,7 @@ def dedup_incremental(
     # the fold is named once and est_sim derives from the named column
     # (inlining it twice re-evaluates the k-wide fold per projection —
     # the shared-metric-projection lesson from the Gopher gate)
-    return (
+    out = (
         cand.join(
             bc(new_sigs.select("new_id", F.col("sig").alias("sa"))), "new_id"
         )
@@ -237,6 +257,54 @@ def dedup_incremental(
         .withColumn(
             "est_sim", F.col("est_matches").cast("double") / F.lit(float(k))
         )
+    )
+    return out, [new_sigs, cand]
+
+
+def dedup_incremental_stream(
+    stream: DataFrame,
+    path: str,
+    report_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming face of the crawl-ingest loop: each micro-batch of
+    ``(doc_id, text)`` rows is first deduped AGAINST THE CURRENT STORE
+    (the report appends to ``report_path`` with a ``batch_id`` column),
+    then upserted into the store — so later batches see earlier ones,
+    and a batch never matches itself through the store. Same honesty
+    contract as :func:`~jaccard_mapreduce_spark.sources.vector_index.
+    upsert_ivf_index_stream`: parquet appends are per-batch atomic at
+    the file level, exactly-once is NOT claimed (a replayed batch
+    re-appends; upstream watermark dedup is the recipe). Per-batch
+    pinned relations are explicitly unpersisted — every batch's plans
+    are new, so a 24/7 stream would otherwise grow the cache without
+    bound."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        report, pins = _dedup_incremental_plan(
+            spark, path, batch_df, threshold, id_col, text_col
+        )
+        try:
+            (
+                report.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(report_path)
+            )
+            upsert_minhash_index(spark, path, batch_df, id_col, text_col)
+        finally:
+            for p in pins:
+                p.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
     )
 
 

@@ -822,3 +822,50 @@ def test_ivf_compact_shrinks_cells_and_preserves_search(
     assert n_after < n_before, stats
     after = _ranks(search_ivf_index(spark, path, emb_small, k=5, n_probe=2))
     assert after == before and len(after) > 0
+
+
+def test_streaming_incremental_dedup_reports_then_upserts(
+    spark, docs_small, tmp_path
+):
+    """Micro-batched crawl ingest: batch N's report counts only the
+    store as of batch N-1 (report-then-upsert ordering), and after the
+    run the store holds every document."""
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        dedup_incremental,
+        dedup_incremental_stream,
+    )
+
+    path = str(tmp_path / "mh")
+    base = docs_small.where(F.col("doc_id") % 5 != 0)
+    new = docs_small.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    build_minhash_index(base, path)
+
+    src = str(tmp_path / "src")
+    new.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = dedup_incremental_stream(
+        stream,
+        path,
+        report_path=str(tmp_path / "report"),
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    report = spark.read.parquet(str(tmp_path / "report"))
+    assert report.select("batch_id").distinct().count() >= 2
+    # every reported new_id is a batch doc; stored side may now include
+    # earlier batches' docs (they were upserted before later batches)
+    assert report.where(F.col("new_id") % 5 != 0).count() == 0
+    # the store now holds everything: a fresh probe of the base slice
+    # finds near-dups among the streamed-in docs too
+    got = dedup_incremental(
+        spark, path, docs_small.where(F.col("doc_id") % 50 == 0)
+    )
+    assert got.where(F.col("stored_id") % 5 == 0).count() > 0
+    sigs = spark.read.parquet(path + "/signatures")
+    assert sigs.count() == docs_small.count()
