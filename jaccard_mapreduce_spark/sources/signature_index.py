@@ -211,6 +211,19 @@ def _dedup_incremental_plan(
         new_sigs.withColumnRenamed("new_id", "doc_id"), bands, k // bands
     ).withColumnRenamed("doc_id", "new_id")
     stored_buckets = spark.read.parquet(f"{path}/buckets")
+    # mixed id types (string batch ids against a long-id store, or the
+    # reverse) would make the self-pair exclusion an ANSI cast throw —
+    # same hazard the LSH index search guards; compare canonical
+    # strings only in that case, direct inequality otherwise
+    if (
+        new_sigs.schema["new_id"].dataType
+        == stored_buckets.schema["doc_id"].dataType
+    ):
+        not_self = F.col("a.new_id") != F.col("b.doc_id")
+    else:
+        not_self = F.col("a.new_id").cast("string") != F.col(
+            "b.doc_id"
+        ).cast("string")
     cand = _pin(
         bc(new_buckets)
         .alias("a")
@@ -218,7 +231,7 @@ def _dedup_incremental_plan(
             stored_buckets.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.new_id") != F.col("b.doc_id")),
+            & not_self,
         )
         .select(F.col("a.new_id"), F.col("b.doc_id").alias("stored_id"))
         .distinct()

@@ -869,3 +869,33 @@ def test_streaming_incremental_dedup_reports_then_upserts(
     assert got.where(F.col("stored_id") % 5 == 0).count() > 0
     sigs = spark.read.parquet(path + "/signatures")
     assert sigs.count() == docs_small.count()
+
+
+def test_incremental_dedup_tolerates_mixed_id_types(
+    spark, docs_small, tmp_path
+):
+    """String batch ids against a long-id store must not throw on the
+    self-pair exclusion (ANSI cast); ids compare as canonical strings."""
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        dedup_incremental,
+    )
+
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs_small.where(F.col("doc_id") % 5 != 0), path)
+    batch = docs_small.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    rows = dedup_incremental(spark, path, batch, 0.7).collect()
+    assert rows
+    want = {
+        (str(r["new_id"]), r["stored_id"], r["est_matches"])
+        for r in dedup_incremental(
+            spark,
+            path,
+            docs_small.where(F.col("doc_id") % 5 == 0),
+            0.7,
+        ).collect()
+    }
+    got = {(r["new_id"], r["stored_id"], r["est_matches"]) for r in rows}
+    assert got == want
