@@ -1511,18 +1511,21 @@ def clustered_split_leakage(
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
     # ONE LSH pair kernel feeds both the audit matrix and the cluster
-    # contraction inside clustered_split — structurally, via the
-    # pairs= pass-through, not via Catalyst exchange reuse (which
-    # usually deduplicates the identical subtrees here but is not
-    # contractual). The pair relation itself is NOT pinned: it is
-    # O(near-dup pairs) — 5M rows at sf0.1 — and caching it buys
-    # nothing the reused exchange doesn't (measured neutral) while
-    # holding executor memory that scales with the corpus. The split
-    # relation IS pinned: it is O(n) skinny, embeds the iterative
-    # contraction, and sits on BOTH sides of the pair join.
-    pairs = minhash_lsh_dedup(
-        documents, threshold=threshold, id_col=id_col, text_col=text_col
-    ).select("doc_a", "doc_b")
+    # contraction inside clustered_split, via the pairs= pass-through
+    # AND a pin: the two consumers run in SEPARATE jobs (the
+    # contraction inside clustered_split evaluates eagerly at call
+    # time; the audit's pair join evaluates when the result is
+    # collected), so Catalyst exchange reuse — a within-one-plan
+    # mechanism — can never deduplicate them; only the cache crosses
+    # jobs. The pin is O(near-dup pairs) skinny rows, MEMORY_AND_DISK.
+    # The split relation is also pinned: it embeds the contraction and
+    # sits on BOTH sides of the pair join.
+    pairs = _pin(
+        minhash_lsh_dedup(
+            documents, threshold=threshold, id_col=id_col,
+            text_col=text_col,
+        ).select("doc_a", "doc_b")
+    )
     spl = _pin(
         clustered_split(
             documents, threshold, val_bp, salt, id_col, text_col,

@@ -455,8 +455,11 @@ def compact_lsh_index(
     MORE files than the appends left, and under-split a huge one).
 
     The rewrite goes to a sibling temp dataset first and swaps in via
-    two Hadoop-FS renames, so a reader never sees a half-written
-    dataset; the swap itself is NOT atomic across the two renames —
+    two Hadoop-FS renames (live → ``__old``, tmp → live, then delete
+    ``__old``): every step keeps a complete copy of the data on disk,
+    a failed rename raises instead of being silently dropped, and a
+    crash mid-swap is recoverable (``__old`` still holds the previous
+    generation). The swap is NOT atomic across the renames —
     single-writer maintenance windows are the operating assumption, the
     same one every non-transactional parquet layout (including the
     upsert path's appends) already makes. Returns per-dataset
@@ -541,8 +544,22 @@ def _compact_datasets(
         else:
             writer = rel.repartition(n_out).write.mode("overwrite")
         writer.parquet(tmp)
-        fs.delete(hpath, True)
-        fs.rename(_hadoop_fs(spark, tmp)[1], hpath)
+        # swap keeping a full copy at every step: live -> __old,
+        # tmp -> live, delete __old. Hadoop FS rename reports failure
+        # by BOOLEAN, not exception — a dropped return value here would
+        # silently lose the live dataset; and delete-before-rename
+        # (the obvious shortcut) has a crash window with NO copy of the
+        # data at the live path.
+        old = _hadoop_fs(spark, f"{path}/{name}__old")[1]
+        if fs.exists(old):  # leftover from a crashed prior swap
+            fs.delete(old, True)
+        if not fs.rename(hpath, old):
+            raise IOError(f"compaction swap failed: {ds} -> {old}")
+        if not fs.rename(_hadoop_fs(spark, tmp)[1], hpath):
+            # put the previous generation back before raising
+            fs.rename(old, hpath)
+            raise IOError(f"compaction swap failed: {tmp} -> {ds}")
+        fs.delete(old, True)
         after, _ = _count_parquet_files(spark, fs, hpath)
         out[name] = (before, after)
     return out
@@ -740,16 +757,21 @@ def _ensure_index(
     build,
     rebuild: bool = False,
     tag_extra: str = "",
+    table: str = "embeddings.parquet",
+    required_files: tuple[str, ...] = (),
 ) -> tuple[str, DataFrame]:
-    """Session-scoped build-once gate shared by ALL the index demos:
-    returns (index path, embeddings relation), calling ``build(emb,
-    path)`` on the first call for a given (sf_dir, tag_extra, content
-    fingerprint) and reusing the on-disk index after. The marker file
-    alone is not proof of a usable index — a tmp cleaner can remove
-    the data dirs and leave the marker — so every ``required_dirs``
-    entry must exist too; any mismatch rebuilds from scratch rather
-    than serving stale or partial state (which would silently break
-    the hash-parity contracts).
+    """Session-scoped build-once gate shared by ALL the index demos
+    (vector indexes over ``embeddings.parquet`` and, via ``table``,
+    the signature store over ``documents.parquet``): returns
+    (index path, input relation), calling ``build(rel, path)`` on the
+    first call for a given (sf_dir, tag_extra, content fingerprint)
+    and reusing the on-disk index after. The marker file alone is not
+    proof of a usable index — a tmp cleaner can remove the data dirs
+    (or a small metadata file like the signature store's ``_params``)
+    and leave the marker — so every ``required_dirs`` /
+    ``required_files`` entry must exist too; any mismatch rebuilds
+    from scratch rather than serving stale or partial state (which
+    would silently break the hash-parity contracts).
 
     The marker here is read with plain ``os.path`` deliberately: the
     base is ALWAYS a driver-local tempdir (:func:`_scratch_dir`), never
@@ -760,20 +782,29 @@ def _ensure_index(
     base = _scratch_dir(spark, suffix=suffix)
     marker = os.path.join(base, "_built_for")
     extra = f"{tag_extra}\n" if tag_extra else ""
-    tag = f"{sf_dir.rstrip('/')}\n{extra}{_content_fingerprint(sf_dir)}"
+    tag = (
+        f"{sf_dir.rstrip('/')}\n{extra}"
+        f"{_content_fingerprint(sf_dir, table)}"
+    )
     built = False
-    if os.path.exists(marker) and all(
-        os.path.isdir(os.path.join(base, d)) for d in required_dirs
+    if (
+        os.path.exists(marker)
+        and all(
+            os.path.isdir(os.path.join(base, d)) for d in required_dirs
+        )
+        and all(
+            os.path.exists(os.path.join(base, f)) for f in required_files
+        )
     ):
         with open(marker) as fh:
             built = fh.read() == tag
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rel = spark.read.parquet(f"{sf_dir}/{table}")
     if rebuild or not built:
         shutil.rmtree(base, ignore_errors=True)
-        build(emb, base)
+        build(rel, base)
         with open(marker, "w") as fh:
             fh.write(tag)
-    return base, emb
+    return base, rel
 
 
 def lsh_index_upsert_demo(

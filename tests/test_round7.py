@@ -755,8 +755,12 @@ def test_incremental_plan_broadcasts_batch_not_store(spark, docs_small, tmp_path
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     # every join the stored datasets participate in is a broadcast join
-    # (batch side builds) or a broadcast semi-join filter
+    # (batch side builds) or a broadcast semi-join filter — a shuffle
+    # join of EITHER flavor would mean a stored relation sits under an
+    # Exchange (the candidate distinct's exchange is batch-scale and
+    # sits above the joins, which is fine)
     assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
 
 
 def test_minhash_compact_shrinks_files_and_preserves_results(
@@ -898,4 +902,26 @@ def test_incremental_dedup_tolerates_mixed_id_types(
         ).collect()
     }
     got = {(r["new_id"], r["stored_id"], r["est_matches"]) for r in rows}
+    assert got == want
+
+
+def test_compact_recovers_from_stale_old_leftover(spark, emb_small, tmp_path):
+    """A crashed prior swap leaves <name>__old behind; the next
+    compaction must clear it and complete (and never count its files)."""
+    import os
+
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        compact_lsh_index,
+        search_lsh_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb_small, path)
+    os.makedirs(path + "/vectors__old")
+    open(path + "/vectors__old/junk.parquet", "w").write("junk")
+    want = _ranks(search_lsh_index(spark, path, emb_small, k=5))
+    compact_lsh_index(spark, path, n_files=1)
+    assert not os.path.exists(path + "/vectors__old")
+    got = _ranks(search_lsh_index(spark, path, emb_small, k=5))
     assert got == want
