@@ -464,6 +464,7 @@ _NEW_OR_CHANGED = [
     "lsh_index_compact",  # new: small-file compaction, layout-invisible
     "dedup_incremental",  # new: batch-vs-store dedup over the signature store
     "minhash_index_upsert",  # new: signature-store append == union build
+    "effective_token_stats",  # new: duplicate-discounted source accounting
 ]
 
 # Keys OUTSIDE the graded window despite ranking stale, each with the
@@ -500,16 +501,17 @@ _R7_WINDOW = [
     "lsh_index_upsert", "sq8_rank_audit", "zordered_events_summary",
     "key_skew_stats", "train_val_split", "split_leakage_audit",
     "clustered_split", "clustered_split_leakage", "lsh_index_compact",
-    "dedup_incremental", "minhash_index_upsert",
-    # (eight round-3-graded cohort keys — top_ngrams, global_shuffle,
+    "dedup_incremental", "minhash_index_upsert", "effective_token_stats",
+    # (nine round-3-graded cohort keys — top_ngrams, global_shuffle,
     # user_funnel, contamination_check, repetition_stats,
-    # events_json_props, stream_hopping, customer_trailing_spend —
-    # rotate back out to fund these slots: legal under the staleness
-    # guard because the freshest remaining in-window cohort key is also
-    # round-3 (rotating out an r1/r2 key would trip the guard), their
-    # semantics stay covered by in-window siblings (events_hopping,
-    # orders_rolling_stats, the 6 other stream_* keys), and they
-    # re-enter in round 8)
+    # events_json_props, stream_hopping, customer_trailing_spend,
+    # stream_interval_join — rotate back out to fund these slots: legal
+    # under the staleness guard because the freshest remaining
+    # in-window cohort key is also round-3 (rotating out an r1/r2 key
+    # would trip the guard), their semantics stay covered by in-window
+    # siblings (events_hopping, orders_rolling_stats,
+    # events_interval_join, the other stream_* keys), and they re-enter
+    # in round 8)
     # the full round-<=3 stale cohort (43 keys): the reference-chain
     # per-row stages, the streaming family, the events family, the
     # TPC-H stragglers, and the round-1 projections that rotated out
@@ -526,7 +528,7 @@ _R7_WINDOW = [
     "orders_rolling_stats", "pack_sequences", "part_price_band_join",
     "pii_scrub", "q14_promo_revenue", "q7_nation_volume",
     "simhash", "stream_dedup_events",
-    "stream_enrich_segments", "stream_interval_join",
+    "stream_enrich_segments",
     "stream_latest_event", "stream_sessions", "stream_user_counts",
     "stream_windowed_hourly", "synthetic_stream_stats",
     # (the round-4 next-stalest fillers all rotated back out as round-7
@@ -889,6 +891,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_split_leakage": lambda s, d: D.clustered_split_leakage(
             _docs(s, d)
         ),
+        # new round 7: duplicate-discounted per-source accounting — raw
+        # vs representative-only doc/token counts; the measured
+        # inflation factor a mixture designer weighs sources by
+        "effective_token_stats": lambda s, d: D.effective_token_stats(
+            _docs(s, d)
+        ),
         "salted_customer_revenue": lambda s, d: SK.salted_customer_revenue(
             _t(s, d, "orders"), _t(s, d, "customer")
         ),
@@ -1248,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_audit": oracles.split_leakage_audit_sql(),
         "clustered_split": oracles.clustered_split_sql(),
         "clustered_split_leakage": oracles.clustered_split_leakage_sql(),
+        "effective_token_stats": oracles.effective_token_stats_sql(),
         "orders_pivot": oracles.orders_priority_pivot_sql(),
         "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
         "lineitem_unpivot": oracles.lineitem_unpivot_sql(),

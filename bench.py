@@ -162,6 +162,7 @@ def main() -> None:
         "lsh_index_compact",
         "dedup_incremental",
         "minhash_index_upsert",
+        "effective_token_stats",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

@@ -1060,6 +1060,72 @@ def dedup_representatives(
     )
 
 
+def effective_token_stats(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Duplicate-discounted corpus accounting —
+    ``(source, n_docs, n_tokens, n_effective_docs,
+    n_effective_tokens)`` per source, where the effective numbers count
+    only each near-dup cluster's representative (largest ``n_chars``,
+    ties → lowest id — :func:`dedup_representatives`' keeper rule over
+    :func:`dedup_clusters` at ``threshold``).
+
+    This is THE relation a data-mixture designer reads before weighting
+    sources: raw token counts overstate a crawl-heavy source exactly by
+    its internal redundancy, and ``n_tokens / n_effective_tokens`` per
+    source is the measured inflation factor (epoch math against raw
+    counts silently over-samples duplicated content). Counts are
+    integer and the token convention is the shared
+    :func:`~jaccard_mapreduce_spark.functions.text.tokenize` — the same
+    expression the quality stats grade against DuckDB.
+
+    One extra shuffle over the dedup pipeline itself (the per-source
+    aggregate); the token-count projection is pinned because both the
+    raw and effective aggregates read it."""
+    from jaccard_mapreduce_spark.functions.text import tokenize
+
+    base = _pin(
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.size(tokenize(text_col)).cast("long").alias("n_tok"),
+        )
+    )
+    pairs = minhash_lsh_dedup(
+        documents, threshold=threshold, id_col=id_col, text_col=text_col
+    ).select("doc_a", "doc_b")
+    clusters = dedup_clusters(
+        documents.select(F.col(id_col).alias("doc_id")), pairs
+    )
+    reps = dedup_representatives(documents, clusters)
+    raw = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    eff = (
+        base.join(
+            reps.where(F.col("is_kept")).select("doc_id"), "doc_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_effective_docs"),
+            F.sum("n_tok").alias("n_effective_tokens"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return raw.join(eff, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("n_effective_docs", zero).alias("n_effective_docs"),
+        F.coalesce("n_effective_tokens", zero).alias("n_effective_tokens"),
+    )
+
+
 # checkpoint cadence for long PageRank chains: lazy below, rounds are
 # re-computed at most this many times deep from the pinned edges
 _PAGERANK_MATERIALIZE_EVERY = 4

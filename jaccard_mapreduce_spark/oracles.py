@@ -3085,6 +3085,35 @@ SELECT doc_id, cluster_id, rep_doc_id, doc_id = rep_doc_id AS is_kept
 FROM r"""
 
 
+def effective_token_stats_sql(threshold: float = 0.7) -> str:
+    """Oracle for operators/dedup.py::effective_token_stats — the
+    representative CTE is :func:`dedup_representatives_sql` verbatim,
+    the token convention is ``TOKS_EXPR`` (the quality-stats parity
+    expression), and the sums cast back to BIGINT (DuckDB widens
+    sum(BIGINT) to HUGEINT, which the pandas hash would not match)."""
+    return f"""
+WITH reps AS ({dedup_representatives_sql(threshold)}),
+tc AS (
+    SELECT doc_id, source, len({TOKS_EXPR}) AS n_tok FROM documents
+),
+raw AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM tc GROUP BY source
+),
+eff AS (
+    SELECT t.source,
+           count(*) AS n_effective_docs,
+           CAST(sum(t.n_tok) AS BIGINT) AS n_effective_tokens
+    FROM tc t JOIN reps r ON t.doc_id = r.doc_id AND r.is_kept
+    GROUP BY t.source
+)
+SELECT raw.source, raw.n_docs, raw.n_tokens,
+       COALESCE(eff.n_effective_docs, 0) AS n_effective_docs,
+       COALESCE(eff.n_effective_tokens, 0) AS n_effective_tokens
+FROM raw LEFT JOIN eff ON raw.source = eff.source"""
+
+
 def stream_enrich_segments_sql() -> str:
     return f"""
 SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,

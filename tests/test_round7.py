@@ -925,3 +925,52 @@ def test_compact_recovers_from_stale_old_leftover(spark, emb_small, tmp_path):
     assert not os.path.exists(path + "/vectors__old")
     got = _ranks(search_lsh_index(spark, path, emb_small, k=5))
     assert got == want
+
+
+# --- effective_token_stats: duplicate-discounted source accounting ---
+
+
+def test_effective_token_stats_bounds_and_totals(spark, docs_small):
+    from jaccard_mapreduce_spark.operators.dedup import (
+        dedup_clusters,
+        effective_token_stats,
+        minhash_lsh_dedup,
+    )
+
+    rows = effective_token_stats(docs_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_effective_docs"] <= r["n_docs"]
+        assert 0 < r["n_effective_tokens"] <= r["n_tokens"]
+    # total effective docs == number of near-dup clusters (one
+    # representative each, every doc belongs to exactly one cluster)
+    n_clusters = (
+        dedup_clusters(
+            docs_small.select("doc_id"),
+            minhash_lsh_dedup(docs_small).select("doc_a", "doc_b"),
+        )
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_effective_docs"] for r in rows) == n_clusters
+    assert sum(r["n_docs"] for r in rows) == docs_small.count()
+
+
+def test_effective_equals_raw_without_near_dups(spark):
+    from jaccard_mapreduce_spark.operators.dedup import (
+        effective_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", 16, "web"),
+            (2, "delta epsilon zeta eta", 22, "web"),
+            (3, "completely different words here", 31, "books"),
+        ],
+        "doc_id long, text string, n_chars long, source string",
+    )
+    rows = {r["source"]: r for r in effective_token_stats(docs).collect()}
+    assert rows["web"]["n_docs"] == rows["web"]["n_effective_docs"] == 2
+    assert rows["web"]["n_tokens"] == rows["web"]["n_effective_tokens"] == 7
+    assert rows["books"]["n_effective_tokens"] == 4
