@@ -338,6 +338,75 @@ def dedup_incremental_stream(
     )
 
 
+def reband_minhash_index(
+    spark: SparkSession, path: str, new_bands: int
+) -> None:
+    """Retune the store's band count IN PLACE from the stored
+    signatures — no corpus pass. Banding is a pure re-slicing of the
+    k-hash signature (``lsh_params_for``'s occupancy math says when:
+    more bands → higher recall and more collisions, fewer → the
+    reverse), so the bucket dataset after rebanding is byte-identical
+    to a from-scratch build at ``new_bands``. Retuning ``k`` itself
+    DOES need the corpus (new hash functions must see the tokens) — a
+    rebuild, not an index operation. Updates ``_params`` so every
+    later :func:`dedup_incremental`/:func:`upsert_minhash_index` uses
+    the new banding."""
+    p = _stored_params(spark, path)
+    if p["k"] % new_bands != 0:
+        raise ValueError(
+            f"k={p['k']} must divide evenly into new_bands={new_bands}"
+        )
+    sigs = spark.read.parquet(f"{path}/signatures")
+    tmp = f"{path}/buckets__rebanding"
+    (
+        lsh_buckets(sigs, new_bands, p["k"] // new_bands)
+        # keyed by the partition column, or every scan task writes a
+        # file into every band dir (tasks x bands files — the same
+        # fan-out the compactor guards; measured 128 files for a
+        # 450-doc store before this repartition)
+        .repartition(new_bands, F.col("band"))
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp)
+    )
+    from jaccard_mapreduce_spark.sources.vector_index import _hadoop_fs
+
+    fs, live = _hadoop_fs(spark, f"{path}/buckets")
+    old = _hadoop_fs(spark, f"{path}/buckets__old")[1]
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(live, old):
+        raise IOError(f"reband swap failed: {live} -> {old}")
+    if not fs.rename(_hadoop_fs(spark, tmp)[1], live):
+        fs.rename(old, live)
+        raise IOError(f"reband swap failed: {tmp} -> {live}")
+    fs.delete(old, True)
+    _fs_write_text(
+        spark,
+        f"{path}/_params",
+        json.dumps({"k": p["k"], "bands": new_bands, "seed": p["seed"]}),
+    )
+
+
+def minhash_index_stats(spark: SparkSession, path: str) -> dict:
+    """Operational snapshot of a signature store: the stored params
+    plus document count and per-dataset parquet file counts (the
+    compaction trigger). One count job over the skinny signature
+    relation; the file counts come from the filesystem."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _count_parquet_files,
+        _hadoop_fs,
+    )
+
+    p = _stored_params(spark, path)
+    out = dict(p)
+    out["n_docs"] = spark.read.parquet(f"{path}/signatures").count()
+    for name in ("signatures", "buckets"):
+        fs, hpath = _hadoop_fs(spark, f"{path}/{name}")
+        out[f"{name}_files"], _ = _count_parquet_files(spark, fs, hpath)
+    return out
+
+
 def compact_minhash_index(
     spark: SparkSession,
     path: str,

@@ -974,3 +974,65 @@ def test_effective_equals_raw_without_near_dups(spark):
     assert rows["web"]["n_docs"] == rows["web"]["n_effective_docs"] == 2
     assert rows["web"]["n_tokens"] == rows["web"]["n_effective_tokens"] == 7
     assert rows["books"]["n_effective_tokens"] == 4
+
+
+def test_reband_equals_fresh_build_and_updates_params(
+    spark, docs_small, tmp_path
+):
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        _stored_params,
+        build_minhash_index,
+        dedup_incremental,
+        reband_minhash_index,
+    )
+
+    rebanded = str(tmp_path / "rebanded")
+    build_minhash_index(docs_small.where(F.col("doc_id") % 5 != 0), rebanded)
+    reband_minhash_index(spark, rebanded, 4)
+    assert _stored_params(spark, rebanded)["bands"] == 4
+    fresh = str(tmp_path / "fresh")
+    build_minhash_index(
+        docs_small.where(F.col("doc_id") % 5 != 0), fresh, bands=4
+    )
+    batch = docs_small.where(F.col("doc_id") % 5 == 0)
+    got = sorted(map(tuple, dedup_incremental(spark, rebanded, batch).collect()))
+    want = sorted(map(tuple, dedup_incremental(spark, fresh, batch).collect()))
+    assert got == want and len(got) > 0
+    # coarser banding (4 bands of 8 rows vs 8 of 4) can only shrink the
+    # candidate set vs the default build
+    deflt = str(tmp_path / "default")
+    build_minhash_index(docs_small.where(F.col("doc_id") % 5 != 0), deflt)
+    base = dedup_incremental(spark, deflt, batch, threshold=0.0).count()
+    coarse = dedup_incremental(spark, rebanded, batch, threshold=0.0).count()
+    assert coarse <= base
+
+
+def test_reband_rejects_non_divisor(spark, docs_small, tmp_path):
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        reband_minhash_index,
+    )
+
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs_small.limit(20), path)
+    with pytest.raises(ValueError, match="divide evenly"):
+        reband_minhash_index(spark, path, 7)
+
+
+def test_minhash_index_stats_reports_state(spark, docs_small, tmp_path):
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        minhash_index_stats,
+        upsert_minhash_index,
+    )
+
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs_small.where(F.col("doc_id") % 5 != 0), path)
+    upsert_minhash_index(
+        spark, path, docs_small.where(F.col("doc_id") % 5 == 0)
+    )
+    st = minhash_index_stats(spark, path)
+    assert st["n_docs"] == docs_small.count()
+    assert st["k"] == 32 and st["bands"] == 8
+    assert st["signatures_files"] >= 2  # build + upsert generations
+    assert st["buckets_files"] >= st["signatures_files"]
