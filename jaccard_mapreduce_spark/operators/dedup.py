@@ -1101,7 +1101,7 @@ def effective_token_stats(
     clusters = dedup_clusters(
         documents.select(F.col(id_col).alias("doc_id")), pairs
     )
-    reps = dedup_representatives(documents, clusters)
+    reps = dedup_representatives(documents, clusters, id_col=id_col)
     raw = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),

@@ -93,6 +93,13 @@ def build_minhash_index(
         )
     finally:
         sigs.unpersist()
+    # the band count ALSO rides inside the buckets dataset (Spark's
+    # file index skips underscore-prefixed files), so any swap that
+    # renames the dataset moves its banding with it atomically —
+    # _stored_params prefers this copy; see reband_minhash_index
+    _fs_write_text(
+        documents.sparkSession, f"{path}/buckets/_banding", str(bands)
+    )
     _fs_write_text(
         documents.sparkSession,
         f"{path}/_params",
@@ -104,7 +111,16 @@ def _stored_params(spark: SparkSession, path: str) -> dict:
     raw = _fs_read_text(spark, f"{path}/_params")
     if raw is None:
         raise ValueError(f"not a MinHash index (missing _params): {path}")
-    return json.loads(raw)
+    p = json.loads(raw)
+    # the authoritative band count lives INSIDE the buckets dataset
+    # (written with it, renamed with it): a crash between a reband's
+    # dataset swap and its _params update would otherwise leave stale
+    # metadata that silently band-mismatches every later dedup into
+    # reporting zero near-duplicates
+    banding = _fs_read_text(spark, f"{path}/buckets/_banding")
+    if banding is not None:
+        p["bands"] = int(banding)
+    return p
 
 
 def upsert_minhash_index(
@@ -345,16 +361,24 @@ def reband_minhash_index(
     signatures — no corpus pass. Banding is a pure re-slicing of the
     k-hash signature (``lsh_params_for``'s occupancy math says when:
     more bands → higher recall and more collisions, fewer → the
-    reverse), so the bucket dataset after rebanding is byte-identical
-    to a from-scratch build at ``new_bands``. Retuning ``k`` itself
+    reverse), so the bucket dataset after rebanding is row-identical
+    to a from-scratch build at ``new_bands`` (file layout differs: the
+    rewrite packs one file per band). Retuning ``k`` itself
     DOES need the corpus (new hash functions must see the tokens) — a
-    rebuild, not an index operation. Updates ``_params`` so every
-    later :func:`dedup_incremental`/:func:`upsert_minhash_index` uses
-    the new banding."""
+    rebuild, not an index operation.
+
+    Crash safety: the new band count is written INSIDE the tmp bucket
+    dataset (``_banding``) before the swap, so the rename that
+    publishes the new buckets publishes their banding with them —
+    ``_stored_params`` prefers that copy, and a crash between the
+    swap and the ``_params`` refresh can never leave stale metadata
+    that band-mismatches every later dedup into silently reporting
+    zero near-duplicates."""
     p = _stored_params(spark, path)
-    if p["k"] % new_bands != 0:
+    if new_bands < 1 or p["k"] % new_bands != 0:
         raise ValueError(
-            f"k={p['k']} must divide evenly into new_bands={new_bands}"
+            f"new_bands={new_bands} must be >= 1 and divide"
+            f" k={p['k']} evenly"
         )
     sigs = spark.read.parquet(f"{path}/signatures")
     tmp = f"{path}/buckets__rebanding"
@@ -369,6 +393,7 @@ def reband_minhash_index(
         .partitionBy("band")
         .parquet(tmp)
     )
+    _fs_write_text(spark, f"{tmp}/_banding", str(new_bands))
     from jaccard_mapreduce_spark.sources.vector_index import _hadoop_fs
 
     fs, live = _hadoop_fs(spark, f"{path}/buckets")
@@ -423,7 +448,13 @@ def compact_minhash_index(
         _compact_datasets,
     )
 
-    return _compact_datasets(
+    # resolve the authoritative banding BEFORE the rewrite: the
+    # compactor re-reads the dataset as parquet, which drops the
+    # in-dataset _banding marker — re-stamp it after the swap so a
+    # compaction can never demote the authoritative copy back to a
+    # possibly-stale _params value
+    p = _stored_params(spark, path)
+    out = _compact_datasets(
         spark,
         path,
         ("signatures", "buckets"),
@@ -432,6 +463,8 @@ def compact_minhash_index(
         target_file_bytes,
         partition_by={"buckets": "band"},
     )
+    _fs_write_text(spark, f"{path}/buckets/_banding", str(p["bands"]))
+    return out
 
 
 def _ensure_doc_index(

@@ -1015,8 +1015,10 @@ def test_reband_rejects_non_divisor(spark, docs_small, tmp_path):
 
     path = str(tmp_path / "mh")
     build_minhash_index(docs_small.limit(20), path)
-    with pytest.raises(ValueError, match="divide evenly"):
+    with pytest.raises(ValueError, match="divide"):
         reband_minhash_index(spark, path, 7)
+    with pytest.raises(ValueError, match=">= 1"):
+        reband_minhash_index(spark, path, 0)
 
 
 def test_minhash_index_stats_reports_state(spark, docs_small, tmp_path):
@@ -1036,3 +1038,57 @@ def test_minhash_index_stats_reports_state(spark, docs_small, tmp_path):
     assert st["k"] == 32 and st["bands"] == 8
     assert st["signatures_files"] >= 2  # build + upsert generations
     assert st["buckets_files"] >= st["signatures_files"]
+
+
+def test_banding_marker_survives_stale_params_and_compaction(
+    spark, docs_small, tmp_path
+):
+    """The authoritative band count rides inside the buckets dataset:
+    a crash between a reband's dataset swap and its _params refresh
+    (simulated by writing stale _params) must NOT band-mismatch later
+    dedups, and compaction must re-stamp the marker it rewrites away."""
+    import json
+
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        _stored_params,
+        build_minhash_index,
+        compact_minhash_index,
+        dedup_incremental,
+        reband_minhash_index,
+    )
+
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs_small.where(F.col("doc_id") % 5 != 0), path)
+    reband_minhash_index(spark, path, 4)
+    batch = docs_small.where(F.col("doc_id") % 5 == 0)
+    want = sorted(map(tuple, dedup_incremental(spark, path, batch).collect()))
+    # simulate the crash window: buckets are rebanded, _params stale
+    # (written through Hadoop FS like the library does — a raw Python
+    # write would orphan the LocalFS .crc sidecar)
+    from jaccard_mapreduce_spark.sources.vector_index import _fs_write_text
+
+    _fs_write_text(
+        spark, path + "/_params", json.dumps({"k": 32, "bands": 8, "seed": 42})
+    )
+    assert _stored_params(spark, path)["bands"] == 4
+    got = sorted(map(tuple, dedup_incremental(spark, path, batch).collect()))
+    assert got == want and len(got) > 0
+    compact_minhash_index(spark, path, n_files=1)
+    assert _stored_params(spark, path)["bands"] == 4
+    after = sorted(map(tuple, dedup_incremental(spark, path, batch).collect()))
+    assert after == want
+
+
+def test_effective_token_stats_forwards_custom_columns(spark):
+    from jaccard_mapreduce_spark.operators.dedup import (
+        effective_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc", 8, "w"), (2, "dd ee", 5, "w")],
+        "id long, body string, n_chars long, src string",
+    )
+    rows = effective_token_stats(
+        docs, id_col="id", text_col="body", source_col="src"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n_tokens"] == 5
