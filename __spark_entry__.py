@@ -465,6 +465,7 @@ _NEW_OR_CHANGED = [
     "dedup_incremental",  # new: batch-vs-store dedup over the signature store
     "minhash_index_upsert",  # new: signature-store append == union build
     "effective_token_stats",  # new: duplicate-discounted source accounting
+    "bigram_surprise",  # new: conditional bigram LM fluency score
 ]
 
 # Keys OUTSIDE the graded window despite ranking stale, each with the
@@ -502,10 +503,12 @@ _R7_WINDOW = [
     "key_skew_stats", "train_val_split", "split_leakage_audit",
     "clustered_split", "clustered_split_leakage", "lsh_index_compact",
     "dedup_incremental", "minhash_index_upsert", "effective_token_stats",
-    # (nine round-3-graded cohort keys — top_ngrams, global_shuffle,
+    "bigram_surprise",
+    # (ten round-3-graded cohort keys — top_ngrams, global_shuffle,
     # user_funnel, contamination_check, repetition_stats,
     # events_json_props, stream_hopping, customer_trailing_spend,
-    # stream_interval_join — rotate back out to fund these slots: legal
+    # stream_interval_join, q14_promo_revenue — rotate back out to
+    # fund these slots: legal
     # under the staleness guard because the freshest remaining
     # in-window cohort key is also round-3 (rotating out an r1/r2 key
     # would trip the guard), their semantics stay covered by in-window
@@ -526,7 +529,7 @@ _R7_WINDOW = [
     "jaccard_threshold", "jaccard_topk", "lineitem_quantiles",
     "media_features", "media_frames", "orders_above_customer_avg",
     "orders_rolling_stats", "pack_sequences", "part_price_band_join",
-    "pii_scrub", "q14_promo_revenue", "q7_nation_volume",
+    "pii_scrub", "q7_nation_volume",
     "simhash", "stream_dedup_events",
     "stream_enrich_segments",
     "stream_latest_event", "stream_sessions", "stream_user_counts",
@@ -577,6 +580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # poor-man's-perplexity filter (mean token surprise vs corpus)
         "gopher_quality_flags": lambda s, d: TA.gopher_quality_flags(_docs(s, d)),
         "unigram_surprise": lambda s, d: TA.unigram_surprise(_docs(s, d)),
+        # new round 7: conditional bigram LM surprise — the fluency
+        # axis the unigram model is blind to (shuffled-word text scores
+        # high here, low there); the bigram LM relation is corpus-sized
+        # so it joins shuffled, never broadcast
+        "bigram_surprise": lambda s, d: TA.bigram_surprise(_docs(s, d)),
         "minhash_error_audit": lambda s, d: D.minhash_error_audit(_docs(s, d)),
         "source_mixture": lambda s, d: TA.source_mixture(_docs(s, d)),
         # new round 6: epoch-style domain re-mixing — source_mixture
@@ -1153,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": oracles.source_overlap_matrix_sql(0.7),
         "gopher_quality_flags": oracles.gopher_quality_flags_sql(),
         "unigram_surprise": oracles.unigram_surprise_sql(),
+        "bigram_surprise": oracles.bigram_surprise_sql(),
         "ann_recall_audit": oracles.ann_recall_audit_sql(
             10, S.lsh_tables(64)
         ),

@@ -163,6 +163,7 @@ def main() -> None:
         "dedup_incremental",
         "minhash_index_upsert",
         "effective_token_stats",
+        "bigram_surprise",
         # round-5 additions
         "jaccard_formatted",
         "containment_pruned",

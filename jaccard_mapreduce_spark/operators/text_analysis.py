@@ -1254,6 +1254,88 @@ def unigram_surprise(
     )
 
 
+def bigram_surprise(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean CONDITIONAL bigram surprise —
+    ``(doc_id, n_bigrams, surprise)`` with
+    ``surprise = -(Σ_b tf_b · ln p(w2|w1)) / n_bigrams`` and
+    ``p(w2|w1) = corpus_count(w1,w2) / corpus_count(w1 as prefix)``.
+
+    One modeling level above :func:`unigram_surprise` (the fluency
+    axis the unigram LM is blind to): a document whose words are
+    individually common but strung together unusually — shuffled
+    text, keyword stuffing, template noise — scores high here while
+    scoring low on unigram surprise. Every scored document is part of
+    the corpus the counts come from, so every observed bigram has
+    nonzero probability and no smoothing constant enters the contract.
+
+    Scale shape: the bigram LM relation is CORPUS-sized (one row per
+    distinct bigram — unlike the unigram vocabulary it is never
+    broadcast-safe), so the per-doc tf relation joins it SHUFFLED on
+    (w1, w2); the prefix counts reduce from the bigram counts (no
+    second pass over the tokens). Cross-engine float exactness uses
+    the house recipe: integer counts, libm ``ln`` on the LM relation
+    only, and the per-doc sum folds sequentially over the
+    (w1, w2)-sorted list (:func:`_sorted_fold` / ``list_reduce``).
+    """
+    import math
+
+    _ln_libm = F.pandas_udf(lambda v: v.map(math.log), "double")
+
+    ts = documents.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("ts")
+    )
+    n = F.size("ts")
+    bigrams = (
+        ts.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, n - 1),
+                    F.slice("ts", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1"), F.col("bg.w2"))
+    )
+    tf = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    cnt = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    prefix = cnt.groupBy("w1").agg(F.sum("cnt").alias("pcnt"))
+    lm = cnt.join(prefix, "w1").select(
+        "w1",
+        "w2",
+        _ln_libm(
+            F.col("cnt").cast("double") / F.col("pcnt").cast("double")
+        ).alias("lp"),
+    )
+    per_doc = (
+        tf.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            _sorted_fold(
+                F.struct(F.col("w1"), F.col("w2")), F.col("tf") * F.col("lp")
+            ).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (-F.col("_s") / F.col("n_bigrams")).alias("surprise"),
+        )
+    )
+    ids = documents.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce("surprise", F.lit(0.0)).alias("surprise"),
+    )
+
+
 def source_token_drift(
     documents: DataFrame,
     text_col: str = "text",

@@ -1007,6 +1007,50 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
 
 
+def bigram_surprise_sql() -> str:
+    # same cross-engine float contract as unigram_surprise_sql: libm ln
+    # on the LM relation only, per-doc sums fold sequentially over the
+    # (w1, w2)-ordered list. Bigrams are adjacent token pairs of the
+    # order-preserving TOKS_EXPR (1-based ts[i], range(1, len) stops
+    # one short of the end; <2-token docs produce no pairs and fall to
+    # the zero-coalesced left join).
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {TOKS_EXPR} AS ts FROM documents
+),
+bg AS (
+    SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+    FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)
+),
+tf AS (
+    SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+),
+cnt AS (
+    SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2
+),
+prefix AS (
+    SELECT w1, sum(cnt) AS pcnt FROM cnt GROUP BY 1
+),
+lm AS (
+    SELECT c.w1, c.w2,
+           ln(CAST(c.cnt AS DOUBLE) / CAST(p.pcnt AS DOUBLE)) AS lp
+    FROM cnt c JOIN prefix p ON c.w1 = p.w1
+),
+per AS (
+    SELECT t.doc_id,
+           CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+           list_reduce(list(CAST(t.tf AS DOUBLE) * l.lp
+                            ORDER BY t.w1, t.w2),
+                       (a, b) -> a + b) AS s
+    FROM tf t JOIN lm l ON t.w1 = l.w1 AND t.w2 = l.w2
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(-(p.s) / p.n_bigrams, 0.0) AS surprise
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+
+
 def source_token_drift_sql() -> str:
     # mirrors operators/text_analysis.py::source_token_drift — same
     # libm-ln conventions as unigram_surprise_sql; the log ratio is ONE

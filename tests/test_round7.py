@@ -1092,3 +1092,63 @@ def test_effective_token_stats_forwards_custom_columns(spark):
         docs, id_col="id", text_col="body", source_col="src"
     ).collect()
     assert len(rows) == 1 and rows[0]["n_tokens"] == 5
+
+
+# --- bigram_surprise: conditional-LM fluency scoring ---
+
+
+def test_bigram_surprise_hand_computed(spark):
+    """Corpus 'a b', 'a b', 'a c': p(b|a)=2/3, p(c|a)=1/3 — doc 3's
+    single bigram is the rarer continuation, so it scores -ln(1/3)."""
+    import math
+
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        bigram_surprise,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_surprise(docs).collect()}
+    assert got[1]["n_bigrams"] == 1
+    assert abs(got[1]["surprise"] - (-math.log(2 / 3))) < 1e-12
+    assert abs(got[3]["surprise"] - (-math.log(1 / 3))) < 1e-12
+    assert got[3]["surprise"] > got[1]["surprise"]
+
+
+def test_bigram_surprise_short_docs_score_zero(spark):
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        bigram_surprise,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_surprise(docs).collect()}
+    assert got[1]["n_bigrams"] == 0 and got[1]["surprise"] == 0.0
+    assert got[2]["n_bigrams"] == 0 and got[2]["surprise"] == 0.0
+    # the only bigram in the corpus: p = 1, surprise exactly 0
+    assert got[3]["n_bigrams"] == 1 and got[3]["surprise"] == 0.0
+
+
+def test_bigram_catches_shuffled_text_unigram_misses(spark):
+    """The operator's reason to exist: word-shuffled text has the SAME
+    unigram distribution as fluent text but unusual transitions."""
+    from jaccard_mapreduce_spark.operators.text_analysis import (
+        bigram_surprise,
+        unigram_surprise,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(1, 9)]
+        + [(9, "mat the on sat cat rug the dog and on the sat the")],
+        "doc_id long, text string",
+    )
+    uni = {r["doc_id"]: r["surprise"] for r in unigram_surprise(docs).collect()}
+    bi = {r["doc_id"]: r["surprise"] for r in bigram_surprise(docs).collect()}
+    # same words -> unigram surprise nearly identical...
+    assert abs(uni[9] - uni[1]) < 0.05
+    # ...but the shuffled doc's transitions are rare -> clear margin
+    assert bi[9] > bi[1] + 0.5, (bi[1], bi[9])
