@@ -91,15 +91,37 @@ def key_skew_stats(
     combine (each executor pre-reduces its own rows of the hot key to
     ONE row before the exchange), and everything after the count is
     key-cardinality-sized. Ties rank by key string ascending —
-    deterministic, hash-graded."""
-    c = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    deterministic, hash-graded.
+
+    Two scale fixes from the round-7 review (output unchanged):
+
+    * The per-key count relation is PINNED — its two consumers (the
+      top-``k`` branch and the total-row-count branch) otherwise each
+      rebuild the aggregate from a full scan of the diagnosed table,
+      i.e. TWO passes over a 100 TB input for one pre-flight. The pin
+      is key-cardinality-sized (two skinny columns) and spills;
+      tests/test_plans.py asserts the final plan scans the source once.
+    * The ranking pre-prunes with ``orderBy().limit(k)`` — Spark
+      compiles that to ``TakeOrderedAndProject`` (per-partition top-k,
+      driver-side merge of k·partitions rows), so only ``k`` rows ever
+      reach the global ``row_number`` window. The previous shape ranked
+      the ENTIRE key-cardinality relation through an unpartitioned
+      window: one task sorting every distinct key, the exact
+      single-partition WindowExec round 5 removed from the vocabulary
+      query. The (``n_rows`` desc, ``key`` asc) order is total, so the
+      limit is deterministic and the ranks are unchanged."""
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    c = _pin(
+        df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
     )
     total = c.agg(F.sum("n_rows").alias("total"))
+    top = c.orderBy(F.desc("n_rows"), F.asc("key")).limit(k)
     w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
     return (
-        c.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .crossJoin(F.broadcast(total))
         .select(
             "rank",

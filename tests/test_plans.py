@@ -624,6 +624,22 @@ def test_key_skew_stats_has_partial_aggregation(spark):
     assert "partial_count" in plan
 
 
+def test_key_skew_stats_single_scan_and_pruned_ranking(spark):
+    # round-8 fixes, both visible in the plan: (a) the per-key count
+    # relation is pinned, so the top-k branch and the total branch both
+    # read the cache — every FileScan string in the printout sits under
+    # an InMemoryRelation (the source is scanned ONCE at runtime, not
+    # once per branch); (b) the ranking pre-prunes through
+    # TakeOrderedAndProject (distributed per-partition top-k), with the
+    # row_number window ABOVE it — ranking k rows, never the full
+    # key-cardinality relation through one unpartitioned WindowExec
+    plan = _plan(entrymod.queries()["key_skew_stats"](spark, SF_ORACLE))
+    assert plan.count("FileScan") == plan.count("InMemoryRelation")
+    assert plan.count("FileScan") >= 1
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_boilerplate_scrub_no_cartesian(spark):
     # coverage via span explode + anti-join, never a range/cross join
     plan = _plan(entrymod.queries()["boilerplate_scrub"](spark, SF_ORACLE))
