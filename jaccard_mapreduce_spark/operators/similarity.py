@@ -159,7 +159,33 @@ def _score_pairs_fast(
                 if len(arr) and arr.min() >= 0 and arr.max() < 4 * len(arr) + 1024:
                     lut = np.full(int(arr.max()) + 1, -1, dtype="int64")
                     lut[arr] = np.arange(len(arr))
-                    return lambda s: lut[s.to_numpy(dtype="int64")]
+
+                    def _gather(s):
+                        ix = s.to_numpy(dtype="int64")
+                        # a candidate id absent from the vector relation
+                        # must FAIL like the dict path's KeyError, not
+                        # silently gather row -1 (the LUT's fill value
+                        # wraps to the LAST matrix row) and emit a wrong
+                        # score — the one failure mode of this kernel
+                        # that corrupts instead of erroring
+                        if len(ix) and (
+                            ix.min() < 0 or ix.max() >= len(lut)
+                        ):
+                            bad = ix[(ix < 0) | (ix >= len(lut))]
+                            raise KeyError(
+                                "candidate ids absent from the vector"
+                                f" relation: {sorted(set(bad))[:5]}"
+                            )
+                        out = lut[ix]
+                        if (out < 0).any():
+                            bad = ix[out < 0]
+                            raise KeyError(
+                                "candidate ids absent from the vector"
+                                f" relation: {sorted(set(bad))[:5]}"
+                            )
+                        return out
+
+                    return _gather
             d = {i: j for j, i in enumerate(ids)}
             return lambda s: s.map(d).to_numpy(dtype="int64")
 

@@ -448,13 +448,17 @@ def compact_minhash_index(
         _compact_datasets,
     )
 
-    # resolve the authoritative banding BEFORE the rewrite: the
+    # resolve the authoritative banding BEFORE the rewrite (the
     # compactor re-reads the dataset as parquet, which drops the
-    # in-dataset _banding marker — re-stamp it after the swap so a
-    # compaction can never demote the authoritative copy back to a
-    # possibly-stale _params value
+    # in-dataset _banding marker) and stamp it into the TMP dataset
+    # before the swap, so the rename that publishes the compacted
+    # buckets publishes their banding with them — the same
+    # marker-rides-with-the-data ordering reband_minhash_index uses. A
+    # post-swap re-stamp would leave a crash window in which the live
+    # dataset has no authoritative marker and a stale _params could
+    # silently band-mismatch every later dedup into zero results.
     p = _stored_params(spark, path)
-    out = _compact_datasets(
+    return _compact_datasets(
         spark,
         path,
         ("signatures", "buckets"),
@@ -462,9 +466,12 @@ def compact_minhash_index(
         n_files,
         target_file_bytes,
         partition_by={"buckets": "band"},
+        pre_swap={
+            "buckets": lambda tmp: _fs_write_text(
+                spark, f"{tmp}/_banding", str(p["bands"])
+            )
+        },
     )
-    _fs_write_text(spark, f"{path}/buckets/_banding", str(p["bands"]))
-    return out
 
 
 def _ensure_doc_index(

@@ -507,12 +507,21 @@ def _compact_datasets(
     n_files: int | None,
     target_file_bytes: int,
     partition_by: dict[str, str] | None = None,
+    pre_swap: dict | None = None,
 ) -> dict[str, tuple[int, int]]:
     """Shared size-targeted compaction over an index's append-heavy
     datasets (see :func:`compact_lsh_index` for the contract). A
     dataset named in ``partition_by`` keeps its partition column on
-    rewrite (file counting then recurses into partition dirs)."""
+    rewrite (file counting then recurses into partition dirs). A
+    dataset named in ``pre_swap`` has its callback invoked with the tmp
+    dataset path AFTER the rewrite lands but BEFORE the swap — for
+    in-dataset metadata (the signature store's ``_banding`` marker)
+    that the parquet re-read drops and that must be present the instant
+    the rename publishes the new generation, not re-stamped after it
+    (a crash between swap and re-stamp would leave the dataset without
+    its authoritative marker)."""
     partition_by = partition_by or {}
+    pre_swap = pre_swap or {}
     out: dict[str, tuple[int, int]] = {}
     for name in names:
         ds = f"{path}/{name}"
@@ -544,6 +553,8 @@ def _compact_datasets(
         else:
             writer = rel.repartition(n_out).write.mode("overwrite")
         writer.parquet(tmp)
+        if name in pre_swap:
+            pre_swap[name](tmp)
         # swap keeping a full copy at every step: live -> __old,
         # tmp -> live, delete __old. Hadoop FS rename reports failure
         # by BOOLEAN, not exception — a dropped return value here would

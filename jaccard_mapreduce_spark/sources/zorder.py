@@ -24,9 +24,6 @@ single text file, DocumentSimilarityDriver.java:43-45).
 from __future__ import annotations
 
 import os
-import re
-import shutil
-import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,13 +57,6 @@ def zorder_key(col_a: str, col_b: str, bits: int = DEFAULT_BITS) -> Column:
             f" {2 * i})"
         )
     return F.expr(" + ".join(terms))
-
-
-def demo_dir(spark: SparkSession, suffix: str = "") -> str:
-    app = re.sub(r"[^a-zA-Z0-9]+", "_", spark.sparkContext.applicationId)
-    return os.path.join(
-        tempfile.gettempdir(), f"events_zorder_demo_{app}{suffix}".lower()
-    )
 
 
 def write_zordered_events(
@@ -126,10 +116,26 @@ def zordered_events_summary(
     bucketed/partitioned/salted convention). The pruning payoff is
     measured, not asserted — ``rowgroup_overlap_fraction`` reads the
     parquet footers of this copy vs a user-sorted copy
-    (tests/test_round7.py + docs/SCALE.md)."""
-    base = demo_dir(spark)
-    shutil.rmtree(base, ignore_errors=True)
-    write_zordered_events(spark, sf_dir, base)
+    (tests/test_round7.py + docs/SCALE.md).
+
+    The layout write is gated behind the shared build-once session
+    marker (content-fingerprinted, the ``_ensure_index`` discipline
+    every other index/layout demo follows): the first call per
+    (session, sf_dir, fixture content) pays the full re-layout, later
+    calls — bench reps, driver re-reads — measure the pruned scan the
+    demo exists to demonstrate, and a rewritten fixture under the same
+    path still invalidates the copy instead of serving stale rows."""
+    from jaccard_mapreduce_spark.sources.vector_index import _ensure_index
+
+    base, _rel = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_zorder",
+        required_dirs=[],
+        build=lambda _rel, b: write_zordered_events(spark, sf_dir, b),
+        table="events.parquet",
+        required_files=("_SUCCESS",),
+    )
     z = spark.read.parquet(base)
     return (
         z.where(

@@ -110,7 +110,12 @@ def test_rotation_cannot_starve_a_stale_key():
         for k in entrymod.queries()
         if k not in new_or_changed and k not in exempt
     }
-    freshest_inside = max(ranked[k] for k in ranked if k in window)
+    # default=0: a window filled entirely by new/changed + exempt
+    # entries leaves nothing ranked inside — that trivially passes
+    # (no in-window key to be staler than) rather than erroring
+    freshest_inside = max(
+        (ranked[k] for k in ranked if k in window), default=0
+    )
     starved = sorted(
         k
         for k, r in ranked.items()
