@@ -35,6 +35,9 @@ from jaccard_mapreduce_spark.operators import skew as SK  # noqa: E402
 from jaccard_mapreduce_spark.operators import similarity as S  # noqa: E402
 from jaccard_mapreduce_spark.operators import text_analysis as TA  # noqa: E402
 from jaccard_mapreduce_spark.sources.corpus import read_documents  # noqa: E402
+from jaccard_mapreduce_spark.sources.signature_index import (  # noqa: E402
+    bands_for as _bands_for,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -306,6 +309,22 @@ def _q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return minhash_index_upsert_demo(spark, sf_dir)
+
+
+def _q_minhash_index_reband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        reband_minhash_index_demo,
+    )
+
+    return reband_minhash_index_demo(spark, sf_dir)
+
+
+def _q_minhash_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        minhash_index_stats_demo,
+    )
+
+    return minhash_index_stats_demo(spark, sf_dir)
 
 
 def _q_corpus_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,6 +778,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch; must equal the same probe against a one-shot store
         # over the full corpus (seed-derived data-independent hashing)
         "minhash_index_upsert": _q_minhash_index_upsert,
+        # new round 8: the in-place band retune graded — a store built
+        # at a mistuned banding (4) rebands to the bands_for-derived 8
+        # and the post-reband dedup must hash-match a FRESH build at
+        # the new banding (pins both the row-identical rewrite and the
+        # published _banding marker actually governing later dedups)
+        "minhash_index_reband": _q_minhash_index_reband,
+        # new round 8: the ops snapshot graded — params + doc count +
+        # measured (band, bucket) occupancy (the reband trigger's
+        # input), recomputed by the oracle from the signature CTEs
+        "minhash_index_stats": _q_minhash_index_stats,
         # round 6: the serving shape — a deterministic 10% query batch
         # against the full stored index; oracle = the one-plan SQL with
         # the candidate join's query side filtered to the batch (the
@@ -1190,6 +1219,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_index_upsert": oracles.dedup_incremental_sql(
             0.7, store_where="TRUE", batch_where="a.doc_id % 10 = 0"
         ),
+        # post-reband dedup must equal a FRESH build at the
+        # bands_for-derived banding (store = % 3 != 0, batch = rest)
+        "minhash_index_reband": oracles.dedup_incremental_sql(
+            0.7,
+            bands=_bands_for(threshold=0.7),
+            store_where="b.doc_id % 3 <> 0",
+            batch_where="a.doc_id % 3 = 0",
+        ),
+        "minhash_index_stats": oracles.minhash_index_stats_sql(base_mod=6),
         "lsh_index_serve": oracles.ann_lsh_topk_sql(
             10, S.lsh_tables(64), query_where="a.vec_id % 10 = 0"
         ),

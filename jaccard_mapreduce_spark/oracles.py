@@ -1319,6 +1319,36 @@ SELECT new_id, stored_id, est_matches,
 FROM agree WHERE est_matches >= {min_matches}"""
 
 
+def minhash_index_stats_sql(
+    base_mod: int = 6,
+    k: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """Oracle for sources/signature_index.py::minhash_index_stats_demo —
+    the SQL-derivable slice of the ops snapshot recomputed from the
+    signature CTEs over the demo's store slice: document count and the
+    measured (band, bucket) occupancy the banding retune trades on.
+    (File counts are filesystem facts with no SQL twin and are not in
+    the graded projection.)"""
+    r = k // bands
+    return f"""WITH {_minhash_cte(k, seed)},
+store AS (SELECT * FROM mh WHERE doc_id % {base_mod} <> 0),
+buckets AS (
+    SELECT doc_id, h_idx // {r} AS band,
+           string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS bucket
+    FROM store GROUP BY doc_id, h_idx // {r}
+),
+occ AS (
+    SELECT band, bucket, count(*) AS c FROM buckets GROUP BY band, bucket
+)
+SELECT CAST({k} AS BIGINT) AS k_hashes,
+       CAST({bands} AS BIGINT) AS bands,
+       (SELECT count(DISTINCT doc_id) FROM store) AS n_docs,
+       (SELECT count(*) FROM occ) AS n_bucket_groups,
+       (SELECT max(c) FROM occ) AS max_bucket_docs"""
+
+
 def _lsh_pairs_ctes(
     threshold: float, k: int, bands: int, seed: int
 ) -> str:

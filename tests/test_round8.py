@@ -87,6 +87,48 @@ def test_compact_pre_swap_hook_sees_tmp_before_publish(spark, tmp_path):
     assert seen == [(True, True)]
 
 
+def test_bands_for_derives_the_shipped_default():
+    """S-curve midpoint (1/b)^(b/k): fewest bands whose midpoint sits
+    at or below the dedup threshold. The shipped 8-band default at
+    k=32 / threshold 0.7 must be the derived point."""
+    from jaccard_mapreduce_spark.sources.signature_index import bands_for
+
+    assert bands_for(32, 0.7) == 8
+    assert bands_for(32, 0.9) == 4  # higher threshold -> fewer bands
+    assert bands_for(32, 0.3) == 16  # lower threshold -> more bands
+    assert bands_for(32, 1.0) == 1  # exact-match regime
+    assert bands_for(32, 0.01) == 32  # below every midpoint -> max bands
+    assert 32 % bands_for(32, 0.55) == 0
+    with pytest.raises(ValueError):
+        bands_for(32, 0.0)
+
+
+def test_minhash_index_stats_reports_occupancy(spark, tmp_path):
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        minhash_index_stats,
+    )
+
+    base = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i % 4}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    build_minhash_index(docs, base, bands=8)
+    st = minhash_index_stats(spark, base)
+    assert st["n_docs"] == 24
+    # compare against a direct computation over the stored buckets
+    # (near-identical texts share cells in some bands, so the group
+    # count is data-dependent — measure, don't hand-derive)
+    occ = {}
+    for r in spark.read.parquet(f"{base}/buckets").collect():
+        occ[(r["band"], r["bucket"])] = occ.get((r["band"], r["bucket"]), 0) + 1
+    assert st["n_bucket_groups"] == len(occ)
+    assert st["max_bucket_docs"] == max(occ.values())
+    # every distinct text has 6 copies, which always share all cells
+    assert st["max_bucket_docs"] >= 6
+
+
 def test_zorder_demo_reuses_layout_across_calls(spark):
     """ADVICE r7: the Z-ordered copy must be written once per
     (session, fixture) and reused — bench reps and driver re-reads
