@@ -263,6 +263,14 @@ def _q_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_upsert_demo(spark, sf_dir)
 
 
+def _q_ivf_index_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        ivf_index_sq8_demo,
+    )
+
+    return ivf_index_sq8_demo(spark, sf_dir)
+
+
 def _q_lsh_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.vector_index import (
         lsh_index_search_demo,
@@ -751,6 +759,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-plan union search with the training CTE filtered to the
         # base slice (mutation changes where vectors land, not answers)
         "ivf_index_upsert": _q_ivf_index_upsert,
+        # new round 8: the SQ8 serving path — rerank against the
+        # STORED 1-byte codes (written at build/upsert time); must
+        # hash-match the one-plan ann_sq8_topk over the same codebook,
+        # proving the quantized layout equals on-the-fly quantization
+        "ivf_index_sq8": _q_ivf_index_sq8,
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1266,6 +1279,10 @@ def oracle_sql() -> dict[str, str]:
             10, *S.ivf_params_for(500, candidate_budget=250)
         ),
         "ann_sq8_topk": oracles.ann_sq8_topk_sql(
+            10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
+        ),
+        # stored-code rerank must equal on-the-fly quantization
+        "ivf_index_sq8": oracles.ann_sq8_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
         ),
         "sq8_rank_audit": oracles.sq8_rank_audit_sql(

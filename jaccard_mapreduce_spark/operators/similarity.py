@@ -75,9 +75,13 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _check_rerank(rerank: str) -> None:
-    if rerank not in ("exact", "fast"):
-        raise ValueError(f"rerank must be 'exact' or 'fast', got {rerank!r}")
+def _check_rerank(
+    rerank: str, allowed: tuple[str, ...] = ("exact", "fast")
+) -> None:
+    if rerank not in allowed:
+        raise ValueError(
+            f"rerank must be one of {'/'.join(allowed)}, got {rerank!r}"
+        )
 
 
 def _score_pairs_fast(
@@ -814,12 +818,11 @@ def ann_sq8_topk(
     # back to the quantized relation twice, shuffling ~candidate-count
     # rows of 64-long arrays (measured 18.7 s at sf0.1 vs 5.7 s for the
     # exact tier whose scores compute inline; this shape removes both
-    # candidate-scale join-backs)
-    enriched = _pin(
-        ivf_assign(v, cents, n_probe).join(
-            _sq8_vector_cols(embeddings, id_col, vec_col), "vec_id"
-        )
-    )
+    # candidate-scale join-backs). Round 8: the columns are computed IN
+    # PLACE on the assignment relation (_sq8_enrich — quantization is a
+    # per-row projection of vec), removing the remaining n-sized
+    # quantize-relation equi-join too.
+    enriched = _pin(_sq8_enrich(ivf_assign(v, cents, n_probe)))
     queries = enriched.alias("a")
     index = enriched.where(F.col("crank") == 1).alias("b")
     scored = (
@@ -837,21 +840,38 @@ def ann_sq8_topk(
     return _topk(scored, k)
 
 
-def _sq8_vector_cols(
-    embeddings: DataFrame, id_col: str, vec_col: str
-) -> DataFrame:
-    """Per-vector SQ8 scoring columns — ``(vec_id, scale, zp, qs, qsum,
-    d, qnorm2)``. One authoritative builder shared by the SQ8 tier and
-    the rank audit so the reconstructed norms can never drift between
-    them."""
+def _sq8_enrich(df: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """Append the per-vector SQ8 scoring columns — ``scale, zp, qs,
+    qsum, d, qnorm2`` — computed from an ``array<double>`` vector
+    column as PURE per-row projections (quantization + integer folds,
+    no join, no shuffle). The one authoritative expression set behind
+    the SQ8 tiers: :func:`_sq8_vector_cols` wraps it for standalone
+    relations, :func:`ann_sq8_topk` / :func:`sq8_rank_audit` apply it
+    directly to the assignment relation (round 8 — the former
+    quantize-then-join-by-id shape shuffled the corpus a second time
+    for columns derivable in place), and the persisted IVF index
+    computes the stored codes with it at build/upsert time. The
+    quantization expressions mirror :func:`quantize_embeddings`
+    operation-for-operation; the reconstructed-norm parenthesization
+    is the cross-engine contract with the DuckDB oracle."""
     zero = F.lit(0).cast("long")
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    mn = F.array_min(vec)
+    mx = F.array_max(vec)
+    span = mx - mn
+    q = F.transform(
+        vec,
+        lambda x: (
+            F.floor((x - mn) / span * F.lit(255.0) + F.lit(0.5)) - 128
+        ).cast("int"),
+    )
+    zeros = F.transform(vec, lambda x: F.lit(-128).cast("int"))
+    qvec = F.when(span > 0, q).otherwise(zeros)
     return (
-        quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
-        .select(
-            "vec_id",
-            "scale",
-            F.col("zero_point").alias("zp"),
-            F.transform("qvec", lambda x: x.cast("long") + 128).alias("qs"),
+        df.withColumn("scale", span / F.lit(255.0))
+        .withColumn("zp", mn)
+        .withColumn(
+            "qs", F.transform(qvec, lambda x: x.cast("long") + 128)
         )
         .withColumn(
             "qsum", F.aggregate(F.col("qs"), zero, lambda a, x: a + x)
@@ -870,6 +890,19 @@ def _sq8_vector_cols(
         )
         .drop("q2")
     )
+
+
+def _sq8_vector_cols(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-vector SQ8 scoring columns — ``(vec_id, scale, zp, qs, qsum,
+    d, qnorm2)`` — :func:`_sq8_enrich` over a standalone id+vector
+    relation."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
+    return _sq8_enrich(base, "vec").drop("vec")
 
 
 def _sq8_pair_score() -> Column:
@@ -931,11 +964,7 @@ def sq8_rank_audit(
         embeddings, n_cells, iters=iters, dim=dim, id_col=id_col,
         vec_col=vec_col,
     )
-    enriched = _pin(
-        ivf_assign(v, cents, n_probe).join(
-            _sq8_vector_cols(embeddings, id_col, vec_col), "vec_id"
-        )
-    )
+    enriched = _pin(_sq8_enrich(ivf_assign(v, cents, n_probe)))
     queries = enriched.alias("a")
     index = enriched.where(F.col("crank") == 1).alias("b")
     pairs = _pin(

@@ -55,11 +55,21 @@ from jaccard_mapreduce_spark.operators.similarity import (
     _check_rerank,
     _dot,
     _score_pairs_fast,
+    _sq8_enrich,
+    _sq8_pair_score,
     _topk,
     ivf_assign,
     ivf_centroids,
     vectors,
 )
+
+# Compact stored form of the SQ8 scoring columns: the int8 codes plus
+# the per-vector scalars. ``qcode`` is the raw quantize_embeddings code
+# (-128..127, 1 byte/dim on disk — the 8x rerank-bandwidth claim made
+# real in the layout); the ``qs = qcode + 128`` longs the score
+# expression folds over are reconstructed at read time as a pure
+# projection, so the parquet round trip stays value-exact.
+_SQ8_STORED_COLS = ("qcode", "scale", "zp", "qsum", "qnorm2")
 
 
 def _scratch_dir(spark: SparkSession, suffix: str = "") -> str:
@@ -124,13 +134,23 @@ def build_ivf_index(
     """Train the codebook (:func:`ivf_centroids` — the integer-exact
     k-means loop) and materialize the index: centroids + the vector
     relation assigned to its single nearest cell, written partitioned
-    by ``cell_id``. One pass over the vectors after training."""
+    by ``cell_id``. One pass over the vectors after training.
+
+    Each stored row also carries its SQ8 quantization (the compact
+    ``_SQ8_STORED_COLS`` form — codes + per-vector scalars, a pure
+    per-row projection at write time), so a search can run its rerank
+    entirely in quantized space (``rerank="sq8"`` in
+    :func:`search_ivf_index`) reading 1-byte codes instead of float64
+    vectors — the tier's 8× rerank-bandwidth rationale pays off
+    precisely when the codes are STORED, not recomputed per query."""
     cents = ivf_centroids(
         embeddings, n_cells, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     v = vectors(embeddings, id_col, vec_col)
-    cells = ivf_assign(v, cents, 1).select("vec_id", "vec", "norm2", "cell_id")
+    cells = _with_stored_sq8(ivf_assign(v, cents, 1)).select(
+        "vec_id", "vec", "norm2", *_SQ8_STORED_COLS, "cell_id"
+    )
     (
         cells.write.mode("overwrite")
         .partitionBy("cell_id")
@@ -139,6 +159,31 @@ def build_ivf_index(
     # a rebuild starts a fresh codebook: reset the upsert counter
     # (via Hadoop FS so hdfs:///s3a:// index paths behave the same)
     _fs_delete(embeddings.sparkSession, f"{path}/_staleness")
+
+
+def _with_stored_sq8(assigned: DataFrame) -> DataFrame:
+    """Append the compact stored SQ8 columns to an assignment relation:
+    :func:`_sq8_enrich`'s scoring columns reduced to codes + scalars
+    (``qs`` folds back to the 1-byte ``qcode`` for the write; ``d`` is
+    ``size(qcode)`` and is not stored)."""
+    return (
+        _sq8_enrich(assigned)
+        .withColumn(
+            "qcode",
+            F.transform("qs", lambda x: (x - 128).cast("tinyint")),
+        )
+        .drop("qs", "d")
+    )
+
+
+def _restore_sq8(cells: DataFrame) -> DataFrame:
+    """Reconstruct the scoring columns (``qs``, ``d``) from the stored
+    compact form — a pure projection over the scan, value-exact (the
+    codes are integers; scale/zp/qsum/qnorm2 round-trip parquet doubles
+    and longs bit-for-bit)."""
+    return cells.withColumn(
+        "qs", F.transform("qcode", lambda x: x.cast("long") + 128)
+    ).withColumn("d", F.size("qcode").cast("double"))
 
 
 def search_ivf_index(
@@ -158,7 +203,20 @@ def search_ivf_index(
     cell partitions. Identical semantics to :func:`~jaccard_mapreduce_
     spark.operators.similarity.ann_ivf_topk` run with the same
     codebook — the index build changes WHERE the vectors live, never
-    the answer."""
+    the answer.
+
+    ``rerank="sq8"`` runs the rerank entirely in quantized space
+    against the STORED codes (``_SQ8_STORED_COLS``, written at
+    build/upsert time): the scan reads 1-byte codes + four scalars per
+    stored vector instead of the float64 ``vec`` — the 8× rerank
+    bandwidth the SQ8 tier exists for, realized in the layout. Query-
+    side quantization is the same per-row projection computed on the
+    fly (quantization is per-vector and data-independent, so on-the-fly
+    query codes equal stored ones), and the score expression is the
+    one-plan tier's own (:func:`_sq8_pair_score`) — a self-search must
+    value-hash-match ``ann_sq8_topk`` over the same codebook, the
+    graded ``ivf_index_sq8`` contract. Scores carry quantization error
+    by design; ``sq8_rank_audit`` measures what that costs."""
     cents = spark.read.parquet(f"{path}/centroids")
     cells = spark.read.parquet(f"{path}/cells")
     qv = vectors(queries, id_col, vec_col)
@@ -177,11 +235,34 @@ def search_ivf_index(
     # same line is the right shape anyway: it spreads each cell's
     # query load across the cluster instead of one task per cell.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    _check_rerank(rerank, allowed=("exact", "fast", "sq8"))
+    if rerank == "sq8":
+        if "qcode" not in cells.columns:
+            raise ValueError(
+                "rerank='sq8': this index was built without stored SQ8 "
+                "codes (pre-round-8 layout); rebuild it with "
+                "build_ivf_index to add them"
+            )
+        qa = (
+            _sq8_enrich(ivf_assign(qv, cents, n_probe))
+            .repartition(n_shuffle, "cell_id", "vec_id")
+            .alias("a")
+        )
+        b = _restore_sq8(cells).alias("b")
+        scored = qa.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _sq8_pair_score().alias("score"),
+        )
+        return _topk(scored, k)
     qa = ivf_assign(qv, cents, n_probe).repartition(
         n_shuffle, "cell_id", "vec_id"
     ).alias("a")
     b = cells.alias("b")
-    _check_rerank(rerank)
     cond = (F.col("a.cell_id") == F.col("b.cell_id")) & (
         F.col("a.vec_id") != F.col("b.vec_id")
     )
@@ -238,7 +319,12 @@ def upsert_ivf_index(
     vectors appended."""
     cents = spark.read.parquet(f"{path}/centroids")
     v = vectors(new_vectors, id_col, vec_col)
-    cells = ivf_assign(v, cents, 1).select("vec_id", "vec", "norm2", "cell_id")
+    # appended rows carry the same stored SQ8 columns as the build
+    # (quantization is per-row and data-independent, so append ==
+    # union-build for the quantized layout exactly as for the vectors)
+    cells = _with_stored_sq8(ivf_assign(v, cents, 1)).select(
+        "vec_id", "vec", "norm2", *_SQ8_STORED_COLS, "cell_id"
+    )
     cells = cells.persist()
     try:
         n_new = cells.count()
@@ -944,6 +1030,29 @@ def ivf_index_search_demo(
         rebuild=rebuild,
     )
     return search_ivf_index(spark, base, emb)
+
+
+def ivf_index_sq8_demo(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """Contract query for the SQ8 serving path: self-search the
+    persisted index with ``rerank="sq8"`` — the rerank reads the STORED
+    1-byte codes, never the float vectors. Must value-hash-match the
+    one-plan ``ann_sq8_topk`` oracle (same trained codebook, same
+    pinned score expression), proving the quantized layout is
+    semantically identical to quantizing on the fly — which is what
+    licenses storing codes instead of floats at 10⁹ vectors. Shares the
+    session index with :func:`ivf_index_search_demo` (identical build;
+    the gate makes grading order-independent)."""
+    base, emb = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="",
+        required_dirs=["centroids", "cells"],
+        build=build_ivf_index,
+        rebuild=rebuild,
+    )
+    return search_ivf_index(spark, base, emb, rerank="sq8")
 
 
 def ivf_index_upsert_demo(

@@ -129,6 +129,60 @@ def test_minhash_index_stats_reports_occupancy(spark, tmp_path):
     assert st["max_bucket_docs"] >= 6
 
 
+def test_ivf_sq8_search_prunes_float_vectors_from_the_scan(spark):
+    """The SQ8 serving path's whole point: the stored-side rerank reads
+    the 1-byte codes + scalars, never the float64 vectors — the scan of
+    the cells dataset must prune ``vec`` and ``norm2`` and keep
+    ``qcode``. Also: the quantized score is pure column arithmetic, no
+    Python anywhere in the plan."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        ivf_index_sq8_demo,
+    )
+
+    df = ivf_index_sq8_demo(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    cells_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line and "/cells" in line
+    ]
+    assert cells_scans, "expected a FileScan over the cells dataset"
+    import re
+
+    for line in cells_scans:
+        rs = line.split("ReadSchema:", 1)[1]
+        assert re.search(r"[<,]qcode:", rs)
+        assert not re.search(r"[<,]vec:", rs)
+        assert not re.search(r"[<,]norm2:", rs)
+
+
+def test_ivf_sq8_search_refuses_codeless_index(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as _F
+
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(64)
+    base = str(tmp_path / "idx")
+    build_ivf_index(emb, base, n_cells=4)
+    # simulate a pre-round-8 layout: rewrite cells without the codes
+    cells = spark.read.parquet(f"{base}/cells").drop(
+        "qcode", "scale", "zp", "qsum", "qnorm2"
+    ).localCheckpoint(eager=True)
+    cells.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{base}/cells"
+    )
+    with _pytest.raises(ValueError, match="without stored SQ8"):
+        search_ivf_index(spark, base, emb, rerank="sq8")
+    # the exact tier still serves the old layout
+    assert search_ivf_index(spark, base, emb, k=3).count() > 0
+
+
 def test_zorder_demo_reuses_layout_across_calls(spark):
     """ADVICE r7: the Z-ordered copy must be written once per
     (session, fixture) and reused — bench reps and driver re-reads
