@@ -33,7 +33,47 @@ def _load1() -> float:
         return -1.0
 
 
+def _wait_for_quiet_host() -> tuple[float, bool]:
+    """Pre-flight loadavg gate (round-7 verdict: the r7 bench ran at
+    loadavg 7.7→9.2 and the +18% across untouched plans was pure host
+    noise). Wait — up to SPARK_GRAFT_BENCH_LOAD_WAIT seconds, default
+    300 — for the 1-minute loadavg to drop below
+    SPARK_GRAFT_BENCH_MAX_LOAD (default 3.0) before measuring; if the
+    host never quiets, proceed anyway and flag it in bench_detail so
+    the medians are read as low-confidence rather than silently
+    trusted. Returns (seconds waited, gate satisfied)."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "3.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+    waited = 0.0
+    while _load1() > max_load and waited < budget:
+        time.sleep(15)
+        waited += 15
+    return round(waited, 1), _load1() <= max_load
+
+
+# Every oracle-backed key not in the core list below (nor pre-built as
+# an index demo) is benched on a deterministic 4-round rotation keyed
+# by the window design round — so NO registry key goes more than
+# N_BENCH_COHORTS rounds without a recorded sf0.1 timing, and a perf
+# regression in a key rotated out of the correctness window cannot
+# hide indefinitely. tests/test_registry.py asserts the rotation
+# partitions the full registry.
+N_BENCH_COHORTS = 4
+
+
+def rotating_cohort(
+    all_keys, core, prebuilt, round_no: int
+) -> list[str]:
+    rest = sorted(k for k in all_keys if k not in core and k not in prebuilt)
+    return [
+        k
+        for i, k in enumerate(rest)
+        if i % N_BENCH_COHORTS == round_no % N_BENCH_COHORTS
+    ]
+
+
 def main() -> None:
+    load_waited_s, load_gate_ok = _wait_for_quiet_host()
     loadavg = [_load1()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -69,6 +109,11 @@ def main() -> None:
     _force(qs["lsh_index_compact"](spark, sf_dir))
     _force(qs["dedup_incremental"](spark, sf_dir))
     _force(qs["minhash_index_upsert"](spark, sf_dir))
+    # round-8 index faces: sq8 shares ivf_index_search's index (gate
+    # hit — free); reband/stats build their own stores once here
+    _force(qs["ivf_index_sq8"](spark, sf_dir))
+    _force(qs["minhash_index_reband"](spark, sf_dir))
+    _force(qs["minhash_index_stats"](spark, sf_dir))
     index_build_s = round(time.perf_counter() - t0, 3)
 
     bench_queries = [
@@ -179,7 +224,26 @@ def main() -> None:
         "source_token_drift",
         "ivf_index_search",
         "kmeans_label_purity",
+        # round-8 additions
+        "ivf_index_sq8",
+        "minhash_index_reband",
+        "minhash_index_stats",
+        "lsh_dist_ranks",
+        "ivf_dist_ranks",
     ]
+    prebuilt = {
+        "ivf_index_upsert",
+        "lsh_index_search",
+        "lsh_index_serve",
+        "lsh_index_upsert",
+        "lsh_index_compact",
+        "dedup_incremental",
+        "minhash_index_upsert",
+    }
+    cohort = rotating_cohort(
+        qs, set(bench_queries), prebuilt, entry._WINDOW_DESIGN_ROUND
+    )
+    bench_queries = bench_queries + cohort
 
     # local[32] wall-clock swings 2-3x with ambient load: run each query
     # REPS times and report the MEDIAN so round-over-round deltas are
@@ -281,6 +345,20 @@ def main() -> None:
         # commit, same data, 7->21 s on one query as load_avg climbed) —
         # record it so cross-round deltas can be attributed
         "loadavg_1m_start_end": loadavg,
+        # pre-flight quiet-host gate: seconds spent waiting for the
+        # 1-min loadavg to drop under the threshold, and whether it
+        # did — a False here means the whole run is load-confounded
+        "loadavg_gate": {
+            "waited_seconds": load_waited_s,
+            "quiet": load_gate_ok,
+        },
+        # this round's rotating-coverage cohort (every oracle-backed
+        # key outside the core list is benched at least once every
+        # N_BENCH_COHORTS rounds)
+        "rotating_cohort": {
+            "round": entry._WINDOW_DESIGN_ROUND,
+            "keys": cohort,
+        },
         "total_seconds": total,
     }
     detail_path = os.path.join(

@@ -226,6 +226,131 @@ def _score_pairs_fast(
     return cand.repartition(n_shuffle).mapInPandas(score, schema=schema)
 
 
+def _score_bucket_local(sigv: DataFrame, id_type: str) -> DataFrame:
+    """Fully distributed vectorized rerank for the LSH family — the
+    third rerank tier (``rerank="dist"``), removing the fast tier's
+    driver-matrix cap: candidates are scored WHERE THEY COLLIDE.
+
+    ``sigv`` is the signature relation with the vectors riding along —
+    ``(vec_id, vec, norm2, tbl, bucket)``, n_tables rows per vector.
+    One ``applyInPandas`` per (tbl, bucket) group scores every ordered
+    in-bucket pair with the numpy gather+einsum kernel; a pair
+    colliding in several tables is scored identically each time
+    (the kernel is group-size-independent) and collapsed afterward by
+    a (query, neighbor) max-aggregate — the same shuffle the exact
+    tier's pair-``distinct`` pays, minus both candidate-scale vector
+    join-backs.
+
+    Scale shape: the only data-sized shuffle is ``sigv`` itself
+    hash-partitioned on (tbl, bucket) — n_tables × corpus rows, the
+    same expansion the signature equi-join already shuffles — and the
+    kernel's working set is one bucket's vectors, so there is NO
+    broadcast matrix, NO driver collect, and no cap: throughput is the
+    fast kernel's at any corpus size. Hot buckets concentrate n_b²
+    scoring in one task exactly as they concentrate n_b² candidates in
+    the exact tier's join; ``lsh_params_for``'s occupancy retune is the
+    bound for both. Scores differ from the interpreted fold in the
+    last ulp (numpy pairwise summation), so the tier is rank-graded
+    (``lsh_dist_ranks``), the ``lsh_fast_ranks`` precedent.
+
+    The kernel closures are deliberately SELF-CONTAINED (no references
+    to module helpers): they serialize by value and run on any worker
+    without the package installed — the per-pair arithmetic (einsum row
+    reduction, then one divide, chunked so numpy temporaries stay
+    batch-sized per the round-7 host finding) is the fast tier's,
+    bit-identical for a pair regardless of which bucket scores it,
+    which is what makes the post-score pair dedup sound."""
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        m = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+        norm = np.sqrt(pdf["norm2"].to_numpy().astype("float64"))
+        norm[norm == 0] = np.inf  # zero vectors score 0 (_cosine guard)
+        qi = np.repeat(np.arange(n), n)
+        ni = np.tile(np.arange(n), n)
+        keep = qi != ni
+        qi, ni = qi[keep], ni[keep]
+        CHUNK = 1 << 16
+        parts = []
+        for lo in range(0, len(qi), CHUNK):
+            q, b = qi[lo : lo + CHUNK], ni[lo : lo + CHUNK]
+            parts.append(
+                np.einsum("ij,ij->i", m[q], m[b]) / (norm[q] * norm[b])
+            )
+        scores = (
+            np.concatenate(parts) if parts else np.empty(0, dtype="float64")
+        )
+        return pd.DataFrame(
+            {"query_id": ids[qi], "neighbor_id": ids[ni], "score": scores}
+        )
+
+    schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, score double"
+    )
+    scored = sigv.groupBy("tbl", "bucket").applyInPandas(score, schema)
+    return scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("score").alias("score")
+    )
+
+
+def _score_cell_local(assigned: DataFrame, id_type: str) -> DataFrame:
+    """The IVF twin of :func:`_score_bucket_local`: one
+    ``applyInPandas`` per cell scores (every probing query) × (the
+    cell's resident ``crank == 1`` vectors). No post-dedup is needed —
+    the index side is single-cell, so a query meets a neighbor at most
+    once (the same argument ``ann_ivf_topk`` makes for skipping its
+    pair dedup). Kernel closure self-contained like the bucket twin's."""
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        def mat(sl):
+            ids = sl["vec_id"].to_numpy()
+            m = np.vstack(sl["vec"].to_numpy()).astype("float64")
+            norm = np.sqrt(sl["norm2"].to_numpy().astype("float64"))
+            norm[norm == 0] = np.inf
+            return ids, m, norm
+
+        resident = pdf[pdf["crank"] == 1]
+        if len(pdf) == 0 or len(resident) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            )
+        q_ids, qm, qn = mat(pdf)
+        i_ids, im, inorm = mat(resident)
+        qi = np.repeat(np.arange(len(pdf)), len(resident))
+        ni = np.tile(np.arange(len(resident)), len(pdf))
+        keep = q_ids[qi] != i_ids[ni]
+        qi, ni = qi[keep], ni[keep]
+        CHUNK = 1 << 16
+        parts = []
+        for lo in range(0, len(qi), CHUNK):
+            q, b = qi[lo : lo + CHUNK], ni[lo : lo + CHUNK]
+            parts.append(
+                np.einsum("ij,ij->i", qm[q], im[b]) / (qn[q] * inorm[b])
+            )
+        scores = (
+            np.concatenate(parts) if parts else np.empty(0, dtype="float64")
+        )
+        return pd.DataFrame(
+            {"query_id": q_ids[qi], "neighbor_id": i_ids[ni], "score": scores}
+        )
+
+    schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, score double"
+    )
+    return assigned.groupBy("cell_id").applyInPandas(score, schema)
+
+
 def vectors(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Normalize schema to ``(vec_id, vec array<double>, norm2 double)``."""
     vec = F.transform(vec_col, lambda x: x.cast("double"))
@@ -425,7 +550,7 @@ def ann_lsh_topk(
     """
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
-    _check_rerank(rerank)
+    _check_rerank(rerank, allowed=("exact", "fast", "dist"))
     tables = lsh_tables(dim, n_planes, n_tables, seed)
     # pinned: feeds the id-range probe, the signature explode, AND both
     # score join-backs (the probe also materializes the pin up front)
@@ -434,6 +559,19 @@ def ann_lsh_topk(
         f"struct({t} AS tbl, {_lsh_signature_expr('vec', planes)} AS bucket)"
         for t, planes in enumerate(tables)
     )
+    if rerank == "dist":
+        # bucket-local scoring: the vectors ride the signature explode
+        # into the (tbl, bucket) shuffle and every pair is scored where
+        # it collides — no candidate distinct, no vector join-backs, no
+        # broadcast matrix (see _score_bucket_local)
+        sigv = v.select(
+            "vec_id",
+            "vec",
+            "norm2",
+            F.explode(F.expr(f"array({sig_structs})")).alias("s"),
+        ).select("vec_id", "vec", "norm2", "s.tbl", "s.bucket")
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+        return _topk(_score_bucket_local(sigv, id_type), k)
     sig = v.select(
         "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
     ).select("vec_id", "s.tbl", "s.bucket")
@@ -742,7 +880,15 @@ def ann_ivf_topk(
     # crank==1 slice of the n_probe assignment (pinned — computing
     # ivf_assign twice doubled the crossJoin + rank window, measured
     # ~2.5 s of the 10.6 s at sf0.1)
-    _check_rerank(rerank)
+    _check_rerank(rerank, allowed=("exact", "fast", "dist"))
+    if rerank == "dist":
+        # cell-local scoring: ONE applyInPandas per cell over the
+        # (unpinned — single consumer) assignment relation; no dedup
+        # needed since the index side is single-cell
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+        return _topk(
+            _score_cell_local(ivf_assign(v, cents, n_probe), id_type), k
+        )
     assigned = _pin(ivf_assign(v, cents, n_probe))
     queries = assigned.alias("a")
     index = assigned.where(F.col("crank") == 1).alias("b")

@@ -41,8 +41,46 @@ def test_bench_only_entries_stay_out_of_the_contract():
 
 def test_window_is_the_declared_rotation():
     window = list(entrymod.queries())[:50]
-    assert window == entrymod._R7_WINDOW
-    assert len(set(entrymod._R7_WINDOW)) == 50
+    assert window == entrymod._R8_WINDOW
+    assert len(set(entrymod._R8_WINDOW)) == 50
+
+
+def test_bench_rotation_covers_every_key_within_four_rounds():
+    """Perf regressions in keys rotated out of the correctness window
+    must not hide: bench.py runs its core list every round plus a
+    deterministic cohort of the remaining oracle-backed keys, keyed by
+    the window design round mod N_BENCH_COHORTS — the union of the
+    cohorts over any N consecutive rounds is the full registry."""
+    import re
+
+    import bench
+
+    src = open(bench.__file__).read()
+    m = re.search(r"bench_queries = \[(.*?)\]", src, re.S)
+    core = set(re.findall(r'"([a-z0-9_]+)"', m.group(1)))
+    prebuilt = set(
+        re.findall(r'_force\(qs\["([a-z0-9_]+)"\]', src)
+    )
+    all_keys = set(entrymod.queries()) | set(entrymod.bench_only_queries())
+    unknown = sorted((core | prebuilt) - all_keys - {"media_meta"})
+    assert not unknown, f"bench names unknown queries: {unknown}"
+    covered = set(core) | set(prebuilt)
+    for r in range(bench.N_BENCH_COHORTS):
+        covered |= set(bench.rotating_cohort(all_keys, core, prebuilt, r))
+    gaps = sorted(all_keys - covered)
+    assert not gaps, (
+        f"keys outside both the bench core list and the rotation: {gaps}"
+    )
+    # the cohorts for consecutive rounds must be disjoint slices (a
+    # stable partition), so each key's bench cadence is exactly one in
+    # N_BENCH_COHORTS rounds
+    slices = [
+        set(bench.rotating_cohort(all_keys, core, prebuilt, r))
+        for r in range(bench.N_BENCH_COHORTS)
+    ]
+    for i in range(len(slices)):
+        for j in range(i + 1, len(slices)):
+            assert not (slices[i] & slices[j])
 
 
 def _last_green_before(design_round: int) -> dict[str, int]:
