@@ -279,6 +279,28 @@ def _q_lsh_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_index_search_demo(spark, sf_dir)
 
 
+def _q_ivf_index_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        ivf_index_dist_demo,
+    )
+
+    # rank projection: the dist kernel's scores differ from the fold
+    # in the last ulp (the lsh_fast_ranks precedent)
+    return ivf_index_dist_demo(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_lsh_index_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        lsh_index_dist_demo,
+    )
+
+    return lsh_index_dist_demo(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_lsh_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.vector_index import (
         lsh_index_upsert_demo,
@@ -485,6 +507,8 @@ _NEW_OR_CHANGED = [
     "minhash_index_stats",  # new: graded ops/occupancy snapshot
     "lsh_dist_ranks",  # new: distributed bucket-local rerank (no cap)
     "ivf_dist_ranks",  # new: its cell-local IVF twin
+    "ivf_index_dist",  # new: the dist tier served from the stored cells
+    "lsh_index_dist",  # new: its bipartite stored-LSH twin
 ]
 
 # The transitive-exemption escape hatch is EMPTY this round: the three
@@ -497,7 +521,8 @@ _R8_WINDOW = [
     "key_skew_stats", "zordered_events_summary", "ann_sq8_topk",
     "sq8_rank_audit", "ivf_index_search", "ivf_index_upsert",
     "ivf_index_sq8", "minhash_index_reband", "minhash_index_stats",
-    "lsh_dist_ranks", "ivf_dist_ranks",
+    "lsh_dist_ranks", "ivf_dist_ranks", "ivf_index_dist",
+    "lsh_index_dist",
     # the round-1 trio — the reference pipeline's own intermediate
     # stages, independently graded for the first time since round 1
     # (the transitive exemption is retired)
@@ -514,15 +539,14 @@ _R8_WINDOW = [
     "doc_tokens", "events_sessionize", "jaccard_pairs",
     "prepare_corpus", "quantize_embeddings", "stream_incremental_jaccard",
     "synthetic_corpus_stats",
-    # round-5 fillers (first 13 alphabetically; the remaining 21
+    # round-5 fillers (first 11 alphabetically; the remaining 23
     # round-5 keys stay just outside at equal staleness — legal, the
     # guard forbids only STRICTLY staler keys outside — and are the
     # natural round-9 cohort)
     "ann_recall_audit", "bloom_pruned_revenue", "boilerplate_span_stats",
     "cohort_retention", "containment_pairs", "customer_order_gaps",
     "dedup_cluster_sizes", "dedup_cross_corpus", "events_approx_check",
-    "formats_roundtrip", "gopher_quality_flags", "length_histogram",
-    "minhash_error_audit",
+    "formats_roundtrip", "gopher_quality_flags",
 ]
 
 
@@ -740,6 +764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-match the one-plan ann_sq8_topk over the same codebook,
         # proving the quantized layout equals on-the-fly quantization
         "ivf_index_sq8": _q_ivf_index_sq8,
+        # new round 8: the distributed rerank tier SERVED from the
+        # stored layouts — rerank="dist" on both index searches
+        # (role-tagged cell kernel / bipartite bucket kernel); ranks
+        # must match the exact tier's over the same stored index
+        "ivf_index_dist": _q_ivf_index_dist,
+        "lsh_index_dist": _q_lsh_index_dist,
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1189,6 +1219,20 @@ def oracle_sql() -> dict[str, str]:
         # persisted-index self-search must equal the one-plan IVF search
         "ivf_index_search": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
+        ),
+        # the distributed rerank over the STORED layouts must reproduce
+        # the exact tier's ranking (rank projection — last-ulp scores)
+        "ivf_index_dist": (
+            "SELECT query_id, neighbor_id, rank FROM ("
+            + oracles.ann_ivf_topk_sql(
+                10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
+            )
+            + ")"
+        ),
+        "lsh_index_dist": (
+            "SELECT query_id, neighbor_id, rank FROM ("
+            + oracles.ann_lsh_topk_sql(10, S.lsh_tables(64))
+            + ")"
         ),
         # build-then-upsert must equal build-over-union with the
         # base-trained codebook held fixed

@@ -226,88 +226,308 @@ def _score_pairs_fast(
     return cand.repartition(n_shuffle).mapInPandas(score, schema=schema)
 
 
-def _score_bucket_local(sigv: DataFrame, id_type: str) -> DataFrame:
+DIST_BLOCK_ROWS = 4096
+
+
+def _score_bucket_local(
+    sigv: DataFrame,
+    id_type: str,
+    block_rows: int = DIST_BLOCK_ROWS,
+    local_k: int | None = None,
+) -> DataFrame:
     """Fully distributed vectorized rerank for the LSH family — the
     third rerank tier (``rerank="dist"``), removing the fast tier's
     driver-matrix cap: candidates are scored WHERE THEY COLLIDE.
 
-    ``sigv`` is the signature relation with the vectors riding along —
-    ``(vec_id, vec, norm2, tbl, bucket)``, n_tables rows per vector.
-    One ``applyInPandas`` per (tbl, bucket) group scores every ordered
-    in-bucket pair with the numpy gather+einsum kernel; a pair
-    colliding in several tables is scored identically each time
-    (the kernel is group-size-independent) and collapsed afterward by
-    a (query, neighbor) max-aggregate — the same shuffle the exact
-    tier's pair-``distinct`` pays, minus both candidate-scale vector
-    join-backs.
+    ``sigv`` is the signature relation with the vectors AND the full
+    per-table signature array riding along —
+    ``(vec_id, vec, norm2, sigs array<bigint>, tbl, bucket)``,
+    n_tables rows per vector. One ``applyInPandas`` per (tbl, bucket)
+    group scores in-bucket ordered pairs with the numpy gather+einsum
+    kernel. Two design points make it scale:
 
-    Scale shape: the only data-sized shuffle is ``sigv`` itself
-    hash-partitioned on (tbl, bucket) — n_tables × corpus rows, the
-    same expansion the signature equi-join already shuffles — and the
-    kernel's working set is one bucket's vectors, so there is NO
-    broadcast matrix, NO driver collect, and no cap: throughput is the
-    fast kernel's at any corpus size. Hot buckets concentrate n_b²
-    scoring in one task exactly as they concentrate n_b² candidates in
-    the exact tier's join; ``lsh_params_for``'s occupancy retune is the
-    bound for both. Scores differ from the interpreted fold in the
-    last ulp (numpy pairwise summation), so the tier is rank-graded
-    (``lsh_dist_ranks``), the ``lsh_fast_ranks`` precedent.
+    **Canonical-table ownership.** A pair colliding in several tables
+    is scored ONCE, in the lowest table where it collides: the kernel
+    checks ``sigs[:t]`` equality between the two rows and skips pairs
+    already owned by an earlier table. The first cut of this tier
+    scored every collision and collapsed duplicates with a
+    (query, neighbor) max-aggregate afterward — measured 496.7 s at
+    the 20k/9-plane probe shape, because a replica-heavy corpus
+    co-buckets the same pair in ~all 16 tables, multiplying both the
+    scoring flops and (worse) the post-kernel shuffle by n_tables. The
+    ownership check is an integer compare per earlier table — ~16×
+    cheaper than the dim-64 dot it avoids — and leaves the output
+    already distinct, so the dedup aggregate disappears entirely.
 
-    The kernel closures are deliberately SELF-CONTAINED (no references
-    to module helpers): they serialize by value and run on any worker
-    without the package installed — the per-pair arithmetic (einsum row
-    reduction, then one divide, chunked so numpy temporaries stay
+    **Hot-bucket block decomposition.** A bucket with more than
+    ``block_rows`` members is split into ``ceil(n/block_rows)``
+    hash-blocks and one kernel group is created per unordered BLOCK
+    PAIR — so no single task ever scores more than ~(2·block_rows)²
+    pairs, and a pathological bucket (mirrors, near-duplicates, a
+    mistuned plane count) spreads across the cluster instead of
+    serializing in one task. The overrides come from a count aggregate
+    filtered to hot buckets only, which is broadcast: its size is
+    self-limiting (≤ input_rows / block_rows entries, each 3 longs).
+    Normal buckets take ``nblk = 1`` and pay nothing.
+
+    Scale shape: the only data-sized shuffles are ``sigv``
+    hash-partitioned on (tbl, bucket, block-pair) — n_tables × corpus
+    rows, the same expansion the exact tier's signature equi-join
+    shuffles — and the distinct scored pairs flowing into the top-k
+    (which Spark's WindowGroupLimit pre-prunes map-side). NO broadcast
+    matrix, NO driver collect, no cap. Scores differ from the
+    interpreted fold in the last ulp (numpy pairwise summation), so
+    the tier is rank-graded (``lsh_dist_ranks``), the
+    ``lsh_fast_ranks`` precedent.
+
+    The kernel closure is deliberately SELF-CONTAINED (no references
+    to module helpers): it serializes by value and runs on any worker
+    without the package installed — the per-pair arithmetic (einsum
+    row reduction, then one divide, chunked so numpy temporaries stay
     batch-sized per the round-7 host finding) is the fast tier's,
-    bit-identical for a pair regardless of which bucket scores it,
-    which is what makes the post-score pair dedup sound."""
+    bit-identical for a pair regardless of which group scores it."""
 
     def score(pdf):
         import numpy as np
         import pandas as pd
 
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "score": []}
-            )
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        if len(pdf) < 2:
+            return empty
+        t = int(pdf["tbl"].iloc[0])
+        gi = int(pdf["gi"].iloc[0])
+        gj = int(pdf["gj"].iloc[0])
         ids = pdf["vec_id"].to_numpy()
         m = np.vstack(pdf["vec"].to_numpy()).astype("float64")
         norm = np.sqrt(pdf["norm2"].to_numpy().astype("float64"))
         norm[norm == 0] = np.inf  # zero vectors score 0 (_cosine guard)
-        qi = np.repeat(np.arange(n), n)
-        ni = np.tile(np.arange(n), n)
-        keep = qi != ni
-        qi, ni = qi[keep], ni[keep]
+        # earlier-table signatures, for the ownership check (skipped
+        # wholesale in table 0, which owns every collision it sees)
+        sig = (
+            np.vstack(pdf["sigs"].to_numpy()).astype("int64")[:, :t]
+            if t > 0
+            else None
+        )
+        if gi == gj:
+            # within one block (or the whole of a normal-sized bucket):
+            # all ordered pairs minus the diagonal
+            n = len(pdf)
+            qi = np.repeat(np.arange(n), n)
+            ni = np.tile(np.arange(n), n)
+            keep = qi != ni
+            qi, ni = qi[keep], ni[keep]
+        else:
+            # cross-block group of a hot bucket: block gi × block gj,
+            # both directions (each ordered pair lands in exactly one
+            # unordered block-pair group, so nothing double-scores)
+            blk = pdf["blk"].to_numpy()
+            li = np.flatnonzero(blk == gi)
+            rj = np.flatnonzero(blk == gj)
+            if len(li) == 0 or len(rj) == 0:
+                return empty
+            a = np.repeat(li, len(rj))
+            b = np.tile(rj, len(li))
+            qi = np.concatenate([a, b])
+            ni = np.concatenate([b, a])
         CHUNK = 1 << 16
-        parts = []
+        parts_q, parts_n, parts_s = [], [], []
         for lo in range(0, len(qi), CHUNK):
             q, b = qi[lo : lo + CHUNK], ni[lo : lo + CHUNK]
-            parts.append(
+            if sig is not None:
+                owned = ~(sig[q] == sig[b]).any(axis=1)
+                q, b = q[owned], b[owned]
+                if len(q) == 0:
+                    continue
+            parts_q.append(ids[q])
+            parts_n.append(ids[b])
+            parts_s.append(
                 np.einsum("ij,ij->i", m[q], m[b]) / (norm[q] * norm[b])
             )
-        scores = (
-            np.concatenate(parts) if parts else np.empty(0, dtype="float64")
-        )
+        if not parts_s:
+            return empty
+        qa = np.concatenate(parts_q)
+        na = np.concatenate(parts_n)
+        sa = np.concatenate(parts_s)
+        if local_k is not None and len(qa) > local_k:
+            # per-query LOCAL top-k under the EXACT global tie order
+            # (score desc, neighbor asc): every global top-k candidate
+            # is in its owning group's local top-k, so pruning here is
+            # invisible to the final ranking — and it shrinks the
+            # Arrow return from O(pairs) to O(queries·k) per group
+            order = np.lexsort((na, -sa, qa))
+            qs = qa[order]
+            starts = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
+            sizes = np.diff(np.r_[starts, len(qs)])
+            ranks = np.arange(len(qs)) - np.repeat(starts, sizes)
+            sel = order[ranks < local_k]
+            qa, na, sa = qa[sel], na[sel], sa[sel]
         return pd.DataFrame(
-            {"query_id": ids[qi], "neighbor_id": ids[ni], "score": scores}
+            {"query_id": qa, "neighbor_id": na, "score": sa}
         )
 
-    schema = (
-        f"query_id {id_type}, neighbor_id {id_type}, score double"
+    schema = f"query_id {id_type}, neighbor_id {id_type}, score double"
+    # hot-bucket overrides: the count aggregate prunes to (tbl, bucket)
+    # before shuffling (map-side partials of two ints + a long), and the
+    # filter keeps only buckets needing decomposition — self-limited to
+    # input_rows / block_rows entries, hence always broadcastable
+    hot = (
+        sigv.groupBy("tbl", "bucket")
+        .count()
+        .where(F.col("count") > block_rows)
+        .withColumnRenamed("count", "n_bucket")
     )
-    scored = sigv.groupBy("tbl", "bucket").applyInPandas(score, schema)
-    return scored.groupBy("query_id", "neighbor_id").agg(
-        F.max("score").alias("score")
+    blocked = (
+        sigv.join(F.broadcast(hot), ["tbl", "bucket"], "left")
+        .withColumn(
+            "nblk",
+            F.coalesce(
+                F.ceil(F.col("n_bucket") / block_rows), F.lit(1)
+            ).cast("int"),
+        )
+        .withColumn(
+            "blk",
+            F.pmod(F.xxhash64("vec_id"), F.col("nblk")).cast("int"),
+        )
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("nblk") - 1)))
+        .withColumn("gi", F.least("blk", "j"))
+        .withColumn("gj", F.greatest("blk", "j"))
     )
+    return blocked.select(
+        "vec_id", "vec", "norm2", "sigs", "tbl", "bucket", "blk", "gi", "gj"
+    ).groupBy("tbl", "bucket", "gi", "gj").applyInPandas(score, schema)
 
 
-def _score_cell_local(assigned: DataFrame, id_type: str) -> DataFrame:
+def _score_bipartite_local(
+    sv: DataFrame,
+    id_type: str,
+    block_rows: int = DIST_BLOCK_ROWS,
+    local_k: int | None = None,
+) -> DataFrame:
+    """The asymmetric twin of :func:`_score_bucket_local`, for
+    searching a QUERY batch against a STORED corpus (the persisted LSH
+    index's ``rerank="dist"``): ``sv`` is the role-tagged union of both
+    sides' signature explodes —
+    ``(vec_id, vec, norm2, sigs, tbl, bucket, role)`` with ``role``
+    ``'q'`` (query) or ``'i'`` (indexed) — and each kernel group scores
+    (its q rows) × (its i rows), one direction only. Canonical-table
+    ownership and the per-query local top-k work exactly as in the
+    symmetric kernel; hot buckets decompose on an ASYMMETRIC block
+    grid (q rows hash into ``ceil(n_q/block_rows)`` blocks, i rows
+    into ``ceil(n_i/block_rows)``, one group per (q-block, i-block)
+    cell), so a (q, i) pair lands in exactly one group and no task
+    scores more than ~``block_rows``² pairs."""
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        qrows = pdf[pdf["role"] == "q"]
+        irows = pdf[pdf["role"] == "i"]
+        if len(qrows) == 0 or len(irows) == 0:
+            return empty
+        t = int(pdf["tbl"].iloc[0])
+
+        def mat(sl):
+            ids = sl["vec_id"].to_numpy()
+            m = np.vstack(sl["vec"].to_numpy()).astype("float64")
+            norm = np.sqrt(sl["norm2"].to_numpy().astype("float64"))
+            norm[norm == 0] = np.inf
+            sig = (
+                np.vstack(sl["sigs"].to_numpy()).astype("int64")[:, :t]
+                if t > 0
+                else None
+            )
+            return ids, m, norm, sig
+
+        q_ids, qm, qn, qsig = mat(qrows)
+        i_ids, im, inorm, isig = mat(irows)
+        qi = np.repeat(np.arange(len(qrows)), len(irows))
+        ni = np.tile(np.arange(len(irows)), len(qrows))
+        keep = q_ids[qi] != i_ids[ni]
+        qi, ni = qi[keep], ni[keep]
+        CHUNK = 1 << 16
+        parts_q, parts_n, parts_s = [], [], []
+        for lo in range(0, len(qi), CHUNK):
+            q, b = qi[lo : lo + CHUNK], ni[lo : lo + CHUNK]
+            if qsig is not None:
+                owned = ~(qsig[q] == isig[b]).any(axis=1)
+                q, b = q[owned], b[owned]
+                if len(q) == 0:
+                    continue
+            parts_q.append(q_ids[q])
+            parts_n.append(i_ids[b])
+            parts_s.append(
+                np.einsum("ij,ij->i", qm[q], im[b]) / (qn[q] * inorm[b])
+            )
+        if not parts_s:
+            return empty
+        qa = np.concatenate(parts_q)
+        na = np.concatenate(parts_n)
+        sa = np.concatenate(parts_s)
+        if local_k is not None and len(qa) > local_k:
+            order = np.lexsort((na, -sa, qa))
+            qs = qa[order]
+            starts = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
+            sizes = np.diff(np.r_[starts, len(qs)])
+            ranks = np.arange(len(qs)) - np.repeat(starts, sizes)
+            sel = order[ranks < local_k]
+            qa, na, sa = qa[sel], na[sel], sa[sel]
+        return pd.DataFrame(
+            {"query_id": qa, "neighbor_id": na, "score": sa}
+        )
+
+    schema = f"query_id {id_type}, neighbor_id {id_type}, score double"
+    # per-side hot counts; overrides broadcast, self-limited as in the
+    # symmetric kernel
+    hot = (
+        sv.groupBy("tbl", "bucket")
+        .agg(
+            F.sum(F.when(F.col("role") == "q", 1).otherwise(0)).alias("nq"),
+            F.sum(F.when(F.col("role") == "i", 1).otherwise(0)).alias("ni"),
+        )
+        .where((F.col("nq") > block_rows) | (F.col("ni") > block_rows))
+    )
+    nblk_q = F.coalesce(
+        F.ceil(F.col("nq") / block_rows), F.lit(1)
+    ).cast("int")
+    nblk_i = F.coalesce(
+        F.ceil(F.col("ni") / block_rows), F.lit(1)
+    ).cast("int")
+    is_q = F.col("role") == "q"
+    blocked = (
+        sv.join(F.broadcast(hot), ["tbl", "bucket"], "left")
+        .withColumn("nblk_self", F.when(is_q, nblk_q).otherwise(nblk_i))
+        .withColumn("nblk_other", F.when(is_q, nblk_i).otherwise(nblk_q))
+        .withColumn(
+            "blk",
+            F.pmod(F.xxhash64("vec_id"), F.col("nblk_self")).cast("int"),
+        )
+        .withColumn(
+            "j", F.explode(F.sequence(F.lit(0), F.col("nblk_other") - 1))
+        )
+        .withColumn("gq", F.when(is_q, F.col("blk")).otherwise(F.col("j")))
+        .withColumn("gi", F.when(is_q, F.col("j")).otherwise(F.col("blk")))
+    )
+    return blocked.select(
+        "vec_id", "vec", "norm2", "sigs", "tbl", "bucket", "role", "gq", "gi"
+    ).groupBy("tbl", "bucket", "gq", "gi").applyInPandas(score, schema)
+
+
+def _score_cell_local(
+    assigned: DataFrame, id_type: str, local_k: int | None = None
+) -> DataFrame:
     """The IVF twin of :func:`_score_bucket_local`: one
     ``applyInPandas`` per cell scores (every probing query) × (the
-    cell's resident ``crank == 1`` vectors). No post-dedup is needed —
-    the index side is single-cell, so a query meets a neighbor at most
-    once (the same argument ``ann_ivf_topk`` makes for skipping its
-    pair dedup). Kernel closure self-contained like the bucket twin's."""
+    cell's resident ``crank == 1`` vectors). No ownership check or
+    post-dedup is needed — the index side is single-cell, so a query
+    meets a neighbor at most once (the same argument ``ann_ivf_topk``
+    makes for skipping its pair dedup). No block decomposition either:
+    unlike LSH buckets, cell group sizes are bounded by the retune —
+    ``ivf_params_for`` holds residents-per-cell ≈ 32 and expected
+    probing-queries-per-cell ≈ 32·n_probe regardless of corpus size
+    (k-means splits hot regions into more cells; sign-bit hashes
+    cannot). Kernel closure self-contained like the bucket twin's."""
 
     def score(pdf):
         import numpy as np
@@ -320,15 +540,25 @@ def _score_cell_local(assigned: DataFrame, id_type: str) -> DataFrame:
             norm[norm == 0] = np.inf
             return ids, m, norm
 
-        resident = pdf[pdf["crank"] == 1]
-        if len(pdf) == 0 or len(resident) == 0:
+        if "role" in pdf.columns:
+            # stored-index search: the q side is the probing batch, the
+            # i side the cell's resident stored vectors (see
+            # search_ivf_index rerank="dist")
+            qrows = pdf[pdf["role"] == "q"]
+            resident = pdf[pdf["role"] == "i"]
+        else:
+            # one-plan self-search: every assignment row is a query
+            # occurrence; residents are the crank == 1 slice
+            qrows = pdf
+            resident = pdf[pdf["crank"] == 1]
+        if len(qrows) == 0 or len(resident) == 0:
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "score": []}
             )
-        q_ids, qm, qn = mat(pdf)
+        q_ids, qm, qn = mat(qrows)
         i_ids, im, inorm = mat(resident)
-        qi = np.repeat(np.arange(len(pdf)), len(resident))
-        ni = np.tile(np.arange(len(resident)), len(pdf))
+        qi = np.repeat(np.arange(len(qrows)), len(resident))
+        ni = np.tile(np.arange(len(resident)), len(qrows))
         keep = q_ids[qi] != i_ids[ni]
         qi, ni = qi[keep], ni[keep]
         CHUNK = 1 << 16
@@ -341,8 +571,20 @@ def _score_cell_local(assigned: DataFrame, id_type: str) -> DataFrame:
         scores = (
             np.concatenate(parts) if parts else np.empty(0, dtype="float64")
         )
+        qa, na, sa = q_ids[qi], i_ids[ni], scores
+        if local_k is not None and len(qa) > local_k:
+            # per-query local top-k, exact global tie order (see the
+            # bucket twin) — a query probes n_probe cells, so its
+            # global top-k is inside the union of its cell-local top-k
+            order = np.lexsort((na, -sa, qa))
+            qs = qa[order]
+            starts = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
+            sizes = np.diff(np.r_[starts, len(qs)])
+            ranks = np.arange(len(qs)) - np.repeat(starts, sizes)
+            sel = order[ranks < local_k]
+            qa, na, sa = qa[sel], na[sel], sa[sel]
         return pd.DataFrame(
-            {"query_id": q_ids[qi], "neighbor_id": i_ids[ni], "score": scores}
+            {"query_id": qa, "neighbor_id": na, "score": sa}
         )
 
     schema = (
@@ -560,18 +802,28 @@ def ann_lsh_topk(
         for t, planes in enumerate(tables)
     )
     if rerank == "dist":
-        # bucket-local scoring: the vectors ride the signature explode
-        # into the (tbl, bucket) shuffle and every pair is scored where
-        # it collides — no candidate distinct, no vector join-backs, no
-        # broadcast matrix (see _score_bucket_local)
+        # bucket-local scoring: the vectors AND the full signature
+        # array ride the signature explode into the (tbl, bucket)
+        # shuffle, and every pair is scored exactly once, in the first
+        # table where it collides — no candidate distinct, no vector
+        # join-backs, no broadcast matrix (see _score_bucket_local)
+        sig_array = ", ".join(
+            _lsh_signature_expr("vec", planes) for planes in tables
+        )
         sigv = v.select(
             "vec_id",
             "vec",
             "norm2",
-            F.explode(F.expr(f"array({sig_structs})")).alias("s"),
-        ).select("vec_id", "vec", "norm2", "s.tbl", "s.bucket")
+            F.expr(f"array({sig_array})").alias("sigs"),
+        ).select(
+            "vec_id",
+            "vec",
+            "norm2",
+            "sigs",
+            F.posexplode("sigs").alias("tbl", "bucket"),
+        )
         id_type = embeddings.schema[id_col].dataType.simpleString()
-        return _topk(_score_bucket_local(sigv, id_type), k)
+        return _topk(_score_bucket_local(sigv, id_type, local_k=k), k)
     sig = v.select(
         "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
     ).select("vec_id", "s.tbl", "s.bucket")
@@ -887,7 +1139,10 @@ def ann_ivf_topk(
         # needed since the index side is single-cell
         id_type = embeddings.schema[id_col].dataType.simpleString()
         return _topk(
-            _score_cell_local(ivf_assign(v, cents, n_probe), id_type), k
+            _score_cell_local(
+                ivf_assign(v, cents, n_probe), id_type, local_k=k
+            ),
+            k,
         )
     assigned = _pin(ivf_assign(v, cents, n_probe))
     queries = assigned.alias("a")

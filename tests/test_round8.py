@@ -8,7 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMALL
 
 
 def test_fast_rerank_missing_id_raises_not_corrupts(spark):
@@ -202,3 +202,131 @@ def test_zorder_demo_reuses_layout_across_calls(spark):
     assert sorted(os.listdir(base)) == files
     key = lambda r: r["event_type"]  # noqa: E731
     assert sorted(first, key=key) == sorted(second, key=key)
+
+
+def _rank_rows(df):
+    return sorted(
+        (r.query_id, r.neighbor_id, r["rank"])
+        for r in df.select("query_id", "neighbor_id", "rank").collect()
+    )
+
+
+def test_dist_rerank_matches_exact_ranks(spark):
+    """The distributed bucket-local tier must reproduce the exact
+    tier's ranking bit-for-bit (same candidates via canonical-table
+    ownership, last-ulp score drift absorbed by the rank contract)."""
+    from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = _rank_rows(ann_lsh_topk(emb, k=10, rerank="exact"))
+    dist = _rank_rows(ann_lsh_topk(emb, k=10, rerank="dist"))
+    assert exact == dist
+
+
+def test_dist_rerank_block_decomposition_is_invisible(spark, monkeypatch):
+    """Forcing a tiny block size splits every bucket into many
+    block-pair groups; the result must be identical — the hot-bucket
+    path may never change WHAT is scored, only WHERE."""
+    import functools
+
+    from jaccard_mapreduce_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    base = _rank_rows(sim.ann_lsh_topk(emb, k=10, rerank="dist"))
+    monkeypatch.setattr(
+        sim,
+        "_score_bucket_local",
+        functools.partial(sim._score_bucket_local, block_rows=8),
+    )
+    blocked = _rank_rows(sim.ann_lsh_topk(emb, k=10, rerank="dist"))
+    assert base == blocked
+
+
+def test_dist_rerank_scores_each_pair_exactly_once(spark):
+    """Canonical-table ownership: a pair colliding in several tables
+    is emitted by exactly one kernel group — the scored relation is
+    distinct BEFORE the top-k, with no dedup aggregate in the plan."""
+    from jaccard_mapreduce_spark.operators.similarity import (
+        _score_bucket_local,
+    )
+
+    # two tables; vectors 1 and 2 collide in BOTH (same sigs array),
+    # vector 3 collides with them only in table 1
+    rows = [
+        (1, [1.0, 0.0], 1.0, [7, 9], 0, 7),
+        (1, [1.0, 0.0], 1.0, [7, 9], 1, 9),
+        (2, [1.0, 1.0], 2.0, [7, 9], 0, 7),
+        (2, [1.0, 1.0], 2.0, [7, 9], 1, 9),
+        (3, [0.0, 1.0], 1.0, [5, 9], 0, 5),
+        (3, [0.0, 1.0], 1.0, [5, 9], 1, 9),
+    ]
+    sigv = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>, norm2 double, "
+        "sigs array<bigint>, tbl int, bucket long"
+    )
+    out = _score_bucket_local(sigv, "bigint").collect()
+    pairs = sorted((r.query_id, r.neighbor_id) for r in out)
+    # every ordered pair among {1,2,3} collides somewhere, each once:
+    # (1,2)/(2,1) owned by table 0; the pairs with 3 by table 1
+    assert pairs == [(1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2)]
+
+
+def test_dist_rerank_plan_has_no_dedup_aggregate(spark):
+    """The ownership rewrite removed the post-kernel (query, neighbor)
+    max-aggregate — the plan goes kernel -> window top-k with a
+    map-side WindowGroupLimit, and no partial_max anywhere."""
+    from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    plan = ann_lsh_topk(emb, k=10, rerank="dist")._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "partial_max" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_stored_index_dist_matches_exact_both_families(spark, tmp_path):
+    """rerank='dist' served from the persisted layouts must reproduce
+    the exact tier's ranking — self-search AND a disjoint-id batch
+    against a smaller store (the serving shape)."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        build_lsh_index,
+        search_ivf_index,
+        search_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    store = emb.where("vec_id % 2 = 0")
+    batch = emb.where("vec_id % 2 = 1")
+    build_ivf_index(store, str(tmp_path / "ivf"), n_cells=8)
+    build_lsh_index(store, str(tmp_path / "lsh"))
+    for fam, search, kw in (
+        ("ivf", search_ivf_index, {"n_probe": 4}),
+        ("lsh", search_lsh_index, {}),
+    ):
+        base = str(tmp_path / fam)
+        exact = _rank_rows(search(spark, base, batch, k=5, **kw))
+        dist = _rank_rows(search(spark, base, batch, k=5, rerank="dist", **kw))
+        assert exact == dist, fam
+
+
+def test_stored_index_dist_refuses_mixed_id_types(spark, tmp_path):
+    """The dist kernels emit one id type for both columns, so a
+    string-id store probed by an int batch must refuse loudly (the
+    exact tier, which handles mixed types, stays available)."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        search_lsh_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(f"d{i}", [float(i % 7), 1.0, float(i % 3)]) for i in range(32)],
+        "vec_id string, embedding array<double>",
+    )
+    base = str(tmp_path / "lsh")
+    build_lsh_index(emb, base, dim=3)
+    batch = spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="matching query/store id types"):
+        search_lsh_index(spark, base, batch, rerank="dist")
