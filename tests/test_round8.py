@@ -330,3 +330,46 @@ def test_stored_index_dist_refuses_mixed_id_types(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="matching query/store id types"):
         search_lsh_index(spark, base, batch, rerank="dist")
+
+
+def test_fast_rerank_sparse_ids_resolve_vectorized_and_stay_correct(spark):
+    """Sparse integer ids (the 10x probe's stride-1M replica ids) miss
+    the dense-LUT range and used to fall back to the per-element pandas
+    dict map; the hash-table get_indexer resolver must return the same
+    scores and fail the same way on an absent id."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from jaccard_mapreduce_spark.operators.similarity import (
+        _score_pairs_fast,
+        vectors,
+    )
+
+    ids = [0, 1_000_000, 3_000_000, 7_000_000, 9_000_001]
+    emb = spark.createDataFrame(
+        [(i, [float((i % 97) + 1), 2.0]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    v = vectors(emb)
+    cand = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a != b],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in _score_pairs_fast(cand, v).collect()
+    }
+    import math
+
+    vec = {i: ((i % 97) + 1.0, 2.0) for i in ids}
+    for (a, b), s in got.items():
+        va, vb = vec[a], vec[b]
+        want = (va[0] * vb[0] + va[1] * vb[1]) / (
+            math.hypot(*va) * math.hypot(*vb)
+        )
+        assert abs(s - want) < 1e-12
+    assert len(got) == len(ids) * (len(ids) - 1)
+    bad = spark.createDataFrame(
+        [(0, 42)], "query_id long, neighbor_id long"
+    )
+    with pytest.raises(PythonException, match="absent"):
+        _score_pairs_fast(bad, v).collect()
