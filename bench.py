@@ -287,6 +287,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     noisy_queries: list[str] = []
+    errors: dict[str, str] = {}
 
     # Reference-parity pipeline on the reference's own largest dataset —
     # the direct apples-to-apples number vs BASELINE.md (1DN local mode).
@@ -301,7 +302,18 @@ def main() -> None:
         noisy_queries.append("jaccard_ref_large")
 
     for name in bench_queries:
-        med, lo, hi, noisy = timed(lambda: _force(qs[name](spark, sf_dir)))
+        # one query erroring must not lose the whole artifact: record
+        # the error and keep timing the rest (observed: a 184 s driver
+        # GC stall tripped the local-mode heartbeat timeout mid-run and
+        # every later query died — the session factory now raises the
+        # timeout, and this guard makes any residual failure partial
+        # instead of total)
+        try:
+            med, lo, hi, noisy = timed(lambda: _force(qs[name](spark, sf_dir)))
+        except Exception as exc:  # noqa: BLE001 - survey, not control flow
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            spark.catalog.clearCache()
+            continue
         timings[name] = med
         spread[name] = [lo, hi]
         if noisy:
@@ -331,6 +343,9 @@ def main() -> None:
         # medians whose spread exceeded ±40% even after extra reps —
         # read these as low-confidence (host noise), not plan deltas
         "noisy_queries": sorted(noisy_queries),
+        # queries that errored this run (absent from queries_median);
+        # empty on a clean run
+        "errors": errors,
         "reps": reps,
         "extra_reps_budget": extra_reps,
         # one-time cost of building ALL FOUR persisted indexes (IVF

@@ -67,6 +67,18 @@ def get_spark(
         # sources.tables.load_events normalizes to a µs timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Local mode runs driver and executor in ONE JVM, so a long
+        # driver-side stall (a full-heap GC pause on the 48g heap, or
+        # host-level contention) starves the executor heartbeat too —
+        # and the default 120 s timeout then KILLS the only executor,
+        # collapsing the context mid-run (observed in a 53-minute bench:
+        # a 184 s stall -> "Removing executor driver with no recent
+        # heartbeats" -> every in-flight query and stream dies). The
+        # heartbeat proves liveness of the same process that judges it,
+        # so a generous timeout costs nothing in local mode; on a real
+        # cluster these values are still sane for long GC pauses.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "30s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
