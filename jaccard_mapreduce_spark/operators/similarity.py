@@ -328,14 +328,20 @@ def _score_bucket_local(
             if t > 0
             else None
         )
+        # Pair enumeration is LAZY: chunks of the flattened pair index
+        # are decoded with divmod instead of materializing the full
+        # O(pairs) np.repeat/np.tile arrays up front — a maximal block
+        # pair is ~block_rows² ≈ 16.7M pairs, which as eager int64
+        # index+keep arrays is ~400 MB per task and multiplies across
+        # concurrent kernel tasks (round-8 ADVICE). Per-pair arithmetic
+        # is row-independent, so chunk boundaries never change a score.
+        CHUNK = 1 << 16
         if gi == gj:
             # within one block (or the whole of a normal-sized bucket):
             # all ordered pairs minus the diagonal
             n = len(pdf)
-            qi = np.repeat(np.arange(n), n)
-            ni = np.tile(np.arange(n), n)
-            keep = qi != ni
-            qi, ni = qi[keep], ni[keep]
+            li = rj = np.arange(n)
+            directed = False
         else:
             # cross-block group of a hot bucket: block gi × block gj,
             # both directions (each ordered pair lands in exactly one
@@ -345,19 +351,23 @@ def _score_bucket_local(
             rj = np.flatnonzero(blk == gj)
             if len(li) == 0 or len(rj) == 0:
                 return empty
-            a = np.repeat(li, len(rj))
-            b = np.tile(rj, len(li))
-            qi = np.concatenate([a, b])
-            ni = np.concatenate([b, a])
-        CHUNK = 1 << 16
+            directed = True
+        nr = len(rj)
         parts_q, parts_n, parts_s = [], [], []
-        for lo in range(0, len(qi), CHUNK):
-            q, b = qi[lo : lo + CHUNK], ni[lo : lo + CHUNK]
+        for lo in range(0, len(li) * nr, CHUNK):
+            idx = np.arange(lo, min(lo + CHUNK, len(li) * nr))
+            q, b = li[idx // nr], rj[idx % nr]
+            if directed:
+                # emit both directions of the cross-block cell
+                q, b = np.concatenate([q, b]), np.concatenate([b, q])
+            else:
+                keep = q != b
+                q, b = q[keep], b[keep]
             if sig is not None:
                 owned = ~(sig[q] == sig[b]).any(axis=1)
                 q, b = q[owned], b[owned]
-                if len(q) == 0:
-                    continue
+            if len(q) == 0:
+                continue
             parts_q.append(ids[q])
             parts_n.append(ids[b])
             parts_s.append(
@@ -462,19 +472,22 @@ def _score_bipartite_local(
 
         q_ids, qm, qn, qsig = mat(qrows)
         i_ids, im, inorm, isig = mat(irows)
-        qi = np.repeat(np.arange(len(qrows)), len(irows))
-        ni = np.tile(np.arange(len(irows)), len(qrows))
-        keep = q_ids[qi] != i_ids[ni]
-        qi, ni = qi[keep], ni[keep]
+        # lazy pair enumeration — see the symmetric kernel: chunks of
+        # the flattened q×i index space decode with divmod, so no
+        # O(pairs) index array ever materializes
         CHUNK = 1 << 16
+        nq, ni_n = len(qrows), len(irows)
         parts_q, parts_n, parts_s = [], [], []
-        for lo in range(0, len(qi), CHUNK):
-            q, b = qi[lo : lo + CHUNK], ni[lo : lo + CHUNK]
-            if qsig is not None:
+        for lo in range(0, nq * ni_n, CHUNK):
+            idx = np.arange(lo, min(lo + CHUNK, nq * ni_n))
+            q, b = idx // ni_n, idx % ni_n
+            keep = q_ids[q] != i_ids[b]
+            q, b = q[keep], b[keep]
+            if qsig is not None and len(q):
                 owned = ~(qsig[q] == isig[b]).any(axis=1)
                 q, b = q[owned], b[owned]
-                if len(q) == 0:
-                    continue
+            if len(q) == 0:
+                continue
             parts_q.append(q_ids[q])
             parts_n.append(i_ids[b])
             parts_s.append(
@@ -508,11 +521,19 @@ def _score_bipartite_local(
         )
         .where((F.col("nq") > block_rows) | (F.col("ni") > block_rows))
     )
-    nblk_q = F.coalesce(
-        F.ceil(F.col("nq") / block_rows), F.lit(1)
+    # greatest(.., 1): a bucket hot on ONE side with zero rows on the
+    # other (possible — the i side is semi-join pruned upstream) would
+    # give nblk = ceil(0/block_rows) = 0, and F.sequence(0, nblk-1) =
+    # sequence(0, -1) generates a DESCENDING [0, -1] rather than an
+    # empty array, duplicating the hot side's rows into phantom groups
+    # (harmless output — the groups have no opposite side — but wasted
+    # shuffle and kernel invocations). Clamping also keeps the pmod
+    # block assignment away from a zero modulus.
+    nblk_q = F.greatest(
+        F.coalesce(F.ceil(F.col("nq") / block_rows), F.lit(1)), F.lit(1)
     ).cast("int")
-    nblk_i = F.coalesce(
-        F.ceil(F.col("ni") / block_rows), F.lit(1)
+    nblk_i = F.greatest(
+        F.coalesce(F.ceil(F.col("ni") / block_rows), F.lit(1)), F.lit(1)
     ).cast("int")
     is_q = F.col("role") == "q"
     blocked = (
@@ -535,82 +556,55 @@ def _score_bipartite_local(
 
 
 def _score_cell_local(
-    assigned: DataFrame, id_type: str, local_k: int | None = None
+    assigned: DataFrame,
+    id_type: str,
+    local_k: int | None = None,
+    block_rows: int = DIST_BLOCK_ROWS,
 ) -> DataFrame:
-    """The IVF twin of :func:`_score_bucket_local`: one
-    ``applyInPandas`` per cell scores (every probing query) × (the
-    cell's resident ``crank == 1`` vectors). No ownership check or
-    post-dedup is needed — the index side is single-cell, so a query
-    meets a neighbor at most once (the same argument ``ann_ivf_topk``
-    makes for skipping its pair dedup). No block decomposition either:
-    unlike LSH buckets, cell group sizes are bounded by the retune —
-    ``ivf_params_for`` holds residents-per-cell ≈ 32 and expected
-    probing-queries-per-cell ≈ 32·n_probe regardless of corpus size
-    (k-means splits hot regions into more cells; sign-bit hashes
-    cannot). Kernel closure self-contained like the bucket twin's."""
+    """The IVF twin of :func:`_score_bucket_local`: score (every
+    probing query) × (the cell's resident vectors), cell-locally. No
+    ownership check or post-dedup is needed — the index side is
+    single-cell, so a query meets a neighbor at most once (the same
+    argument ``ann_ivf_topk`` makes for skipping its pair dedup).
 
-    def score(pdf):
-        import numpy as np
-        import pandas as pd
-
-        def mat(sl):
-            ids = sl["vec_id"].to_numpy()
-            m = np.vstack(sl["vec"].to_numpy()).astype("float64")
-            norm = np.sqrt(sl["norm2"].to_numpy().astype("float64"))
-            norm[norm == 0] = np.inf
-            return ids, m, norm
-
-        if "role" in pdf.columns:
-            # stored-index search: the q side is the probing batch, the
-            # i side the cell's resident stored vectors (see
-            # search_ivf_index rerank="dist")
-            qrows = pdf[pdf["role"] == "q"]
-            resident = pdf[pdf["role"] == "i"]
-        else:
-            # one-plan self-search: every assignment row is a query
-            # occurrence; residents are the crank == 1 slice
-            qrows = pdf
-            resident = pdf[pdf["crank"] == 1]
-        if len(qrows) == 0 or len(resident) == 0:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "score": []}
-            )
-        q_ids, qm, qn = mat(qrows)
-        i_ids, im, inorm = mat(resident)
-        qi = np.repeat(np.arange(len(qrows)), len(resident))
-        ni = np.tile(np.arange(len(resident)), len(qrows))
-        keep = q_ids[qi] != i_ids[ni]
-        qi, ni = qi[keep], ni[keep]
-        CHUNK = 1 << 16
-        parts = []
-        for lo in range(0, len(qi), CHUNK):
-            q, b = qi[lo : lo + CHUNK], ni[lo : lo + CHUNK]
-            parts.append(
-                np.einsum("ij,ij->i", qm[q], im[b]) / (qn[q] * inorm[b])
-            )
-        scores = (
-            np.concatenate(parts) if parts else np.empty(0, dtype="float64")
+    Implemented as a thin adapter over :func:`_score_bipartite_local`
+    (``tbl = 0`` disables the ownership check, the cell id is the
+    bucket): ``assigned`` in the one-plan form —
+    ``(vec_id, vec, norm2, cell_id, crank)`` — is split into the
+    role-tagged union the bipartite kernel expects (every assignment
+    row probes as ``'q'``; the ``crank == 1`` slice additionally rides
+    as ``'i'``, ≈ 1/n_probe extra rows), while a caller that already
+    role-tags (the stored-index search) passes through unchanged.
+    Sharing the kernel buys the IVF family the asymmetric hot-group
+    block decomposition for free: ``ivf_params_for`` keeps WELL-TUNED
+    cells near 32 residents, but the public API accepts any stored
+    codebook, and a mistuned ``n_cells`` (or a corpus-scale probing
+    batch) can concentrate one cell — previously that single group
+    materialized full O(n_q·n_i) pair-index arrays in one task; now it
+    decomposes into ≤ ``block_rows``² blocks like any hot LSH bucket
+    (round-8 ADVICE, medium)."""
+    if "role" in assigned.columns:
+        sv = assigned
+    else:
+        qside = assigned.select(
+            "vec_id", "vec", "norm2", "cell_id", F.lit("q").alias("role")
         )
-        qa, na, sa = q_ids[qi], i_ids[ni], scores
-        if local_k is not None and len(qa) > local_k:
-            # per-query local top-k, exact global tie order (see the
-            # bucket twin) — a query probes n_probe cells, so its
-            # global top-k is inside the union of its cell-local top-k
-            order = np.lexsort((na, -sa, qa))
-            qs = qa[order]
-            starts = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
-            sizes = np.diff(np.r_[starts, len(qs)])
-            ranks = np.arange(len(qs)) - np.repeat(starts, sizes)
-            sel = order[ranks < local_k]
-            qa, na, sa = qa[sel], na[sel], sa[sel]
-        return pd.DataFrame(
-            {"query_id": qa, "neighbor_id": na, "score": sa}
+        iside = assigned.where(F.col("crank") == 1).select(
+            "vec_id", "vec", "norm2", "cell_id", F.lit("i").alias("role")
         )
-
-    schema = (
-        f"query_id {id_type}, neighbor_id {id_type}, score double"
+        sv = qside.unionByName(iside)
+    sv = sv.select(
+        "vec_id",
+        "vec",
+        "norm2",
+        F.lit(None).cast("array<bigint>").alias("sigs"),
+        F.lit(0).alias("tbl"),
+        F.col("cell_id").alias("bucket"),
+        "role",
     )
-    return assigned.groupBy("cell_id").applyInPandas(score, schema)
+    return _score_bipartite_local(
+        sv, id_type, block_rows=block_rows, local_k=local_k
+    )
 
 
 def vectors(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -258,7 +258,13 @@ def search_ivf_index(
                 "rerank='dist' requires matching query/store id types "
                 f"(got {q_type} vs {s_type}); use rerank='exact'"
             )
-        probed = ivf_assign(qv, cents, n_probe)
+        from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+        # pinned: feeds BOTH the q side and the probed-cells distinct —
+        # unpinned, the crossJoin + rank-window assignment recomputes
+        # once per consumer (the exact double-compute ann_ivf_topk /
+        # ann_sq8_topk already pin away, measured ~2.5 s at sf0.1)
+        probed = _pin(ivf_assign(qv, cents, n_probe))
         qside = probed.select(
             "vec_id", "vec", "norm2", "cell_id", F.lit("q").alias("role")
         )
