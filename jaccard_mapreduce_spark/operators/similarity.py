@@ -248,6 +248,31 @@ def _score_pairs_fast(
 
 DIST_BLOCK_ROWS = 4096
 
+# rerank="auto" crossover: estimated candidate-pair volume above which
+# the distributed bucket/cell-local kernel ("dist") beats the exact
+# relational rerank. Bracketed by same-day isolated measurements
+# (docs/SCALE.md round 8 protocol): at ~4M estimated pairs (sf0.1
+# defaults, 2k vectors) exact wins 3.3 s vs dist 4.2 s; at the 20k/
+# 9-plane probe's 79M candidates dist wins 170 s vs exact 731 s. The
+# threshold sits near the geometric middle of the bracket. The "fast"
+# broadcast-matrix tier is never auto-chosen: it carries a hard
+# driver-matrix cap and measured SLOWER than dist at the large shape
+# (649 s) — it remains an explicit override for midrange corpora that
+# fit comfortably under its cap.
+AUTO_DIST_PAIRS = 16_000_000
+
+
+def _auto_rerank(est_pairs: float, auto_dist_pairs: int) -> str:
+    """Resolve ``rerank="auto"`` from bucket-occupancy math — the
+    ``jaccard_pairs`` auto-strategy precedent applied to the ANN tiers.
+    ``est_pairs`` is the caller's uniform-occupancy estimate of scored
+    candidate pairs (LSH: ``n_tables · n_q · n_i / 2^n_planes``; IVF:
+    ``n_q · n_probe · n_i / n_cells``). Uniformity understates skewed
+    corpora, but the dist tier's hot-group block decomposition absorbs
+    exactly that case, so the estimate only has to be right near the
+    crossover."""
+    return "dist" if est_pairs > auto_dist_pairs else "exact"
+
 
 def _score_bucket_local(
     sigv: DataFrame,
@@ -777,7 +802,9 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ids_fit_31_bits: bool | None = None,
-    rerank: str = "exact",
+    rerank: str = "auto",
+    block_rows: int = DIST_BLOCK_ROWS,
+    auto_dist_pairs: int = AUTO_DIST_PAIRS,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket in ANY
     of ``n_tables`` independent hash tables (the classic multi-table
@@ -786,6 +813,17 @@ def ann_lsh_topk(
     kernel (:func:`_dot_fast`) — same candidates, same ranks, scores
     identical to float error; the graded ``lsh_fast_ranks`` audit pins
     the rank agreement.
+
+    ``rerank="auto"`` (the default) derives the tier from the
+    occupancy estimate ``n_tables · n² / 2^n_planes`` against
+    ``auto_dist_pairs`` (:func:`_auto_rerank` — small corpora rerank
+    exactly, candidate volumes past the measured crossover go to the
+    distributed kernel). Auto is EAGER by design — it counts the
+    corpus before choosing, like the ``jaccard_pairs`` auto strategy —
+    so plan-only callers should pass an explicit tier.
+    ``block_rows`` tunes the dist tier's hot-bucket decomposition
+    threshold (the graded ``lsh_dist_skew`` fixture lowers it to force
+    the block-grid path at test scale).
 
     One wide table (many planes) has miss probability ``1-(1-θ/π)^p``
     per neighbor — round-4's audit measured recall 0.045 at 6 planes
@@ -806,11 +844,15 @@ def ann_lsh_topk(
     """
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
-    _check_rerank(rerank, allowed=("exact", "fast", "dist"))
+    _check_rerank(rerank, allowed=("auto", "exact", "fast", "dist"))
     tables = lsh_tables(dim, n_planes, n_tables, seed)
     # pinned: feeds the id-range probe, the signature explode, AND both
     # score join-backs (the probe also materializes the pin up front)
     v = _pin(vectors(embeddings, id_col, vec_col))
+    if rerank == "auto":
+        n = v.count()
+        est = n_tables * n * (n / float(2 ** min(n_planes, 62)))
+        rerank = _auto_rerank(est, auto_dist_pairs)
     sig_structs = ", ".join(
         f"struct({t} AS tbl, {_lsh_signature_expr('vec', planes)} AS bucket)"
         for t, planes in enumerate(tables)
@@ -837,7 +879,12 @@ def ann_lsh_topk(
             F.posexplode("sigs").alias("tbl", "bucket"),
         )
         id_type = embeddings.schema[id_col].dataType.simpleString()
-        return _topk(_score_bucket_local(sigv, id_type, local_k=k), k)
+        return _topk(
+            _score_bucket_local(
+                sigv, id_type, block_rows=block_rows, local_k=k
+            ),
+            k,
+        )
     sig = v.select(
         "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
     ).select("vec_id", "s.tbl", "s.bucket")
@@ -1117,7 +1164,8 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
-    rerank: str = "exact",
+    rerank: str = "auto",
+    auto_dist_pairs: int = AUTO_DIST_PAIRS,
 ) -> DataFrame:
     """IVF approximate top-k: index vectors live in their single nearest
     cell; each query probes its ``n_probe`` nearest cells and reranks
@@ -1129,10 +1177,20 @@ def ann_ivf_topk(
     probe 32, audited recall@10 0.840 at a 0.50 scan fraction (the
     full grid and the recall-vs-fraction finding are in docs/SCALE.md
     round 6).
+
+    ``rerank="auto"`` (the default) resolves via the occupancy
+    estimate ``n · n_probe · n / n_cells`` (:func:`_auto_rerank`);
+    like the LSH twin's, the resolution is EAGER (one count) — pass an
+    explicit tier for lazy plan construction.
     """
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
     v = vectors(embeddings, id_col, vec_col)
+    _check_rerank(rerank, allowed=("auto", "exact", "fast", "dist"))
+    if rerank == "auto":
+        n = embeddings.count()
+        est = n * n_probe * (n / float(max(n_cells, 1)))
+        rerank = _auto_rerank(est, auto_dist_pairs)
     # training collects the tiny codebook to the driver (the MLlib loop
     # shape) — pass prebuilt ``cents`` (cell_id, cvec, cnorm2) to keep
     # plan construction fully lazy, e.g. a codebook read from a
@@ -1146,7 +1204,6 @@ def ann_ivf_topk(
     # crank==1 slice of the n_probe assignment (pinned — computing
     # ivf_assign twice doubled the crossJoin + rank window, measured
     # ~2.5 s of the 10.6 s at sf0.1)
-    _check_rerank(rerank, allowed=("exact", "fast", "dist"))
     if rerank == "dist":
         # cell-local scoring: ONE applyInPandas per cell over the
         # (unpinned — single consumer) assignment relation; no dedup
@@ -1785,9 +1842,15 @@ def ann_recall_audit(
         .select("query_id", "neighbor_id")
     )
     approx = _pin(
+        # rerank="exact" pinned deliberately: recall is TIER-INVARIANT
+        # (every rerank tier scores the identical candidate set and
+        # produces the identical ranking), so the audit measures the
+        # hash family, not the rerank — and skipping the auto gate
+        # keeps the audit's plan stable and saves its corpus count
         ann_lsh_topk(
             embeddings, k=k, n_planes=n_planes, n_tables=n_tables,
             seed=seed, dim=dim, id_col=id_col, vec_col=vec_col,
+            rerank="exact",
         )
         .where(is_sampled)
         .select("query_id", "neighbor_id")
@@ -1840,9 +1903,11 @@ def ivf_recall_audit(
         .select("query_id", "neighbor_id")
     )
     approx = _pin(
+        # rerank="exact" pinned — tier-invariant recall, same reasoning
+        # as ann_recall_audit
         ann_ivf_topk(
             embeddings, k=k, n_cells=n_cells, n_probe=n_probe,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, rerank="exact",
         )
         .where(is_sampled)
         .select("query_id", "neighbor_id")

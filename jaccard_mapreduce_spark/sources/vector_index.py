@@ -48,9 +48,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jaccard_mapreduce_spark.operators.similarity import (
+    AUTO_DIST_PAIRS,
     DEFAULT_IVF_CELLS,
     DEFAULT_IVF_ITERS,
     DEFAULT_IVF_PROBE,
+    _auto_rerank,
     _cosine,
     _check_rerank,
     _dot,
@@ -196,7 +198,7 @@ def search_ivf_index(
     n_probe: int = DEFAULT_IVF_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rerank: str = "exact",
+    rerank: str = "auto",
 ) -> DataFrame:
     """Top-``k`` cosine search against a persisted index —
     ``(query_id, neighbor_id, score, rank)``. Queries assign to their
@@ -237,7 +239,17 @@ def search_ivf_index(
     # same line is the right shape anyway: it spreads each cell's
     # query load across the cluster instead of one task per cell.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    _check_rerank(rerank, allowed=("exact", "fast", "sq8", "dist"))
+    _check_rerank(rerank, allowed=("auto", "exact", "fast", "sq8", "dist"))
+    if rerank == "auto":
+        # occupancy estimate over the STORED layout: cells carries one
+        # row per indexed vector, the codebook one per cell — both
+        # counts are metadata-cheap parquet count-stars. Resolution is
+        # eager like the one-plan tiers'; "fast"/"sq8" stay explicit.
+        nq = queries.count()
+        ni = cells.count()
+        n_cells = max(cents.count(), 1)
+        rerank = _auto_rerank(nq * n_probe * (ni / float(n_cells)),
+                              AUTO_DIST_PAIRS)
     if rerank == "dist":
         # cell-local distributed rerank against the STORED vectors: the
         # probing batch (role 'q') and the probed cells' residents
@@ -772,7 +784,7 @@ def search_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ids_fit_31_bits: bool | None = None,
-    rerank: str = "exact",
+    rerank: str = "auto",
 ) -> DataFrame:
     """Top-``k`` cosine search against a persisted LSH index —
     ``(query_id, neighbor_id, score, rank)``, identical semantics to
@@ -817,7 +829,24 @@ def search_lsh_index(
     stored_v = spark.read.parquet(f"{path}/vectors")
     q_type = queries.schema[id_col].dataType.simpleString()
     s_type = stored_v.schema["vec_id"].dataType.simpleString()
-    _check_rerank(rerank, allowed=("exact", "fast", "dist"))
+    _check_rerank(rerank, allowed=("auto", "exact", "fast", "dist"))
+    if rerank == "auto":
+        # occupancy estimate over the STORED layout (n_tables · n_q ·
+        # n_i / 2^n_planes); both counts are metadata-cheap. The dist
+        # tier refuses mixed id types, so auto never routes a
+        # mixed-type search into it — the estimate is skipped and the
+        # exact tier (whose canonical-string compare handles the mix)
+        # chosen directly.
+        if q_type != s_type:
+            rerank = "exact"
+        else:
+            nq = qv.count()
+            ni = stored_v.count()
+            n_planes = len(tables[0]) if tables else 1
+            est = len(tables) * nq * (
+                ni / float(2 ** min(n_planes, 62))
+            )
+            rerank = _auto_rerank(est, AUTO_DIST_PAIRS)
     if rerank == "dist":
         # bucket-local distributed rerank against the stored corpus:
         # both sides' vectors ride their signature explode (the stored
