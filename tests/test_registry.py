@@ -58,15 +58,20 @@ def test_bench_rotation_covers_every_key_within_four_rounds():
     src = open(bench.__file__).read()
     m = re.search(r"bench_queries = \[(.*?)\]", src, re.S)
     core = set(re.findall(r'"([a-z0-9_]+)"', m.group(1)))
-    prebuilt = set(
-        re.findall(r'_force\(qs\["([a-z0-9_]+)"\]', src)
-    )
     all_keys = set(entrymod.queries()) | set(entrymod.bench_only_queries())
-    unknown = sorted((core | prebuilt) - all_keys - {"media_meta"})
+    unknown = sorted(core - all_keys)
     assert not unknown, f"bench names unknown queries: {unknown}"
-    covered = set(core) | set(prebuilt)
+    # the core list must stay BOUNDED (round-8 verdict: its monotonic
+    # growth pushed total wall-clock past the driver's kill budget and
+    # the artifact died) — slowest-15 + the round's new/changed keys
+    # plus a little headroom, never the old 100+ accretion
+    assert len(core) <= 40, (
+        f"bench core list has grown to {len(core)} keys — rotate, "
+        "don't append (round-8 verdict item 1)"
+    )
+    covered = set(core)
     for r in range(bench.N_BENCH_COHORTS):
-        covered |= set(bench.rotating_cohort(all_keys, core, prebuilt, r))
+        covered |= set(bench.rotating_cohort(all_keys, core, set(), r))
     gaps = sorted(all_keys - covered)
     assert not gaps, (
         f"keys outside both the bench core list and the rotation: {gaps}"
@@ -75,7 +80,7 @@ def test_bench_rotation_covers_every_key_within_four_rounds():
     # stable partition), so each key's bench cadence is exactly one in
     # N_BENCH_COHORTS rounds
     slices = [
-        set(bench.rotating_cohort(all_keys, core, prebuilt, r))
+        set(bench.rotating_cohort(all_keys, core, set(), r))
         for r in range(bench.N_BENCH_COHORTS)
     ]
     for i in range(len(slices)):
