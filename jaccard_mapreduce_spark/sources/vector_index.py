@@ -295,8 +295,19 @@ def search_ivf_index(
                 "codes (pre-round-8 layout); rebuild it with "
                 "build_ivf_index to add them"
             )
+        from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+        # pinned (round 9): the partitioned cells scan gets a DYNAMIC
+        # PARTITION PRUNING subquery over the probed cell set, and that
+        # subquery re-executes the ENTIRE query-side plan — the
+        # crossJoin + rank-window assignment AND the SQ8 enrichment —
+        # a second time (measured: 29.6 s unpinned vs one-plan's 10.2 s
+        # at sf0.1, same-day isolated protocol). The pin materializes
+        # the enriched assignment once; the DPP subquery then reads the
+        # cache and still prunes the store to probed cells — the
+        # behavior a SMALL batch against a BIG store wants.
         qa = (
-            _sq8_enrich(ivf_assign(qv, cents, n_probe))
+            _pin(_sq8_enrich(ivf_assign(qv, cents, n_probe)))
             .repartition(n_shuffle, "cell_id", "vec_id")
             .alias("a")
         )
@@ -311,7 +322,12 @@ def search_ivf_index(
             _sq8_pair_score().alias("score"),
         )
         return _topk(scored, k)
-    qa = ivf_assign(qv, cents, n_probe).repartition(
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+
+    # pinned for the same DPP double-compute reason as the sq8 branch
+    # above (the exact/fast branches' pruning subquery re-ran the
+    # assignment's crossJoin + rank window)
+    qa = _pin(ivf_assign(qv, cents, n_probe)).repartition(
         n_shuffle, "cell_id", "vec_id"
     ).alias("a")
     b = cells.alias("b")
