@@ -325,6 +325,14 @@ def _q_lsh_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_index_serve_demo(spark, sf_dir)
 
 
+def _q_ivf_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        ivf_index_serve_demo,
+    )
+
+    return ivf_index_serve_demo(spark, sf_dir)
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.signature_index import (
         dedup_incremental_demo,
@@ -500,6 +508,7 @@ _NEW_OR_CHANGED = [
     "lsh_auto_dist",  # new: rerank="auto" routed to dist, rank-graded
     "ivf_auto_dist",  # new: its IVF twin
     "lsh_dist_skew",  # new: hot-bucket decomposition skew fixture
+    "ivf_index_serve",  # new: IVF batch-serving shape (lsh twin)
     # changed round 9: rerank="auto" is now the DEFAULT on the one-plan
     # and stored-index searches — these entries' call paths gained the
     # eager occupancy-estimate gate (resolving to exact at graded scale)
@@ -520,7 +529,7 @@ _TRANSITIVE_EXEMPT: dict[str, str] = {}
 
 _R9_WINDOW = [
     # new or changed in round 9 (see _NEW_OR_CHANGED)
-    "lsh_auto_dist", "ivf_auto_dist", "lsh_dist_skew",
+    "lsh_auto_dist", "ivf_auto_dist", "lsh_dist_skew", "ivf_index_serve",
     "ann_lsh_topk", "ann_ivf_topk", "ann_scale_probe",
     "ivf_params_derived", "ivf_index_search", "ivf_index_upsert",
     "lsh_index_search", "lsh_index_serve", "lsh_index_upsert",
@@ -546,7 +555,7 @@ _R9_WINDOW = [
     "containment_pruned", "containment_recall_audit",
     "corpus_text_roundtrip", "customer_order_windows",
     "customers_semi_anti", "dedup_embedding", "dedup_exact",
-    "dedup_minhash_lsh", "fingerprints", "ivf_recall_audit",
+    "dedup_minhash_lsh", "fingerprints",
 ]
 
 
@@ -804,6 +813,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # must match the exact tier's over the same stored index
         "ivf_index_dist": _q_ivf_index_dist,
         "lsh_index_dist": _q_lsh_index_dist,
+        # new round 9: the IVF batch-serving shape — the missing
+        # symmetric twin of lsh_index_serve (a deterministic 10% batch
+        # against the full stored index; oracle = the one-plan SQL with
+        # the cell join's query side filtered to the batch)
+        "ivf_index_serve": _q_ivf_index_serve,
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1297,6 +1311,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_index_stats": oracles.minhash_index_stats_sql(base_mod=6),
         "lsh_index_serve": oracles.ann_lsh_topk_sql(
             10, S.lsh_tables(64), query_where="a.vec_id % 10 = 0"
+        ),
+        # the IVF batch-serving twin: the cell join's query side
+        # filtered to the batch, residents stay the full corpus
+        "ivf_index_serve": oracles.ann_ivf_topk_sql(
+            10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
+            query_where="a.vec_id % 10 = 0",
         ),
         "ivf_index_upsert": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,

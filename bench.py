@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -124,6 +125,7 @@ def main() -> None:
         "lsh_auto_dist",
         "ivf_auto_dist",
         "lsh_dist_skew",
+        "ivf_index_serve",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ivf_params_derived",
@@ -158,7 +160,8 @@ def main() -> None:
     # rotated out this round are skipped entirely.
     index_dependent = [
         "ivf_index_search", "ivf_index_upsert", "ivf_index_sq8",
-        "ivf_index_dist", "lsh_index_search", "lsh_index_serve",
+        "ivf_index_dist", "ivf_index_serve",
+        "lsh_index_search", "lsh_index_serve",
         "lsh_index_upsert", "lsh_index_compact", "lsh_index_dist",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
@@ -188,6 +191,17 @@ def main() -> None:
     query_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "720"))
     hard_budget = float(
         os.environ.get("SPARK_GRAFT_BENCH_HARD_BUDGET", "1080")
+    )
+    # Per-rep watchdog: the cumulative budgets above only advance when
+    # a query RETURNS, so a single infinitely-hung query still defeated
+    # them (observed live: a micro-batch whose single-partition plan
+    # put a ~10⁸-row join explosion on one task — 997 s of CPU and
+    # counting when killed). A timer cancels all running jobs once a
+    # query exceeds its allowance; the cancellation surfaces as an
+    # exception the per-query error guard already records, and the run
+    # continues.
+    query_timeout = float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT", "240")
     )
     # spread bound = ±40% of the median (round-5 verdict ask): a query
     # whose min/max straddle more than that gets up to EXTRA_REPS
@@ -280,6 +294,12 @@ def main() -> None:
         # every later query died — the session factory now raises the
         # timeout, and this guard makes any residual failure partial
         # instead of total)
+        watchdog = threading.Timer(
+            query_timeout * (n_reps + extra_reps),
+            spark.sparkContext.cancelAllJobs,
+        )
+        watchdog.daemon = True
+        watchdog.start()
         try:
             med, lo, hi, noisy = timed(
                 lambda: _force(qs[name](spark, sf_dir)), n_reps
@@ -288,6 +308,8 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             cleanup()
             continue
+        finally:
+            watchdog.cancel()
         timings[name] = med
         spread[name] = [lo, hi]
         if noisy:

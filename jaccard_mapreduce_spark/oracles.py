@@ -1785,6 +1785,7 @@ def ann_ivf_topk_sql(
     iters: int = 2,
     dim: int = 64,
     train_where: str = "",
+    query_where: str = "",
 ) -> str:
     # mirrors operators/similarity.py::ann_ivf_topk exactly: codebook =
     # the integer-exact kmeans_int8 chain's final centroids (ints as
@@ -1793,7 +1794,13 @@ def ann_ivf_topk_sql(
     # n_probe cells, exact rerank within cells. With train_where set,
     # the codebook trains on a slice while assignment/search cover the
     # full corpus — the ivf_index_upsert oracle (build-then-upsert must
-    # equal build-over-union under the held-fixed codebook)
+    # equal build-over-union under the held-fixed codebook).
+    # query_where (e.g. "a.vec_id % 10 = 0") restricts the QUERY side
+    # of the cell join while the resident side stays the full corpus —
+    # the batch-serving oracle (ivf_index_serve): the per-query top-k
+    # window is unaffected by dropping other queries, so batch-vs-
+    # stored ≡ the batch's rows of the full self-search (the
+    # ann_lsh_topk_sql convention)
     cos_c = (
         "CASE WHEN a.norm2 > 0 AND c.cnorm2 > 0 "
         "THEN list_dot_product(a.vec, c.cvec) / (sqrt(a.norm2) * sqrt(c.cnorm2)) "
@@ -1824,7 +1831,8 @@ idx AS (SELECT * FROM assign WHERE crank = 1),
 scored AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
     FROM qry a JOIN idx b
-      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id{
+        f" AND ({query_where})" if query_where else ""}
 )""",
         k,
     )

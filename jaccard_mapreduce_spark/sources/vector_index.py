@@ -1184,6 +1184,37 @@ def ivf_index_sq8_demo(
     return search_ivf_index(spark, base, emb, rerank="sq8")
 
 
+def ivf_index_serve_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 10,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the IVF SERVING shape — the missing symmetric
+    twin of :func:`lsh_index_serve_demo` (round 9): a deterministic
+    query batch (``vec_id % query_mod == 0``, the recall audits'
+    sampling convention) searched against the full stored index. Must
+    value-hash-match the one-plan oracle with the cell join's query
+    side filtered to the batch (``ann_ivf_topk_sql`` with
+    ``query_where`` — the per-query top-k window is unaffected by
+    dropping other queries). This is the amortization the lifecycle
+    exists for: the batch assigns ``|batch| · n_cells`` rows against
+    the broadcast codebook, while the corpus's assignment — and, with
+    dynamic partition pruning, even the unprobed cells' bytes — is
+    read, not recomputed. Shares the session index with
+    :func:`ivf_index_search_demo`."""
+    base, emb = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="",
+        required_dirs=["centroids", "cells"],
+        build=build_ivf_index,
+        rebuild=rebuild,
+    )
+    batch = emb.where(F.col("vec_id") % int(query_mod) == 0)
+    return search_ivf_index(spark, base, batch)
+
+
 def lsh_index_dist_demo(
     spark: SparkSession, sf_dir: str, rebuild: bool = False
 ) -> DataFrame:

@@ -184,3 +184,61 @@ def test_bipartite_one_sided_hot_bucket_has_no_phantom_groups(spark):
     # bucket 7 has no i rows -> nothing scored there; bucket 8 has no
     # q rows -> nothing there either
     assert out == []
+
+
+def test_incremental_join_frontier_emit_once_multi_batch(
+    spark, tmp_path, monkeypatch
+):
+    """The round-9 join frontier replaced the (pair, token) DISTINCT
+    with an emit-once join condition (both-new pairs via the a < b
+    direction, new×old via their only new side). Force the JOIN path by
+    shrinking the bitmask gate, drive 3 micro-batches, and require
+    byte-equality with the batch pipeline — any double- or missed
+    emission changes an intersection count."""
+    from jaccard_mapreduce_spark.operators.jaccard import jaccard_pairs
+    from jaccard_mapreduce_spark.sources.corpus import read_corpus_text
+    from jaccard_mapreduce_spark.streaming import incremental as inc_mod
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(inc_mod, "_BITMASK_MAX_VOCAB", 0)
+
+    corpus = read_corpus_text(spark, "/root/reference/datasets/small.txt")
+    in_dir = str(tmp_path / "in")
+    parts = corpus.withColumn(
+        "part", (F.crc32(F.col("doc_id").cast("binary")) % 3).cast("int")
+    )
+    for i in range(3):
+        parts.where(F.col("part") == i).drop("part").write.mode(
+            "append" if i else "overwrite"
+        ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    inc = inc_mod.IncrementalJaccard(
+        spark, str(tmp_path / "state"), str(tmp_path / "scores")
+    )
+    q = inc.attach(stream)
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.read.parquet(str(tmp_path / "scores"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(
+                F.struct(
+                    "batch_id", "intersection", "size_a", "size_b",
+                    "similarity",
+                )
+            ).alias("s")
+        )
+        .select(
+            "doc_a", "doc_b", "s.intersection", "s.size_a", "s.size_b",
+            "s.similarity",
+        )
+    )
+    want = jaccard_pairs(corpus, strategy="join")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
