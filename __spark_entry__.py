@@ -333,6 +333,14 @@ def _q_ivf_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_serve_demo(spark, sf_dir)
 
 
+def _q_ivf_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        ivf_index_retrain_demo,
+    )
+
+    return ivf_index_retrain_demo(spark, sf_dir)
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.signature_index import (
         dedup_incremental_demo,
@@ -509,6 +517,7 @@ _NEW_OR_CHANGED = [
     "ivf_auto_dist",  # new: its IVF twin
     "lsh_dist_skew",  # new: hot-bucket decomposition skew fixture
     "ivf_index_serve",  # new: IVF batch-serving shape (lsh twin)
+    "ivf_index_retrain",  # new: staleness-triggered codebook retrain
     # changed round 9: rerank="auto" is now the DEFAULT on the one-plan
     # and stored-index searches — these entries' call paths gained the
     # eager occupancy-estimate gate (resolving to exact at graded scale)
@@ -530,6 +539,7 @@ _TRANSITIVE_EXEMPT: dict[str, str] = {}
 _R9_WINDOW = [
     # new or changed in round 9 (see _NEW_OR_CHANGED)
     "lsh_auto_dist", "ivf_auto_dist", "lsh_dist_skew", "ivf_index_serve",
+    "ivf_index_retrain",
     "ann_lsh_topk", "ann_ivf_topk", "ann_scale_probe",
     "ivf_params_derived", "ivf_index_search", "ivf_index_upsert",
     "lsh_index_search", "lsh_index_serve", "lsh_index_upsert",
@@ -555,7 +565,7 @@ _R9_WINDOW = [
     "containment_pruned", "containment_recall_audit",
     "corpus_text_roundtrip", "customer_order_windows",
     "customers_semi_anti", "dedup_embedding", "dedup_exact",
-    "dedup_minhash_lsh", "fingerprints",
+    "dedup_minhash_lsh",
 ]
 
 
@@ -818,6 +828,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against the full stored index; oracle = the one-plan SQL with
         # the cell join's query side filtered to the batch)
         "ivf_index_serve": _q_ivf_index_serve,
+        # new round 9: the retrain face — build on the base slice,
+        # upsert the rest (codebook stale), retrain past the staleness
+        # threshold, self-search; must hash-match the one-plan oracle
+        # with NO training filter (a retrained index ≡ a fresh build
+        # over the full corpus). Closes the lifecycle the staleness
+        # counter exists to trigger.
+        "ivf_index_retrain": _q_ivf_index_retrain,
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1317,6 +1334,12 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_serve": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
             query_where="a.vec_id % 10 = 0",
+        ),
+        # retrain ≡ fresh build over the full corpus: the plain
+        # one-plan oracle with NO training filter (contrast
+        # ivf_index_upsert, whose oracle trains on the base slice)
+        "ivf_index_retrain": oracles.ann_ivf_topk_sql(
+            10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
         ),
         "ivf_index_upsert": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,

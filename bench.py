@@ -126,6 +126,7 @@ def main() -> None:
         "ivf_auto_dist",
         "lsh_dist_skew",
         "ivf_index_serve",
+        "ivf_index_retrain",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ivf_params_derived",
@@ -160,7 +161,7 @@ def main() -> None:
     # rotated out this round are skipped entirely.
     index_dependent = [
         "ivf_index_search", "ivf_index_upsert", "ivf_index_sq8",
-        "ivf_index_dist", "ivf_index_serve",
+        "ivf_index_dist", "ivf_index_serve", "ivf_index_retrain",
         "lsh_index_search", "lsh_index_serve",
         "lsh_index_upsert", "lsh_index_compact", "lsh_index_dist",
         "dedup_incremental", "minhash_index_upsert",

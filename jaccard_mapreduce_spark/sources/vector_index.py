@@ -411,6 +411,66 @@ def upsert_ivf_index(
     return n_new
 
 
+def retrain_ivf_index(
+    spark: SparkSession,
+    path: str,
+    n_cells: int | None = None,
+    iters: int = DEFAULT_IVF_ITERS,
+    min_staleness: int = 0,
+) -> bool:
+    """Retrain the codebook over the CURRENT stored vectors and rewrite
+    the cells under the new assignment — the response
+    :func:`index_staleness` exists to trigger (round 9: upsert proves
+    mutation-invisibility under a FIXED codebook; retrain closes the
+    loop by proving recovery FROM staleness — a retrained index must be
+    indistinguishable from a fresh build over the same corpus, the
+    graded ``ivf_index_retrain`` contract).
+
+    With ``min_staleness > 0`` the retrain is conditional: nothing
+    happens (returns False) until at least that many vectors have been
+    upserted since the codebook was trained — the measured-threshold
+    retrain loop a serving deployment runs. ``n_cells=None`` keeps the
+    stored codebook's cell count; pass an explicit count (e.g. from
+    :func:`~jaccard_mapreduce_spark.operators.similarity.ivf_params_for`
+    on the grown corpus size) when the corpus has outgrown it.
+
+    Publish is a SINGLE whole-directory swap: both new datasets are
+    written under ``<path>__retraining`` and one checked rename makes
+    them live together — per-dataset swaps (the compaction shape) would
+    open a crash window where a NEW codebook pairs with OLD cells (or
+    vice versa) and every search silently probes the wrong partitions;
+    the directory rename has no mixed-generation state at any instant
+    (the ``_banding``-rides-with-data lesson, applied at directory
+    granularity). The fresh generation carries no ``_staleness`` file,
+    which IS the reset (absent = 0)."""
+    if min_staleness > 0 and index_staleness(path, spark) < min_staleness:
+        return False
+    cents_live = spark.read.parquet(f"{path}/centroids")
+    stored = spark.read.parquet(f"{path}/cells").select("vec_id", "vec")
+    if n_cells is None:
+        n_cells = cents_live.count()
+    tmp = f"{path}__retraining"
+    _fs_delete(spark, tmp)  # leftover from a crashed prior retrain
+    # stored vec values round-trip parquet bit-for-bit, so the trained
+    # codebook — and therefore every assignment and SQ8 code — is
+    # identical to a fresh build over the same corpus
+    build_ivf_index(
+        stored, tmp, n_cells=n_cells, iters=iters,
+        id_col="vec_id", vec_col="vec",
+    )
+    fs, live = _hadoop_fs(spark, path)
+    old = _hadoop_fs(spark, f"{path}__old")[1]
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(live, old):
+        raise IOError(f"retrain swap failed: {path} -> {path}__old")
+    if not fs.rename(_hadoop_fs(spark, tmp)[1], live):
+        fs.rename(old, live)  # put the previous generation back
+        raise IOError(f"retrain swap failed: {tmp} -> {path}")
+    fs.delete(old, True)
+    return True
+
+
 def index_staleness(path: str, spark: SparkSession | None = None) -> int:
     """Vectors appended since the codebook was trained — the retrain
     trigger. ``build_ivf_index`` resets it to zero implicitly (the
@@ -1246,6 +1306,43 @@ def ivf_index_dist_demo(
         rebuild=rebuild,
     )
     return search_ivf_index(spark, base, emb, rerank="dist")
+
+
+def ivf_index_retrain_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int = 5,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the retrain face (round 9): build the index
+    on the BASE slice, upsert the newcomers (codebook now trained on a
+    subset — exactly the drift :func:`index_staleness` counts), then
+    RETRAIN past a staleness threshold and self-search the union. Must
+    value-hash-match the one-plan ``ann_ivf_topk`` oracle with NO
+    training filter — i.e. a retrained index is indistinguishable from
+    a fresh build over the full corpus, closing the lifecycle:
+    build → search → serve → upsert → compact → RETRAIN. (The upsert
+    demo pins the complementary claim: under a HELD-FIXED codebook,
+    mutation changes where vectors land, never the answer.)"""
+
+    def _build(emb: DataFrame, path: str) -> None:
+        build_ivf_index(emb.where(F.col("vec_id") % base_mod != 0), path)
+        upsert_ivf_index(
+            spark, path, emb.where(F.col("vec_id") % base_mod == 0)
+        )
+        retrained = retrain_ivf_index(spark, path, min_staleness=1)
+        assert retrained, "staleness threshold not crossed — demo broken"
+
+    base, emb = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_retrain",
+        required_dirs=["centroids", "cells"],
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"base_mod={base_mod}",
+    )
+    return search_ivf_index(spark, base, emb)
 
 
 def ivf_index_upsert_demo(

@@ -242,3 +242,37 @@ def test_incremental_join_frontier_emit_once_multi_batch(
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_retrain_gate_reset_and_equivalence(spark, tmp_path):
+    """retrain_ivf_index honors the staleness threshold, resets the
+    counter via the fresh generation (no _staleness file), and the
+    retrained index equals a fresh build over the same corpus."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        index_staleness,
+        retrain_ivf_index,
+        search_ivf_index,
+        upsert_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    fresh = str(tmp_path / "fresh")
+    build_ivf_index(emb.where("vec_id % 4 != 0"), idx)
+    n_up = upsert_ivf_index(spark, idx, emb.where("vec_id % 4 = 0"))
+    assert index_staleness(idx, spark) == n_up > 0
+    # below the threshold: nothing happens, counter intact
+    assert retrain_ivf_index(spark, idx, min_staleness=n_up + 1) is False
+    assert index_staleness(idx, spark) == n_up
+    # at the threshold: retrain runs and the counter resets
+    assert retrain_ivf_index(spark, idx, min_staleness=n_up) is True
+    assert index_staleness(idx, spark) == 0
+    build_ivf_index(emb, fresh)
+    got = sorted(
+        map(tuple, search_ivf_index(spark, idx, emb, k=5).collect())
+    )
+    want = sorted(
+        map(tuple, search_ivf_index(spark, fresh, emb, k=5).collect())
+    )
+    assert got == want
