@@ -341,6 +341,14 @@ def _q_ivf_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_retrain_demo(spark, sf_dir)
 
 
+def _q_lsh_index_retune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        lsh_index_retune_demo,
+    )
+
+    return lsh_index_retune_demo(spark, sf_dir)
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.signature_index import (
         dedup_incremental_demo,
@@ -518,6 +526,7 @@ _NEW_OR_CHANGED = [
     "lsh_dist_skew",  # new: hot-bucket decomposition skew fixture
     "ivf_index_serve",  # new: IVF batch-serving shape (lsh twin)
     "ivf_index_retrain",  # new: staleness-triggered codebook retrain
+    "lsh_index_retune",  # new: occupancy-derived in-place LSH retune
     # changed round 9: rerank="auto" is now the DEFAULT on the one-plan
     # and stored-index searches — these entries' call paths gained the
     # eager occupancy-estimate gate (resolving to exact at graded scale)
@@ -539,7 +548,7 @@ _TRANSITIVE_EXEMPT: dict[str, str] = {}
 _R9_WINDOW = [
     # new or changed in round 9 (see _NEW_OR_CHANGED)
     "lsh_auto_dist", "ivf_auto_dist", "lsh_dist_skew", "ivf_index_serve",
-    "ivf_index_retrain",
+    "ivf_index_retrain", "lsh_index_retune",
     "ann_lsh_topk", "ann_ivf_topk", "ann_scale_probe",
     "ivf_params_derived", "ivf_index_search", "ivf_index_upsert",
     "lsh_index_search", "lsh_index_serve", "lsh_index_upsert",
@@ -565,7 +574,6 @@ _R9_WINDOW = [
     "containment_pruned", "containment_recall_audit",
     "corpus_text_roundtrip", "customer_order_windows",
     "customers_semi_anti", "dedup_embedding", "dedup_exact",
-    "dedup_minhash_lsh",
 ]
 
 
@@ -835,6 +843,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the full corpus). Closes the lifecycle the staleness
         # counter exists to trigger.
         "ivf_index_retrain": _q_ivf_index_retrain,
+        # new round 9: the LSH retune face — a mistuned (1 plane ×
+        # 2 tables) stored index rebuilt IN PLACE at the
+        # lsh_params_for-derived width (4 × 16 at graded scale) must
+        # hash-match the canonical one-plan oracle; the occupancy math
+        # that triggers the retune is the code that sizes it.
+        "lsh_index_retune": _q_lsh_index_retune,
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1340,6 +1354,11 @@ def oracle_sql() -> dict[str, str]:
         # ivf_index_upsert, whose oracle trains on the base slice)
         "ivf_index_retrain": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE
+        ),
+        # retuned-from-mistuned ≡ built-right: lsh_params_for(500) = 4
+        # planes at the graded sf0.01, i.e. the canonical table set
+        "lsh_index_retune": oracles.ann_lsh_topk_sql(
+            10, S.lsh_tables(64)
         ),
         "ivf_index_upsert": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,

@@ -127,6 +127,7 @@ def main() -> None:
         "lsh_dist_skew",
         "ivf_index_serve",
         "ivf_index_retrain",
+        "lsh_index_retune",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ivf_params_derived",
@@ -164,6 +165,7 @@ def main() -> None:
         "ivf_index_dist", "ivf_index_serve", "ivf_index_retrain",
         "lsh_index_search", "lsh_index_serve",
         "lsh_index_upsert", "lsh_index_compact", "lsh_index_dist",
+        "lsh_index_retune",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

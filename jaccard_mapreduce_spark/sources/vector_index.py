@@ -605,6 +605,54 @@ def build_lsh_index(
     sig.write.mode("overwrite").parquet(f"{path}/signatures")
 
 
+def retune_lsh_index(
+    spark: SparkSession,
+    path: str,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int | None = None,
+    dim: int = 64,
+) -> int:
+    """Rebuild the stored LSH index at a new hash width — the response
+    to bucket-occupancy drift (round 9, completing the retune symmetry:
+    IVF ``retrain_ivf_index`` answers codebook staleness, the MinHash
+    store's ``reband_minhash_index`` answers threshold drift, and this
+    answers candidate-volume growth). Sign-bit hashing is
+    data-independent, so there is nothing incremental to salvage: a
+    retune IS a rebuild over the CURRENT stored vectors — what this
+    function adds over calling :func:`build_lsh_index` yourself is (a)
+    the plane count DERIVED from the stored corpus size via
+    :func:`~jaccard_mapreduce_spark.operators.similarity.lsh_params_for`
+    when ``n_planes`` is None (the occupancy math that is the retune
+    trigger, applied as the retune mechanism), and (b) the same
+    whole-directory publish as the IVF retrain — all three datasets
+    (planes / vectors / signatures) go live together, so no search can
+    ever pair new planes with old signatures. Returns the plane count
+    the index was retuned to."""
+    from jaccard_mapreduce_spark.operators.similarity import lsh_params_for
+
+    stored = spark.read.parquet(f"{path}/vectors").select("vec_id", "vec")
+    if n_planes is None:
+        n_planes = lsh_params_for(stored.count())
+    tmp = f"{path}__retuning"
+    _fs_delete(spark, tmp)  # leftover from a crashed prior retune
+    build_lsh_index(
+        stored, tmp, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        dim=dim, id_col="vec_id", vec_col="vec",
+    )
+    fs, live = _hadoop_fs(spark, path)
+    old = _hadoop_fs(spark, f"{path}__old")[1]
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(live, old):
+        raise IOError(f"retune swap failed: {path} -> {path}__old")
+    if not fs.rename(_hadoop_fs(spark, tmp)[1], live):
+        fs.rename(old, live)  # put the previous generation back
+        raise IOError(f"retune swap failed: {tmp} -> {path}")
+    fs.delete(old, True)
+    return n_planes
+
+
 def upsert_lsh_index(
     spark: SparkSession,
     path: str,
@@ -1273,6 +1321,36 @@ def ivf_index_serve_demo(
     )
     batch = emb.where(F.col("vec_id") % int(query_mod) == 0)
     return search_ivf_index(spark, base, batch)
+
+
+def lsh_index_retune_demo(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """Contract query for the retune face (round 9): build the stored
+    index at a deliberately MISTUNED hash width (1 plane × 2 tables —
+    two half-corpus buckets per table, the skew fixture's degenerate
+    config), then :func:`retune_lsh_index` with no explicit width — the
+    plane count comes from ``lsh_params_for`` over the stored corpus
+    size — and self-search. At the graded sf0.01 (500 vectors) the
+    derivation lands exactly on the shipped default (4 planes ×
+    16 tables), so the search must hash-match the canonical one-plan
+    ``ann_lsh_topk`` oracle: a mistuned index retuned IN PLACE is
+    indistinguishable from one built right, and the occupancy math that
+    TRIGGERS the retune is the same code that SIZES it."""
+
+    def _build(emb: DataFrame, path: str) -> None:
+        build_lsh_index(emb, path, n_planes=1, n_tables=2)
+        retune_lsh_index(spark, path)
+
+    base, emb = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_retune",
+        required_dirs=["planes", "vectors", "signatures"],
+        build=_build,
+        rebuild=rebuild,
+    )
+    return search_lsh_index(spark, base, emb)
 
 
 def lsh_index_dist_demo(

@@ -276,3 +276,31 @@ def test_retrain_gate_reset_and_equivalence(spark, tmp_path):
         map(tuple, search_ivf_index(spark, fresh, emb, k=5).collect())
     )
     assert got == want
+
+
+def test_retune_derives_width_and_equals_fresh_build(spark, tmp_path):
+    """retune_lsh_index with no explicit width sizes the rebuild from
+    lsh_params_for over the stored corpus, returns that width, and the
+    retuned index answers exactly like one built right initially."""
+    from jaccard_mapreduce_spark.operators.similarity import lsh_params_for
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        retune_lsh_index,
+        search_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    fresh = str(tmp_path / "fresh")
+    build_lsh_index(emb, idx, n_planes=1, n_tables=2)
+    got_planes = retune_lsh_index(spark, idx)
+    want_planes = lsh_params_for(emb.count())
+    assert got_planes == want_planes
+    build_lsh_index(emb, fresh, n_planes=want_planes)
+    got = sorted(
+        map(tuple, search_lsh_index(spark, idx, emb, k=5).collect())
+    )
+    want = sorted(
+        map(tuple, search_lsh_index(spark, fresh, emb, k=5).collect())
+    )
+    assert got == want
