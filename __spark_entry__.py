@@ -381,6 +381,22 @@ def _q_minhash_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_index_stats_demo(spark, sf_dir)
 
 
+def _q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        ivf_index_stats_demo,
+    )
+
+    return ivf_index_stats_demo(spark, sf_dir)
+
+
+def _q_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        lsh_index_stats_demo,
+    )
+
+    return lsh_index_stats_demo(spark, sf_dir)
+
+
 def _q_corpus_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.corpus import corpus_text_roundtrip
 
@@ -527,6 +543,8 @@ _NEW_OR_CHANGED = [
     "ivf_index_serve",  # new: IVF batch-serving shape (lsh twin)
     "ivf_index_retrain",  # new: staleness-triggered codebook retrain
     "lsh_index_retune",  # new: occupancy-derived in-place LSH retune
+    "ivf_index_stats",  # new: IVF ops snapshot (stats triad)
+    "lsh_index_stats",  # new: LSH ops snapshot (stats triad)
     # changed round 9: rerank="auto" is now the DEFAULT on the one-plan
     # and stored-index searches — these entries' call paths gained the
     # eager occupancy-estimate gate (resolving to exact at graded scale)
@@ -549,6 +567,7 @@ _R9_WINDOW = [
     # new or changed in round 9 (see _NEW_OR_CHANGED)
     "lsh_auto_dist", "ivf_auto_dist", "lsh_dist_skew", "ivf_index_serve",
     "ivf_index_retrain", "lsh_index_retune",
+    "ivf_index_stats", "lsh_index_stats",
     "ann_lsh_topk", "ann_ivf_topk", "ann_scale_probe",
     "ivf_params_derived", "ivf_index_search", "ivf_index_upsert",
     "lsh_index_search", "lsh_index_serve", "lsh_index_upsert",
@@ -567,13 +586,13 @@ _R9_WINDOW = [
     "q9_product_profit", "quality_curriculum", "source_mixture",
     "source_overlap_matrix", "stream_upsert_snapshot",
     "unigram_surprise", "vocabulary",
-    # round-6 fillers (first 10 alphabetically among the r6-stale keys
+    # round-6 fillers (first alphabetically among the r6-stale keys
     # not already in via new/changed; the remaining r6 keys sit just
     # outside at equal staleness — legal, the guard forbids only
     # STRICTLY staler keys outside — and are the natural r10 cohort)
     "containment_pruned", "containment_recall_audit",
     "corpus_text_roundtrip", "customer_order_windows",
-    "customers_semi_anti", "dedup_embedding", "dedup_exact",
+    "customers_semi_anti",
 ]
 
 
@@ -849,6 +868,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-match the canonical one-plan oracle; the occupancy math
         # that triggers the retune is the code that sizes it.
         "lsh_index_retune": _q_lsh_index_retune,
+        # new round 9: the ops-snapshot faces completing the stats triad
+        # (minhash_index_stats precedent) — each store's occupancy
+        # numbers ARE its maintenance triggers' inputs (IVF: staleness →
+        # retrain, cell sizes → retrain-at-larger-n_cells; LSH: bucket
+        # sizes → retune width), and the oracle recomputes them from the
+        # assignment/signature CTEs, pinning that the faces read the
+        # REAL stored layouts
+        "ivf_index_stats": _q_ivf_index_stats,
+        "lsh_index_stats": _q_lsh_index_stats,
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1360,6 +1388,13 @@ def oracle_sql() -> dict[str, str]:
         "lsh_index_retune": oracles.ann_lsh_topk_sql(
             10, S.lsh_tables(64)
         ),
+        # ops snapshots: occupancy recomputed from the assignment /
+        # signature CTEs (staleness pinned to zero — the shared demo
+        # index is a fresh full build)
+        "ivf_index_stats": oracles.ivf_index_stats_sql(
+            S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_ITERS
+        ),
+        "lsh_index_stats": oracles.lsh_index_stats_sql(S.lsh_tables(64)),
         "ivf_index_upsert": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
             train_where="WHERE vec_id % 5 != 0",

@@ -128,6 +128,8 @@ def main() -> None:
         "ivf_index_serve",
         "ivf_index_retrain",
         "lsh_index_retune",
+        "ivf_index_stats",
+        "lsh_index_stats",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ivf_params_derived",

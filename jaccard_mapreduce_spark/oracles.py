@@ -1838,6 +1838,71 @@ scored AS (
     )
 
 
+def ivf_index_stats_sql(
+    n_cells: int, iters: int = 2, dim: int = 64
+) -> str:
+    """Oracle for sources/vector_index.py::ivf_index_stats_demo — the
+    SQL-derivable slice of the IVF ops snapshot recomputed from the
+    integer-exact k-means chain: vector count and the measured cell
+    occupancy (``crank = 1`` — each vector in its single nearest cell,
+    the stored layout's partitioning). The shared demo index is a fresh
+    full build, so staleness is the literal zero. (File counts are
+    filesystem facts with no SQL twin and are not in the graded
+    projection.)"""
+    cos_c = (
+        "CASE WHEN a.norm2 > 0 AND c.cnorm2 > 0 "
+        "THEN list_dot_product(a.vec, c.cvec) / (sqrt(a.norm2) * sqrt(c.cnorm2)) "
+        "ELSE 0.0 END"
+    )
+    return f"""WITH {_kmeans_int8_ctes(n_cells, iters, dim)},
+{_VEC_CTES.strip()},
+cents AS (
+    SELECT cluster AS cell_id,
+           list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,
+           list_dot_product(list_transform(cvec, x -> CAST(x AS DOUBLE)),
+                            list_transform(cvec, x -> CAST(x AS DOUBLE)))
+               AS cnorm2
+    FROM c{iters}
+),
+assign AS (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cell_id) AS crank
+    FROM (
+        SELECT a.vec_id, c.cell_id, {cos_c} AS cscore
+        FROM n a CROSS JOIN cents c
+    )
+),
+occ AS (
+    SELECT cell_id, count(*) AS c
+    FROM assign WHERE crank = 1 GROUP BY cell_id
+)
+SELECT CAST({n_cells} AS BIGINT) AS n_cells,
+       (SELECT count(*) FROM n) AS n_vectors,
+       (SELECT count(*) FROM occ) AS n_occupied_cells,
+       (SELECT max(c) FROM occ) AS max_cell_vectors,
+       CAST(0 AS BIGINT) AS staleness"""
+
+
+def lsh_index_stats_sql(tables: list[list[list[float]]]) -> str:
+    """Oracle for sources/vector_index.py::lsh_index_stats_demo — the
+    stored table geometry plus the ``(tbl, bucket)`` occupancy
+    recomputed from the signature CTEs over the same plane literals.
+    Bucket values are bit-strings here and packed longs in the store,
+    but the grouping is 1:1 (two vectors share a bucket iff every sign
+    bit matches), so the occupancy numbers are representation-free."""
+    return f"""WITH {_VEC_CTES.strip()},
+{_lsh_sig_cte(tables)},
+occ AS (
+    SELECT tbl, bucket, count(*) AS c FROM sig GROUP BY tbl, bucket
+)
+SELECT CAST({len(tables)} AS BIGINT) AS n_tables,
+       CAST({len(tables[0]) if tables else 0} AS BIGINT) AS n_planes,
+       (SELECT count(*) FROM n) AS n_vectors,
+       (SELECT count(*) FROM occ) AS n_bucket_groups,
+       (SELECT max(c) FROM occ) AS max_bucket_vectors"""
+
+
 def _ivf_cells_ctes(n_cells: int, n_probe: int, iters: int) -> str:
     """``cents``/``assign``/``cand`` fragments shared by the SQ8 oracle
     and the SQ8 rank audit — candidate generation identical to

@@ -484,6 +484,90 @@ def index_staleness(path: str, spark: SparkSession | None = None) -> int:
     return int((text or "0").strip() or 0)
 
 
+def ivf_index_stats(spark: SparkSession, path: str) -> dict:
+    """Operational snapshot of a persisted IVF index — the IVF face of
+    the stats triad (:func:`~jaccard_mapreduce_spark.sources.
+    signature_index.minhash_index_stats` / :func:`lsh_index_stats`):
+    codebook size, vector count, measured cell occupancy, the staleness
+    counter, and per-dataset parquet file counts. One aggregate over the
+    skinny ``(cell_id)`` projection of the cells dataset plus a count of
+    the KB-sized centroid relation; the file counts are filesystem
+    facts.
+
+    These are exactly the inputs the index's two maintenance triggers
+    read: ``staleness`` drives :func:`retrain_ivf_index`'s conditional
+    retrain, and a growing ``max_cell_vectors`` (candidate volume per
+    probe scales with cell sizes) is the measured signal to retrain at a
+    larger ``n_cells`` from :func:`~jaccard_mapreduce_spark.operators.
+    similarity.ivf_params_for` — the same measure-then-retune discipline
+    as the MinHash store's occupancy snapshot. ``cells_files`` feeds the
+    compaction trigger (:func:`compact_ivf_index`)."""
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    occ = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.max("c").alias("mx"),
+            F.sum("c").alias("n"),
+        )
+        .first()
+    )
+    out = {
+        "n_cells": int(n_cells),
+        "n_vectors": int(occ["n"]) if occ["n"] is not None else 0,
+        "n_occupied_cells": int(occ["groups"]),
+        "max_cell_vectors": int(occ["mx"]) if occ["mx"] is not None else 0,
+        "staleness": index_staleness(path, spark),
+    }
+    for name in ("centroids", "cells"):
+        fs, hpath = _hadoop_fs(spark, f"{path}/{name}")
+        out[f"{name}_files"], _ = _count_parquet_files(spark, fs, hpath)
+    return out
+
+
+def lsh_index_stats(spark: SparkSession, path: str) -> dict:
+    """Operational snapshot of a persisted LSH index: the stored table
+    geometry (read from the planes dataset — the index file is the
+    contract, not the library defaults), vector count, measured
+    ``(tbl, bucket)`` occupancy, and per-dataset parquet file counts.
+    One aggregate over the skinny stored signature relation plus a
+    count of the vector relation.
+
+    ``max_bucket_vectors`` is the number the LSH family trades on:
+    candidate volume per search batch scales with bucket sizes, so a
+    hot bucket crossing the dist kernel's block threshold — or mean
+    occupancy drifting past ``lsh_params_for``'s target — is the
+    measured trigger for :func:`retune_lsh_index` (which re-derives the
+    width from the same occupancy math). ``signatures_files`` feeds
+    :func:`compact_lsh_index`. Sign-bit hashing is data-independent, so
+    unlike the IVF face there is no staleness counter to report — what
+    drifts here is occupancy, and this snapshot IS its measurement."""
+    tables = _stored_lsh_tables(spark, path)
+    occ = (
+        spark.read.parquet(f"{path}/signatures")
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.max("c").alias("mx"),
+        )
+        .first()
+    )
+    out = {
+        "n_tables": len(tables),
+        "n_planes": len(tables[0]) if tables else 0,
+        "n_vectors": spark.read.parquet(f"{path}/vectors").count(),
+        "n_bucket_groups": int(occ["groups"]),
+        "max_bucket_vectors": int(occ["mx"]) if occ["mx"] is not None else 0,
+    }
+    for name in ("planes", "vectors", "signatures"):
+        fs, hpath = _hadoop_fs(spark, f"{path}/{name}")
+        out[f"{name}_files"], _ = _count_parquet_files(spark, fs, hpath)
+    return out
+
+
 def upsert_ivf_index_stream(stream, path: str, checkpoint: str):
     """Streaming face of the upsert path: each micro-batch of
     ``(vec_id, embedding)`` rows appends into its cell partitions via
@@ -1457,3 +1541,71 @@ def ivf_index_upsert_demo(
         tag_extra=f"base_mod={base_mod}",
     )
     return search_ivf_index(spark, base, emb)
+
+
+def ivf_index_stats_demo(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """Contract query for the IVF ops snapshot (round 9 — the stats
+    triad's IVF face): return the SQL-derivable slice of
+    :func:`ivf_index_stats` over the shared session index as one row —
+    ``(n_cells, n_vectors, n_occupied_cells, max_cell_vectors,
+    staleness)``. The DuckDB oracle recomputes the same occupancy from
+    the integer-exact k-means assignment CTEs (``crank = 1`` — each
+    vector in its single nearest cell), so the graded hash pins that the
+    stats face reads the store's REAL codebook and cell layout; the
+    shared index is a fresh full build, so ``staleness`` is pinned to
+    zero (the file counts are filesystem facts with no SQL twin and stay
+    out of the graded projection, the ``minhash_index_stats``
+    convention)."""
+    base, _emb = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="",
+        required_dirs=["centroids", "cells"],
+        build=build_ivf_index,
+        rebuild=rebuild,
+    )
+    st = ivf_index_stats(spark, base)
+    return spark.createDataFrame(
+        [
+            (
+                st["n_cells"],
+                st["n_vectors"],
+                st["n_occupied_cells"],
+                st["max_cell_vectors"],
+                st["staleness"],
+            )
+        ],
+        "n_cells long, n_vectors long, n_occupied_cells long,"
+        " max_cell_vectors long, staleness long",
+    )
+
+
+def lsh_index_stats_demo(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """Contract query for the LSH ops snapshot (round 9 — the stats
+    triad's LSH face): the SQL-derivable slice of
+    :func:`lsh_index_stats` over the shared session index as one row —
+    ``(n_tables, n_planes, n_vectors, n_bucket_groups,
+    max_bucket_vectors)``. The oracle recomputes the occupancy from the
+    signature CTEs over the same plane literals, so the graded hash
+    pins that the face reads the store's REAL table geometry and bucket
+    layout — the numbers :func:`retune_lsh_index`'s occupancy trigger
+    trades on."""
+    base, _emb = _ensure_lsh_index(spark, sf_dir, rebuild)
+    st = lsh_index_stats(spark, base)
+    return spark.createDataFrame(
+        [
+            (
+                st["n_tables"],
+                st["n_planes"],
+                st["n_vectors"],
+                st["n_bucket_groups"],
+                st["max_bucket_vectors"],
+            )
+        ],
+        "n_tables long, n_planes long, n_vectors long,"
+        " n_bucket_groups long, max_bucket_vectors long",
+    )

@@ -304,3 +304,52 @@ def test_retune_derives_width_and_equals_fresh_build(spark, tmp_path):
         map(tuple, search_lsh_index(spark, fresh, emb, k=5).collect())
     )
     assert got == want
+
+def test_index_stats_faces_track_lifecycle(spark, tmp_path):
+    """The stats snapshots report the REAL store state across the
+    lifecycle: IVF staleness follows upsert/retrain, occupancy sums to
+    the vector count, and the file counts move when compaction rewrites
+    the datasets (the numbers the maintenance triggers read)."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        build_lsh_index,
+        compact_lsh_index,
+        ivf_index_stats,
+        lsh_index_stats,
+        retrain_ivf_index,
+        upsert_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n = emb.count()
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb.where("vec_id % 4 != 0"), ivf, n_cells=8)
+    st = ivf_index_stats(spark, ivf)
+    assert st["staleness"] == 0 and st["n_cells"] == 8
+    n_up = upsert_ivf_index(spark, ivf, emb.where("vec_id % 4 = 0"))
+    st = ivf_index_stats(spark, ivf)
+    assert st["staleness"] == n_up > 0
+    assert st["n_vectors"] == n
+    assert 0 < st["n_occupied_cells"] <= 8
+    assert st["max_cell_vectors"] >= (n + 7) // 8  # pigeonhole
+    assert st["centroids_files"] >= 1 and st["cells_files"] >= 1
+    assert retrain_ivf_index(spark, ivf, min_staleness=1) is True
+    assert ivf_index_stats(spark, ivf)["staleness"] == 0
+
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(emb, lsh, n_planes=3, n_tables=2)
+    st = lsh_index_stats(spark, lsh)
+    assert st["n_tables"] == 2 and st["n_planes"] == 3
+    assert st["n_vectors"] == n
+    # 2 tables × ≤2^3 buckets, and every vector signs into each table
+    assert 2 <= st["n_bucket_groups"] <= 16
+    assert st["max_bucket_vectors"] >= (n + 7) // 8
+    before = st["signatures_files"]
+    compact_lsh_index(spark, lsh, n_files=1)
+    st2 = lsh_index_stats(spark, lsh)
+    assert st2["signatures_files"] <= before
+    assert st2["signatures_files"] == 1
+    # the snapshot is read-only: occupancy unchanged by compaction
+    assert (st2["n_bucket_groups"], st2["max_bucket_vectors"]) == (
+        st["n_bucket_groups"], st["max_bucket_vectors"]
+    )
