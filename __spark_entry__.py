@@ -31,6 +31,7 @@ from jaccard_mapreduce_spark.operators import pipeline as P  # noqa: E402
 from jaccard_mapreduce_spark.operators import dedup as D  # noqa: E402
 from jaccard_mapreduce_spark.operators import jaccard as J  # noqa: E402
 from jaccard_mapreduce_spark.operators import relational as R  # noqa: E402
+from jaccard_mapreduce_spark.operators import retrieval as RT  # noqa: E402
 from jaccard_mapreduce_spark.operators import skew as SK  # noqa: E402
 from jaccard_mapreduce_spark.operators import similarity as S  # noqa: E402
 from jaccard_mapreduce_spark.operators import text_analysis as TA  # noqa: E402
@@ -545,6 +546,7 @@ _NEW_OR_CHANGED = [
     "lsh_index_retune",  # new: occupancy-derived in-place LSH retune
     "ivf_index_stats",  # new: IVF ops snapshot (stats triad)
     "lsh_index_stats",  # new: LSH ops snapshot (stats triad)
+    "hybrid_search",  # new: lexical+vector reciprocal-rank fusion
     # changed round 9: rerank="auto" is now the DEFAULT on the one-plan
     # and stored-index searches — these entries' call paths gained the
     # eager occupancy-estimate gate (resolving to exact at graded scale)
@@ -567,7 +569,7 @@ _R9_WINDOW = [
     # new or changed in round 9 (see _NEW_OR_CHANGED)
     "lsh_auto_dist", "ivf_auto_dist", "lsh_dist_skew", "ivf_index_serve",
     "ivf_index_retrain", "lsh_index_retune",
-    "ivf_index_stats", "lsh_index_stats",
+    "ivf_index_stats", "lsh_index_stats", "hybrid_search",
     "ann_lsh_topk", "ann_ivf_topk", "ann_scale_probe",
     "ivf_params_derived", "ivf_index_search", "ivf_index_upsert",
     "lsh_index_search", "lsh_index_serve", "lsh_index_upsert",
@@ -592,7 +594,6 @@ _R9_WINDOW = [
     # STRICTLY staler keys outside — and are the natural r10 cohort)
     "containment_pruned", "containment_recall_audit",
     "corpus_text_roundtrip", "customer_order_windows",
-    "customers_semi_anti",
 ]
 
 
@@ -877,6 +878,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL stored layouts
         "ivf_index_stats": _q_ivf_index_stats,
         "lsh_index_stats": _q_lsh_index_stats,
+        # new round 9: hybrid retrieval — the lexical inverted-index
+        # leg (integer n_docs div df weights over df-pruned tokens)
+        # fused with the exact cosine leg by reciprocal-rank fusion;
+        # fused SCORES hash-match (each RRF term is one division of
+        # exact integers). The vector leg's projection is exactly what
+        # the stored LSH/IVF serve tiers return, so they are the
+        # corpus-scale drop-ins.
+        "hybrid_search": lambda s, d: RT.hybrid_search(
+            _docs(s, d), _emb(s, d)
+        ),
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1395,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
             S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_ITERS
         ),
         "lsh_index_stats": oracles.lsh_index_stats_sql(S.lsh_tables(64)),
+        "hybrid_search": oracles.hybrid_search_sql(),
         "ivf_index_upsert": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
             train_where="WHERE vec_id % 5 != 0",

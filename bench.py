@@ -130,6 +130,7 @@ def main() -> None:
         "lsh_index_retune",
         "ivf_index_stats",
         "lsh_index_stats",
+        "hybrid_search",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ivf_params_derived",

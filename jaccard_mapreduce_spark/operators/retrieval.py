@@ -1,0 +1,188 @@
+"""Hybrid retrieval: lexical inverted-index search fused with vector
+cosine search by reciprocal-rank fusion (RRF).
+
+The missing retrieval face of the engine's two similarity families: the
+Jaccard/text tier already builds the inverted index (``doc_tokens``) and
+the ANN tier already ranks by cosine — a training-data curation pipeline
+needs them TOGETHER (RAG corpus selection, near-dup triage where lexical
+and semantic evidence disagree, retrieval-based contamination review).
+RRF (Cormack et al., SIGIR 2009) is the standard score-free fusion: each
+leg contributes ``1 / (rrf_k + rank)``, so legs with incomparable score
+scales combine without calibration.
+
+Cross-engine determinism (the repo's hash-grade discipline):
+
+* The lexical score is INTEGER — ``Σ (N_docs div df(token))`` over the
+  matched tokens (rarer token ⇒ larger weight, the idf shape without the
+  float ``ln``). A float tf-idf sum would accumulate in engine-specific
+  order and rank near-ties differently; integer sums are order-free.
+* RRF terms are ``double(1) / (rrf_k + rank)`` — one division of exact
+  integers, bit-identical in Spark and DuckDB; the two legs add in a
+  fixed order (lexical + vector), so fused SCORES hash-match, not just
+  ranks.
+
+Scale shape (100 TB):
+
+* Lexical leg: the query batch's token set is broadcast; the corpus-side
+  inverted index is an equi-join on ``token`` with map-side partial
+  aggregation of the per-(query, doc) integer sum. Hot tokens are the
+  classic hazard (SURVEY §4.3): tokens with ``df > max_df_ratio · N``
+  are dropped from the leg BEFORE the join — they carry ~zero weight
+  (``N div df → 1``) yet dominate candidate volume, the stop-word prune
+  every production retrieval system applies.
+* Vector leg: exact brute-force here (hash-gradable); the leg consumes
+  only ``(query_id, neighbor_id, rank)``, so at corpus scale the stored
+  LSH/IVF serve tiers (``search_lsh_index`` / ``search_ivf_index``,
+  which return exactly that projection) are drop-in replacements.
+* Fusion: a full outer join of two ≤ ``leg_k``-per-query relations —
+  data volume is O(queries · leg_k), trivial at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
+from jaccard_mapreduce_spark.operators.similarity import _cosine, _dot, vectors
+
+DEFAULT_RRF_K = 60
+
+
+def lexical_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    max_df_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer-weighted lexical top-``k``: score(q, d) = Σ over shared
+    distinct tokens of ``N_docs div df(token)``, ranked per query by
+    ``(score DESC, doc_id ASC)`` — ``(query_id, neighbor_id, score,
+    rank)``. Tokens with ``df · 100 > max_df_ratio · 100 · N`` are
+    pruned before the join (integer compare — no float df ratio), which
+    bounds the hot-token join fan-out AND matches retrieval practice:
+    a token in most documents separates nothing.
+
+    ``queries`` is a (id, text) relation — usually a filtered slice of
+    ``docs`` (self-retrieval excludes the query doc itself)."""
+    tok = doc_tokens(docs, id_col=id_col, text_col=text_col)
+    n_docs = docs.select(id_col).distinct().count()
+    max_df = int(max_df_ratio * 100) * n_docs  # vs df·100: integer prune
+    # w = n_docs div df — INTEGRAL division (`div`), not a float
+    # quotient truncated: floor-of-double can misround a quotient
+    # sitting within an ulp of an integer at large N, and the oracle's
+    # `//` is exact
+    weighted = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") * 100 <= max_df)
+        .withColumn("w", F.expr(f"CAST({n_docs} AS BIGINT) div df"))
+    )
+    # prune the corpus-side index BEFORE the query join: hot tokens
+    # must never reach the fan-out join, not get filtered after it
+    pruned = tok.join(F.broadcast(weighted.select("token", "w")), "token")
+    qtok = doc_tokens(queries, id_col=id_col, text_col=text_col)
+    scored = (
+        F.broadcast(qtok.withColumnRenamed("doc_id", "query_id"))
+        .join(pruned, "token")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _vector_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-``k`` for a query SLICE of the corpus: the
+    query side (small) is broadcast and the corpus side stays
+    partition-local — the serving orientation, opposite of
+    ``cosine_pairs``'s self-search broadcast."""
+    v = vectors(emb, id_col, vec_col)
+    q = F.broadcast(v.where(query_pred)).alias("a")
+    b = v.alias("b")
+    dot = _dot(F.col("a.vec"), F.col("b.vec"))
+    scored = q.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        _cosine(dot, F.col("a.norm2"), F.col("b.norm2")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    rrf_k: int = DEFAULT_RRF_K,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical and vector retrieval legs
+    over a deterministic self-retrieval batch (``doc_id % query_mod ==
+    0`` — the recall audits' sampling convention; ``doc_id`` and
+    ``vec_id`` share the id space, the ``semantic_dedup`` precedent).
+
+    Each leg returns its top-``leg_k`` (deeper than the fused ``k`` —
+    standard RRF practice, so a document ranked k+1 by both legs can
+    still fuse into the top k); fusion is a full outer join on
+    ``(query_id, neighbor_id)`` with
+
+        rrf_score = Σ_present 1.0 / (rrf_k + leg_rank)
+
+    and the fused rank breaks ties on ``neighbor_id``. Output:
+    ``(query_id, neighbor_id, lex_rank, vec_rank, rrf_score, rank)`` —
+    leg ranks stay in the projection (null = found by one leg only),
+    which is the triage signal hybrid retrieval exists for."""
+    queries = docs.where(F.col("doc_id") % query_mod == 0)
+    lex = lexical_topk(docs, queries, k=leg_k, max_df_ratio=max_df_ratio)
+    vec = _vector_topk(emb, F.col("vec_id") % query_mod == 0, k=leg_k)
+    one = F.lit(1).cast("double")
+    fused = (
+        lex.select(
+            "query_id", "neighbor_id", F.col("rank").alias("lex_rank")
+        )
+        .join(
+            vec.select(
+                "query_id", "neighbor_id", F.col("rank").alias("vec_rank")
+            ),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .withColumn(
+            "rrf_score",
+            F.coalesce(one / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "lex_rank", "vec_rank",
+            "rrf_score", "rank",
+        )
+    )

@@ -2995,6 +2995,84 @@ ranked AS (
 SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= {k}"""
 
 
+def hybrid_search_sql(
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    rrf_k: int = 60,
+    max_df_pct: int = 50,
+) -> str:
+    """Oracle for operators/retrieval.py::hybrid_search — both legs and
+    the RRF fusion mirrored expression-for-expression: integer lexical
+    weights (``n_docs // df`` over df-pruned tokens), the exact cosine
+    leg, ``CAST(1 AS DOUBLE) / (rrf_k + rank)`` fusion terms added in
+    the fixed (lexical + vector) order, fused rank tie-broken on
+    neighbor_id. SCORES hash-match (one exact-integer division per leg
+    term), not just ranks."""
+    one = "CAST(1 AS DOUBLE)"
+    return f"""WITH {TOK_CTE.strip()},
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+w AS (
+    SELECT token, n_docs // df AS w
+    FROM (SELECT token, count(*) AS df FROM tok GROUP BY token)
+    CROSS JOIN nd
+    WHERE df * 100 <= {max_df_pct} * n_docs
+),
+lexscored AS (
+    SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+           sum(w.w) AS score
+    FROM tok q
+    JOIN w ON q.token = w.token
+    JOIN tok d ON q.token = d.token AND q.doc_id <> d.doc_id
+    WHERE q.doc_id % {query_mod} = 0
+    GROUP BY 1, 2
+),
+lex AS (
+    SELECT query_id, neighbor_id, CAST(lex_rank AS BIGINT) AS lex_rank
+    FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id)
+                   AS lex_rank
+        FROM lexscored
+    ) WHERE lex_rank <= {leg_k}
+),
+{_VEC_CTES.strip()},
+vscored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
+    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id % {query_mod} = 0
+),
+vec AS (
+    SELECT query_id, neighbor_id, CAST(vec_rank AS BIGINT) AS vec_rank
+    FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id)
+                   AS vec_rank
+        FROM vscored
+    ) WHERE vec_rank <= {leg_k}
+),
+fused AS (
+    SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           coalesce(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+           l.lex_rank, v.vec_rank,
+           coalesce({one} / ({rrf_k} + l.lex_rank), CAST(0 AS DOUBLE))
+           + coalesce({one} / ({rrf_k} + v.vec_rank), CAST(0 AS DOUBLE))
+               AS rrf_score
+    FROM lex l FULL OUTER JOIN vec v
+      ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id
+)
+SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_score,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, neighbor_id)
+                  AS rank
+    FROM fused
+) WHERE rank <= {k}"""
+
+
 def stratified_sample_sql(
     fractions: dict[str, float],
     by: str = "lang",

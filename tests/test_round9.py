@@ -353,3 +353,60 @@ def test_index_stats_faces_track_lifecycle(spark, tmp_path):
     assert (st2["n_bucket_groups"], st2["max_bucket_vectors"]) == (
         st["n_bucket_groups"], st["max_bucket_vectors"]
     )
+
+def test_lexical_leg_prunes_hot_tokens_and_weights_by_rarity(spark):
+    """A token in every document (df past max_df_ratio) must never
+    reach the fan-out join — it carries ~zero weight and is the
+    hot-token hazard — while surviving tokens score n_docs div df."""
+    from jaccard_mapreduce_spark.operators.retrieval import lexical_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple common"),
+            (1, "apple common"),
+            (2, "banana common"),
+            (3, "cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = lexical_topk(
+        docs, docs.where("doc_id = 0"), k=3, max_df_ratio=0.5
+    ).collect()
+    # only doc 1 shares a surviving token ('apple', df=2 -> w = 4 div 2);
+    # docs 2 and 3 share ONLY the pruned 'common' and must be absent
+    assert [(r.query_id, r.neighbor_id, r.score, r.rank) for r in got] == [
+        (0, 1, 2, 1)
+    ]
+    plan = lexical_topk(
+        docs, docs.where("doc_id = 0"), k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # query tokens ride broadcast
+
+
+def test_hybrid_fusion_math_and_one_leg_rows(spark):
+    """RRF terms are 1/(60+rank) summed lexical-then-vector; a
+    neighbor found by one leg only carries a null for the other leg's
+    rank and still fuses."""
+    from jaccard_mapreduce_spark.operators.retrieval import hybrid_search
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    out = hybrid_search(docs, emb, k=10, query_mod=100).collect()
+    assert out, "no fused rows at sf0.001"
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        want = (1.0 / (60 + r.lex_rank) if r.lex_rank is not None else 0.0) + (
+            1.0 / (60 + r.vec_rank) if r.vec_rank is not None else 0.0
+        )
+        assert r.rrf_score == want  # exact: same integer operands
+        assert r.query_id % 100 == 0 and r.neighbor_id != r.query_id
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        # fused order is (rrf desc, neighbor asc)
+        key = [(-r.rrf_score, r.neighbor_id) for r in rows]
+        assert key == sorted(key)
+    # the triage signal exists: at least one row per corpus found by a
+    # single leg (the legs disagree somewhere at leg_k=20 depth)
+    assert any(r.lex_rank is None or r.vec_rank is None for r in out)
