@@ -398,6 +398,14 @@ def _q_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_index_stats_demo(spark, sf_dir)
 
 
+def _q_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        hybrid_index_search_demo,
+    )
+
+    return hybrid_index_search_demo(spark, sf_dir)
+
+
 def _q_corpus_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.corpus import corpus_text_roundtrip
 
@@ -547,6 +555,7 @@ _NEW_OR_CHANGED = [
     "ivf_index_stats",  # new: IVF ops snapshot (stats triad)
     "lsh_index_stats",  # new: LSH ops snapshot (stats triad)
     "hybrid_search",  # new: lexical+vector reciprocal-rank fusion
+    "hybrid_index_search",  # new: fusion served from the stored LSH index
     # changed round 9: rerank="auto" is now the DEFAULT on the one-plan
     # and stored-index searches — these entries' call paths gained the
     # eager occupancy-estimate gate (resolving to exact at graded scale)
@@ -570,6 +579,7 @@ _R9_WINDOW = [
     "lsh_auto_dist", "ivf_auto_dist", "lsh_dist_skew", "ivf_index_serve",
     "ivf_index_retrain", "lsh_index_retune",
     "ivf_index_stats", "lsh_index_stats", "hybrid_search",
+    "hybrid_index_search",
     "ann_lsh_topk", "ann_ivf_topk", "ann_scale_probe",
     "ivf_params_derived", "ivf_index_search", "ivf_index_upsert",
     "lsh_index_search", "lsh_index_serve", "lsh_index_upsert",
@@ -593,7 +603,7 @@ _R9_WINDOW = [
     # outside at equal staleness — legal, the guard forbids only
     # STRICTLY staler keys outside — and are the natural r10 cohort)
     "containment_pruned", "containment_recall_audit",
-    "corpus_text_roundtrip", "customer_order_windows",
+    "corpus_text_roundtrip",
 ]
 
 
@@ -888,6 +898,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": lambda s, d: RT.hybrid_search(
             _docs(s, d), _emb(s, d)
         ),
+        # new round 9: the drop-in claim GRADED — the same fusion with
+        # the vector leg served from the stored LSH index; the oracle's
+        # vector leg is the LSH candidate SQL (bucket-restricted ranks),
+        # so the hash pins the SERVED ranking, not a re-derivation of
+        # the exact one
+        "hybrid_index_search": _q_hybrid_index_search,
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1407,6 +1423,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lsh_index_stats": oracles.lsh_index_stats_sql(S.lsh_tables(64)),
         "hybrid_search": oracles.hybrid_search_sql(),
+        "hybrid_index_search": oracles.hybrid_search_sql(
+            vec_leg_sql=oracles.ann_lsh_topk_sql(
+                20, S.lsh_tables(64), query_where="a.vec_id % 100 = 0"
+            )
+        ),
         "ivf_index_upsert": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
             train_where="WHERE vec_id % 5 != 0",

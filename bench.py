@@ -131,6 +131,7 @@ def main() -> None:
         "ivf_index_stats",
         "lsh_index_stats",
         "hybrid_search",
+        "hybrid_index_search",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ivf_params_derived",

@@ -129,34 +129,19 @@ def _vector_topk(
     )
 
 
-def hybrid_search(
-    docs: DataFrame,
-    emb: DataFrame,
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
     k: int = 10,
-    leg_k: int = 20,
-    query_mod: int = 100,
     rrf_k: int = DEFAULT_RRF_K,
-    max_df_ratio: float = 0.5,
 ) -> DataFrame:
-    """Reciprocal-rank fusion of the lexical and vector retrieval legs
-    over a deterministic self-retrieval batch (``doc_id % query_mod ==
-    0`` — the recall audits' sampling convention; ``doc_id`` and
-    ``vec_id`` share the id space, the ``semantic_dedup`` precedent).
-
-    Each leg returns its top-``leg_k`` (deeper than the fused ``k`` —
-    standard RRF practice, so a document ranked k+1 by both legs can
-    still fuse into the top k); fusion is a full outer join on
-    ``(query_id, neighbor_id)`` with
-
-        rrf_score = Σ_present 1.0 / (rrf_k + leg_rank)
-
-    and the fused rank breaks ties on ``neighbor_id``. Output:
-    ``(query_id, neighbor_id, lex_rank, vec_rank, rrf_score, rank)`` —
-    leg ranks stay in the projection (null = found by one leg only),
-    which is the triage signal hybrid retrieval exists for."""
-    queries = docs.where(F.col("doc_id") % query_mod == 0)
-    lex = lexical_topk(docs, queries, k=leg_k, max_df_ratio=max_df_ratio)
-    vec = _vector_topk(emb, F.col("vec_id") % query_mod == 0, k=leg_k)
+    """Reciprocal-rank fusion of two ``(query_id, neighbor_id, rank)``
+    leg relations (extra columns ignored): full outer join on the pair,
+    ``rrf_score = Σ_present double(1) / (rrf_k + leg_rank)`` added in
+    the fixed (lex + vec) order, fused rank tie-broken on neighbor_id.
+    Score-free by design — RRF needs only ranks, which is what lets ANY
+    leg implementation (exact, or a stored LSH/IVF index serve) fuse
+    without calibration."""
     one = F.lit(1).cast("double")
     fused = (
         lex.select(
@@ -186,3 +171,34 @@ def hybrid_search(
             "rrf_score", "rank",
         )
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    rrf_k: int = DEFAULT_RRF_K,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical and vector retrieval legs
+    over a deterministic self-retrieval batch (``doc_id % query_mod ==
+    0`` — the recall audits' sampling convention; ``doc_id`` and
+    ``vec_id`` share the id space, the ``semantic_dedup`` precedent).
+
+    Each leg returns its top-``leg_k`` (deeper than the fused ``k`` —
+    standard RRF practice, so a document ranked k+1 by both legs can
+    still fuse into the top k); fusion is a full outer join on
+    ``(query_id, neighbor_id)`` with
+
+        rrf_score = Σ_present 1.0 / (rrf_k + leg_rank)
+
+    and the fused rank breaks ties on ``neighbor_id``. Output:
+    ``(query_id, neighbor_id, lex_rank, vec_rank, rrf_score, rank)`` —
+    leg ranks stay in the projection (null = found by one leg only),
+    which is the triage signal hybrid retrieval exists for."""
+    queries = docs.where(F.col("doc_id") % query_mod == 0)
+    lex = lexical_topk(docs, queries, k=leg_k, max_df_ratio=max_df_ratio)
+    vec = _vector_topk(emb, F.col("vec_id") % query_mod == 0, k=leg_k)
+    return rrf_fuse(lex, vec, k=k, rrf_k=rrf_k)

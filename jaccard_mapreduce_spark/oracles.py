@@ -3001,6 +3001,7 @@ def hybrid_search_sql(
     query_mod: int = 100,
     rrf_k: int = 60,
     max_df_pct: int = 50,
+    vec_leg_sql: str | None = None,
 ) -> str:
     """Oracle for operators/retrieval.py::hybrid_search — both legs and
     the RRF fusion mirrored expression-for-expression: integer lexical
@@ -3008,8 +3009,35 @@ def hybrid_search_sql(
     leg, ``CAST(1 AS DOUBLE) / (rrf_k + rank)`` fusion terms added in
     the fixed (lexical + vector) order, fused rank tie-broken on
     neighbor_id. SCORES hash-match (one exact-integer division per leg
-    term), not just ranks."""
+    term), not just ranks.
+
+    ``vec_leg_sql`` swaps the vector leg for any complete query
+    returning ``(query_id, neighbor_id, ..., rank)`` — the
+    ``hybrid_index_search`` oracle passes the LSH serve SQL here,
+    grading the drop-in claim with bucket-restricted ranks."""
     one = "CAST(1 AS DOUBLE)"
+    if vec_leg_sql is None:
+        vec_leg = f"""{_VEC_CTES.strip()},
+vscored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
+    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id % {query_mod} = 0
+),
+vec AS (
+    SELECT query_id, neighbor_id, CAST(vec_rank AS BIGINT) AS vec_rank
+    FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id)
+                   AS vec_rank
+        FROM vscored
+    ) WHERE vec_rank <= {leg_k}
+)"""
+    else:
+        vec_leg = f"""vec AS (
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS vec_rank
+    FROM ({vec_leg_sql})
+)"""
     return f"""WITH {TOK_CTE.strip()},
 nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
 w AS (
@@ -3037,22 +3065,7 @@ lex AS (
         FROM lexscored
     ) WHERE lex_rank <= {leg_k}
 ),
-{_VEC_CTES.strip()},
-vscored AS (
-    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
-    FROM n a JOIN n b ON a.vec_id <> b.vec_id
-    WHERE a.vec_id % {query_mod} = 0
-),
-vec AS (
-    SELECT query_id, neighbor_id, CAST(vec_rank AS BIGINT) AS vec_rank
-    FROM (
-        SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, neighbor_id)
-                   AS vec_rank
-        FROM vscored
-    ) WHERE vec_rank <= {leg_k}
-),
+{vec_leg},
 fused AS (
     SELECT coalesce(l.query_id, v.query_id) AS query_id,
            coalesce(l.neighbor_id, v.neighbor_id) AS neighbor_id,

@@ -1609,3 +1609,38 @@ def lsh_index_stats_demo(
         "n_tables long, n_planes long, n_vectors long,"
         " n_bucket_groups long, max_bucket_vectors long",
     )
+
+
+def hybrid_index_search_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query grading the hybrid-retrieval drop-in claim
+    (round 9): :func:`~jaccard_mapreduce_spark.operators.retrieval.
+    hybrid_search`'s docstring says the stored-index serve tiers are
+    corpus-scale replacements for its exact vector leg BECAUSE fusion
+    consumes only ``(query_id, neighbor_id, rank)`` — this entry
+    actually fuses the lexical leg with :func:`search_lsh_index` over
+    the shared session index and must hash-match an oracle whose vector
+    leg is the LSH candidate generation (bucket-restricted ranks differ
+    from the exact leg's where LSH misses a true neighbor, so the fused
+    scores pin the SERVED ranking, not a re-derivation of the exact
+    one). Claims are graded, not asserted."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        lexical_topk,
+        rrf_fuse,
+    )
+
+    base, emb = _ensure_lsh_index(spark, sf_dir, rebuild)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = lexical_topk(
+        docs, docs.where(F.col("doc_id") % query_mod == 0), k=leg_k
+    )
+    vec = search_lsh_index(
+        spark, base, emb.where(F.col("vec_id") % query_mod == 0), k=leg_k
+    )
+    return rrf_fuse(lex, vec, k=k)
