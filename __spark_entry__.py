@@ -406,6 +406,14 @@ def _q_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_index_search_demo(spark, sf_dir)
 
 
+def _q_hybrid_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        hybrid_recall_audit_demo,
+    )
+
+    return hybrid_recall_audit_demo(spark, sf_dir)
+
+
 def _q_corpus_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.corpus import corpus_text_roundtrip
 
@@ -556,6 +564,7 @@ _NEW_OR_CHANGED = [
     "lsh_index_stats",  # new: LSH ops snapshot (stats triad)
     "hybrid_search",  # new: lexical+vector reciprocal-rank fusion
     "hybrid_index_search",  # new: fusion served from the stored LSH index
+    "hybrid_recall_audit",  # new: measured leg/fusion recall vs exact truth
     # changed round 9: rerank="auto" is now the DEFAULT on the one-plan
     # and stored-index searches — these entries' call paths gained the
     # eager occupancy-estimate gate (resolving to exact at graded scale)
@@ -579,7 +588,7 @@ _R9_WINDOW = [
     "lsh_auto_dist", "ivf_auto_dist", "lsh_dist_skew", "ivf_index_serve",
     "ivf_index_retrain", "lsh_index_retune",
     "ivf_index_stats", "lsh_index_stats", "hybrid_search",
-    "hybrid_index_search",
+    "hybrid_index_search", "hybrid_recall_audit",
     "ann_lsh_topk", "ann_ivf_topk", "ann_scale_probe",
     "ivf_params_derived", "ivf_index_search", "ivf_index_upsert",
     "lsh_index_search", "lsh_index_serve", "lsh_index_upsert",
@@ -603,7 +612,6 @@ _R9_WINDOW = [
     # outside at equal staleness — legal, the guard forbids only
     # STRICTLY staler keys outside — and are the natural r10 cohort)
     "containment_pruned", "containment_recall_audit",
-    "corpus_text_roundtrip",
 ]
 
 
@@ -904,6 +912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so the hash pins the SERVED ranking, not a re-derivation of
         # the exact one
         "hybrid_index_search": _q_hybrid_index_search,
+        # new round 9: measured retrieval quality (the ann_recall_audit
+        # discipline applied to fusion) — lex / LSH-served / fused hits
+        # against exact-cosine truth, integer counts
+        "hybrid_recall_audit": _q_hybrid_recall_audit,
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1425,6 +1437,11 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": oracles.hybrid_search_sql(),
         "hybrid_index_search": oracles.hybrid_search_sql(
             vec_leg_sql=oracles.ann_lsh_topk_sql(
+                20, S.lsh_tables(64), query_where="a.vec_id % 100 = 0"
+            )
+        ),
+        "hybrid_recall_audit": oracles.hybrid_recall_audit_sql(
+            oracles.ann_lsh_topk_sql(
                 20, S.lsh_tables(64), query_where="a.vec_id % 100 = 0"
             )
         ),

@@ -202,3 +202,58 @@ def hybrid_search(
     lex = lexical_topk(docs, queries, k=leg_k, max_df_ratio=max_df_ratio)
     vec = _vector_topk(emb, F.col("vec_id") % query_mod == 0, k=leg_k)
     return rrf_fuse(lex, vec, k=k, rrf_k=rrf_k)
+
+
+def hybrid_recall_audit(
+    docs: DataFrame,
+    emb: DataFrame,
+    vec: DataFrame,
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    rrf_k: int = DEFAULT_RRF_K,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Measured retrieval quality, the ``ann_recall_audit`` discipline
+    applied to fusion: per query, how many of the exact-cosine
+    top-``k`` ground truth each relation recovers within ITS top-``k``
+    — ``(query_id, lex_hits, vec_hits, fused_hits)``, pure integer
+    counts. ``vec`` is the SERVED vector leg (``(query_id,
+    neighbor_id, rank)`` — the stored LSH/IVF search in the graded
+    shape), so ``vec_hits`` IS that tier's recall@k, ``lex_hits``
+    measures how far lexical evidence alone lands from semantic truth,
+    and ``fused_hits`` vs ``vec_hits`` answers the question hybrid
+    retrieval hinges on: does adding the lexical leg recover truth the
+    approximate vector tier missed, or dilute it? Measure, don't
+    guess — the fusion weights (rrf_k) are retuned from this number,
+    not assumed."""
+    queries = docs.where(F.col("doc_id") % query_mod == 0)
+    lex = lexical_topk(docs, queries, k=leg_k, max_df_ratio=max_df_ratio)
+    fused = rrf_fuse(lex, vec, k=k, rrf_k=rrf_k)
+    truth = _vector_topk(
+        emb, F.col("vec_id") % query_mod == 0, k=k
+    ).select("query_id", "neighbor_id")
+
+    def _hits(rel: DataFrame, name: str) -> DataFrame:
+        return (
+            truth.join(
+                rel.where(F.col("rank") <= k).select(
+                    "query_id", "neighbor_id"
+                ),
+                ["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    base = truth.select("query_id").distinct()
+    out = base
+    for rel, name in ((lex, "lex_hits"), (vec, "vec_hits"), (fused, "fused_hits")):
+        out = out.join(_hits(rel, name), "query_id", "left")
+    return out.select(
+        "query_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("lex_hits", "vec_hits", "fused_hits")
+        ],
+    )

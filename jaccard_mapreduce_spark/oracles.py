@@ -3015,6 +3015,26 @@ def hybrid_search_sql(
     returning ``(query_id, neighbor_id, ..., rank)`` — the
     ``hybrid_index_search`` oracle passes the LSH serve SQL here,
     grading the drop-in claim with bucket-restricted ranks."""
+    return f"""WITH {_hybrid_ctes(leg_k, query_mod, rrf_k, max_df_pct, vec_leg_sql)}
+SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_score,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, neighbor_id)
+                  AS rank
+    FROM fused
+) WHERE rank <= {k}"""
+
+
+def _hybrid_ctes(
+    leg_k: int,
+    query_mod: int,
+    rrf_k: int,
+    max_df_pct: int,
+    vec_leg_sql: str | None,
+) -> str:
+    """The hybrid-retrieval CTE chain (tok → lex leg → vec leg → fused)
+    shared by the search oracle and the recall audit."""
     one = "CAST(1 AS DOUBLE)"
     if vec_leg_sql is None:
         vec_leg = f"""{_VEC_CTES.strip()},
@@ -3038,7 +3058,7 @@ vec AS (
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS vec_rank
     FROM ({vec_leg_sql})
 )"""
-    return f"""WITH {TOK_CTE.strip()},
+    return f"""{TOK_CTE.strip()},
 nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
 w AS (
     SELECT token, n_docs // df AS w
@@ -3075,15 +3095,63 @@ fused AS (
                AS rrf_score
     FROM lex l FULL OUTER JOIN vec v
       ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id
+)"""
+
+
+def hybrid_recall_audit_sql(
+    vec_leg_sql: str,
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    rrf_k: int = 60,
+    max_df_pct: int = 50,
+) -> str:
+    """Oracle for operators/retrieval.py::hybrid_recall_audit — per
+    query, how many of the exact-cosine top-``k`` ground truth each
+    relation recovers within ITS top-``k``: the lexical leg, the served
+    vector leg (``vec_leg_sql`` — the LSH serve in the graded shape),
+    and the fusion. Pure integer counts over the shared hybrid CTEs, so
+    the audit hash-matches exactly."""
+    return f"""WITH {_hybrid_ctes(leg_k, query_mod, rrf_k, max_df_pct, vec_leg_sql)},
+v2 AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+n2 AS (
+    SELECT vec_id, vec, list_dot_product(vec, vec) AS norm2 FROM v2
+),
+truth AS (
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COSINE} DESC, b.vec_id)
+                   AS trank
+        FROM n2 a JOIN n2 b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % {query_mod} = 0
+    ) WHERE trank <= {k}
+),
+fusedk AS (
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, neighbor_id)
+                   AS rank
+        FROM fused
+    ) WHERE rank <= {k}
 )
-SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_score,
-       CAST(rank AS BIGINT) AS rank
-FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY rrf_score DESC, neighbor_id)
-                  AS rank
-    FROM fused
-) WHERE rank <= {k}"""
+SELECT t.query_id,
+       CAST(count(l.neighbor_id) AS BIGINT) AS lex_hits,
+       CAST(count(v.neighbor_id) AS BIGINT) AS vec_hits,
+       CAST(count(f.neighbor_id) AS BIGINT) AS fused_hits
+FROM truth t
+LEFT JOIN (SELECT * FROM lex WHERE lex_rank <= {k}) l
+  ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+LEFT JOIN (SELECT * FROM vec WHERE vec_rank <= {k}) v
+  ON t.query_id = v.query_id AND t.neighbor_id = v.neighbor_id
+LEFT JOIN fusedk f
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY t.query_id"""
 
 
 def stratified_sample_sql(

@@ -1644,3 +1644,33 @@ def hybrid_index_search_demo(
         spark, base, emb.where(F.col("vec_id") % query_mod == 0), k=leg_k
     )
     return rrf_fuse(lex, vec, k=k)
+
+
+def hybrid_recall_audit_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the retrieval recall audit (round 9): per
+    query-batch member, how many of the exact-cosine top-``k`` each
+    relation recovers — the lexical leg, the LSH-SERVED vector leg
+    (``vec_hits`` = the stored tier's measured recall@k), and the
+    fusion (does the lexical leg recover truth the approximate tier
+    missed, or dilute it?). Integer counts, hash-graded against the
+    same CTE chain as the search oracles — the measured input any
+    rrf_k / leg_k retune trades on."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        hybrid_recall_audit,
+    )
+
+    base, emb = _ensure_lsh_index(spark, sf_dir, rebuild)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vec = search_lsh_index(
+        spark, base, emb.where(F.col("vec_id") % query_mod == 0), k=leg_k
+    )
+    return hybrid_recall_audit(
+        docs, emb, vec, k=k, leg_k=leg_k, query_mod=query_mod
+    )
