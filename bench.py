@@ -167,9 +167,11 @@ def main() -> None:
     index_dependent = [
         "ivf_index_search", "ivf_index_upsert", "ivf_index_sq8",
         "ivf_index_dist", "ivf_index_serve", "ivf_index_retrain",
+        "ivf_index_stats",
         "lsh_index_search", "lsh_index_serve",
         "lsh_index_upsert", "lsh_index_compact", "lsh_index_dist",
-        "lsh_index_retune",
+        "lsh_index_retune", "lsh_index_stats",
+        "hybrid_index_search", "hybrid_recall_audit",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]
