@@ -414,6 +414,14 @@ def _q_hybrid_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_recall_audit_demo(spark, sf_dir)
 
 
+def _q_stream_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.retrieval_serve import (
+        stream_hybrid_serve,
+    )
+
+    return stream_hybrid_serve(spark, sf_dir)
+
+
 def _q_corpus_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.corpus import corpus_text_roundtrip
 
@@ -565,6 +573,7 @@ _NEW_OR_CHANGED = [
     "hybrid_search",  # new: lexical+vector reciprocal-rank fusion
     "hybrid_index_search",  # new: fusion served from the stored LSH index
     "hybrid_recall_audit",  # new: measured leg/fusion recall vs exact truth
+    "stream_hybrid_serve",  # new: streaming serving == one-shot (order-free)
     # changed round 9: rerank="auto" is now the DEFAULT on the one-plan
     # and stored-index searches — these entries' call paths gained the
     # eager occupancy-estimate gate (resolving to exact at graded scale)
@@ -588,7 +597,7 @@ _R9_WINDOW = [
     "lsh_auto_dist", "ivf_auto_dist", "lsh_dist_skew", "ivf_index_serve",
     "ivf_index_retrain", "lsh_index_retune",
     "ivf_index_stats", "lsh_index_stats", "hybrid_search",
-    "hybrid_index_search", "hybrid_recall_audit",
+    "hybrid_index_search", "hybrid_recall_audit", "stream_hybrid_serve",
     "ann_lsh_topk", "ann_ivf_topk", "ann_scale_probe",
     "ivf_params_derived", "ivf_index_search", "ivf_index_upsert",
     "lsh_index_search", "lsh_index_serve", "lsh_index_upsert",
@@ -611,7 +620,7 @@ _R9_WINDOW = [
     # not already in via new/changed; the remaining r6 keys sit just
     # outside at equal staleness — legal, the guard forbids only
     # STRICTLY staler keys outside — and are the natural r10 cohort)
-    "containment_pruned", "containment_recall_audit",
+    "containment_pruned",
 ]
 
 
@@ -916,6 +925,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # discipline applied to fusion) — lex / LSH-served / fused hits
         # against exact-cosine truth, integer counts
         "hybrid_recall_audit": _q_hybrid_recall_audit,
+        # new round 9: streaming retrieval serving — the query batch
+        # split across micro-batches, probed against the pinned lexical
+        # index + the stored LSH index per batch; the appended union
+        # must hash-match the one-shot hybrid_index_search oracle
+        # (per-query serving is arrival-order independent)
+        "stream_hybrid_serve": _q_stream_hybrid_serve,
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1442,6 +1457,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hybrid_recall_audit": oracles.hybrid_recall_audit_sql(
             oracles.ann_lsh_topk_sql(
+                20, S.lsh_tables(64), query_where="a.vec_id % 100 = 0"
+            )
+        ),
+        # the appended union over micro-batches ≡ the one-shot hybrid
+        # over the stored index (arrival-order independence)
+        "stream_hybrid_serve": oracles.hybrid_search_sql(
+            vec_leg_sql=oracles.ann_lsh_topk_sql(
                 20, S.lsh_tables(64), query_where="a.vec_id % 100 = 0"
             )
         ),

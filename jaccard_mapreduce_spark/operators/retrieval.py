@@ -49,24 +49,21 @@ from jaccard_mapreduce_spark.operators.similarity import _cosine, _dot, vectors
 DEFAULT_RRF_K = 60
 
 
-def lexical_topk(
+def lexical_index(
     docs: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     max_df_ratio: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Integer-weighted lexical top-``k``: score(q, d) = Σ over shared
-    distinct tokens of ``N_docs div df(token)``, ranked per query by
-    ``(score DESC, doc_id ASC)`` — ``(query_id, neighbor_id, score,
-    rank)``. Tokens with ``df · 100 > max_df_ratio · 100 · N`` are
-    pruned before the join (integer compare — no float df ratio), which
-    bounds the hot-token join fan-out AND matches retrieval practice:
-    a token in most documents separates nothing.
-
-    ``queries`` is a (id, text) relation — usually a filtered slice of
-    ``docs`` (self-retrieval excludes the query doc itself)."""
+    """The corpus-side lexical index — ``(token, doc_id, w)`` with the
+    integer rarity weight ``w = N_docs div df(token)`` and tokens past
+    ``max_df_ratio`` already pruned. Computed ONCE and probed by every
+    query batch (:func:`lexical_probe`) — the lexical twin of the
+    persisted vector stores' build-once/search-many shape. The prune
+    happens HERE, before any query joins: a token with ``df · 100 >
+    max_df_ratio · 100 · N`` carries ~zero weight (``N div df → 1``)
+    yet dominates candidate volume — the stop-word hazard — so it must
+    never reach the fan-out join."""
     tok = doc_tokens(docs, id_col=id_col, text_col=text_col)
     n_docs = docs.select(id_col).distinct().count()
     max_df = int(max_df_ratio * 100) * n_docs  # vs df·100: integer prune
@@ -80,13 +77,25 @@ def lexical_topk(
         .where(F.col("df") * 100 <= max_df)
         .withColumn("w", F.expr(f"CAST({n_docs} AS BIGINT) div df"))
     )
-    # prune the corpus-side index BEFORE the query join: hot tokens
-    # must never reach the fan-out join, not get filtered after it
-    pruned = tok.join(F.broadcast(weighted.select("token", "w")), "token")
+    return tok.join(F.broadcast(weighted.select("token", "w")), "token")
+
+
+def lexical_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe a :func:`lexical_index` relation with a query batch:
+    score(q, d) = Σ ``w`` over shared surviving tokens, ranked per
+    query by ``(score DESC, doc_id ASC)`` — ``(query_id, neighbor_id,
+    score, rank)``. The batch's token set rides a broadcast; the only
+    shuffle is the map-side-combined per-(query, doc) integer sum."""
     qtok = doc_tokens(queries, id_col=id_col, text_col=text_col)
     scored = (
         F.broadcast(qtok.withColumnRenamed("doc_id", "query_id"))
-        .join(pruned, "token")
+        .join(index, "token")
         .where(F.col("query_id") != F.col("doc_id"))
         .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
         .agg(F.sum("w").alias("score"))
@@ -97,6 +106,26 @@ def lexical_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+    )
+
+
+def lexical_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    max_df_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-plan lexical top-``k``: :func:`lexical_index` over ``docs``
+    probed by ``queries`` (usually a filtered slice of ``docs`` —
+    self-retrieval excludes the query doc itself)."""
+    return lexical_probe(
+        lexical_index(docs, max_df_ratio, id_col, text_col),
+        queries,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
     )
 
 

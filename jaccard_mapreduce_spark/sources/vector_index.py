@@ -993,6 +993,7 @@ def search_lsh_index(
     vec_col: str = "embedding",
     ids_fit_31_bits: bool | None = None,
     rerank: str = "auto",
+    queries_pinned: bool = False,
 ) -> DataFrame:
     """Top-``k`` cosine search against a persisted LSH index —
     ``(query_id, neighbor_id, score, rank)``, identical semantics to
@@ -1024,7 +1025,15 @@ def search_lsh_index(
     )
 
     tables = _stored_lsh_tables(spark, path)
-    qv = pin(vectors(queries, id_col, vec_col))
+    # queries_pinned=True: the caller already persists the batch (the
+    # streaming serve pins each micro-batch and unpersists it after the
+    # write — an internal pin here would accumulate one cache entry per
+    # batch forever on a 24/7 stream); the multiply-consumed projection
+    # then recomputes from the caller's cached rows, which is the cheap
+    # direction
+    qv = vectors(queries, id_col, vec_col)
+    if not queries_pinned:
+        qv = pin(qv)
     sig_structs = ", ".join(
         f"struct({t} AS tbl, {_lsh_signature_expr('vec', planes)} AS bucket)"
         for t, planes in enumerate(tables)

@@ -1,0 +1,141 @@
+"""Streaming hybrid-retrieval serving: a query stream probed against
+two PREPARED indexes — the pinned lexical inverted index and the
+persisted LSH vector store — with per-batch RRF fusion appended to a
+result log.
+
+The serving claim this face grades: per-query retrieval is
+batch-decomposable. A query's fused top-k depends only on the corpus
+and that query — never on which micro-batch delivered it — so the
+union of all batches' outputs must equal the one-shot batch
+``hybrid_index_search`` over the same query set, hash-exact. (Contrast
+``stream_incremental_jaccard``, where batches MUTATE shared state and
+ordering is the hard part; here the state is read-only and the grade
+pins arrival-order independence.)
+
+Cache discipline for a 24/7 stream: the two index relations are pinned
+ONCE (bounded, corpus-sized); each micro-batch pins only its own rows
+and unpersists them after the append (``search_lsh_index`` is told the
+batch is already pinned via ``queries_pinned=True`` so it does not add
+a second, never-released cache entry per batch — the
+``dedup_incremental_stream`` lesson)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jaccard_mapreduce_spark.operators._cache import pin
+from jaccard_mapreduce_spark.operators.retrieval import (
+    lexical_index,
+    lexical_probe,
+    rrf_fuse,
+)
+
+
+def hybrid_serve_stream(
+    stream: DataFrame,
+    lex_index: DataFrame,
+    lsh_index_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 10,
+    leg_k: int = 20,
+):
+    """Wire a ``(doc_id, text, embedding)`` query stream through both
+    prepared indexes; each micro-batch appends its fused top-``k`` to
+    ``out_path``. Returns the unstarted ``DataStreamWriter`` (the
+    ``upsert_ivf_index_stream`` convention). Exactly-once is NOT
+    claimed: a replayed batch re-appends its (identical) rows —
+    downstream dedup by ``(query_id, rank)`` is the recipe if the sink
+    must be a set."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        search_lsh_index,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = pin(batch_df)
+        try:
+            lex = lexical_probe(
+                lex_index, b.select("doc_id", "text"), k=leg_k
+            )
+            vec = search_lsh_index(
+                b.sparkSession,
+                lsh_index_path,
+                b.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                k=leg_k,
+                queries_pinned=True,
+            )
+            rrf_fuse(lex, vec, k=k).write.mode("append").parquet(out_path)
+        finally:
+            b.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def stream_hybrid_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    n_input_files: int = 4,
+) -> DataFrame:
+    """Contract query: split the deterministic query batch
+    (``doc_id % query_mod == 0``, joined with its embeddings) across
+    ``n_input_files`` files, stream them one file per trigger through
+    :func:`hybrid_serve_stream` against the shared session LSH store,
+    and return the union of all appended results. Must hash-match the
+    one-shot ``hybrid_index_search`` oracle — per-query serving is
+    arrival-order independent, so HOW the queries were batched is
+    invisible in the result."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _ensure_lsh_index,
+        _scratch_dir,
+    )
+
+    lsh_base, emb = _ensure_lsh_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex_idx = pin(lexical_index(docs))
+    base = _scratch_dir(spark, suffix="_hybrid_serve")
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+
+    queries = (
+        docs.where(F.col("doc_id") % query_mod == 0)
+        .select("doc_id", "text")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+    )
+    queries.repartition(n_input_files).write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = hybrid_serve_stream(
+        stream,
+        lex_idx,
+        lsh_base,
+        out_dir,
+        os.path.join(base, "ckpt"),
+        k=k,
+        leg_k=leg_k,
+    ).start()
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out_dir)
+    finally:
+        lex_idx.unpersist()

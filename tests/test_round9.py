@@ -410,3 +410,29 @@ def test_hybrid_fusion_math_and_one_leg_rows(spark):
     # the triage signal exists: at least one row per corpus found by a
     # single leg (the legs disagree somewhere at leg_k=20 depth)
     assert any(r.lex_rank is None or r.vec_rank is None for r in out)
+
+def test_stream_hybrid_serve_is_multi_batch_and_cache_clean(spark):
+    """The streaming serve must actually decompose the query set across
+    micro-batches (≥2 non-empty appends — a single-batch run would
+    grade trivially) and must not leak per-batch cache entries (the
+    24/7-stream hazard dedup_incremental_stream documents)."""
+    from jaccard_mapreduce_spark.streaming.retrieval_serve import (
+        stream_hybrid_serve,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = stream_hybrid_serve(spark, SF_SMALL, query_mod=20, n_input_files=3)
+    rows = out.collect()
+    assert rows
+    # parquet appends carry task-file provenance: >1 distinct source
+    # file per run proves >1 micro-batch wrote (3 input files, 1 per
+    # trigger)
+    n_files = (
+        out.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert n_files >= 2, "stream collapsed into a single micro-batch"
+    after = jsc.getPersistentRDDs().size()
+    # the lexical index and every batch pin are released; the shared
+    # session LSH store holds no persisted RDDs (it is parquet-backed)
+    assert after <= before, f"leaked cache entries: {before} -> {after}"
