@@ -104,24 +104,20 @@ def main() -> None:
     # design round. Everything else rotates through the 4-round cohort,
     # so no key goes unbenched for more than N_BENCH_COHORTS rounds.
     bench_queries = [
-        # slowest-15 of the round-8 sidecar (bench_detail.json medians)
-        "ann_scale_probe",
-        "ivf_index_sq8",
-        "stream_incremental_jaccard",
+        # slowest-8 of the refreshed round-9 snapshot
+        # (docs/bench_detail_r9.json medians) not already in via
+        # new/changed below — the r8-sidecar slowest-15 rotated out:
+        # their current medians (stream_incremental_jaccard 3.45,
+        # dedup_representatives 4.88, ...) no longer dominate wall-clock
+        "sq8_rank_audit",
+        "ivf_recall_audit",
+        "events_approx_check",
+        "lsh_fast_ranks",
         "clustered_split_leakage",
-        "pagerank_centrality",
         "prepare_corpus_rules",
         "prepare_corpus",
-        "split_leakage_audit",
-        "effective_token_stats",
-        "sq8_rank_audit",
         "dedup_clusters",
-        "stream_upsert_snapshot",
-        "dedup_representatives",
-        "clustered_split",
-        "dedup_cluster_sizes",
-        # round-9 new/changed (auto-tier default, dist-kernel rework,
-        # skew fixture) — mirrors entry._NEW_OR_CHANGED
+        # round-9 new/changed — mirrors entry._NEW_OR_CHANGED
         "lsh_auto_dist",
         "ivf_auto_dist",
         "lsh_dist_skew",
@@ -132,8 +128,11 @@ def main() -> None:
         "lsh_index_stats",
         "hybrid_search",
         "hybrid_index_search",
+        "hybrid_recall_audit",
+        "stream_hybrid_serve",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_scale_probe",
         "ivf_params_derived",
         "ivf_index_search",
         "ivf_index_upsert",
@@ -145,10 +144,6 @@ def main() -> None:
         "ivf_dist_ranks",
         "ivf_index_dist",
         "lsh_index_dist",
-        # round-8 faces that have never appeared in a recorded bench
-        # (BENCH_r08 died before the driver captured them)
-        "minhash_index_reband",
-        "minhash_index_stats",
     ]
     cohort = rotating_cohort(
         qs, set(bench_queries), set(), entry._WINDOW_DESIGN_ROUND
