@@ -43,8 +43,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jaccard_mapreduce_spark.operators._cache import pin
 from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
-from jaccard_mapreduce_spark.operators.similarity import _cosine, _dot, vectors
+from jaccard_mapreduce_spark.operators.similarity import (
+    _cosine,
+    _dot,
+    _topk,
+    vectors,
+)
 
 DEFAULT_RRF_K = 60
 
@@ -64,9 +70,15 @@ def lexical_index(
     max_df_ratio · 100 · N`` carries ~zero weight (``N div df → 1``)
     yet dominates candidate volume — the stop-word hazard — so it must
     never reach the fan-out join."""
-    tok = doc_tokens(docs, id_col=id_col, text_col=text_col)
+    # pinned: the token relation feeds BOTH the df aggregation and the
+    # index join side — unpinned, every caller tokenizes the corpus
+    # twice (the 24 s-redundant shape operators/_cache.py documents)
+    tok = pin(doc_tokens(docs, id_col=id_col, text_col=text_col))
     n_docs = docs.select(id_col).distinct().count()
-    max_df = int(max_df_ratio * 100) * n_docs  # vs df·100: integer prune
+    # round(), not int(): 0.29 * 100 is 28.999...96 in binary floating
+    # point, and truncation would silently tighten the prune by one df
+    # unit against both the docstring and the oracle's integer pct
+    max_df = round(max_df_ratio * 100) * n_docs  # vs df·100: int prune
     # w = n_docs div df — INTEGRAL division (`div`), not a float
     # quotient truncated: floor-of-double can misround a quotient
     # sitting within an ulp of an integer at large N, and the oracle's
@@ -100,13 +112,7 @@ def lexical_probe(
         .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
         .agg(F.sum("w").alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return _topk(scored, k)
 
 
 def lexical_topk(
@@ -149,13 +155,7 @@ def _vector_topk(
         F.col("b.vec_id").alias("neighbor_id"),
         _cosine(dot, F.col("a.norm2"), F.col("b.norm2")).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return _topk(scored, k)
 
 
 def rrf_fuse(
@@ -257,11 +257,18 @@ def hybrid_recall_audit(
     guess — the fusion weights (rrf_k) are retuned from this number,
     not assumed."""
     queries = docs.where(F.col("doc_id") % query_mod == 0)
-    lex = lexical_topk(docs, queries, k=leg_k, max_df_ratio=max_df_ratio)
+    # pinned (the ann_recall_audit precedent): truth feeds FOUR
+    # subplans (the base + three hit joins) and each leg feeds two —
+    # unpinned, one action re-runs the exact-cosine kernel and the
+    # lexical join per consumer
+    lex = pin(lexical_topk(docs, queries, k=leg_k, max_df_ratio=max_df_ratio))
+    vec = pin(vec)
     fused = rrf_fuse(lex, vec, k=k, rrf_k=rrf_k)
-    truth = _vector_topk(
-        emb, F.col("vec_id") % query_mod == 0, k=k
-    ).select("query_id", "neighbor_id")
+    truth = pin(
+        _vector_topk(emb, F.col("vec_id") % query_mod == 0, k=k).select(
+            "query_id", "neighbor_id"
+        )
+    )
 
     def _hits(rel: DataFrame, name: str) -> DataFrame:
         return (

@@ -1649,8 +1649,17 @@ def hybrid_index_search_demo(
     lex = lexical_topk(
         docs, docs.where(F.col("doc_id") % query_mod == 0), k=leg_k
     )
+    # rerank pinned to "exact" (the ann_recall_audit precedent): the
+    # auto gate sizes its estimate from the QUERY-BATCH count, so the
+    # tier — and therefore last-ulp score order — could differ between
+    # this one-shot shape and the same queries served in smaller
+    # batches; a graded contract must not depend on batch size
     vec = search_lsh_index(
-        spark, base, emb.where(F.col("vec_id") % query_mod == 0), k=leg_k
+        spark,
+        base,
+        emb.where(F.col("vec_id") % query_mod == 0),
+        k=leg_k,
+        rerank="exact",
     )
     return rrf_fuse(lex, vec, k=k)
 
@@ -1677,8 +1686,13 @@ def hybrid_recall_audit_demo(
 
     base, emb = _ensure_lsh_index(spark, sf_dir, rebuild)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # rerank pinned to "exact" — see hybrid_index_search_demo
     vec = search_lsh_index(
-        spark, base, emb.where(F.col("vec_id") % query_mod == 0), k=leg_k
+        spark,
+        base,
+        emb.where(F.col("vec_id") % query_mod == 0),
+        k=leg_k,
+        rerank="exact",
     )
     return hybrid_recall_audit(
         docs, emb, vec, k=k, leg_k=leg_k, query_mod=query_mod

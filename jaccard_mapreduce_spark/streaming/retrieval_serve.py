@@ -60,14 +60,28 @@ def hybrid_serve_stream(
             return
         b = pin(batch_df)
         try:
+            # null-guarded legs: a query row may carry text without an
+            # embedding (or vice versa — the stream input is a full
+            # outer join of the two id spaces), and each leg must see
+            # exactly the rows the one-shot shape would
             lex = lexical_probe(
-                lex_index, b.select("doc_id", "text"), k=leg_k
+                lex_index,
+                b.where(F.col("text").isNotNull()).select("doc_id", "text"),
+                k=leg_k,
             )
+            # rerank pinned to "exact": the auto gate sizes its tier
+            # estimate from the batch count, so micro-batching could
+            # otherwise change the tier — and last-ulp score order —
+            # relative to the one-shot oracle this face must hash-match
+            # (it also skips auto's two count jobs per micro-batch)
             vec = search_lsh_index(
                 b.sparkSession,
                 lsh_index_path,
-                b.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                b.where(F.col("embedding").isNotNull()).select(
+                    F.col("doc_id").alias("vec_id"), "embedding"
+                ),
                 k=leg_k,
+                rerank="exact",
                 queries_pinned=True,
             )
             rrf_fuse(lex, vec, k=k).write.mode("append").parquet(out_path)
@@ -110,13 +124,20 @@ def stream_hybrid_serve(
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
 
-    queries = (
-        docs.where(F.col("doc_id") % query_mod == 0)
-        .select("doc_id", "text")
-        .join(
-            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
-            "doc_id",
-        )
+    # FULL outer join of the two id spaces: a doc with no embedding
+    # still streams (lexical leg only), an embedding with no doc text
+    # still streams (vector leg only) — exactly the rows the one-shot
+    # hybrid_index_search sees, whatever the id overlap. An inner join
+    # here would silently drop text-only queries from the stream while
+    # the one-shot oracle kept their lexical results.
+    queries = docs.where(F.col("doc_id") % query_mod == 0).select(
+        "doc_id", "text"
+    ).join(
+        emb.where(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ),
+        "doc_id",
+        "full_outer",
     )
     queries.repartition(n_input_files).write.parquet(in_dir)
     schema = spark.read.parquet(in_dir).schema

@@ -436,3 +436,61 @@ def test_stream_hybrid_serve_is_multi_batch_and_cache_clean(spark):
     # the lexical index and every batch pin are released; the shared
     # session LSH store holds no persisted RDDs (it is parquet-backed)
     assert after <= before, f"leaked cache entries: {before} -> {after}"
+
+def test_stream_hybrid_serve_matches_one_shot_on_mismatched_ids(
+    spark, tmp_path
+):
+    """Batching must stay invisible even when the doc and embedding id
+    spaces only partially overlap: a text-only query keeps its lexical
+    results, an embedding-only query keeps its vector results, in BOTH
+    the one-shot and the streamed serve (an inner-join stream input
+    would silently drop the text-only queries)."""
+    import random
+
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        hybrid_index_search_demo,
+    )
+    from jaccard_mapreduce_spark.streaming.retrieval_serve import (
+        stream_hybrid_serve,
+    )
+
+    sf = str(tmp_path / "sf")
+    rng = random.Random(7)
+    # vocabulary wide enough that no token crosses the 50% df prune
+    # (a 6-word vocab put EVERY token in >70% of docs and emptied the
+    # lexical leg entirely)
+    words = [f"w{i}" for i in range(60)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(8)))
+        for i in range(0, 30)  # doc ids 0..29
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    embs = [
+        (i, [float(rng.randint(-5, 5)) for _ in range(64)], 0)
+        for i in range(10, 40)  # vec ids 10..39: 10 text-only, 10 vec-only
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    # query_mod=10 -> query ids {0,10,20} (docs) ∪ {10,20,30} (embs):
+    # 0 is text-only, 30 is embedding-only, 10/20 have both
+    got = sorted(
+        map(
+            tuple,
+            stream_hybrid_serve(
+                spark, sf, query_mod=10, n_input_files=2
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            hybrid_index_search_demo(spark, sf, query_mod=10).collect(),
+        )
+    )
+    assert got == want
+    qids = {r[0] for r in got}
+    assert 0 in qids and 30 in qids, "one-leg-only queries were dropped"
