@@ -422,6 +422,14 @@ def _q_stream_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_hybrid_serve(spark, sf_dir)
 
 
+def _q_lexical_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        lexical_store_search_demo,
+    )
+
+    return lexical_store_search_demo(spark, sf_dir)
+
+
 def _q_corpus_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.corpus import corpus_text_roundtrip
 
@@ -574,6 +582,7 @@ _NEW_OR_CHANGED = [
     "hybrid_index_search",  # new: fusion served from the stored LSH index
     "hybrid_recall_audit",  # new: measured leg/fusion recall vs exact truth
     "stream_hybrid_serve",  # new: streaming serving == one-shot (order-free)
+    "lexical_store_search",  # new: persisted lexical store, exact upsert
     # changed round 9: rerank="auto" is now the DEFAULT on the one-plan
     # and stored-index searches — these entries' call paths gained the
     # eager occupancy-estimate gate (resolving to exact at graded scale)
@@ -598,6 +607,7 @@ _R9_WINDOW = [
     "ivf_index_retrain", "lsh_index_retune",
     "ivf_index_stats", "lsh_index_stats", "hybrid_search",
     "hybrid_index_search", "hybrid_recall_audit", "stream_hybrid_serve",
+    "lexical_store_search",
     "ann_lsh_topk", "ann_ivf_topk", "ann_scale_probe",
     "ivf_params_derived", "ivf_index_search", "ivf_index_upsert",
     "lsh_index_search", "lsh_index_serve", "lsh_index_upsert",
@@ -616,11 +626,6 @@ _R9_WINDOW = [
     "q9_product_profit", "quality_curriculum", "source_mixture",
     "source_overlap_matrix", "stream_upsert_snapshot",
     "unigram_surprise", "vocabulary",
-    # round-6 fillers (first alphabetically among the r6-stale keys
-    # not already in via new/changed; the remaining r6 keys sit just
-    # outside at equal staleness — legal, the guard forbids only
-    # STRICTLY staler keys outside — and are the natural r10 cohort)
-    "containment_pruned",
 ]
 
 
@@ -931,6 +936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # must hash-match the one-shot hybrid_index_search oracle
         # (per-query serving is arrival-order independent)
         "stream_hybrid_serve": _q_stream_hybrid_serve,
+        # new round 9: the persisted lexical store — the fourth index
+        # family, with EXACT incremental maintenance (df and n_docs
+        # merge additively, so build-then-upsert ≡ build-over-union
+        # bit-for-bit; scores are in the graded projection)
+        "lexical_store_search": _q_lexical_store_search,
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
         # stored ONCE (plus the planes themselves: the index file is the
@@ -1467,6 +1477,9 @@ def oracle_sql() -> dict[str, str]:
                 20, S.lsh_tables(64), query_where="a.vec_id % 100 = 0"
             )
         ),
+        # store built on %4!=0, upserted with the rest — the oracle has
+        # NO build filter (additive-merge exactness)
+        "lexical_store_search": oracles.lexical_store_search_sql(),
         "ivf_index_upsert": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
             train_where="WHERE vec_id % 5 != 0",

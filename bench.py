@@ -130,6 +130,7 @@ def main() -> None:
         "hybrid_index_search",
         "hybrid_recall_audit",
         "stream_hybrid_serve",
+        "lexical_store_search",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_scale_probe",
@@ -167,6 +168,7 @@ def main() -> None:
         "lsh_index_upsert", "lsh_index_compact", "lsh_index_dist",
         "lsh_index_retune", "lsh_index_stats",
         "hybrid_index_search", "hybrid_recall_audit",
+        "lexical_store_search",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

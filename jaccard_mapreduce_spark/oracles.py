@@ -3098,6 +3098,43 @@ fused AS (
 )"""
 
 
+def lexical_store_search_sql(
+    k: int = 10,
+    query_mod: int = 100,
+    max_df_pct: int = 50,
+) -> str:
+    """Oracle for sources/lexical_store.py::lexical_store_search_demo —
+    the one-plan lexical top-k over the FULL corpus with NO build
+    filter: a store built on a slice and upserted with the rest must be
+    indistinguishable because df and n_docs merge additively. Scores
+    are in the graded projection (exact integer sums — DuckDB's
+    HUGEINT sum cast back to BIGINT to match Spark's long)."""
+    return f"""WITH {TOK_CTE.strip()},
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+w AS (
+    SELECT token, n_docs // df AS w
+    FROM (SELECT token, count(*) AS df FROM tok GROUP BY token)
+    CROSS JOIN nd
+    WHERE df * 100 <= {max_df_pct} * n_docs
+),
+lexscored AS (
+    SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+           CAST(sum(w.w) AS BIGINT) AS score
+    FROM tok q
+    JOIN w ON q.token = w.token
+    JOIN tok d ON q.token = d.token AND q.doc_id <> d.doc_id
+    WHERE q.doc_id % {query_mod} = 0
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id)
+                  AS rank
+    FROM lexscored
+) WHERE rank <= {k}"""
+
+
 def hybrid_recall_audit_sql(
     vec_leg_sql: str,
     k: int = 10,

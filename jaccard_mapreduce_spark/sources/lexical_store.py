@@ -1,0 +1,202 @@
+"""Persisted lexical inverted index — the fourth index family, with
+EXACT incremental maintenance.
+
+The vector stores are maintained approximately or conditionally: IVF's
+codebook goes stale and needs a retrain trigger, MinHash banding is
+retuned from occupancy, LSH is rebuilt because its width derives from
+corpus size. The lexical index is different in kind: its only
+data-dependent statistics — per-token document frequency and the corpus
+document count — are ADDITIVE, so an upsert merges exact integer
+increments and the store after ``build(base); upsert(rest)`` is
+indistinguishable from ``build(base ∪ rest)``, bit-for-bit, with no
+staleness counter and no retune. The graded contract pins exactly that.
+
+Layout (three datasets under one directory, the vector-store shape):
+
+  ``<path>/postings``   (token, doc_id) — the inverted index; appended
+                        by upserts, hash-distributed by token so a
+                        probe's broadcast join streams each executor's
+                        slice without a shuffle
+  ``<path>/df``         (token, df) — exact per-token document
+                        frequency; REWRITTEN by upserts via the
+                        tmp-write + rename swap (KBs–MBs: it is one row
+                        per distinct token, not per posting)
+  ``<path>/_n_docs``    corpus document count marker (Hadoop-FS text,
+                        works on hdfs:///s3a:// like the other stores)
+
+Weights are derived at PROBE time from the stored statistics
+(``w = n_docs div df`` over tokens surviving the caller's
+``max_df_ratio`` prune), never baked into the postings — so one store
+serves any prune setting, and an upsert that pushes a token over the
+df threshold silently retires it from future probes, which is the
+correct retrieval semantics (yesterday's discriminative token can be
+today's stop word).
+
+Honesty contract shared with the other stores' mutation paths:
+exactly-once is NOT claimed. The upsert appends postings, then swaps
+the df dataset, then bumps the marker — a crash between steps leaves a
+store whose df lags its postings until the upsert is retried;
+per-batch idempotence belongs upstream (the streaming faces' watermark
+dedup recipe)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
+from jaccard_mapreduce_spark.operators.retrieval import lexical_probe
+
+
+def build_lexical_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the store from scratch: tokenize once, write the
+    postings hash-distributed by token, aggregate the exact df
+    relation, stamp the document count."""
+    from jaccard_mapreduce_spark.sources.vector_index import _fs_write_text
+
+    spark = docs.sparkSession
+    tok = doc_tokens(docs, id_col=id_col, text_col=text_col)
+    tok.repartition("token").write.mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    # re-read: df must aggregate the WRITTEN postings, not recompute
+    # the tokenize (one pass over the stored bytes, and the two
+    # datasets can never disagree about what was tokenized)
+    stored = spark.read.parquet(f"{path}/postings")
+    (
+        stored.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/df")
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    _fs_write_text(spark, f"{path}/_n_docs", str(n_docs))
+
+
+def upsert_lexical_store(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append a document batch and merge its EXACT statistic
+    increments: postings append, df = stored df ∪ batch df summed per
+    token (tmp-write + rename swap, the compaction shape), marker +=
+    batch count. Returns the number of appended documents. Because
+    both statistics are additive integers, the post-upsert store is
+    bit-identical to a fresh build over the union — the graded
+    ``lexical_store_search`` claim, EXACT where IVF's upsert contract
+    must hold the codebook fixed and LSH's leans on data-independent
+    hashing."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _fs_delete,
+        _fs_read_text,
+        _fs_write_text,
+        _hadoop_fs,
+    )
+
+    tok = doc_tokens(docs, id_col=id_col, text_col=text_col)
+    tok.repartition("token").write.mode("append").parquet(
+        f"{path}/postings"
+    )
+    merged = (
+        spark.read.parquet(f"{path}/df")
+        .unionByName(
+            tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        )
+        .groupBy("token")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    tmp = f"{path}/df__tmp"
+    _fs_delete(spark, tmp)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs, live = _hadoop_fs(spark, f"{path}/df")
+    fs.delete(live, True)
+    if not fs.rename(_hadoop_fs(spark, tmp)[1], live):
+        raise IOError(f"df swap failed: {tmp} -> {path}/df")
+    n_new = docs.select(id_col).distinct().count()
+    prev = int((_fs_read_text(spark, f"{path}/_n_docs") or "0").strip() or 0)
+    _fs_write_text(spark, f"{path}/_n_docs", str(prev + n_new))
+    return n_new
+
+
+def search_lexical_store(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    max_df_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe the store with a query batch — ``(query_id, neighbor_id,
+    score, rank)``, identical semantics to the one-plan
+    :func:`~jaccard_mapreduce_spark.operators.retrieval.lexical_topk`
+    over the stored corpus. The probe reads the stored statistics (df
+    relation + document-count marker), derives the integer weights,
+    prunes past ``max_df_ratio``, and broadcasts the query token set
+    against the postings — the corpus-side tokenize is never
+    recomputed, which is what the store amortizes."""
+    from jaccard_mapreduce_spark.sources.vector_index import _fs_read_text
+
+    n_docs = int(
+        (_fs_read_text(spark, f"{path}/_n_docs") or "0").strip() or 0
+    )
+    max_df = round(max_df_ratio * 100) * n_docs
+    w = (
+        spark.read.parquet(f"{path}/df")
+        .where(F.col("df") * 100 <= max_df)
+        .withColumn("w", F.expr(f"CAST({n_docs} AS BIGINT) div df"))
+    )
+    index = spark.read.parquet(f"{path}/postings").join(
+        F.broadcast(w.select("token", "w")), "token"
+    )
+    return lexical_probe(
+        index, queries, k=k, id_col=id_col, text_col=text_col
+    )
+
+
+def lexical_store_search_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    base_mod: int = 4,
+    query_mod: int = 100,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for exact incremental maintenance: build the
+    store on the ``doc_id % base_mod != 0`` slice, UPSERT the rest,
+    then search the deterministic query batch. Must value-hash-match
+    (scores INCLUDED — they are exact integers) the one-plan lexical
+    oracle over the FULL corpus with no build filter: build-then-upsert
+    ≡ build-over-union because df and n_docs merge additively."""
+    from jaccard_mapreduce_spark.sources.vector_index import _ensure_index
+
+    def _build(docs: DataFrame, base: str) -> None:
+        build_lexical_store(docs.where(F.col("doc_id") % base_mod != 0), base)
+        n = upsert_lexical_store(
+            spark, base, docs.where(F.col("doc_id") % base_mod == 0)
+        )
+        assert n > 0
+
+    base, docs = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_lex_store",
+        required_dirs=["postings", "df"],
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"base_mod={base_mod}",
+        table="documents.parquet",
+        required_files=("_n_docs",),
+    )
+    return search_lexical_store(
+        spark, base, docs.where(F.col("doc_id") % query_mod == 0), k=k
+    )

@@ -494,3 +494,55 @@ def test_stream_hybrid_serve_matches_one_shot_on_mismatched_ids(
     assert got == want
     qids = {r[0] for r in got}
     assert 0 in qids and 30 in qids, "one-leg-only queries were dropped"
+
+def test_lexical_store_upsert_is_exact_and_retires_hot_tokens(
+    spark, tmp_path
+):
+    """Build-then-upsert must equal a fresh build over the union
+    (additive df/n_docs merge — exact, no staleness), and a token
+    pushed over the df threshold BY the upsert must stop matching:
+    weights derive from stored stats at probe time, so yesterday's
+    discriminative token retires when it becomes a stop word."""
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        search_lexical_store,
+        upsert_lexical_store,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare common"),
+            (1, "rare common"),
+            (2, "other common"),
+            (3, "word common"),
+            # the upsert batch floods 'rare' past 50% df
+            (4, "rare thing"),
+            (5, "rare thing2"),
+            (6, "rare thing3"),
+            (7, "rare thing4"),
+        ],
+        "doc_id long, text string",
+    )
+    base, fresh = str(tmp_path / "base"), str(tmp_path / "fresh")
+    build_lexical_store(docs.where("doc_id < 4"), base)
+    n = upsert_lexical_store(spark, base, docs.where("doc_id >= 4"))
+    assert n == 4
+    build_lexical_store(docs, fresh)
+    q = docs.where("doc_id = 0")
+    got = sorted(map(tuple, search_lexical_store(spark, base, q).collect()))
+    want = sorted(map(tuple, search_lexical_store(spark, fresh, q).collect()))
+    assert got == want
+    # 'rare' now sits in 5/8 docs (> 50% — PRUNED), 'common' in 4/8
+    # (exactly 50% — kept, weight 8 div 4 = 2): doc 0 still matches
+    # docs 1-3 through 'common' but docs 4-7, which share only the
+    # retired 'rare', must be absent
+    assert got == [(0, 1, 2, 1), (0, 2, 2, 2), (0, 3, 2, 3)]
+    # before the upsert the stats cut the other way: 'rare' was 2/4
+    # (kept, weight 4 div 2 = 2) and 'common' 4/4 (pruned), so doc 1
+    # was the ONLY match — same probe, different stored stats
+    pre = str(tmp_path / "pre")
+    build_lexical_store(docs.where("doc_id < 4"), pre)
+    pre_rows = sorted(
+        map(tuple, search_lexical_store(spark, pre, q).collect())
+    )
+    assert pre_rows == [(0, 1, 2, 1)]
