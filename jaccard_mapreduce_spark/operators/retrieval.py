@@ -55,6 +55,27 @@ from jaccard_mapreduce_spark.operators.similarity import (
 DEFAULT_RRF_K = 60
 
 
+def df_weights(
+    dfr: DataFrame, n_docs: int, max_df_ratio: float = 0.5
+) -> DataFrame:
+    """Integer rarity weights over a ``(token, df)`` relation:
+    ``w = n_docs div df`` for tokens with ``df · 100 <=
+    round(max_df_ratio · 100) · n_docs`` — shared by the one-plan
+    :func:`lexical_index` and the persisted store's probe so the prune
+    and weight arithmetic can never drift apart.
+
+    round(), not int(): 0.29 * 100 is 28.999...96 in binary floating
+    point, and truncation would silently tighten the prune by one df
+    unit against both the docstring and the oracle's integer pct.
+    `div`, not a float quotient truncated: floor-of-double can misround
+    a quotient sitting within an ulp of an integer at large N, and the
+    oracle's ``//`` is exact."""
+    max_df = round(max_df_ratio * 100) * n_docs
+    return dfr.where(F.col("df") * 100 <= max_df).withColumn(
+        "w", F.expr(f"CAST({n_docs} AS BIGINT) div df")
+    )
+
+
 def lexical_index(
     docs: DataFrame,
     max_df_ratio: float = 0.5,
@@ -75,19 +96,10 @@ def lexical_index(
     # twice (the 24 s-redundant shape operators/_cache.py documents)
     tok = pin(doc_tokens(docs, id_col=id_col, text_col=text_col))
     n_docs = docs.select(id_col).distinct().count()
-    # round(), not int(): 0.29 * 100 is 28.999...96 in binary floating
-    # point, and truncation would silently tighten the prune by one df
-    # unit against both the docstring and the oracle's integer pct
-    max_df = round(max_df_ratio * 100) * n_docs  # vs df·100: int prune
-    # w = n_docs div df — INTEGRAL division (`div`), not a float
-    # quotient truncated: floor-of-double can misround a quotient
-    # sitting within an ulp of an integer at large N, and the oracle's
-    # `//` is exact
-    weighted = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") * 100 <= max_df)
-        .withColumn("w", F.expr(f"CAST({n_docs} AS BIGINT) div df"))
+    weighted = df_weights(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("df")),
+        n_docs,
+        max_df_ratio,
     )
     return tok.join(F.broadcast(weighted.select("token", "w")), "token")
 

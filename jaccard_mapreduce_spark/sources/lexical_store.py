@@ -102,25 +102,42 @@ def upsert_lexical_store(
         _hadoop_fs,
     )
 
-    tok = doc_tokens(docs, id_col=id_col, text_col=text_col)
-    tok.repartition("token").write.mode("append").parquet(
-        f"{path}/postings"
-    )
-    merged = (
-        spark.read.parquet(f"{path}/df")
-        .unionByName(
-            tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    from jaccard_mapreduce_spark.operators._cache import pin
+
+    # pinned: the batch tokenize feeds both the postings append and the
+    # df increment; released before returning (per-batch relation — the
+    # streaming-face cache-hygiene rule)
+    tok = pin(doc_tokens(docs, id_col=id_col, text_col=text_col))
+    try:
+        tok.repartition("token").write.mode("append").parquet(
+            f"{path}/postings"
         )
-        .groupBy("token")
-        .agg(F.sum("df").cast("long").alias("df"))
-    )
-    tmp = f"{path}/df__tmp"
-    _fs_delete(spark, tmp)
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    fs, live = _hadoop_fs(spark, f"{path}/df")
-    fs.delete(live, True)
-    if not fs.rename(_hadoop_fs(spark, tmp)[1], live):
-        raise IOError(f"df swap failed: {tmp} -> {path}/df")
+        merged = (
+            spark.read.parquet(f"{path}/df")
+            .unionByName(
+                tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+            )
+            .groupBy("token")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        tmp = f"{path}/df__tmp"
+        _fs_delete(spark, tmp)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # two-rename swap with rollback (the retrain/compaction idiom) —
+        # a delete-then-rename would open a window with NO df dataset at
+        # all; here the old generation survives until the new one is live
+        fs, live = _hadoop_fs(spark, f"{path}/df")
+        old = _hadoop_fs(spark, f"{path}/df__old")[1]
+        if fs.exists(old):
+            fs.delete(old, True)
+        if not fs.rename(live, old):
+            raise IOError(f"df swap failed: {path}/df -> df__old")
+        if not fs.rename(_hadoop_fs(spark, tmp)[1], live):
+            fs.rename(old, live)  # put the previous generation back
+            raise IOError(f"df swap failed: {tmp} -> {path}/df")
+        fs.delete(old, True)
+    finally:
+        tok.unpersist()
     n_new = docs.select(id_col).distinct().count()
     prev = int((_fs_read_text(spark, f"{path}/_n_docs") or "0").strip() or 0)
     _fs_write_text(spark, f"{path}/_n_docs", str(prev + n_new))
@@ -144,16 +161,14 @@ def search_lexical_store(
     prunes past ``max_df_ratio``, and broadcasts the query token set
     against the postings — the corpus-side tokenize is never
     recomputed, which is what the store amortizes."""
+    from jaccard_mapreduce_spark.operators.retrieval import df_weights
     from jaccard_mapreduce_spark.sources.vector_index import _fs_read_text
 
     n_docs = int(
         (_fs_read_text(spark, f"{path}/_n_docs") or "0").strip() or 0
     )
-    max_df = round(max_df_ratio * 100) * n_docs
-    w = (
-        spark.read.parquet(f"{path}/df")
-        .where(F.col("df") * 100 <= max_df)
-        .withColumn("w", F.expr(f"CAST({n_docs} AS BIGINT) div df"))
+    w = df_weights(
+        spark.read.parquet(f"{path}/df"), n_docs, max_df_ratio
     )
     index = spark.read.parquet(f"{path}/postings").join(
         F.broadcast(w.select("token", "w")), "token"
