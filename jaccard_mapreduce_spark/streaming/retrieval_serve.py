@@ -102,6 +102,7 @@ def stream_hybrid_serve(
     leg_k: int = 20,
     query_mod: int = 100,
     n_input_files: int = 4,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Contract query: split the deterministic query batch
     (``doc_id % query_mod == 0``, joined with its embeddings) across
@@ -110,15 +111,26 @@ def stream_hybrid_serve(
     and return the union of all appended results. Must hash-match the
     one-shot ``hybrid_index_search`` oracle — per-query serving is
     arrival-order independent, so HOW the queries were batched is
-    invisible in the result."""
+    invisible in the result.
+
+    Graded at ``GRADED_MAX_DF_RATIO`` since round 10 (the round-9 grade
+    served an EMPTY lexical leg at the driver fixture — see
+    ``hybrid_index_search_demo``); the returned log is asserted to
+    carry at least one non-null ``lex_rank`` so the grade cannot
+    silently re-vacuate."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+    )
     from jaccard_mapreduce_spark.sources.vector_index import (
         _ensure_lsh_index,
         _scratch_dir,
     )
 
+    if max_df_ratio is None:
+        max_df_ratio = GRADED_MAX_DF_RATIO
     lsh_base, emb = _ensure_lsh_index(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lex_idx = pin(lexical_index(docs))
+    lex_idx = pin(lexical_index(docs, max_df_ratio=max_df_ratio))
     base = _scratch_dir(spark, suffix="_hybrid_serve")
     shutil.rmtree(base, ignore_errors=True)
     in_dir = os.path.join(base, "in")
@@ -157,6 +169,13 @@ def stream_hybrid_serve(
     ).start()
     q.awaitTermination()
     try:
-        return spark.read.parquet(out_dir)
+        out = spark.read.parquet(out_dir)
+        # cheap (the log is O(queries * k) rows, already on disk):
+        # a vacuous lexical leg must fail loudly, not hash-match an
+        # equally-vacuous oracle (round-9 verdict regression guard)
+        assert (
+            out.where(F.col("lex_rank").isNotNull()).limit(1).count() > 0
+        ), "vacuous lexical leg: no served row carries a lex_rank"
+        return out
     finally:
         lex_idx.unpersist()
