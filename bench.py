@@ -111,41 +111,31 @@ def main() -> None:
         # dedup_representatives 4.88, ...) no longer dominate wall-clock
         "sq8_rank_audit",
         "ivf_recall_audit",
-        "events_approx_check",
         "lsh_fast_ranks",
         "clustered_split_leakage",
         "prepare_corpus_rules",
         "prepare_corpus",
         "dedup_clusters",
-        # round-9 new/changed — mirrors entry._NEW_OR_CHANGED
-        "lsh_auto_dist",
-        "ivf_auto_dist",
-        "lsh_dist_skew",
-        "ivf_index_serve",
-        "ivf_index_retrain",
-        "lsh_index_retune",
-        "ivf_index_stats",
-        "lsh_index_stats",
+        # round-10 new/changed — mirrors entry._NEW_OR_CHANGED
         "hybrid_search",
         "hybrid_index_search",
         "hybrid_recall_audit",
         "stream_hybrid_serve",
         "lexical_store_search",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "ann_scale_probe",
-        "ivf_params_derived",
-        "ivf_index_search",
-        "ivf_index_upsert",
-        "lsh_index_search",
-        "lsh_index_serve",
-        "lsh_index_upsert",
-        "lsh_index_compact",
-        "lsh_dist_ranks",
-        "ivf_dist_ranks",
-        "ivf_index_dist",
-        "lsh_index_dist",
+        "ivf_index_compact",
+        "events_approx_check",
+        "lexical_store_stats",
+        "lexical_store_compact",
+        "stream_lexical_ingest",
+        "lexical_scale_probe",
     ]
+    # Queries measured at ONE rep even in the core (round-9 verdict
+    # item 8): stream_hybrid_serve's ~26 s median is ~fixed Structured
+    # Streaming trigger machinery (checkpointing, 4 micro-batches), not
+    # data volume — its spread made it a flagged-noisy median anyway,
+    # and the two freed reps buy ~50 s of budget for real coverage.
+    # stream_lexical_ingest pays the same per-trigger overhead.
+    single_rep = {"stream_hybrid_serve", "stream_lexical_ingest"}
     cohort = rotating_cohort(
         qs, set(bench_queries), set(), entry._WINDOW_DESIGN_ROUND
     )
@@ -173,7 +163,9 @@ def main() -> None:
         # its median — the bimodality this pre-build loop removes)
         "hybrid_index_search", "hybrid_recall_audit",
         "stream_hybrid_serve",
-        "lexical_store_search",
+        "ivf_index_compact",
+        "lexical_store_search", "lexical_store_stats",
+        "lexical_store_compact", "stream_lexical_ingest",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]
@@ -295,7 +287,7 @@ def main() -> None:
         if timed_seconds > hard_budget:
             skipped.append(name)
             continue
-        n_reps = 1 if name in cohort_set else reps
+        n_reps = 1 if name in cohort_set or name in single_rep else reps
         if timed_seconds > query_budget and n_reps > 1:
             degraded.append(name)
             n_reps = 1

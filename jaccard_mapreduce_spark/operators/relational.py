@@ -667,16 +667,24 @@ def events_approx_check(
     (graduates ``events_approx_stats`` from rows-only grading): per event
     type, the EXACT distinct-user count plus booleans asserting that the
     HLL++ estimate (rsd 0.01) lands within ``max_rel_err`` of exact
-    (a ±5σ envelope — deterministically satisfied) and that the
-    approximate median lands between the exact p40 and p60. The DuckDB
-    oracle recomputes the exact values and emits literal TRUEs, so a
-    sketch regression (wrong rsd, broken merge, bad accuracy) flips a
-    boolean and fails the value hash.
+    (a ±5σ envelope — deterministically satisfied), that the
+    approximate median lands between the exact p40 and p60, and — since
+    round 10, folding in the last face of ``events_approx_stats`` that
+    had no graded twin — that the approximate p95 lands between the
+    exact p90 and p99 (percentile_approx at accuracy 10,000 bounds rank
+    error far inside either window). The DuckDB oracle recomputes the
+    exact values and emits literal TRUEs, so a sketch regression (wrong
+    rsd, broken merge, bad accuracy) flips a boolean and fails the
+    value hash.
     """
     approx = F.approx_count_distinct("user_id", rsd=0.01)
     exact = F.count_distinct("user_id")
-    p = F.percentile("value", F.array(F.lit(0.4), F.lit(0.6)))
-    ap50 = F.percentile_approx("value", F.lit(0.5), F.lit(10_000))
+    p = F.percentile(
+        "value", F.array(F.lit(0.4), F.lit(0.6), F.lit(0.9), F.lit(0.99))
+    )
+    ap = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
+    )
     return (
         events.groupBy("event_type")
         .agg(
@@ -685,9 +693,10 @@ def events_approx_check(
                 F.abs(approx - exact)
                 <= F.lit(max_rel_err) * exact
             ).alias("hll_ok"),
-            ((ap50 >= p[0]) & (ap50 <= p[1])).alias("p50_ok"),
+            ((ap[0] >= p[0]) & (ap[0] <= p[1])).alias("p50_ok"),
+            ((ap[1] >= p[2]) & (ap[1] <= p[3])).alias("p95_ok"),
         )
-        .select("event_type", "n_users", "hll_ok", "p50_ok")
+        .select("event_type", "n_users", "hll_ok", "p50_ok", "p95_ok")
     )
 
 

@@ -172,6 +172,53 @@ def lexical_topk(
     )
 
 
+def replicate_documents(
+    docs: DataFrame, factor: int, id_offset: int = 1_000_000
+) -> DataFrame:
+    """Deterministic corpus replication for scale probes (the
+    ``replicate_embeddings`` twin): ``factor`` copies of every document
+    with ``doc_id + replica · id_offset``. The offset is a multiple of
+    every demo ``query_mod``, so each replica of a query doc is itself
+    a query doc — the probe's work scales in BOTH the corpus and the
+    query batch. The replica relation is a broadcast ``factor``-row
+    cross join (one scan of the corpus, no shuffle)."""
+    r = docs.sparkSession.range(factor).select(F.col("id").alias("_rep"))
+    return docs.crossJoin(F.broadcast(r)).select(
+        (F.col("doc_id") + F.col("_rep") * id_offset).alias("doc_id"),
+        "text",
+    )
+
+
+def lexical_scale_probe(
+    docs: DataFrame,
+    k: int = 10,
+    query_mod: int = 100,
+    max_df_ratio: float = GRADED_MAX_DF_RATIO,
+    target_docs: int = 5_000,
+) -> DataFrame:
+    """The retrieval family's scale probe (round-9 verdict item 7 —
+    the ``ann_scale_probe`` discipline applied to the lexical tier):
+    replicate the corpus to ~``target_docs`` documents and run the
+    one-plan :func:`lexical_topk` over the replica at the graded
+    prune. Replication multiplies every df AND n_docs by the factor,
+    so the integer weights are INVARIANT (``(N·f) div (df·f) = N div
+    df`` exactly) — the probe pays factor² candidate volume through
+    the prune/join/top-k machinery while the oracle stays exactly
+    derivable, which is what makes the scale behavior hash-gradable
+    rather than argued. The factor targets ~5,000 docs: exactly 10× at
+    the graded sf0.01 (matching the pinned oracle) and a bounded 2× at
+    bigger bench fixtures (the ``ann_scale_probe`` sizing rationale)."""
+    n = docs.select("doc_id").distinct().count()
+    factor = max(2, target_docs // max(n, 1))
+    rep = replicate_documents(docs, factor)
+    return lexical_topk(
+        rep,
+        rep.where(F.col("doc_id") % query_mod == 0),
+        k=k,
+        max_df_ratio=max_df_ratio,
+    )
+
+
 def _vector_topk(
     emb: DataFrame,
     query_pred,

@@ -718,7 +718,8 @@ def events_approx_check_sql() -> str:
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        TRUE AS hll_ok,
-       TRUE AS p50_ok
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
 FROM events GROUP BY event_type"""
 
 
@@ -3123,6 +3124,67 @@ lexscored AS (
     FROM tok q
     JOIN w ON q.token = w.token
     JOIN tok d ON q.token = d.token AND q.doc_id <> d.doc_id
+    WHERE q.doc_id % {query_mod} = 0
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id)
+                  AS rank
+    FROM lexscored
+) WHERE rank <= {k}"""
+
+
+def lexical_store_stats_sql() -> str:
+    """Oracle for sources/lexical_store.py::lexical_store_stats_demo —
+    the store's logical statistics recomputed from the full-corpus
+    tokenize with NO build filter: the stats face of the additive-merge
+    exactness claim (a df double-count or a dropped posting in the
+    build/upsert path shifts one of these integers and fails the
+    hash)."""
+    return f"""WITH {TOK_CTE.strip()},
+d AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
+SELECT CAST((SELECT count(DISTINCT doc_id) FROM documents) AS BIGINT)
+           AS n_docs,
+       CAST((SELECT count(*) FROM d) AS BIGINT) AS n_tokens,
+       CAST((SELECT count(*) FROM tok) AS BIGINT) AS n_postings,
+       CAST((SELECT max(df) FROM d) AS BIGINT) AS max_df"""
+
+
+def lexical_scale_probe_sql(
+    factor: int = 10,
+    id_offset: int = 1_000_000,
+    k: int = 10,
+    query_mod: int = 100,
+    max_df_pct: int = 78,
+) -> str:
+    """Oracle for operators/retrieval.py::lexical_scale_probe — the
+    one-plan lexical top-k over a ``factor``-replicated corpus
+    (``doc_id + replica · id_offset``). Every df and n_docs scales by
+    the factor, so the integer weights match the unreplicated corpus
+    exactly and the whole replicated ranking stays hash-derivable."""
+    return f"""WITH {TOK_CTE.strip()},
+rep AS (SELECT unnest(range({factor})) AS r),
+rtok AS (
+    SELECT t.doc_id + rep.r * {id_offset} AS doc_id, t.token
+    FROM tok t CROSS JOIN rep
+),
+nd AS (
+    SELECT count(DISTINCT doc_id) * {factor} AS n_docs FROM documents
+),
+w AS (
+    SELECT token, n_docs // df AS w
+    FROM (SELECT token, count(*) AS df FROM rtok GROUP BY token)
+    CROSS JOIN nd
+    WHERE df * 100 <= {max_df_pct} * n_docs
+),
+lexscored AS (
+    SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+           CAST(sum(w.w) AS BIGINT) AS score
+    FROM rtok q
+    JOIN w ON q.token = w.token
+    JOIN rtok d ON q.token = d.token AND q.doc_id <> d.doc_id
     WHERE q.doc_id % {query_mod} = 0
     GROUP BY 1, 2
 )

@@ -188,6 +188,127 @@ def search_lexical_store(
     )
 
 
+def lexical_store_stats(spark: SparkSession, path: str) -> dict:
+    """Ops snapshot of a persisted lexical store — the fourth family's
+    entry in the stats triad (``ivf_index_stats`` / ``lsh_index_stats``
+    / ``minhash_index_stats`` precedent): logical statistics
+    (``n_docs`` from the marker, ``n_tokens`` = df relation rows,
+    ``n_postings``, ``max_df``) plus the filesystem facts the
+    compaction trigger trades on (``postings_files``, ``df_files`` —
+    every upsert appends its own file set into postings, and the FILE
+    COUNT, not the data volume, is what each probe's scan planning
+    pays for at upsert-per-minute cadence)."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _count_parquet_files,
+        _fs_read_text,
+        _hadoop_fs,
+    )
+
+    dfr = spark.read.parquet(f"{path}/df")
+    agg = dfr.agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.max("df").alias("max_df")
+    ).first()
+    out = {
+        "n_docs": int(
+            (_fs_read_text(spark, f"{path}/_n_docs") or "0").strip() or 0
+        ),
+        "n_tokens": int(agg["n_tokens"]),
+        "n_postings": spark.read.parquet(f"{path}/postings").count(),
+        "max_df": int(agg["max_df"]) if agg["max_df"] is not None else 0,
+    }
+    for name in ("postings", "df"):
+        fs, hpath = _hadoop_fs(spark, f"{path}/{name}")
+        out[f"{name}_files"], _ = _count_parquet_files(spark, fs, hpath)
+    return out
+
+
+def compact_lexical_store(
+    spark: SparkSession,
+    path: str,
+    n_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, tuple[int, int]]:
+    """Rewrite the append-fragmented postings dataset into fewer,
+    size-targeted files — same contract as ``compact_lsh_index``
+    (row-identical relation, tmp-write + two-rename swap, single-writer
+    maintenance window), with the rewrite hash-distributed by ``token``
+    so compaction PRESERVES the build path's token clustering (a plain
+    round-robin rewrite would silently scatter each token's postings
+    across every file). The df dataset is not rewritten: every upsert
+    already replaces it whole via the swap, so it is one generation of
+    coalesced files by construction. Returns per-dataset
+    ``(files_before, files_after)``."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _compact_datasets,
+    )
+
+    return _compact_datasets(
+        spark,
+        path,
+        ("postings",),
+        "a lexical store",
+        n_files,
+        target_file_bytes,
+        cluster_by={"postings": "token"},
+    )
+
+
+def upsert_lexical_store_stream(stream: DataFrame, path: str, checkpoint: str):
+    """Streaming face of the upsert path (the
+    ``upsert_ivf_index_stream`` convention): each micro-batch of
+    ``(doc_id, text)`` rows merges its exact statistic increments via
+    :func:`upsert_lexical_store` — the store stays probe-able while it
+    grows, and because the merge is additive-exact, the final store is
+    bit-identical to a one-shot build whatever the batch boundaries
+    were. Exactly-once is NOT claimed (a replayed batch re-appends and
+    double-counts — the id contract above; watermark dedup belongs
+    upstream). Returns the unstarted writer."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_lexical_store(batch_df.sparkSession, path, batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def _ensure_lex_store(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int = 4,
+    rebuild: bool = False,
+) -> tuple[str, DataFrame]:
+    """Session-scoped build-once gate for the shared demo store: build
+    on the ``doc_id % base_mod != 0`` slice, upsert the rest — the
+    mutation-path store the search and stats contract entries probe
+    (its statistics equal a full-corpus build's, the additive-merge
+    exactness claim)."""
+    from jaccard_mapreduce_spark.sources.vector_index import _ensure_index
+
+    def _build(docs: DataFrame, base: str) -> None:
+        build_lexical_store(docs.where(F.col("doc_id") % base_mod != 0), base)
+        n = upsert_lexical_store(
+            spark, base, docs.where(F.col("doc_id") % base_mod == 0)
+        )
+        assert n > 0
+
+    return _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_lex_store",
+        required_dirs=["postings", "df"],
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"base_mod={base_mod}",
+        table="documents.parquet",
+        required_files=("_n_docs",),
+    )
+
+
 def lexical_store_search_demo(
     spark: SparkSession,
     sf_dir: str,
@@ -211,26 +332,8 @@ def lexical_store_search_demo(
     from jaccard_mapreduce_spark.operators.retrieval import (
         GRADED_MAX_DF_RATIO,
     )
-    from jaccard_mapreduce_spark.sources.vector_index import _ensure_index
 
-    def _build(docs: DataFrame, base: str) -> None:
-        build_lexical_store(docs.where(F.col("doc_id") % base_mod != 0), base)
-        n = upsert_lexical_store(
-            spark, base, docs.where(F.col("doc_id") % base_mod == 0)
-        )
-        assert n > 0
-
-    base, docs = _ensure_index(
-        spark,
-        sf_dir,
-        suffix="_lex_store",
-        required_dirs=["postings", "df"],
-        build=_build,
-        rebuild=rebuild,
-        tag_extra=f"base_mod={base_mod}",
-        table="documents.parquet",
-        required_files=("_n_docs",),
-    )
+    base, docs = _ensure_lex_store(spark, sf_dir, base_mod, rebuild)
     res = search_lexical_store(
         spark,
         base,
@@ -243,3 +346,144 @@ def lexical_store_search_demo(
         "surviving token (round-9 verdict regression guard)"
     )
     return res
+
+
+def lexical_store_stats_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int = 4,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the lexical store's ops snapshot (round 10 —
+    the fourth family joins the stats triad): the SQL-derivable slice
+    of :func:`lexical_store_stats` over the shared build-then-upsert
+    demo store as one row — ``(n_docs, n_tokens, n_postings,
+    max_df)``. The DuckDB oracle recomputes the same numbers from the
+    full-corpus tokenize CTE with NO build filter, so the graded hash
+    pins the additive-merge exactness of the STATISTICS themselves
+    (the search face pins the derived ranking; this face pins the raw
+    df/count state the weights derive from). File counts are
+    filesystem facts with no SQL twin and stay out of the graded
+    projection (the ``minhash_index_stats`` convention)."""
+    base, _docs = _ensure_lex_store(spark, sf_dir, base_mod, rebuild)
+    st = lexical_store_stats(spark, base)
+    return spark.createDataFrame(
+        [(st["n_docs"], st["n_tokens"], st["n_postings"], st["max_df"])],
+        "n_docs long, n_tokens long, n_postings long, max_df long",
+    )
+
+
+def lexical_store_compact_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int = 4,
+    k: int = 10,
+    query_mod: int = 100,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for postings compaction (round 10, completing
+    the lexical lifecycle: build → search → upsert → stats → compact →
+    stream-ingest): build on the base slice, upsert the rest (two file
+    generations in postings), COMPACT through
+    :func:`compact_lexical_store`, then search the deterministic query
+    batch. Compaction is pure layout (row-identical, token clustering
+    preserved), so the result must still hash-match the SAME one-plan
+    full-corpus oracle as ``lexical_store_search`` — and the file
+    count is asserted non-increasing so the rewrite provably ran."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+    )
+    from jaccard_mapreduce_spark.sources.vector_index import _ensure_index
+
+    def _build(docs: DataFrame, base: str) -> None:
+        build_lexical_store(docs.where(F.col("doc_id") % base_mod != 0), base)
+        upsert_lexical_store(
+            spark, base, docs.where(F.col("doc_id") % base_mod == 0)
+        )
+        stats = compact_lexical_store(spark, base)
+        for name, (before, after) in stats.items():
+            assert after <= before or before <= 1, (name, before, after)
+
+    base, docs = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_lex_compact",
+        required_dirs=["postings", "df"],
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"base_mod={base_mod}",
+        table="documents.parquet",
+        required_files=("_n_docs",),
+    )
+    return search_lexical_store(
+        spark,
+        base,
+        docs.where(F.col("doc_id") % query_mod == 0),
+        k=k,
+        max_df_ratio=GRADED_MAX_DF_RATIO,
+    )
+
+
+def stream_lexical_ingest_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int = 4,
+    k: int = 10,
+    query_mod: int = 100,
+    n_input_files: int = 3,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the streaming-ingest face (round 10 — the
+    ``upsert_ivf_index_stream`` symmetry): build the store on the base
+    slice, stream the remaining documents through
+    :func:`upsert_lexical_store_stream` split across ``n_input_files``
+    files (one micro-batch per trigger; file partitioning keeps batch
+    doc-ids disjoint — the upsert id contract), then search the
+    deterministic query batch. Because every batch merges exact
+    additive increments, the final store — and therefore the graded
+    search — must hash-match the one-plan full-corpus oracle whatever
+    the batch boundaries were: the streaming twin of the
+    build-then-upsert invisibility claim."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+    )
+    from jaccard_mapreduce_spark.sources.vector_index import _ensure_index
+
+    def _build(docs: DataFrame, base: str) -> None:
+        import os
+
+        build_lexical_store(docs.where(F.col("doc_id") % base_mod != 0), base)
+        in_dir = os.path.join(base, "_stream_in")
+        newcomers = docs.where(F.col("doc_id") % base_mod == 0).select(
+            "doc_id", "text"
+        )
+        newcomers.repartition(n_input_files).write.parquet(in_dir)
+        schema = spark.read.parquet(in_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = upsert_lexical_store_stream(
+            stream, base, os.path.join(base, "_stream_ckpt")
+        ).start()
+        q.awaitTermination()
+
+    base, docs = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_lex_stream",
+        required_dirs=["postings", "df"],
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"base_mod={base_mod}:files={n_input_files}",
+        table="documents.parquet",
+        required_files=("_n_docs",),
+    )
+    return search_lexical_store(
+        spark,
+        base,
+        docs.where(F.col("doc_id") % query_mod == 0),
+        k=k,
+        max_df_ratio=GRADED_MAX_DF_RATIO,
+    )

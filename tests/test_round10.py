@@ -76,3 +76,174 @@ def test_lexical_store_search_demo_returns_rows(spark):
     rows = lexical_store_search_demo(spark, SF_SMALL).collect()
     assert rows, "graded lexical store search returned no rows"
     assert all(r.score > 0 for r in rows)
+
+
+def test_ivf_compact_is_invisible_to_search(spark):
+    """Post-compaction IVF search must equal the upsert demo's search
+    (same base slice, same fixed codebook, compaction pure layout)."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        ivf_index_compact_demo,
+        ivf_index_upsert_demo,
+    )
+
+    got = sorted(map(tuple, ivf_index_compact_demo(spark, SF_SMALL).collect()))
+    want = sorted(map(tuple, ivf_index_upsert_demo(spark, SF_SMALL).collect()))
+    assert got == want
+
+
+def test_lexical_store_stats_match_direct_recomputation(spark, tmp_path):
+    from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        lexical_store_stats,
+        upsert_lexical_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} w{i % 3}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    base = str(tmp_path / "store")
+    build_lexical_store(docs.where("doc_id < 5"), base)
+    upsert_lexical_store(spark, base, docs.where("doc_id >= 5"))
+    st = lexical_store_stats(spark, base)
+    tok = doc_tokens(docs)
+    assert st["n_docs"] == 8
+    assert st["n_postings"] == tok.count()
+    assert st["n_tokens"] == tok.select("token").distinct().count()
+    assert st["max_df"] == 8  # alpha/beta are in every doc
+    # file counts are the compaction trigger's input: the upsert
+    # appended a second generation into postings
+    assert st["postings_files"] >= 2
+    assert st["df_files"] >= 1
+
+
+def test_lexical_compact_preserves_search_and_reduces_files(spark, tmp_path):
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        compact_lexical_store,
+        lexical_store_stats,
+        search_lexical_store,
+        upsert_lexical_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i} w{i % 4} w{(i + 1) % 4}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    base = str(tmp_path / "store")
+    build_lexical_store(docs.where("doc_id < 6"), base)
+    upsert_lexical_store(spark, base, docs.where("doc_id >= 6"))
+    q = docs.where("doc_id % 4 = 0")
+    before = sorted(
+        map(tuple, search_lexical_store(spark, base, q, max_df_ratio=1.0).collect())
+    )
+    files_before = lexical_store_stats(spark, base)["postings_files"]
+    out = compact_lexical_store(spark, base, n_files=1)
+    assert out["postings"][0] == files_before
+    assert out["postings"][1] == 1
+    after = sorted(
+        map(tuple, search_lexical_store(spark, base, q, max_df_ratio=1.0).collect())
+    )
+    assert before == after
+
+
+def test_stream_lexical_ingest_equals_fresh_build(spark, tmp_path):
+    """Batch boundaries must be invisible: a store grown by streaming
+    micro-batch upserts answers exactly like a one-shot build."""
+    import os
+
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        search_lexical_store,
+        upsert_lexical_store_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 7} common") for i in range(20)],
+        "doc_id long, text string",
+    )
+    streamed = str(tmp_path / "streamed")
+    build_lexical_store(docs.where("doc_id < 8"), streamed)
+    in_dir = str(tmp_path / "in")
+    docs.where("doc_id >= 8").repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = upsert_lexical_store_stream(
+        stream, streamed, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+
+    fresh = str(tmp_path / "fresh")
+    build_lexical_store(docs, fresh)
+    probe = docs.where("doc_id % 4 = 0")
+    got = sorted(
+        map(tuple, search_lexical_store(spark, streamed, probe, max_df_ratio=1.0).collect())
+    )
+    want = sorted(
+        map(tuple, search_lexical_store(spark, fresh, probe, max_df_ratio=1.0).collect())
+    )
+    assert got == want and got
+
+
+def test_scale_probe_weights_are_replication_invariant(spark):
+    """(N·f) div (df·f) == N div df exactly: each replica-0 query's
+    scores in the probe must equal the unreplicated one-plan search."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+        lexical_scale_probe,
+        lexical_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    probe = lexical_scale_probe(docs, target_docs=200)  # factor 4 at sf0.001
+    base_queries = (
+        probe.where("query_id < 1000000")
+        .groupBy("query_id")
+        .agg(F.max("score").alias("top_score"))
+        .collect()
+    )
+    plain = (
+        lexical_topk(
+            docs,
+            docs.where("doc_id % 100 = 0"),
+            max_df_ratio=GRADED_MAX_DF_RATIO,
+        )
+        .groupBy("query_id")
+        .agg(F.max("score").alias("top_score"))
+        .collect()
+    )
+    assert {r.query_id: r.top_score for r in base_queries} == {
+        r.query_id: r.top_score for r in plain
+    }
+
+
+def test_events_approx_stats_estimates_land_near_exact(spark):
+    """The key was retired from the registry (its surface is graded via
+    events_approx_check) — the FUNCTION stays public API and its
+    estimates must keep landing inside the check's envelopes."""
+    from jaccard_mapreduce_spark.operators.relational import (
+        events_approx_stats,
+    )
+    from jaccard_mapreduce_spark.sources.tables import load_events
+
+    events = load_events(spark, SF_SMALL)
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.4, 0.6, 0.9, 0.99))").alias("p"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for row in events_approx_stats(events).collect():
+        e = exact[row.event_type]
+        assert row.n_events == e.n
+        assert abs(row.approx_users - e.users) <= max(1, 0.05 * e.users)
+        assert e.p[0] <= row.approx_p50_value <= e.p[1]
+        assert e.p[2] <= row.approx_p95_value <= e.p[3]
