@@ -623,6 +623,7 @@ _NEW_OR_CHANGED = [
     # scale probe (ann_scale_probe discipline)
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "lexical_scale_probe",
+    "hybrid_scale_probe",
 ]
 
 # The transitive-exemption escape hatch stays EMPTY (the guard still
@@ -637,17 +638,20 @@ _R10_WINDOW = [
     "events_approx_check",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "lexical_scale_probe",
-    # the round-6-stale cohort (43 keys in the registry; the 39 below
-    # fill the window — the four left out, fingerprints / lang_id /
-    # text_stats / token_counts, are single-pass per-row projections
-    # re-verified by the oracle-parity pytest sweep every run and tie
-    # on staleness with the cohort inside, so the guard holds)
+    "hybrid_scale_probe",
+    # the round-6-stale cohort (43 keys in the registry; the 38 below
+    # fill the window — the five left out, fingerprints / lang_id /
+    # text_stats / token_counts / media_meta, are single-pass per-row
+    # projections (media_meta additionally unit-tested in
+    # test_multimodal) re-verified by the oracle-parity pytest sweep
+    # every run and tie on staleness with the cohort inside, so the
+    # guard holds)
     "containment_pruned", "containment_recall_audit",
     "corpus_text_roundtrip", "customer_order_windows",
     "customers_semi_anti", "dedup_embedding", "dedup_exact",
     "dedup_minhash_lsh", "ivf_recall_audit", "jaccard_formatted",
     "kmeans_int8", "kmeans_label_purity", "lineitem_unpivot",
-    "media_meta", "min_cost_supplier", "mixture_plan",
+    "min_cost_supplier", "mixture_plan",
     "mixture_resample", "orders_exists_returned",
     "orders_grouping_sets", "orders_pivot", "orders_rollup",
     "orders_status_cube", "part_brand_stats", "q11_partsupp",
@@ -990,6 +994,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # invariant and the probe stays exactly hash-gradable
         "lexical_scale_probe": lambda s, d: RT.lexical_scale_probe(
             _docs(s, d)
+        ),
+        # new round 10: the fusion-tier twin — BOTH corpora replicated
+        # (docs verbatim under the 1e6 stride, vectors with the
+        # integer perturbation so replicas aren't cosine-1.0 ties) and
+        # the fused ranking hash-graded at 10x the driver fixture
+        "hybrid_scale_probe": lambda s, d: RT.hybrid_scale_probe(
+            _docs(s, d), _emb(s, d)
         ),
         # round 6: the LSH twin of the persisted-index lifecycle — the
         # n_tables× signature expansion of the corpus is computed and
@@ -1558,6 +1569,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lexical_scale_probe": oracles.lexical_scale_probe_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
+        ),
+        # sf0.01 has 500 docs/vectors -> factor 10 -> 5,000 of each;
+        # replicated tok + perturbed vec CTEs, n_docs scaled with the
+        # replication
+        "hybrid_scale_probe": oracles.hybrid_search_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT,
+            tok_ctes=oracles.replicated_tok_ctes(10),
+            vec_ctes=oracles.replicated_vec_ctes(10, 1_000_000),
+            n_docs_factor=10,
         ),
         "ivf_index_upsert": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,

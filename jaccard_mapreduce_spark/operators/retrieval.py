@@ -219,6 +219,46 @@ def lexical_scale_probe(
     )
 
 
+def hybrid_scale_probe(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    rrf_k: int = DEFAULT_RRF_K,
+    max_df_ratio: float = GRADED_MAX_DF_RATIO,
+    target_docs: int = 5_000,
+) -> DataFrame:
+    """The fusion-tier scale probe — :func:`hybrid_search` over BOTH
+    corpora replicated to ~``target_docs`` (documents via
+    :func:`replicate_documents`, embeddings via the perturbing
+    ``replicate_embeddings`` — exact vector clones would make every
+    replica a cosine-1.0 tie; the integer perturbation keeps copies
+    near-but-distinct AND exactly mirrorable in SQL). The two id
+    spaces share the 1e6 replica stride, so every replica of a query
+    doc queries both legs and the fusion's full-outer join is
+    exercised at factor× volume. Scores stay hash-gradable end to end:
+    integer lexical weights are replication-invariant, replica vectors
+    are integer-perturbed doubles, and RRF terms are single exact
+    divisions — the probe grades the fused RANKING at 10× the driver
+    fixture, not just its wall-clock."""
+    from jaccard_mapreduce_spark.operators.similarity import (
+        replicate_embeddings,
+    )
+
+    n = docs.select("doc_id").distinct().count()
+    factor = max(2, target_docs // max(n, 1))
+    return hybrid_search(
+        replicate_documents(docs, factor),
+        replicate_embeddings(emb, factor),
+        k=k,
+        leg_k=leg_k,
+        query_mod=query_mod,
+        rrf_k=rrf_k,
+        max_df_ratio=max_df_ratio,
+    )
+
+
 def _vector_topk(
     emb: DataFrame,
     query_pred,

@@ -2996,6 +2996,21 @@ ranked AS (
 SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= {k}"""
 
 
+def replicated_tok_ctes(factor: int, id_offset: int = 1_000_000) -> str:
+    """``tok`` CTE over the :func:`~jaccard_mapreduce_spark.operators.
+    retrieval.replicate_documents` corpus — replica ``r`` of a doc
+    keeps its token set verbatim under ``doc_id + r · id_offset``."""
+    return f"""
+tok0 AS (
+    SELECT doc_id, unnest(list_distinct({TOKS_EXPR})) AS token
+    FROM documents
+),
+tok AS (
+    SELECT t.doc_id + r.r * {id_offset} AS doc_id, t.token
+    FROM tok0 t CROSS JOIN (SELECT unnest(range({factor})) AS r) r
+)"""
+
+
 def hybrid_search_sql(
     k: int = 10,
     leg_k: int = 20,
@@ -3003,6 +3018,9 @@ def hybrid_search_sql(
     rrf_k: int = 60,
     max_df_pct: int = 50,
     vec_leg_sql: str | None = None,
+    tok_ctes: str | None = None,
+    vec_ctes: str | None = None,
+    n_docs_factor: int = 1,
 ) -> str:
     """Oracle for operators/retrieval.py::hybrid_search — both legs and
     the RRF fusion mirrored expression-for-expression: integer lexical
@@ -3015,8 +3033,10 @@ def hybrid_search_sql(
     ``vec_leg_sql`` swaps the vector leg for any complete query
     returning ``(query_id, neighbor_id, ..., rank)`` — the
     ``hybrid_index_search`` oracle passes the LSH serve SQL here,
-    grading the drop-in claim with bucket-restricted ranks."""
-    return f"""WITH {_hybrid_ctes(leg_k, query_mod, rrf_k, max_df_pct, vec_leg_sql)}
+    grading the drop-in claim with bucket-restricted ranks.
+    ``tok_ctes`` / ``vec_ctes`` / ``n_docs_factor`` swap the base
+    corpora for replicated ones (the ``hybrid_scale_probe`` oracle)."""
+    return f"""WITH {_hybrid_ctes(leg_k, query_mod, rrf_k, max_df_pct, vec_leg_sql, tok_ctes, vec_ctes, n_docs_factor)}
 SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_score,
        CAST(rank AS BIGINT) AS rank
 FROM (
@@ -3033,12 +3053,18 @@ def _hybrid_ctes(
     rrf_k: int,
     max_df_pct: int,
     vec_leg_sql: str | None,
+    tok_ctes: str | None = None,
+    vec_ctes: str | None = None,
+    n_docs_factor: int = 1,
 ) -> str:
     """The hybrid-retrieval CTE chain (tok → lex leg → vec leg → fused)
-    shared by the search oracle and the recall audit."""
+    shared by the search oracle and the recall audit. ``tok_ctes`` /
+    ``vec_ctes`` swap the corpus CTEs for replicated ones;
+    ``n_docs_factor`` scales the lexical n_docs with the replication
+    (the tok CTE alone cannot count docs with zero tokens)."""
     one = "CAST(1 AS DOUBLE)"
     if vec_leg_sql is None:
-        vec_leg = f"""{_VEC_CTES.strip()},
+        vec_leg = f"""{(vec_ctes or _VEC_CTES).strip()},
 vscored AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS score
     FROM n a JOIN n b ON a.vec_id <> b.vec_id
@@ -3059,8 +3085,9 @@ vec AS (
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS vec_rank
     FROM ({vec_leg_sql})
 )"""
-    return f"""{TOK_CTE.strip()},
-nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    return f"""{(tok_ctes or TOK_CTE).strip()},
+nd AS (SELECT count(DISTINCT doc_id) * {n_docs_factor} AS n_docs
+       FROM documents),
 w AS (
     SELECT token, n_docs // df AS w
     FROM (SELECT token, count(*) AS df FROM tok GROUP BY token)

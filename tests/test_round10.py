@@ -199,7 +199,7 @@ def test_scale_probe_weights_are_replication_invariant(spark):
     )
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-    probe = lexical_scale_probe(docs, target_docs=200)  # factor 4 at sf0.001
+    probe = lexical_scale_probe(docs, target_docs=200)  # floor factor 2
     base_queries = (
         probe.where("query_id < 1000000")
         .groupBy("query_id")
@@ -247,3 +247,23 @@ def test_events_approx_stats_estimates_land_near_exact(spark):
         assert abs(row.approx_users - e.users) <= max(1, 0.05 * e.users)
         assert e.p[0] <= row.approx_p50_value <= e.p[1]
         assert e.p[2] <= row.approx_p95_value <= e.p[3]
+
+
+def test_hybrid_scale_probe_fuses_both_legs_at_factor(spark):
+    """Fused ranking over the replicated corpora: every replica of a
+    query doc queries both legs (shared 1e6 stride), and both legs
+    contribute non-null ranks somewhere in the fused output."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        hybrid_scale_probe,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    out = hybrid_scale_probe(docs, emb, target_docs=1000).collect()  # 2x
+    qids = {r.query_id for r in out}
+    assert any(q >= 1_000_000 for q in qids), "replica queries missing"
+    assert any(r.lex_rank is not None for r in out)
+    assert any(r.vec_rank is not None for r in out)
+    for q in qids:
+        ranks = sorted(r.rank for r in out if r.query_id == q)
+        assert ranks == list(range(1, len(ranks) + 1))
