@@ -677,6 +677,14 @@ def events_approx_check(
     rsd, broken merge, bad accuracy) flips a boolean and fails the
     value hash.
     """
+    # The exact distinct count runs in its OWN aggregation, joined back
+    # on the (tiny) group key: mixing count_distinct with the other
+    # aggregates triggers Spark's distinct-aggregate rewrite, which
+    # keys the partial aggregation on (event_type, user_id) — a
+    # percentile/HLL state object PER DISTINCT USER, then a merge of
+    # all those buffers (measured 13.0 s at sf0.1 vs <1 s for each
+    # aggregate alone; the split runs in ~1.5 s and the 5-row join is
+    # a broadcast). Values are identical — same oracle.
     approx = F.approx_count_distinct("user_id", rsd=0.01)
     exact = F.count_distinct("user_id")
     p = F.percentile(
@@ -685,18 +693,28 @@ def events_approx_check(
     ap = F.percentile_approx(
         "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
     )
+    sketches = events.groupBy("event_type").agg(
+        approx.alias("_hll"), p.alias("_p"), ap.alias("_ap")
+    )
+    exact_users = events.groupBy("event_type").agg(exact.alias("n_users"))
     return (
-        events.groupBy("event_type")
-        .agg(
-            exact.alias("n_users"),
+        sketches.join(F.broadcast(exact_users), "event_type")
+        .select(
+            "event_type",
+            "n_users",
             (
-                F.abs(approx - exact)
-                <= F.lit(max_rel_err) * exact
+                F.abs(F.col("_hll") - F.col("n_users"))
+                <= F.lit(max_rel_err) * F.col("n_users")
             ).alias("hll_ok"),
-            ((ap[0] >= p[0]) & (ap[0] <= p[1])).alias("p50_ok"),
-            ((ap[1] >= p[2]) & (ap[1] <= p[3])).alias("p95_ok"),
+            (
+                (F.col("_ap")[0] >= F.col("_p")[0])
+                & (F.col("_ap")[0] <= F.col("_p")[1])
+            ).alias("p50_ok"),
+            (
+                (F.col("_ap")[1] >= F.col("_p")[2])
+                & (F.col("_ap")[1] <= F.col("_p")[3])
+            ).alias("p95_ok"),
         )
-        .select("event_type", "n_users", "hll_ok", "p50_ok", "p95_ok")
     )
 
 
