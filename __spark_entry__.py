@@ -624,6 +624,8 @@ _NEW_OR_CHANGED = [
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "lexical_scale_probe",
     "hybrid_scale_probe",
+    # new round 10: tf-aware integer BM25 ranking
+    "bm25_topk",
 ]
 
 # The transitive-exemption escape hatch stays EMPTY (the guard still
@@ -638,14 +640,14 @@ _R10_WINDOW = [
     "events_approx_check",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "lexical_scale_probe",
-    "hybrid_scale_probe",
-    # the round-6-stale cohort (43 keys in the registry; the 38 below
-    # fill the window — the five left out, fingerprints / lang_id /
-    # text_stats / token_counts / media_meta, are single-pass per-row
-    # projections (media_meta additionally unit-tested in
-    # test_multimodal) re-verified by the oracle-parity pytest sweep
-    # every run and tie on staleness with the cohort inside, so the
-    # guard holds)
+    "hybrid_scale_probe", "bm25_topk",
+    # the round-6-stale cohort (43 keys in the registry; the 37 below
+    # fill the window — the six left out, fingerprints / lang_id /
+    # text_stats / token_counts / media_meta / stratified_sample, are
+    # single-pass per-row projections (media_meta additionally
+    # unit-tested in test_multimodal) re-verified by the oracle-parity
+    # pytest sweep every run and tie on staleness with the cohort
+    # inside, so the guard holds)
     "containment_pruned", "containment_recall_audit",
     "corpus_text_roundtrip", "customer_order_windows",
     "customers_semi_anti", "dedup_embedding", "dedup_exact",
@@ -659,7 +661,7 @@ _R10_WINDOW = [
     "q2_min_cost_supplier", "q3_top_orders", "q4_order_priority",
     "q5_region_revenue", "q6_revenue", "q9_partsupp",
     "salted_customer_revenue", "semantic_dedup", "source_token_drift",
-    "stratified_sample", "tfidf_top_terms", "top_suppliers",
+    "tfidf_top_terms", "top_suppliers",
 ]
 
 
@@ -994,6 +996,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # invariant and the probe stays exactly hash-gradable
         "lexical_scale_probe": lambda s, d: RT.lexical_scale_probe(
             _docs(s, d)
+        ),
+        # new round 10: tf-aware lexical ranking — the BM25 shape on
+        # the integer-exact scoring discipline (tf saturation + length
+        # normalization as one all-BIGINT expression; the set-semantics
+        # lexical tier ignores how OFTEN a doc mentions a term). Same
+        # plan skeleton: df prune before the fan-out join, broadcast
+        # query tokens, map-side-combined integer sum, WindowGroupLimit
+        "bm25_topk": lambda s, d: RT.bm25_topk(
+            _docs(s, d),
+            _docs(s, d).where(F.col("doc_id") % 100 == 0),
+            max_df_ratio=RT.GRADED_MAX_DF_RATIO,
         ),
         # new round 10: the fusion-tier twin — BOTH corpora replicated
         # (docs verbatim under the 1e6 stride, vectors with the
@@ -1568,6 +1581,9 @@ def oracle_sql() -> dict[str, str]:
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         "lexical_scale_probe": oracles.lexical_scale_probe_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT
+        ),
+        "bm25_topk": oracles.bm25_topk_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         # sf0.01 has 500 docs/vectors -> factor 10 -> 5,000 of each;

@@ -129,6 +129,7 @@ def main() -> None:
         "stream_lexical_ingest",
         "lexical_scale_probe",
         "hybrid_scale_probe",
+        "bm25_topk",
     ]
     # Queries measured at ONE rep even in the core (round-9 verdict
     # item 8): stream_hybrid_serve's ~26 s median is ~fixed Structured

@@ -172,6 +172,107 @@ def lexical_topk(
     )
 
 
+def doc_term_freqs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Term-frequency relation ``(doc_id, token, tf, dl)`` — duplicates
+    COUNTED, unlike :func:`doc_tokens`' reference set semantics; ``dl``
+    is the document length in tokens (Σ tf). The tf-aware twin of the
+    inverted index, feeding :func:`bm25_topk`. ``dl`` rides a
+    partition-window sum over the same grouping, not a second
+    aggregation + self-join — one shuffle on ``doc_id`` total."""
+    from jaccard_mapreduce_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(text_col)).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+
+
+# Integer BM25 constants: k1 = 1.2 and b = 0.75 folded into the exact
+# rational form below, and the saturation scaled by 1000 so the integer
+# division keeps 3 digits of precision. With avgdl approximated by the
+# INTEGER A = total_tokens div n_docs, BM25's tf saturation
+#   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+# multiplied through by 10·A becomes the pure-BIGINT
+#   (22000·A·tf) div (10·A·tf + 3·A + 9·dl)            ∈ [0, 2200]
+# — deterministic in any engine (all operands positive, truncating and
+# floor division agree), and safely inside int64 at any realistic
+# corpus: A, tf, dl ≤ ~10⁴ keeps the numerator ≤ ~10¹², the idf weight
+# w = N div df ≤ N, and the per-pair sum of w·sat stays ≤ ~10¹⁷ even at
+# 10¹² docs. The float-ln idf is deliberately NOT used (the house
+# integer rarity weight stands in) — a float idf would make the score
+# sum accumulation-order dependent and kill the cross-engine hash.
+_BM25_SAT_NUM = 22_000
+_BM25_SAT_DEN_TF = 10
+_BM25_SAT_DEN_A = 3
+_BM25_SAT_DEN_DL = 9
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    max_df_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-normalized, tf-saturated lexical top-``k`` — the BM25
+    shape on top of the engine's integer-exact scoring discipline:
+
+        score(q, d) = Σ_{t ∈ q ∩ d, t surviving the df prune}
+                      (N div df(t)) · sat(tf(t,d), dl(d))
+
+    with ``sat`` the all-BIGINT saturation above. Differences from
+    :func:`lexical_topk` (which stays the set-semantics tier): a
+    document mentioning a query term five times outranks one mentioning
+    it once (saturating, so spam doesn't scale linearly), and long
+    documents are penalized toward the corpus mean length. Query terms
+    are DISTINCT (standard BM25 practice — query tf is ignored).
+
+    Same scale shape as the lexical tier: df prune before the fan-out
+    join, query token set broadcast, map-side-combined integer sum,
+    ``WindowGroupLimit`` top-k. The two corpus-derived scalars (N and
+    the integer mean length A) are computed eagerly like
+    ``lexical_index``'s N — two bounded driver aggregates."""
+    tfr = pin(doc_term_freqs(docs, id_col=id_col, text_col=text_col))
+    n_docs = docs.select(id_col).distinct().count()
+    total = tfr.agg(F.sum("tf")).first()[0] or 0
+    avg_dl = total // max(n_docs, 1)
+    if avg_dl <= 0:
+        raise ValueError("empty corpus: integer mean doc length is 0")
+    weighted = df_weights(
+        tfr.groupBy("token").agg(F.count(F.lit(1)).alias("df")),
+        n_docs,
+        max_df_ratio,
+    )
+    index = tfr.join(F.broadcast(weighted.select("token", "w")), "token")
+    qtok = doc_tokens(queries, id_col=id_col, text_col=text_col)
+    sat = F.expr(
+        f"({_BM25_SAT_NUM} * {avg_dl} * tf) div "
+        f"({_BM25_SAT_DEN_TF} * {avg_dl} * tf"
+        f" + {_BM25_SAT_DEN_A} * {avg_dl}"
+        f" + {_BM25_SAT_DEN_DL} * dl)"
+    )
+    scored = (
+        F.broadcast(qtok.withColumnRenamed("doc_id", "query_id"))
+        .join(index, "token")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("w") * sat).cast("long").alias("score"))
+    )
+    # tfr stays pinned (the lexical_index convention): it feeds the df
+    # aggregation, the eager length scalar, AND the index join side —
+    # released by the session-level cache discipline, not per call
+    return _topk(scored, k)
+
+
 def replicate_documents(
     docs: DataFrame, factor: int, id_offset: int = 1_000_000
 ) -> DataFrame:

@@ -2996,6 +2996,59 @@ ranked AS (
 SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= {k}"""
 
 
+def bm25_topk_sql(
+    k: int = 10,
+    query_mod: int = 100,
+    max_df_pct: int = 50,
+) -> str:
+    """Oracle for operators/retrieval.py::bm25_topk — the integer BM25
+    mirrored term-for-term: tf over the NON-deduplicated tokenize, dl =
+    Σ tf per doc, A = total_tokens // n_docs, saturation
+    ``(22000·A·tf) // (10·A·tf + 3·A + 9·dl)``, idf weight
+    ``n_docs // df`` over the df-pruned vocabulary, integer sum
+    (order-free), rank tie-broken on neighbor_id."""
+    return f"""WITH ftok AS (
+    SELECT doc_id, unnest({TOKS_EXPR}) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM ftok GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+cst AS (
+    SELECT (SELECT sum(tf) FROM tf) // (SELECT n_docs FROM nd) AS a
+),
+w AS (
+    SELECT token, n_docs // df AS w
+    FROM (SELECT token, count(*) AS df FROM tf GROUP BY token)
+    CROSS JOIN nd
+    WHERE df * 100 <= {max_df_pct} * n_docs
+),
+qt AS (
+    SELECT DISTINCT doc_id, token FROM ftok
+    WHERE doc_id % {query_mod} = 0
+),
+scored AS (
+    SELECT q.doc_id AS query_id, t.doc_id AS neighbor_id,
+           CAST(sum(w.w * ((22000 * c.a * t.tf)
+                // (10 * c.a * t.tf + 3 * c.a + 9 * d.dl)))
+                AS BIGINT) AS score
+    FROM qt q
+    JOIN w ON q.token = w.token
+    JOIN tf t ON q.token = t.token AND q.doc_id <> t.doc_id
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN cst c
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id)
+                  AS rank
+    FROM scored
+) WHERE rank <= {k}"""
+
+
 def replicated_tok_ctes(factor: int, id_offset: int = 1_000_000) -> str:
     """``tok`` CTE over the :func:`~jaccard_mapreduce_spark.operators.
     retrieval.replicate_documents` corpus — replica ``r`` of a doc

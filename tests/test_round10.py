@@ -267,3 +267,65 @@ def test_hybrid_scale_probe_fuses_both_legs_at_factor(spark):
     for q in qids:
         ranks = sorted(r.rank for r in out if r.query_id == q)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bm25_tf_and_length_normalization(spark):
+    """The two behaviors the set-semantics lexical tier cannot express:
+    (a) a doc repeating the query term outranks a single mention;
+    (b) between two docs with the same tf, the shorter wins."""
+    from jaccard_mapreduce_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare common filler"),
+            # doc 1: rare x3, short
+            (1, "rare rare rare pad"),
+            # doc 2: rare x1, short — lower tf than doc 1
+            (2, "rare pad qqq"),
+            # doc 3: rare x1, long — same tf as doc 2 but longer
+            (3, "rare pad w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (4, "unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.neighbor_id: (r.score, r.rank)
+        for r in bm25_topk(
+            docs, docs.where("doc_id = 0"), max_df_ratio=1.0
+        ).collect()
+    }
+    assert out[1][0] > out[2][0], "tf saturation missing"
+    assert out[2][0] > out[3][0], "length normalization missing"
+    assert 4 not in out, "no shared term, must not be a candidate"
+
+
+def test_bm25_score_is_engine_exact_integer(spark):
+    """Every score is a BIGINT built from div/mul/add of exact
+    integers — spot-check one pair by hand-computing the formula."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        bm25_topk,
+        doc_term_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x x z"), (2, "y z z z")],
+        "doc_id long, text string",
+    )
+    tfr = {
+        (r.doc_id, r.token): (r.tf, r.dl)
+        for r in doc_term_freqs(docs).collect()
+    }
+    n, total = 3, sum(tf for tf, _ in tfr.values())
+    a = total // n
+    def sat(tf, dl):
+        return (22000 * a * tf) // (10 * a * tf + 3 * a + 9 * dl)
+    # query doc 0 ("x y") vs neighbor 1 ("x x z"): shared term x,
+    # df(x)=2 -> w = 3 // 2 = 1, tf(x in 1) = 2, dl(1) = 3
+    want = (3 // 2) * sat(*tfr[(1, "x")])
+    got = {
+        r.neighbor_id: r.score
+        for r in bm25_topk(
+            docs, docs.where("doc_id = 0"), k=5, max_df_ratio=1.0
+        ).collect()
+    }
+    assert got[1] == want
