@@ -444,6 +444,14 @@ def _q_lexical_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_store_search_demo(spark, sf_dir)
 
 
+def _q_lexical_store_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        lexical_store_bm25_demo,
+    )
+
+    return lexical_store_bm25_demo(spark, sf_dir)
+
+
 def _q_lexical_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.lexical_store import (
         lexical_store_stats_demo,
@@ -624,8 +632,9 @@ _NEW_OR_CHANGED = [
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "lexical_scale_probe",
     "hybrid_scale_probe",
-    # new round 10: tf-aware integer BM25 ranking
-    "bm25_topk",
+    # new round 10: tf-aware integer BM25 ranking, one-plan and
+    # store-served
+    "bm25_topk", "lexical_store_bm25",
 ]
 
 # The transitive-exemption escape hatch stays EMPTY (the guard still
@@ -640,19 +649,19 @@ _R10_WINDOW = [
     "events_approx_check",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "lexical_scale_probe",
-    "hybrid_scale_probe", "bm25_topk",
-    # the round-6-stale cohort (43 keys in the registry; the 37 below
-    # fill the window — the six left out, fingerprints / lang_id /
-    # text_stats / token_counts / media_meta / stratified_sample, are
-    # single-pass per-row projections (media_meta additionally
-    # unit-tested in test_multimodal) re-verified by the oracle-parity
-    # pytest sweep every run and tie on staleness with the cohort
-    # inside, so the guard holds)
+    "hybrid_scale_probe", "bm25_topk", "lexical_store_bm25",
+    # the round-6-stale cohort (43 keys in the registry; the 36 below
+    # fill the window — the seven left out, fingerprints / lang_id /
+    # text_stats / token_counts / media_meta / stratified_sample /
+    # lineitem_unpivot, are single-pass per-row projections/reshapes
+    # (media_meta additionally unit-tested in test_multimodal)
+    # re-verified by the oracle-parity pytest sweep every run and tie
+    # on staleness with the cohort inside, so the guard holds)
     "containment_pruned", "containment_recall_audit",
     "corpus_text_roundtrip", "customer_order_windows",
     "customers_semi_anti", "dedup_embedding", "dedup_exact",
     "dedup_minhash_lsh", "ivf_recall_audit", "jaccard_formatted",
-    "kmeans_int8", "kmeans_label_purity", "lineitem_unpivot",
+    "kmeans_int8", "kmeans_label_purity",
     "min_cost_supplier", "mixture_plan",
     "mixture_resample", "orders_exists_returned",
     "orders_grouping_sets", "orders_pivot", "orders_rollup",
@@ -989,6 +998,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_store_stats": _q_lexical_store_stats,
         "lexical_store_compact": _q_lexical_store_compact,
         "stream_lexical_ingest": _q_stream_lexical_ingest,
+        # new round 10: the store now carries tf + doc length in its
+        # postings (per-document facts — exact under any batch split),
+        # so ONE store serves both scorings; the BM25 serve after
+        # build-then-upsert must hash-match the one-plan bm25_topk
+        # oracle over the full corpus (no build filter)
+        "lexical_store_bm25": _q_lexical_store_bm25,
         # new round 10: the retrieval-family scale probe (the
         # ann_scale_probe discipline) — 10x-replicated corpus through
         # the one-plan lexical top-k at the graded prune; replication
@@ -1584,6 +1599,11 @@ def oracle_sql() -> dict[str, str]:
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         "bm25_topk": oracles.bm25_topk_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT
+        ),
+        # store-served BM25 ≡ the same one-plan oracle (tf/dl/df/n_docs
+        # all exact under the additive-merge contract)
+        "lexical_store_bm25": oracles.bm25_topk_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         # sf0.01 has 500 docs/vectors -> factor 10 -> 5,000 of each;

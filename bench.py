@@ -130,6 +130,7 @@ def main() -> None:
         "lexical_scale_probe",
         "hybrid_scale_probe",
         "bm25_topk",
+        "lexical_store_bm25",
     ]
     # Queries measured at ONE rep even in the core (round-9 verdict
     # item 8): stream_hybrid_serve's ~26 s median is ~fixed Structured
@@ -168,6 +169,7 @@ def main() -> None:
         "ivf_index_compact",
         "lexical_store_search", "lexical_store_stats",
         "lexical_store_compact", "stream_lexical_ingest",
+        "lexical_store_bm25",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

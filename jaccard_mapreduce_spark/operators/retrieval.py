@@ -215,6 +215,38 @@ _BM25_SAT_DEN_A = 3
 _BM25_SAT_DEN_DL = 9
 
 
+def bm25_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    avg_dl: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe a weighted tf index — ``(token, doc_id, tf, dl, w)`` —
+    with a query batch under the integer BM25 score (the
+    :func:`lexical_probe` twin; shared by the one-plan
+    :func:`bm25_topk` and the persisted store's BM25 serve so the
+    scoring arithmetic can never drift between them)."""
+    if avg_dl <= 0:
+        raise ValueError("empty corpus: integer mean doc length is 0")
+    qtok = doc_tokens(queries, id_col=id_col, text_col=text_col)
+    sat = F.expr(
+        f"({_BM25_SAT_NUM} * {avg_dl} * tf) div "
+        f"({_BM25_SAT_DEN_TF} * {avg_dl} * tf"
+        f" + {_BM25_SAT_DEN_A} * {avg_dl}"
+        f" + {_BM25_SAT_DEN_DL} * dl)"
+    )
+    scored = (
+        F.broadcast(qtok.withColumnRenamed("doc_id", "query_id"))
+        .join(index, "token")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("w") * sat).cast("long").alias("score"))
+    )
+    return _topk(scored, k)
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -241,36 +273,26 @@ def bm25_topk(
     ``WindowGroupLimit`` top-k. The two corpus-derived scalars (N and
     the integer mean length A) are computed eagerly like
     ``lexical_index``'s N — two bounded driver aggregates."""
+    # tfr stays pinned (the lexical_index convention): it feeds the df
+    # aggregation, the eager length scalar, AND the index join side —
+    # released by the session-level cache discipline, not per call
     tfr = pin(doc_term_freqs(docs, id_col=id_col, text_col=text_col))
     n_docs = docs.select(id_col).distinct().count()
     total = tfr.agg(F.sum("tf")).first()[0] or 0
-    avg_dl = total // max(n_docs, 1)
-    if avg_dl <= 0:
-        raise ValueError("empty corpus: integer mean doc length is 0")
     weighted = df_weights(
         tfr.groupBy("token").agg(F.count(F.lit(1)).alias("df")),
         n_docs,
         max_df_ratio,
     )
     index = tfr.join(F.broadcast(weighted.select("token", "w")), "token")
-    qtok = doc_tokens(queries, id_col=id_col, text_col=text_col)
-    sat = F.expr(
-        f"({_BM25_SAT_NUM} * {avg_dl} * tf) div "
-        f"({_BM25_SAT_DEN_TF} * {avg_dl} * tf"
-        f" + {_BM25_SAT_DEN_A} * {avg_dl}"
-        f" + {_BM25_SAT_DEN_DL} * dl)"
+    return bm25_probe(
+        index,
+        queries,
+        total // max(n_docs, 1),
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
     )
-    scored = (
-        F.broadcast(qtok.withColumnRenamed("doc_id", "query_id"))
-        .join(index, "token")
-        .where(F.col("query_id") != F.col("doc_id"))
-        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("w") * sat).cast("long").alias("score"))
-    )
-    # tfr stays pinned (the lexical_index convention): it feeds the df
-    # aggregation, the eager length scalar, AND the index join side —
-    # released by the session-level cache discipline, not per call
-    return _topk(scored, k)
 
 
 def replicate_documents(

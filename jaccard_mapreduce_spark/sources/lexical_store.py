@@ -13,10 +13,17 @@ staleness counter and no retune. The graded contract pins exactly that.
 
 Layout (three datasets under one directory, the vector-store shape):
 
-  ``<path>/postings``   (token, doc_id) — the inverted index; appended
-                        by upserts, hash-distributed by token so a
-                        probe's broadcast join streams each executor's
-                        slice without a shuffle
+  ``<path>/postings``   (token, doc_id, tf, dl) — the inverted index
+                        WITH term frequencies and the doc length
+                        (round 10: one store serves both the
+                        set-semantics probe, which ignores tf/dl, and
+                        the integer-BM25 probe); appended by upserts,
+                        hash-distributed by token so a probe's
+                        broadcast join streams each executor's slice
+                        without a shuffle. tf and dl are per-document
+                        facts, so they stay exact under any batch
+                        split — the additive-merge contract extends to
+                        the BM25 serve unchanged
   ``<path>/df``         (token, df) — exact per-token document
                         frequency; REWRITTEN by upserts via the
                         tmp-write + rename swap (KBs–MBs: it is one row
@@ -45,7 +52,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
-from jaccard_mapreduce_spark.operators.retrieval import lexical_probe
+from jaccard_mapreduce_spark.operators.retrieval import (
+    bm25_probe,
+    doc_term_freqs,
+    lexical_probe,
+)
 
 
 def build_lexical_store(
@@ -54,13 +65,15 @@ def build_lexical_store(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Materialize the store from scratch: tokenize once, write the
+    """Materialize the store from scratch: tokenize once (term
+    frequencies and doc length included — one row per distinct
+    (doc, token), so df stays a plain row count per token), write the
     postings hash-distributed by token, aggregate the exact df
     relation, stamp the document count."""
     from jaccard_mapreduce_spark.sources.vector_index import _fs_write_text
 
     spark = docs.sparkSession
-    tok = doc_tokens(docs, id_col=id_col, text_col=text_col)
+    tok = doc_term_freqs(docs, id_col=id_col, text_col=text_col)
     tok.repartition("token").write.mode("overwrite").parquet(
         f"{path}/postings"
     )
@@ -116,7 +129,7 @@ def upsert_lexical_store(
     # pinned: the batch tokenize feeds both the postings append and the
     # df increment; released before returning (per-batch relation — the
     # streaming-face cache-hygiene rule)
-    tok = pin(doc_tokens(docs, id_col=id_col, text_col=text_col))
+    tok = pin(doc_term_freqs(docs, id_col=id_col, text_col=text_col))
     try:
         tok.repartition("token").write.mode("append").parquet(
             f"{path}/postings"
@@ -303,10 +316,84 @@ def _ensure_lex_store(
         required_dirs=["postings", "df"],
         build=_build,
         rebuild=rebuild,
-        tag_extra=f"base_mod={base_mod}",
+        tag_extra=f"base_mod={base_mod}:tfv2",
         table="documents.parquet",
         required_files=("_n_docs",),
     )
+
+
+def search_lexical_store_bm25(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    max_df_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe the store under the integer BM25 score — identical
+    semantics to the one-plan :func:`~jaccard_mapreduce_spark.
+    operators.retrieval.bm25_topk` over the stored corpus. The stored
+    tf/dl columns are what make this serve-able without re-reading the
+    corpus; the integer mean length A derives from ONE bounded
+    aggregate over the postings (Σ tf) plus the document-count marker,
+    and because tf, dl, df, and n_docs are all exact under the
+    additive-merge contract, the BM25 serve after build-then-upsert is
+    bit-identical to a fresh full build — the same invisibility claim
+    the set-semantics search grades, extended to the tf statistics."""
+    from jaccard_mapreduce_spark.operators.retrieval import df_weights
+    from jaccard_mapreduce_spark.sources.vector_index import _fs_read_text
+
+    n_docs = int(
+        (_fs_read_text(spark, f"{path}/_n_docs") or "0").strip() or 0
+    )
+    posts = spark.read.parquet(f"{path}/postings")
+    total = posts.agg(F.sum("tf")).first()[0] or 0
+    w = df_weights(
+        spark.read.parquet(f"{path}/df"), n_docs, max_df_ratio
+    )
+    index = posts.join(F.broadcast(w.select("token", "w")), "token")
+    return bm25_probe(
+        index,
+        queries,
+        total // max(n_docs, 1),
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def lexical_store_bm25_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    base_mod: int = 4,
+    query_mod: int = 100,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the store-served BM25 (round 10): the shared
+    build-then-upsert store probed under the tf-aware score must
+    value-hash-match the one-plan ``bm25_topk`` oracle over the FULL
+    corpus with no build filter — tf and dl are per-document facts and
+    df/n_docs merge additively, so the mutation path is exactly
+    invisible to BOTH scorings the store serves."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+    )
+
+    base, docs = _ensure_lex_store(spark, sf_dir, base_mod, rebuild)
+    res = search_lexical_store_bm25(
+        spark,
+        base,
+        docs.where(F.col("doc_id") % query_mod == 0),
+        k=k,
+        max_df_ratio=GRADED_MAX_DF_RATIO,
+    )
+    assert res.limit(1).count() > 0, (
+        "vacuous BM25 store search: no query doc matched a surviving "
+        "token"
+    )
+    return res
 
 
 def lexical_store_search_demo(
@@ -411,7 +498,7 @@ def lexical_store_compact_demo(
         required_dirs=["postings", "df"],
         build=_build,
         rebuild=rebuild,
-        tag_extra=f"base_mod={base_mod}",
+        tag_extra=f"base_mod={base_mod}:tfv2",
         table="documents.parquet",
         required_files=("_n_docs",),
     )
@@ -476,7 +563,7 @@ def stream_lexical_ingest_demo(
         required_dirs=["postings", "df"],
         build=_build,
         rebuild=rebuild,
-        tag_extra=f"base_mod={base_mod}:files={n_input_files}",
+        tag_extra=f"base_mod={base_mod}:files={n_input_files}:tfv2",
         table="documents.parquet",
         required_files=("_n_docs",),
     )

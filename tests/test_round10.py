@@ -329,3 +329,37 @@ def test_bm25_score_is_engine_exact_integer(spark):
         ).collect()
     }
     assert got[1] == want
+
+
+def test_store_bm25_equals_one_plan(spark, tmp_path):
+    """The tf-carrying store serves BM25 exactly: build-on-slice +
+    upsert-the-rest probed under BM25 must equal the one-plan
+    bm25_topk over the full corpus (tf/dl are per-doc facts; df and
+    n_docs merge additively)."""
+    from jaccard_mapreduce_spark.operators.retrieval import bm25_topk
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        search_lexical_store_bm25,
+        upsert_lexical_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 5} w{i % 7} common x{i}") for i in range(16)],
+        "doc_id long, text string",
+    )
+    base = str(tmp_path / "store")
+    build_lexical_store(docs.where("doc_id < 10"), base)
+    upsert_lexical_store(spark, base, docs.where("doc_id >= 10"))
+    q = docs.where("doc_id % 4 = 0")
+    got = sorted(
+        map(
+            tuple,
+            search_lexical_store_bm25(
+                spark, base, q, max_df_ratio=1.0
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, bm25_topk(docs, q, max_df_ratio=1.0).collect())
+    )
+    assert got == want and got
