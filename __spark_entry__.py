@@ -632,9 +632,9 @@ _NEW_OR_CHANGED = [
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "lexical_scale_probe",
     "hybrid_scale_probe",
-    # new round 10: tf-aware integer BM25 ranking, one-plan and
-    # store-served
-    "bm25_topk", "lexical_store_bm25",
+    # new round 10: tf-aware integer BM25 ranking — one-plan,
+    # store-served, and fused
+    "bm25_topk", "lexical_store_bm25", "hybrid_bm25_search",
 ]
 
 # The transitive-exemption escape hatch stays EMPTY (the guard still
@@ -650,13 +650,15 @@ _R10_WINDOW = [
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "lexical_scale_probe",
     "hybrid_scale_probe", "bm25_topk", "lexical_store_bm25",
-    # the round-6-stale cohort (43 keys in the registry; the 36 below
-    # fill the window — the seven left out, fingerprints / lang_id /
+    "hybrid_bm25_search",
+    # the round-6-stale cohort (43 keys in the registry; the 35 below
+    # fill the window — the eight left out, fingerprints / lang_id /
     # text_stats / token_counts / media_meta / stratified_sample /
-    # lineitem_unpivot, are single-pass per-row projections/reshapes
-    # (media_meta additionally unit-tested in test_multimodal)
-    # re-verified by the oracle-parity pytest sweep every run and tie
-    # on staleness with the cohort inside, so the guard holds)
+    # lineitem_unpivot / part_brand_stats, are single-pass per-row
+    # projections / single-agg reshapes (media_meta additionally
+    # unit-tested in test_multimodal) re-verified by the oracle-parity
+    # pytest sweep every run and tie on staleness with the cohort
+    # inside, so the guard holds)
     "containment_pruned", "containment_recall_audit",
     "corpus_text_roundtrip", "customer_order_windows",
     "customers_semi_anti", "dedup_embedding", "dedup_exact",
@@ -665,7 +667,7 @@ _R10_WINDOW = [
     "min_cost_supplier", "mixture_plan",
     "mixture_resample", "orders_exists_returned",
     "orders_grouping_sets", "orders_pivot", "orders_rollup",
-    "orders_status_cube", "part_brand_stats", "q11_partsupp",
+    "orders_status_cube", "q11_partsupp",
     "q16_partsupp", "q1_pricing_summary", "q20_partsupp",
     "q2_min_cost_supplier", "q3_top_orders", "q4_order_priority",
     "q5_region_revenue", "q6_revenue", "q9_partsupp",
@@ -1021,6 +1023,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": lambda s, d: RT.bm25_topk(
             _docs(s, d),
             _docs(s, d).where(F.col("doc_id") % 100 == 0),
+            max_df_ratio=RT.GRADED_MAX_DF_RATIO,
+        ),
+        # new round 10: fusion with the BM25 leg — RRF consumes only
+        # ranks, so the tf-aware leg drops in exactly like the stored
+        # vector serves do; the oracle splices the integer-BM25 ranked
+        # SQL as its lexical leg
+        "hybrid_bm25_search": lambda s, d: RT.hybrid_bm25_search(
+            _docs(s, d), _emb(s, d),
             max_df_ratio=RT.GRADED_MAX_DF_RATIO,
         ),
         # new round 10: the fusion-tier twin — BOTH corpora replicated
@@ -1605,6 +1615,12 @@ def oracle_sql() -> dict[str, str]:
         # all exact under the additive-merge contract)
         "lexical_store_bm25": oracles.bm25_topk_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
+        ),
+        "hybrid_bm25_search": oracles.hybrid_search_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT,
+            lex_leg_sql=oracles.bm25_topk_sql(
+                k=20, max_df_pct=_GRADED_MAX_DF_PCT
+            ),
         ),
         # sf0.01 has 500 docs/vectors -> factor 10 -> 5,000 of each;
         # replicated tok + perturbed vec CTEs, n_docs scaled with the

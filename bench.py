@@ -131,6 +131,7 @@ def main() -> None:
         "hybrid_scale_probe",
         "bm25_topk",
         "lexical_store_bm25",
+        "hybrid_bm25_search",
     ]
     # Queries measured at ONE rep even in the core (round-9 verdict
     # item 8): stream_hybrid_serve's ~26 s median is ~fixed Structured

@@ -480,6 +480,29 @@ def hybrid_search(
     return rrf_fuse(lex, vec, k=k, rrf_k=rrf_k)
 
 
+def hybrid_bm25_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    rrf_k: int = DEFAULT_RRF_K,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """RRF fusion with the tf-aware BM25 leg in place of the
+    set-semantics lexical leg — the composition RRF exists for: fusion
+    consumes only ``(query_id, neighbor_id, rank)``, so ANY leg
+    implementation drops in without calibration (the same property the
+    stored-index serve tiers exploit on the vector side). BM25's
+    tf-saturated, length-normalized ranking changes WHICH documents
+    the lexical evidence surfaces; the fused scores stay hash-exact
+    because both legs contribute only ranks."""
+    queries = docs.where(F.col("doc_id") % query_mod == 0)
+    lex = bm25_topk(docs, queries, k=leg_k, max_df_ratio=max_df_ratio)
+    vec = _vector_topk(emb, F.col("vec_id") % query_mod == 0, k=leg_k)
+    return rrf_fuse(lex, vec, k=k, rrf_k=rrf_k)
+
+
 def hybrid_recall_audit(
     docs: DataFrame,
     emb: DataFrame,

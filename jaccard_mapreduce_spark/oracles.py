@@ -3074,6 +3074,7 @@ def hybrid_search_sql(
     tok_ctes: str | None = None,
     vec_ctes: str | None = None,
     n_docs_factor: int = 1,
+    lex_leg_sql: str | None = None,
 ) -> str:
     """Oracle for operators/retrieval.py::hybrid_search — both legs and
     the RRF fusion mirrored expression-for-expression: integer lexical
@@ -3088,8 +3089,11 @@ def hybrid_search_sql(
     ``hybrid_index_search`` oracle passes the LSH serve SQL here,
     grading the drop-in claim with bucket-restricted ranks.
     ``tok_ctes`` / ``vec_ctes`` / ``n_docs_factor`` swap the base
-    corpora for replicated ones (the ``hybrid_scale_probe`` oracle)."""
-    return f"""WITH {_hybrid_ctes(leg_k, query_mod, rrf_k, max_df_pct, vec_leg_sql, tok_ctes, vec_ctes, n_docs_factor)}
+    corpora for replicated ones (the ``hybrid_scale_probe`` oracle);
+    ``lex_leg_sql`` swaps the LEXICAL leg the same way ``vec_leg_sql``
+    swaps the vector one (the ``hybrid_bm25_search`` oracle passes the
+    integer-BM25 ranked SQL here)."""
+    return f"""WITH {_hybrid_ctes(leg_k, query_mod, rrf_k, max_df_pct, vec_leg_sql, tok_ctes, vec_ctes, n_docs_factor, lex_leg_sql)}
 SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_score,
        CAST(rank AS BIGINT) AS rank
 FROM (
@@ -3109,12 +3113,15 @@ def _hybrid_ctes(
     tok_ctes: str | None = None,
     vec_ctes: str | None = None,
     n_docs_factor: int = 1,
+    lex_leg_sql: str | None = None,
 ) -> str:
     """The hybrid-retrieval CTE chain (tok → lex leg → vec leg → fused)
     shared by the search oracle and the recall audit. ``tok_ctes`` /
     ``vec_ctes`` swap the corpus CTEs for replicated ones;
     ``n_docs_factor`` scales the lexical n_docs with the replication
-    (the tok CTE alone cannot count docs with zero tokens)."""
+    (the tok CTE alone cannot count docs with zero tokens);
+    ``lex_leg_sql`` replaces the whole set-semantics lexical chain with
+    any complete ranked query (the BM25 leg)."""
     one = "CAST(1 AS DOUBLE)"
     if vec_leg_sql is None:
         vec_leg = f"""{(vec_ctes or _VEC_CTES).strip()},
@@ -3138,7 +3145,13 @@ vec AS (
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS vec_rank
     FROM ({vec_leg_sql})
 )"""
-    return f"""{(tok_ctes or TOK_CTE).strip()},
+    if lex_leg_sql is not None:
+        lex_chain = f"""lex AS (
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS lex_rank
+    FROM ({lex_leg_sql})
+)"""
+    else:
+        lex_chain = f"""{(tok_ctes or TOK_CTE).strip()},
 nd AS (SELECT count(DISTINCT doc_id) * {n_docs_factor} AS n_docs
        FROM documents),
 w AS (
@@ -3165,7 +3178,8 @@ lex AS (
                    AS lex_rank
         FROM lexscored
     ) WHERE lex_rank <= {leg_k}
-),
+)"""
+    return f"""{lex_chain},
 {vec_leg},
 fused AS (
     SELECT coalesce(l.query_id, v.query_id) AS query_id,

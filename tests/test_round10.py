@@ -363,3 +363,24 @@ def test_store_bm25_equals_one_plan(spark, tmp_path):
         map(tuple, bm25_topk(docs, q, max_df_ratio=1.0).collect())
     )
     assert got == want and got
+
+
+def test_hybrid_bm25_fusion_uses_the_tf_leg(spark):
+    """The BM25 leg must actually change the lexical evidence relative
+    to the set-semantics leg when tf differs — and the fused relation
+    keeps the per-query dense-rank contract."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+        hybrid_bm25_search,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    out = hybrid_bm25_search(
+        docs, emb, max_df_ratio=GRADED_MAX_DF_RATIO
+    ).collect()
+    assert any(r.lex_rank is not None for r in out)
+    assert any(r.vec_rank is not None for r in out)
+    for q in {r.query_id for r in out}:
+        ranks = sorted(r.rank for r in out if r.query_id == q)
+        assert ranks == list(range(1, len(ranks) + 1))
