@@ -30,6 +30,10 @@ Layout (three datasets under one directory, the vector-store shape):
                         per distinct token, not per posting)
   ``<path>/_n_docs``    corpus document count marker (Hadoop-FS text,
                         works on hdfs:///s3a:// like the other stores)
+  ``<path>/_n_tokens``  total token count marker (Σ tf) — additive like
+                        n_docs; the BM25 serve derives its integer
+                        mean-length scalar from it instead of scanning
+                        the postings
 
 Weights are derived at PROBE time from the stored statistics
 (``w = n_docs div df`` over tokens surviving the caller's
@@ -81,6 +85,9 @@ def build_lexical_store(
     # the tokenize (one pass over the stored bytes, and the two
     # datasets can never disagree about what was tokenized)
     stored = spark.read.parquet(f"{path}/postings")
+    agg = stored.agg(
+        F.sum("tf").alias("total"),
+    ).first()
     (
         stored.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -90,6 +97,10 @@ def build_lexical_store(
     )
     n_docs = docs.select(id_col).distinct().count()
     _fs_write_text(spark, f"{path}/_n_docs", str(n_docs))
+    # total token count (Σ tf) — additive like n_docs, stamped as a
+    # marker so the BM25 serve derives its mean-length scalar from two
+    # KB reads instead of re-scanning the corpus-sized postings
+    _fs_write_text(spark, f"{path}/_n_tokens", str(int(agg["total"] or 0)))
 
 
 def upsert_lexical_store(
@@ -131,6 +142,7 @@ def upsert_lexical_store(
     # streaming-face cache-hygiene rule)
     tok = pin(doc_term_freqs(docs, id_col=id_col, text_col=text_col))
     try:
+        tok_total = tok.agg(F.sum("tf")).first()[0]
         tok.repartition("token").write.mode("append").parquet(
             f"{path}/postings"
         )
@@ -163,6 +175,11 @@ def upsert_lexical_store(
     n_new = docs.select(id_col).distinct().count()
     prev = int((_fs_read_text(spark, f"{path}/_n_docs") or "0").strip() or 0)
     _fs_write_text(spark, f"{path}/_n_docs", str(prev + n_new))
+    batch_tokens = int(tok_total or 0)
+    prev_tok = int(
+        (_fs_read_text(spark, f"{path}/_n_tokens") or "0").strip() or 0
+    )
+    _fs_write_text(spark, f"{path}/_n_tokens", str(prev_tok + batch_tokens))
     return n_new
 
 
@@ -224,6 +241,9 @@ def lexical_store_stats(spark: SparkSession, path: str) -> dict:
     out = {
         "n_docs": int(
             (_fs_read_text(spark, f"{path}/_n_docs") or "0").strip() or 0
+        ),
+        "n_token_occurrences": int(
+            (_fs_read_text(spark, f"{path}/_n_tokens") or "0").strip() or 0
         ),
         "n_tokens": int(agg["n_tokens"]),
         "n_postings": spark.read.parquet(f"{path}/postings").count(),
@@ -318,7 +338,7 @@ def _ensure_lex_store(
         rebuild=rebuild,
         tag_extra=f"base_mod={base_mod}:tfv2",
         table="documents.parquet",
-        required_files=("_n_docs",),
+        required_files=("_n_docs", "_n_tokens"),
     )
 
 
@@ -347,8 +367,14 @@ def search_lexical_store_bm25(
     n_docs = int(
         (_fs_read_text(spark, f"{path}/_n_docs") or "0").strip() or 0
     )
+    # Σ tf comes from the additively-maintained marker, not a scan of
+    # the corpus-sized postings — the serve path reads two KB-sized
+    # statistics (df + markers) and joins ONLY the query-matched
+    # posting slices, the same amortization the set-semantics probe has
+    total = int(
+        (_fs_read_text(spark, f"{path}/_n_tokens") or "0").strip() or 0
+    )
     posts = spark.read.parquet(f"{path}/postings")
-    total = posts.agg(F.sum("tf")).first()[0] or 0
     w = df_weights(
         spark.read.parquet(f"{path}/df"), n_docs, max_df_ratio
     )
@@ -500,7 +526,7 @@ def lexical_store_compact_demo(
         rebuild=rebuild,
         tag_extra=f"base_mod={base_mod}:tfv2",
         table="documents.parquet",
-        required_files=("_n_docs",),
+        required_files=("_n_docs", "_n_tokens"),
     )
     return search_lexical_store(
         spark,
@@ -565,7 +591,7 @@ def stream_lexical_ingest_demo(
         rebuild=rebuild,
         tag_extra=f"base_mod={base_mod}:files={n_input_files}:tfv2",
         table="documents.parquet",
-        required_files=("_n_docs",),
+        required_files=("_n_docs", "_n_tokens"),
     )
     return search_lexical_store(
         spark,
