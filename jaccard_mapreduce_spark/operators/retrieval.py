@@ -179,8 +179,11 @@ def doc_term_freqs(
     COUNTED, unlike :func:`doc_tokens`' reference set semantics; ``dl``
     is the document length in tokens (Σ tf). The tf-aware twin of the
     inverted index, feeding :func:`bm25_topk`. ``dl`` rides a
-    partition-window sum over the same grouping, not a second
-    aggregation + self-join — one shuffle on ``doc_id`` total."""
+    partition-window sum, not a second aggregation + self-join: the
+    plan is the tf aggregation's exchange on ``(doc_id, token)`` plus
+    the window's exchange on ``doc_id`` — two narrow shuffles of the
+    compact tf relation, versus three (plus a join) for the dl-relation
+    alternative."""
     from jaccard_mapreduce_spark.functions.text import tokenize
 
     toks = docs.select(

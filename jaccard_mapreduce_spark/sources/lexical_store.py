@@ -55,7 +55,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
 from jaccard_mapreduce_spark.operators.retrieval import (
     bm25_probe,
     doc_term_freqs,
