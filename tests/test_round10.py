@@ -5,6 +5,9 @@ streaming ingest), and the retrieval scale probe."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given
+from hypothesis import settings as hyp_settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
@@ -384,3 +387,91 @@ def test_hybrid_bm25_fusion_uses_the_tf_leg(spark):
     for q in {r.query_id for r in out}:
         ranks = sorted(r.rank for r in out if r.query_id == q)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def _py_bm25(docs, query_id, max_df_pct=100):
+    """Independent pure-Python reimplementation of the integer BM25
+    (duplicates counted, 1%-granularity prune, all // arithmetic)."""
+    import re
+
+    tok_re = re.compile(r"[^a-z0-9\s]")
+    tfs = {}
+    for d, t in docs:
+        toks = [x for x in tok_re.sub(" ", t.lower()).split() if x]
+        row = {}
+        for x in toks:
+            row[x] = row.get(x, 0) + 1
+        tfs[d] = (row, len(toks))
+    n = len(docs)
+    total = sum(dl for _, dl in tfs.values())
+    a = total // n
+    df = {}
+    for row, _ in tfs.values():
+        for t in row:
+            df[t] = df.get(t, 0) + 1
+    w = {
+        t: n // c for t, c in df.items() if c * 100 <= max_df_pct * n
+    }
+    q = set(tfs[query_id][0])
+    out = {}
+    for d, (row, dl) in tfs.items():
+        if d == query_id:
+            continue
+        score = 0
+        for t in q & set(row):
+            if t not in w:
+                continue
+            tf = row[t]
+            score += w[t] * (
+                (22000 * a * tf) // (10 * a * tf + 3 * a + 9 * dl)
+            )
+        if score or (q & set(row) & set(w)):
+            out[d] = score
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=1,
+        max_size=10,
+    ).map(" ".join),
+    min_size=2,
+    max_size=7,
+))
+def test_bm25_matches_python_reference(spark, texts):
+    """Adversarial random corpora (tiny shared vocabulary => heavy tf
+    duplication and df collisions) against a from-scratch Python
+    reimplementation of the integer BM25."""
+    from jaccard_mapreduce_spark.operators.retrieval import bm25_topk
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = _py_bm25(docs, 0, max_df_pct=100)
+    got = {
+        r.neighbor_id: r.score
+        for r in bm25_topk(
+            df, df.where("doc_id = 0"), k=50, max_df_ratio=1.0
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bm25_plan_shape(spark):
+    """The BM25 plan must keep the lexical tier's scale skeleton:
+    broadcast query side, partial aggregation before the exchange, and
+    the two-phase WindowGroupLimit top-k prune."""
+    from jaccard_mapreduce_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = bm25_topk(docs, docs.where("doc_id % 100 = 0"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "partial_sum" in plan or "HashAggregate" in plan
