@@ -1616,8 +1616,9 @@ def oracle_sql() -> dict[str, str]:
         "lexical_store_bm25": oracles.bm25_topk_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
+        # the prune lives INSIDE the leg SQL — hybrid_search_sql raises
+        # if a lex_leg_sql call also passes chain params it would ignore
         "hybrid_bm25_search": oracles.hybrid_search_sql(
-            max_df_pct=_GRADED_MAX_DF_PCT,
             lex_leg_sql=oracles.bm25_topk_sql(
                 k=20, max_df_pct=_GRADED_MAX_DF_PCT
             ),

@@ -671,11 +671,22 @@ def events_approx_check(
     approximate median lands between the exact p40 and p60, and — since
     round 10, folding in the last face of ``events_approx_stats`` that
     had no graded twin — that the approximate p95 lands between the
-    exact p90 and p99 (percentile_approx at accuracy 10,000 bounds rank
-    error far inside either window). The DuckDB oracle recomputes the
-    exact values and emits literal TRUEs, so a sketch regression (wrong
-    rsd, broken merge, bad accuracy) flips a boolean and fails the
-    value hash.
+    exact p90 and the group max. The envelopes must hold for EVERY
+    group size, not just the current fixture's: ``percentile_approx``
+    returns an actual data value at ~the ceil(q·N) order statistic
+    (rank error ≤ N/10000 at accuracy 10,000) while exact
+    ``percentile`` interpolates, so an interpolated UPPER bound tighter
+    than the max (e.g. p99) can fall BELOW the returned order statistic
+    on small groups and flip a boolean the oracle hard-codes TRUE; by
+    the same rank arithmetic the p40 lower bound only dominates the
+    median's order statistic from ~6 rows up, so it degrades to the
+    group min below 10 rows. A rank check: ceil(1 + 0.4(N−1)) ≤
+    ceil(0.5·N − N/10000) for N ≥ 6, and ceil(0.9N + 0.1) ≤
+    ceil(0.95·N − N/10000) for all N ≥ 1, so p40/N≥10 and p90/max are
+    deterministic; p60 dominates ceil(0.5N) for all N. The DuckDB
+    oracle recomputes the exact values and emits literal TRUEs, so a
+    sketch regression (wrong rsd, broken merge, bad accuracy) flips a
+    boolean and fails the value hash.
     """
     # The exact distinct count runs in its OWN aggregation, joined back
     # on the (tiny) group key: mixing count_distinct with the other
@@ -688,15 +699,23 @@ def events_approx_check(
     approx = F.approx_count_distinct("user_id", rsd=0.01)
     exact = F.count_distinct("user_id")
     p = F.percentile(
-        "value", F.array(F.lit(0.4), F.lit(0.6), F.lit(0.9), F.lit(0.99))
+        "value", F.array(F.lit(0.4), F.lit(0.6), F.lit(0.9))
     )
     ap = F.percentile_approx(
         "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
     )
     sketches = events.groupBy("event_type").agg(
-        approx.alias("_hll"), p.alias("_p"), ap.alias("_ap")
+        approx.alias("_hll"),
+        p.alias("_p"),
+        ap.alias("_ap"),
+        F.min("value").alias("_min"),
+        F.max("value").alias("_max"),
+        F.count(F.lit(1)).alias("_n"),
     )
     exact_users = events.groupBy("event_type").agg(exact.alias("n_users"))
+    lo50 = F.when(F.col("_n") >= 10, F.col("_p")[0]).otherwise(
+        F.col("_min")
+    )
     return (
         sketches.join(F.broadcast(exact_users), "event_type")
         .select(
@@ -707,12 +726,12 @@ def events_approx_check(
                 <= F.lit(max_rel_err) * F.col("n_users")
             ).alias("hll_ok"),
             (
-                (F.col("_ap")[0] >= F.col("_p")[0])
+                (F.col("_ap")[0] >= lo50)
                 & (F.col("_ap")[0] <= F.col("_p")[1])
             ).alias("p50_ok"),
             (
                 (F.col("_ap")[1] >= F.col("_p")[2])
-                & (F.col("_ap")[1] <= F.col("_p")[3])
+                & (F.col("_ap")[1] <= F.col("_max"))
             ).alias("p95_ok"),
         )
     )

@@ -299,19 +299,26 @@ def bm25_topk(
 
 
 def replicate_documents(
-    docs: DataFrame, factor: int, id_offset: int = 1_000_000
+    docs: DataFrame,
+    factor: int,
+    id_offset: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """Deterministic corpus replication for scale probes (the
-    ``replicate_embeddings`` twin): ``factor`` copies of every document
-    with ``doc_id + replica · id_offset``. The offset is a multiple of
-    every demo ``query_mod``, so each replica of a query doc is itself
-    a query doc — the probe's work scales in BOTH the corpus and the
-    query batch. The replica relation is a broadcast ``factor``-row
-    cross join (one scan of the corpus, no shuffle)."""
+    ``replicate_embeddings`` twin, with the same ``id_col``-style
+    column parameters as every sibling in this module): ``factor``
+    copies of every document with ``doc_id + replica · id_offset``.
+    The offset is a multiple of every demo ``query_mod``, so each
+    replica of a query doc is itself a query doc — the probe's work
+    scales in BOTH the corpus and the query batch — and callers must
+    keep it above the corpus's max id. The replica relation is a
+    broadcast ``factor``-row cross join (one scan of the corpus, no
+    shuffle)."""
     r = docs.sparkSession.range(factor).select(F.col("id").alias("_rep"))
     return docs.crossJoin(F.broadcast(r)).select(
-        (F.col("doc_id") + F.col("_rep") * id_offset).alias("doc_id"),
-        "text",
+        (F.col(id_col) + F.col("_rep") * id_offset).alias(id_col),
+        text_col,
     )
 
 

@@ -3121,7 +3121,17 @@ def _hybrid_ctes(
     ``n_docs_factor`` scales the lexical n_docs with the replication
     (the tok CTE alone cannot count docs with zero tokens);
     ``lex_leg_sql`` replaces the whole set-semantics lexical chain with
-    any complete ranked query (the BM25 leg)."""
+    any complete ranked query (the BM25 leg) — the caller must bake the
+    prune and any replication INTO that SQL; combinations that would
+    silently ignore a parameter raise instead."""
+    if lex_leg_sql is not None and (
+        tok_ctes is not None or n_docs_factor != 1 or max_df_pct != 50
+    ):
+        raise ValueError(
+            "lex_leg_sql replaces the whole lexical chain: tok_ctes / "
+            "n_docs_factor / max_df_pct would be silently ignored — "
+            "bake them into the leg SQL instead"
+        )
     one = "CAST(1 AS DOUBLE)"
     if vec_leg_sql is None:
         vec_leg = f"""{(vec_ctes or _VEC_CTES).strip()},
@@ -3151,24 +3161,7 @@ vec AS (
     FROM ({lex_leg_sql})
 )"""
     else:
-        lex_chain = f"""{(tok_ctes or TOK_CTE).strip()},
-nd AS (SELECT count(DISTINCT doc_id) * {n_docs_factor} AS n_docs
-       FROM documents),
-w AS (
-    SELECT token, n_docs // df AS w
-    FROM (SELECT token, count(*) AS df FROM tok GROUP BY token)
-    CROSS JOIN nd
-    WHERE df * 100 <= {max_df_pct} * n_docs
-),
-lexscored AS (
-    SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
-           sum(w.w) AS score
-    FROM tok q
-    JOIN w ON q.token = w.token
-    JOIN tok d ON q.token = d.token AND q.doc_id <> d.doc_id
-    WHERE q.doc_id % {query_mod} = 0
-    GROUP BY 1, 2
-),
+        lex_chain = f"""{_lex_scored_ctes(query_mod, max_df_pct, tok_ctes, n_docs_factor)},
 lex AS (
     SELECT query_id, neighbor_id, CAST(lex_rank AS BIGINT) AS lex_rank
     FROM (
@@ -3193,19 +3186,21 @@ fused AS (
 )"""
 
 
-def lexical_store_search_sql(
-    k: int = 10,
-    query_mod: int = 100,
-    max_df_pct: int = 50,
+def _lex_scored_ctes(
+    query_mod: int,
+    max_df_pct: int,
+    tok_ctes: str | None = None,
+    n_docs_factor: int = 1,
 ) -> str:
-    """Oracle for sources/lexical_store.py::lexical_store_search_demo —
-    the one-plan lexical top-k over the FULL corpus with NO build
-    filter: a store built on a slice and upserted with the rest must be
-    indistinguishable because df and n_docs merge additively. Scores
-    are in the graded projection (exact integer sums — DuckDB's
-    HUGEINT sum cast back to BIGINT to match Spark's long)."""
-    return f"""WITH {TOK_CTE.strip()},
-nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    """The ONE copy of the set-semantics lexical scoring chain
+    (tokenize → n_docs → df-pruned integer weights → per-(query, doc)
+    exact sum) — shared by the store-search oracle, the scale-probe
+    oracle, and the hybrid chain so a prune or weight change can never
+    silently diverge between them (the 'derived, not retyped'
+    discipline applied to the SQL itself)."""
+    return f"""{(tok_ctes or TOK_CTE).strip()},
+nd AS (SELECT count(DISTINCT doc_id) * {n_docs_factor} AS n_docs
+       FROM documents),
 w AS (
     SELECT token, n_docs // df AS w
     FROM (SELECT token, count(*) AS df FROM tok GROUP BY token)
@@ -3220,7 +3215,20 @@ lexscored AS (
     JOIN tok d ON q.token = d.token AND q.doc_id <> d.doc_id
     WHERE q.doc_id % {query_mod} = 0
     GROUP BY 1, 2
-)
+)"""
+
+
+def _lex_ranked_sql(
+    k: int,
+    query_mod: int,
+    max_df_pct: int,
+    tok_ctes: str | None = None,
+    n_docs_factor: int = 1,
+) -> str:
+    """Complete ranked SELECT over :func:`_lex_scored_ctes` — scores in
+    the projection (exact integer sums; DuckDB's HUGEINT cast back to
+    BIGINT to match Spark's long)."""
+    return f"""WITH {_lex_scored_ctes(query_mod, max_df_pct, tok_ctes, n_docs_factor)}
 SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
 FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -3230,20 +3238,35 @@ FROM (
 ) WHERE rank <= {k}"""
 
 
+def lexical_store_search_sql(
+    k: int = 10,
+    query_mod: int = 100,
+    max_df_pct: int = 50,
+) -> str:
+    """Oracle for sources/lexical_store.py::lexical_store_search_demo —
+    the one-plan lexical top-k over the FULL corpus with NO build
+    filter: a store built on a slice and upserted with the rest must be
+    indistinguishable because df and n_docs merge additively."""
+    return _lex_ranked_sql(k, query_mod, max_df_pct)
+
+
 def lexical_store_stats_sql() -> str:
     """Oracle for sources/lexical_store.py::lexical_store_stats_demo —
     the store's logical statistics recomputed from the full-corpus
     tokenize with NO build filter: the stats face of the additive-merge
-    exactness claim (a df double-count or a dropped posting in the
-    build/upsert path shifts one of these integers and fails the
-    hash)."""
+    exactness claim (a df double-count, a dropped posting, or a drifted
+    Σtf marker in the build/upsert path shifts one of these integers
+    and fails the hash). ``n_token_occurrences`` counts the
+    NON-deduplicated tokenize — the Σtf marker's independent twin."""
     return f"""WITH {TOK_CTE.strip()},
-d AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
+d AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+ft AS (SELECT unnest({TOKS_EXPR}) AS token FROM documents)
 SELECT CAST((SELECT count(DISTINCT doc_id) FROM documents) AS BIGINT)
            AS n_docs,
        CAST((SELECT count(*) FROM d) AS BIGINT) AS n_tokens,
        CAST((SELECT count(*) FROM tok) AS BIGINT) AS n_postings,
-       CAST((SELECT max(df) FROM d) AS BIGINT) AS max_df"""
+       CAST((SELECT max(df) FROM d) AS BIGINT) AS max_df,
+       CAST((SELECT count(*) FROM ft) AS BIGINT) AS n_token_occurrences"""
 
 
 def lexical_scale_probe_sql(
@@ -3257,38 +3280,16 @@ def lexical_scale_probe_sql(
     one-plan lexical top-k over a ``factor``-replicated corpus
     (``doc_id + replica · id_offset``). Every df and n_docs scales by
     the factor, so the integer weights match the unreplicated corpus
-    exactly and the whole replicated ranking stays hash-derivable."""
-    return f"""WITH {TOK_CTE.strip()},
-rep AS (SELECT unnest(range({factor})) AS r),
-rtok AS (
-    SELECT t.doc_id + rep.r * {id_offset} AS doc_id, t.token
-    FROM tok t CROSS JOIN rep
-),
-nd AS (
-    SELECT count(DISTINCT doc_id) * {factor} AS n_docs FROM documents
-),
-w AS (
-    SELECT token, n_docs // df AS w
-    FROM (SELECT token, count(*) AS df FROM rtok GROUP BY token)
-    CROSS JOIN nd
-    WHERE df * 100 <= {max_df_pct} * n_docs
-),
-lexscored AS (
-    SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
-           CAST(sum(w.w) AS BIGINT) AS score
-    FROM rtok q
-    JOIN w ON q.token = w.token
-    JOIN rtok d ON q.token = d.token AND q.doc_id <> d.doc_id
-    WHERE q.doc_id % {query_mod} = 0
-    GROUP BY 1, 2
-)
-SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
-FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, neighbor_id)
-                  AS rank
-    FROM lexscored
-) WHERE rank <= {k}"""
+    exactly and the whole replicated ranking stays hash-derivable.
+    Built from the SHARED scoring chain with the replicated tokenize
+    CTEs swapped in."""
+    return _lex_ranked_sql(
+        k,
+        query_mod,
+        max_df_pct,
+        tok_ctes=replicated_tok_ctes(factor, id_offset),
+        n_docs_factor=factor,
+    )
 
 
 def hybrid_recall_audit_sql(

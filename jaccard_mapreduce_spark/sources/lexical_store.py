@@ -308,20 +308,32 @@ def upsert_lexical_store_stream(stream: DataFrame, path: str, checkpoint: str):
     )
 
 
+# One schema version string for EVERY demo store gate: bumping it here
+# rebuilds all three session stores together — a per-site copy of the
+# tag is exactly how a warm session ends up probing a stale-schema
+# store (the round-10 review's finding).
+_LEX_STORE_SCHEMA = "tfv2"
+
+
 def _ensure_lex_store(
     spark: SparkSession,
     sf_dir: str,
     base_mod: int = 4,
     rebuild: bool = False,
+    suffix: str = "_lex_store",
+    build=None,
+    tag_extra: str = "",
 ) -> tuple[str, DataFrame]:
-    """Session-scoped build-once gate for the shared demo store: build
-    on the ``doc_id % base_mod != 0`` slice, upsert the rest — the
-    mutation-path store the search and stats contract entries probe
-    (its statistics equal a full-corpus build's, the additive-merge
-    exactness claim)."""
+    """Session-scoped build-once gate shared by ALL the lexical-store
+    demos — the required datasets/markers and the postings schema
+    version live HERE, once. The default ``build`` is the
+    build-on-slice + upsert-the-rest shape the search and stats
+    contract entries probe (its statistics equal a full-corpus build's,
+    the additive-merge exactness claim); the compaction and streaming
+    demos pass their own."""
     from jaccard_mapreduce_spark.sources.vector_index import _ensure_index
 
-    def _build(docs: DataFrame, base: str) -> None:
+    def _default_build(docs: DataFrame, base: str) -> None:
         build_lexical_store(docs.where(F.col("doc_id") % base_mod != 0), base)
         n = upsert_lexical_store(
             spark, base, docs.where(F.col("doc_id") % base_mod == 0)
@@ -331,11 +343,11 @@ def _ensure_lex_store(
     return _ensure_index(
         spark,
         sf_dir,
-        suffix="_lex_store",
+        suffix=suffix,
         required_dirs=["postings", "df"],
-        build=_build,
+        build=build or _default_build,
         rebuild=rebuild,
-        tag_extra=f"base_mod={base_mod}:tfv2",
+        tag_extra=f"base_mod={base_mod}{tag_extra}:{_LEX_STORE_SCHEMA}",
         table="documents.parquet",
         required_files=("_n_docs", "_n_tokens"),
     )
@@ -480,8 +492,17 @@ def lexical_store_stats_demo(
     base, _docs = _ensure_lex_store(spark, sf_dir, base_mod, rebuild)
     st = lexical_store_stats(spark, base)
     return spark.createDataFrame(
-        [(st["n_docs"], st["n_tokens"], st["n_postings"], st["max_df"])],
-        "n_docs long, n_tokens long, n_postings long, max_df long",
+        [
+            (
+                st["n_docs"],
+                st["n_tokens"],
+                st["n_postings"],
+                st["max_df"],
+                st["n_token_occurrences"],
+            )
+        ],
+        "n_docs long, n_tokens long, n_postings long, max_df long,"
+        " n_token_occurrences long",
     )
 
 
@@ -505,7 +526,6 @@ def lexical_store_compact_demo(
     from jaccard_mapreduce_spark.operators.retrieval import (
         GRADED_MAX_DF_RATIO,
     )
-    from jaccard_mapreduce_spark.sources.vector_index import _ensure_index
 
     def _build(docs: DataFrame, base: str) -> None:
         build_lexical_store(docs.where(F.col("doc_id") % base_mod != 0), base)
@@ -516,16 +536,8 @@ def lexical_store_compact_demo(
         for name, (before, after) in stats.items():
             assert after <= before or before <= 1, (name, before, after)
 
-    base, docs = _ensure_index(
-        spark,
-        sf_dir,
-        suffix="_lex_compact",
-        required_dirs=["postings", "df"],
-        build=_build,
-        rebuild=rebuild,
-        tag_extra=f"base_mod={base_mod}:tfv2",
-        table="documents.parquet",
-        required_files=("_n_docs", "_n_tokens"),
+    base, docs = _ensure_lex_store(
+        spark, sf_dir, base_mod, rebuild, suffix="_lex_compact", build=_build
     )
     return search_lexical_store(
         spark,
@@ -559,7 +571,6 @@ def stream_lexical_ingest_demo(
     from jaccard_mapreduce_spark.operators.retrieval import (
         GRADED_MAX_DF_RATIO,
     )
-    from jaccard_mapreduce_spark.sources.vector_index import _ensure_index
 
     def _build(docs: DataFrame, base: str) -> None:
         import os
@@ -581,16 +592,14 @@ def stream_lexical_ingest_demo(
         ).start()
         q.awaitTermination()
 
-    base, docs = _ensure_index(
+    base, docs = _ensure_lex_store(
         spark,
         sf_dir,
+        base_mod,
+        rebuild,
         suffix="_lex_stream",
-        required_dirs=["postings", "df"],
         build=_build,
-        rebuild=rebuild,
-        tag_extra=f"base_mod={base_mod}:files={n_input_files}:tfv2",
-        table="documents.parquet",
-        required_files=("_n_docs", "_n_tokens"),
+        tag_extra=f":files={n_input_files}",
     )
     return search_lexical_store(
         spark,

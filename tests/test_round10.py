@@ -475,3 +475,28 @@ def test_bm25_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("WindowGroupLimit") >= 2
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_approx_check_envelopes_hold_on_tiny_groups(spark):
+    """Round-10 review finding: interpolated exact bounds tighter than
+    the group extremes can fall inside percentile_approx's returned
+    order statistic on small groups. The envelopes must be TRUE for
+    every group size, down to 1-row and 2-row groups with extreme
+    spread."""
+    from jaccard_mapreduce_spark.operators.relational import (
+        events_approx_check,
+    )
+
+    rows = []
+    # 2-row group with extreme spread (the old p40/p99 bounds both fail
+    # on this shape), a 1-row group, and a mid-size group
+    rows += [(1, "tiny", 1.0), (2, "tiny", 100.0)]
+    rows += [(3, "one", 42.0)]
+    rows += [(i + 10, "mid", float(i)) for i in range(10)]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    )
+    out = events_approx_check(events).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.hll_ok and r.p50_ok and r.p95_ok, r
