@@ -526,22 +526,26 @@ def hybrid_recall_audit(
     """Measured retrieval quality, the ``ann_recall_audit`` discipline
     applied to fusion: per query, how many of the exact-cosine
     top-``k`` ground truth each relation recovers within ITS top-``k``
-    — ``(query_id, lex_hits, vec_hits, fused_hits)``, pure integer
-    counts. ``vec`` is the SERVED vector leg (``(query_id,
+    — ``(query_id, lex_hits, bm25_hits, vec_hits, fused_hits)``, pure
+    integer counts. ``vec`` is the SERVED vector leg (``(query_id,
     neighbor_id, rank)`` — the stored LSH/IVF search in the graded
     shape), so ``vec_hits`` IS that tier's recall@k, ``lex_hits``
-    measures how far lexical evidence alone lands from semantic truth,
-    and ``fused_hits`` vs ``vec_hits`` answers the question hybrid
-    retrieval hinges on: does adding the lexical leg recover truth the
-    approximate vector tier missed, or dilute it? Measure, don't
-    guess — the fusion weights (rrf_k) are retuned from this number,
-    not assumed."""
+    measures how far set-semantics lexical evidence alone lands from
+    semantic truth, ``bm25_hits`` (round 10) measures whether tf
+    saturation + length normalization move the lexical evidence closer
+    to or further from that truth than the set-semantics ranking on
+    THIS corpus, and ``fused_hits`` vs ``vec_hits`` answers the
+    question hybrid retrieval hinges on: does adding the lexical leg
+    recover truth the approximate vector tier missed, or dilute it?
+    Measure, don't guess — the fusion weights (rrf_k) and the lexical
+    leg CHOICE are retuned from these numbers, not assumed."""
     queries = docs.where(F.col("doc_id") % query_mod == 0)
-    # pinned (the ann_recall_audit precedent): truth feeds FOUR
-    # subplans (the base + three hit joins) and each leg feeds two —
+    # pinned (the ann_recall_audit precedent): truth feeds FIVE
+    # subplans (the base + four hit joins) and each leg feeds two —
     # unpinned, one action re-runs the exact-cosine kernel and the
     # lexical join per consumer
     lex = pin(lexical_topk(docs, queries, k=leg_k, max_df_ratio=max_df_ratio))
+    bm25 = pin(bm25_topk(docs, queries, k=leg_k, max_df_ratio=max_df_ratio))
     vec = pin(vec)
     fused = rrf_fuse(lex, vec, k=k, rrf_k=rrf_k)
     truth = pin(
@@ -564,12 +568,17 @@ def hybrid_recall_audit(
 
     base = truth.select("query_id").distinct()
     out = base
-    for rel, name in ((lex, "lex_hits"), (vec, "vec_hits"), (fused, "fused_hits")):
+    for rel, name in (
+        (lex, "lex_hits"),
+        (bm25, "bm25_hits"),
+        (vec, "vec_hits"),
+        (fused, "fused_hits"),
+    ):
         out = out.join(_hits(rel, name), "query_id", "left")
     return out.select(
         "query_id",
         *[
             F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
-            for c in ("lex_hits", "vec_hits", "fused_hits")
+            for c in ("lex_hits", "bm25_hits", "vec_hits", "fused_hits")
         ],
     )

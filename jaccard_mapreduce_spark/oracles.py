@@ -3302,11 +3302,17 @@ def hybrid_recall_audit_sql(
 ) -> str:
     """Oracle for operators/retrieval.py::hybrid_recall_audit — per
     query, how many of the exact-cosine top-``k`` ground truth each
-    relation recovers within ITS top-``k``: the lexical leg, the served
-    vector leg (``vec_leg_sql`` — the LSH serve in the graded shape),
-    and the fusion. Pure integer counts over the shared hybrid CTEs, so
-    the audit hash-matches exactly."""
+    relation recovers within ITS top-``k``: the set-semantics lexical
+    leg, the integer-BM25 leg (round 10 — the tf-aware comparison
+    spliced in as a complete ranked subquery), the served vector leg
+    (``vec_leg_sql`` — the LSH serve in the graded shape), and the
+    fusion. Pure integer counts over the shared CTEs, so the audit
+    hash-matches exactly."""
     return f"""WITH {_hybrid_ctes(leg_k, query_mod, rrf_k, max_df_pct, vec_leg_sql)},
+bm AS (
+    SELECT query_id, neighbor_id, rank
+    FROM ({bm25_topk_sql(k=leg_k, query_mod=query_mod, max_df_pct=max_df_pct)})
+),
 v2 AS (
     SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
 ),
@@ -3336,11 +3342,14 @@ fusedk AS (
 )
 SELECT t.query_id,
        CAST(count(l.neighbor_id) AS BIGINT) AS lex_hits,
+       CAST(count(b.neighbor_id) AS BIGINT) AS bm25_hits,
        CAST(count(v.neighbor_id) AS BIGINT) AS vec_hits,
        CAST(count(f.neighbor_id) AS BIGINT) AS fused_hits
 FROM truth t
 LEFT JOIN (SELECT * FROM lex WHERE lex_rank <= {k}) l
   ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+LEFT JOIN (SELECT * FROM bm WHERE rank <= {k}) b
+  ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
 LEFT JOIN (SELECT * FROM vec WHERE vec_rank <= {k}) v
   ON t.query_id = v.query_id AND t.neighbor_id = v.neighbor_id
 LEFT JOIN fusedk f
