@@ -34,22 +34,26 @@ def _load1() -> float:
         return -1.0
 
 
-def _wait_for_quiet_host() -> tuple[float, bool]:
+def _wait_for_quiet_host() -> tuple[float, bool, float, float]:
     """Pre-flight loadavg gate (round-7 verdict: the r7 bench ran at
     loadavg 7.7→9.2 and the +18% across untouched plans was pure host
-    noise). Wait — up to SPARK_GRAFT_BENCH_LOAD_WAIT seconds, default
-    300 — for the 1-minute loadavg to drop below
-    SPARK_GRAFT_BENCH_MAX_LOAD (default 3.0) before measuring; if the
-    host never quiets, proceed anyway and flag it in bench_detail so
-    the medians are read as low-confidence rather than silently
-    trusted. Returns (seconds waited, gate satisfied)."""
-    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "3.0"))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "240"))
+    noise; round-10 verdict: the old 3.0 threshold admitted a
+    loadavg-2.92 run whose jaccard_formatted came out 3.1× inflated).
+    Wait — up to SPARK_GRAFT_BENCH_LOAD_WAIT seconds, default 300 —
+    for the 1-minute loadavg to drop below SPARK_GRAFT_BENCH_MAX_LOAD
+    (default 1.0 per the r10 verdict) before measuring; if the host
+    never quiets, proceed anyway and flag it in bench_detail so the
+    medians are read as low-confidence rather than silently trusted.
+    Returns (seconds waited, gate satisfied, threshold, load at
+    release)."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
     waited = 0.0
     while _load1() > max_load and waited < budget:
         time.sleep(15)
         waited += 15
-    return round(waited, 1), _load1() <= max_load
+    release_load = _load1()
+    return round(waited, 1), release_load <= max_load, max_load, release_load
 
 
 # Every oracle-backed key not in the core list below (nor pre-built as
@@ -74,7 +78,9 @@ def rotating_cohort(
 
 
 def main() -> None:
-    load_waited_s, load_gate_ok = _wait_for_quiet_host()
+    load_waited_s, load_gate_ok, load_gate_max, load_gate_release = (
+        _wait_for_quiet_host()
+    )
     loadavg = [_load1()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -375,6 +381,8 @@ def main() -> None:
         "loadavg_gate": {
             "waited_seconds": load_waited_s,
             "quiet": load_gate_ok,
+            "threshold": load_gate_max,
+            "loadavg_at_release": load_gate_release,
         },
         # this round's rotating-coverage cohort (every oracle-backed
         # key outside the core list is benched at least once every
