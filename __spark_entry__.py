@@ -881,10 +881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda emb: (
                 lambda n: S.ann_lsh_topk(
                     S.replicate_embeddings(
-                        emb, factor=max(2, 5000 // max(n, 1))
+                        emb, factor=RT.probe_factor(n)
                     ),
                     k=10,
-                    n_planes=S.lsh_params_for(n * max(2, 5000 // max(n, 1))),
+                    n_planes=S.lsh_params_for(n * RT.probe_factor(n)),
                 )
             )(emb.count())
         )(_emb(s, d)),

@@ -710,7 +710,11 @@ def events_approx_check(
         ap.alias("_ap"),
         F.min("value").alias("_min"),
         F.max("value").alias("_max"),
-        F.count(F.lit(1)).alias("_n"),
+        # non-null count: the N>=10 gate must count the same population
+        # the percentiles rank (they ignore NULL value) — counting all
+        # rows could admit a group with <6 non-null values, where the
+        # p40 lower bound no longer dominates the approx median's rank
+        F.count("value").alias("_n"),
     )
     exact_users = events.groupBy("event_type").agg(exact.alias("n_users"))
     lo50 = F.when(F.col("_n") >= 10, F.col("_p")[0]).otherwise(

@@ -298,6 +298,18 @@ def bm25_topk(
     )
 
 
+def probe_factor(n_docs: int, target_docs: int = 5_000) -> int:
+    """Replication factor every scale probe derives from the live
+    corpus size: enough copies to reach ~``target_docs``, floor 2. One
+    named formula instead of three inline copies (round-10 ADVICE: the
+    probes' oracles pin factor=10, which this formula yields exactly at
+    the 500-doc graded fixture — tests/test_round11.py asserts that
+    coupling against the real sf0.01 fixture, so a fixture or
+    target_docs change that would silently hash-mismatch the pinned
+    oracle fails a test instead)."""
+    return max(2, target_docs // max(n_docs, 1))
+
+
 def replicate_documents(
     docs: DataFrame,
     factor: int,
@@ -342,7 +354,7 @@ def lexical_scale_probe(
     the graded sf0.01 (matching the pinned oracle) and a bounded 2× at
     bigger bench fixtures (the ``ann_scale_probe`` sizing rationale)."""
     n = docs.select("doc_id").distinct().count()
-    factor = max(2, target_docs // max(n, 1))
+    factor = probe_factor(n, target_docs)
     rep = replicate_documents(docs, factor)
     return lexical_topk(
         rep,
@@ -380,7 +392,7 @@ def hybrid_scale_probe(
     )
 
     n = docs.select("doc_id").distinct().count()
-    factor = max(2, target_docs // max(n, 1))
+    factor = probe_factor(n, target_docs)
     return hybrid_search(
         replicate_documents(docs, factor),
         replicate_embeddings(emb, factor),

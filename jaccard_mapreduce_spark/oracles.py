@@ -3257,7 +3257,11 @@ def lexical_store_stats_sql() -> str:
     exactness claim (a df double-count, a dropped posting, or a drifted
     Σtf marker in the build/upsert path shifts one of these integers
     and fails the hash). ``n_token_occurrences`` counts the
-    NON-deduplicated tokenize — the Σtf marker's independent twin."""
+    NON-deduplicated tokenize — the Σtf marker's independent twin.
+    ``n_distinct_docs`` (round 11) counts distinct doc_ids in the
+    tokenize — the postings-side twin of the ``n_docs`` marker, so the
+    hash pins marker-vs-postings agreement (the upsert id contract's
+    drift check: a replayed batch inflates the marker, not this)."""
     return f"""WITH {TOK_CTE.strip()},
 d AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
 ft AS (SELECT unnest({TOKS_EXPR}) AS token FROM documents)
@@ -3266,7 +3270,9 @@ SELECT CAST((SELECT count(DISTINCT doc_id) FROM documents) AS BIGINT)
        CAST((SELECT count(*) FROM d) AS BIGINT) AS n_tokens,
        CAST((SELECT count(*) FROM tok) AS BIGINT) AS n_postings,
        CAST((SELECT max(df) FROM d) AS BIGINT) AS max_df,
-       CAST((SELECT count(*) FROM ft) AS BIGINT) AS n_token_occurrences"""
+       CAST((SELECT count(*) FROM ft) AS BIGINT) AS n_token_occurrences,
+       CAST((SELECT count(DISTINCT doc_id) FROM tok) AS BIGINT)
+           AS n_distinct_docs"""
 
 
 def lexical_scale_probe_sql(
