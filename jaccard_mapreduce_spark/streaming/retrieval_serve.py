@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from jaccard_mapreduce_spark.operators._cache import pin
 from jaccard_mapreduce_spark.operators.retrieval import (
+    bm25_probe,
     lexical_index,
     lexical_probe,
     rrf_fuse,
@@ -93,6 +94,127 @@ def hybrid_serve_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def bm25_serve_stream(
+    stream: DataFrame,
+    bm25_index: DataFrame,
+    avg_dl: int,
+    out_path: str,
+    checkpoint: str,
+    k: int = 10,
+):
+    """Wire a ``(doc_id, text)`` query stream against a prepared
+    weighted tf index — ``(token, doc_id, tf, dl, w)``, the persisted
+    lexical store's postings joined with its derived weights — scoring
+    each micro-batch under the integer BM25 and appending its
+    top-``k`` to ``out_path``. The round-10 verdict's symmetry gap:
+    ``hybrid_serve_stream`` served only the set-semantics lexical leg;
+    the tf-aware ranking was batch-only. Same serving claim as every
+    serve face: the score depends only on the corpus statistics and
+    the query, so the union over batches hash-matches the one-shot
+    batch result whatever the batch boundaries were. Returns the
+    unstarted writer; exactly-once NOT claimed (replayed batches
+    re-append identical rows — the family's documented recipe)."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = pin(batch_df)
+        try:
+            bm25_probe(
+                bm25_index,
+                b.select("doc_id", "text"),
+                avg_dl,
+                k=k,
+            ).write.mode("append").parquet(out_path)
+        finally:
+            b.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def stream_bm25_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    query_mod: int = 100,
+    n_input_files: int = 4,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Contract query for the streaming BM25 serve (round 11): the
+    deterministic query batch split across ``n_input_files`` files,
+    streamed one file per trigger through :func:`bm25_serve_stream`
+    against the shared build-then-upsert lexical store, returning the
+    union of all appended results. TWO invisibility claims compose in
+    the graded hash: the store's additive-merge exactness (tf, dl, df,
+    n_docs after build-then-upsert equal a fresh full build's — the
+    ``lexical_store_bm25`` claim) and batch-decomposability (per-query
+    scoring never sees batch boundaries), so the log must hash-match
+    the ONE-PLAN full-corpus ``bm25_topk`` oracle. The store's
+    statistics are read ONCE (markers + df) and the weighted index is
+    pinned once — each micro-batch pays only its own probe, the 24/7
+    cache discipline of the hybrid serve."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+        df_weights,
+    )
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        _ensure_lex_store,
+        _require_marker,
+    )
+    from jaccard_mapreduce_spark.sources.vector_index import _scratch_dir
+
+    if max_df_ratio is None:
+        max_df_ratio = GRADED_MAX_DF_RATIO
+    base, docs = _ensure_lex_store(spark, sf_dir)
+    n_docs = _require_marker(spark, base, "_n_docs")
+    total = _require_marker(spark, base, "_n_tokens")
+    w = df_weights(
+        spark.read.parquet(f"{base}/df"), n_docs, max_df_ratio
+    )
+    bm25_idx = pin(
+        spark.read.parquet(f"{base}/postings").join(
+            F.broadcast(w.select("token", "w")), "token"
+        )
+    )
+    scratch = _scratch_dir(spark, suffix="_bm25_serve")
+    shutil.rmtree(scratch, ignore_errors=True)
+    in_dir = os.path.join(scratch, "in")
+    out_dir = os.path.join(scratch, "out")
+    queries = docs.where(F.col("doc_id") % query_mod == 0).select(
+        "doc_id", "text"
+    )
+    queries.repartition(n_input_files).write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = bm25_serve_stream(
+        stream,
+        bm25_idx,
+        total // max(n_docs, 1),
+        out_dir,
+        os.path.join(scratch, "ckpt"),
+        k=k,
+    ).start()
+    q.awaitTermination()
+    try:
+        out = spark.read.parquet(out_dir)
+        # the family's vacuity guard: an empty served log must fail
+        # loudly, not hash-match an equally-empty oracle
+        assert out.limit(1).count() > 0, (
+            "vacuous BM25 serve: no query doc matched a surviving token"
+        )
+        return out
+    finally:
+        bm25_idx.unpersist()
 
 
 def stream_hybrid_serve(

@@ -124,3 +124,31 @@ def test_probe_factor_matches_the_pinned_oracle_at_the_graded_fixture(
     n_emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
     assert probe_factor(n_docs) == pinned
     assert probe_factor(n_emb) == pinned
+
+
+def test_stream_bm25_serve_batching_is_invisible(spark):
+    """The round-11 serving face's core claim: the union of per-batch
+    BM25 results equals the one-shot store-served ranking whatever the
+    batch boundaries were — scores included (exact integers)."""
+    from tests.conftest import SF_SMALL
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        lexical_store_bm25_demo,
+    )
+    from jaccard_mapreduce_spark.streaming.retrieval_serve import (
+        stream_bm25_serve,
+    )
+
+    one_shot = sorted(
+        map(tuple, lexical_store_bm25_demo(spark, SF_SMALL).collect())
+    )
+    assert len(one_shot) > 0
+    for n_files in (2, 5):
+        streamed = sorted(
+            map(
+                tuple,
+                stream_bm25_serve(
+                    spark, SF_SMALL, n_input_files=n_files
+                ).collect(),
+            )
+        )
+        assert streamed == one_shot, f"n_input_files={n_files}"
