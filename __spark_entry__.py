@@ -1029,6 +1029,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_scale_probe": lambda s, d: RT.lexical_scale_probe(
             _docs(s, d)
         ),
+        # new round 11: the tf-aware tier's scale probe — every BM25
+        # operand is replication-invariant in integer arithmetic (tf/dl
+        # verbatim per replica, (N·f) div (df·f) = N div df, and the
+        # mean length (Σtf·f) div (N·f) = Σtf div N), so the factor²
+        # candidate volume runs through the real prune/join/sum
+        # machinery while the ranking stays hash-gradable
+        "bm25_scale_probe": lambda s, d: RT.bm25_scale_probe(
+            _docs(s, d)
+        ),
         # new round 10: tf-aware lexical ranking — the BM25 shape on
         # the integer-exact scoring discipline (tf saturation + length
         # normalization as one all-BIGINT expression; the set-semantics
@@ -1627,6 +1636,9 @@ def oracle_sql() -> dict[str, str]:
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         "lexical_scale_probe": oracles.lexical_scale_probe_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT
+        ),
+        "bm25_scale_probe": oracles.bm25_scale_probe_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         "bm25_topk": oracles.bm25_topk_sql(

@@ -364,6 +364,35 @@ def lexical_scale_probe(
     )
 
 
+def bm25_scale_probe(
+    docs: DataFrame,
+    k: int = 10,
+    query_mod: int = 100,
+    max_df_ratio: float = GRADED_MAX_DF_RATIO,
+    target_docs: int = 5_000,
+) -> DataFrame:
+    """The tf-aware tier's scale probe (round-10 verdict item 5 —
+    ``lexical_scale_probe`` covered only the set-semantics tier): the
+    one-plan :func:`bm25_topk` over the corpus replicated to
+    ~``target_docs``. Every BM25 operand is replication-invariant in
+    integer arithmetic: tf and dl are per-replica-doc facts (verbatim
+    copies), the idf weight ``(N·f) div (df·f) = N div df`` exactly,
+    and the integer mean length ``(Σtf·f) div (N·f) = Σtf div N``
+    (same real quotient ⇒ same floor) — so the factor× ranking stays
+    hash-gradable against the replicated-CTE oracle, and the probe
+    pays the real factor² candidate volume through the same df-prune /
+    broadcast-join / map-side-sum machinery the graded entry runs."""
+    n = docs.select("doc_id").distinct().count()
+    factor = probe_factor(n, target_docs)
+    rep = replicate_documents(docs, factor)
+    return bm25_topk(
+        rep,
+        rep.where(F.col("doc_id") % query_mod == 0),
+        k=k,
+        max_df_ratio=max_df_ratio,
+    )
+
+
 def hybrid_scale_probe(
     docs: DataFrame,
     emb: DataFrame,

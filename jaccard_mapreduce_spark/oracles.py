@@ -3000,21 +3000,29 @@ def bm25_topk_sql(
     k: int = 10,
     query_mod: int = 100,
     max_df_pct: int = 50,
+    ftok_ctes: str | None = None,
+    n_docs_factor: int = 1,
 ) -> str:
     """Oracle for operators/retrieval.py::bm25_topk — the integer BM25
     mirrored term-for-term: tf over the NON-deduplicated tokenize, dl =
     Σ tf per doc, A = total_tokens // n_docs, saturation
     ``(22000·A·tf) // (10·A·tf + 3·A + 9·dl)``, idf weight
     ``n_docs // df`` over the df-pruned vocabulary, integer sum
-    (order-free), rank tie-broken on neighbor_id."""
-    return f"""WITH ftok AS (
+    (order-free), rank tie-broken on neighbor_id.
+
+    ``ftok_ctes`` / ``n_docs_factor`` swap the base tokenize for a
+    replicated one (the ``bm25_scale_probe`` oracle — the
+    ``_lex_ranked_sql`` convention)."""
+    ftok = ftok_ctes or f"""ftok AS (
     SELECT doc_id, unnest({TOKS_EXPR}) AS token FROM documents
-),
+)"""
+    return f"""WITH {ftok.strip()},
 tf AS (
     SELECT doc_id, token, count(*) AS tf FROM ftok GROUP BY 1, 2
 ),
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+nd AS (SELECT count(DISTINCT doc_id) * {n_docs_factor} AS n_docs
+       FROM documents),
 cst AS (
     SELECT (SELECT sum(tf) FROM tf) // (SELECT n_docs FROM nd) AS a
 ),
@@ -3047,6 +3055,46 @@ FROM (
                   AS rank
     FROM scored
 ) WHERE rank <= {k}"""
+
+
+def replicated_ftok_ctes(factor: int, id_offset: int = 1_000_000) -> str:
+    """``ftok`` CTE (NON-deduplicated tokenize — the BM25 chain's
+    base relation) over the replicated corpus: replica ``r`` of a doc
+    keeps its token MULTISET verbatim under ``doc_id + r·id_offset``,
+    so tf and dl are per-replica-doc facts exactly as
+    :func:`~jaccard_mapreduce_spark.operators.retrieval.
+    replicate_documents` produces them."""
+    return f"""
+ftok0 AS (
+    SELECT doc_id, unnest({TOKS_EXPR}) AS token FROM documents
+),
+ftok AS (
+    SELECT t.doc_id + r.r * {id_offset} AS doc_id, t.token
+    FROM ftok0 t CROSS JOIN (SELECT unnest(range({factor})) AS r) r
+)"""
+
+
+def bm25_scale_probe_sql(
+    factor: int = 10,
+    id_offset: int = 1_000_000,
+    k: int = 10,
+    query_mod: int = 100,
+    max_df_pct: int = 78,
+) -> str:
+    """Oracle for operators/retrieval.py::bm25_scale_probe — the
+    one-plan integer BM25 over the ``factor``-replicated corpus. tf/dl
+    replicate verbatim, df and n_docs scale together (weights
+    invariant), and A = (Σtf·f) // (N·f) = Σtf // N (same real
+    quotient, same floor) — the whole replicated ranking stays exactly
+    hash-derivable. Built from the SHARED BM25 chain with the
+    replicated non-dedup tokenize swapped in."""
+    return bm25_topk_sql(
+        k,
+        query_mod,
+        max_df_pct,
+        ftok_ctes=replicated_ftok_ctes(factor, id_offset),
+        n_docs_factor=factor,
+    )
 
 
 def replicated_tok_ctes(factor: int, id_offset: int = 1_000_000) -> str:
