@@ -1393,9 +1393,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": lambda s, d: TA.packing_efficiency(_docs(s, d)),
         "dedup_ngram": lambda s, d: D.ngram_duplicates(_docs(s, d), n=3, threshold=0.8),
         "simhash": lambda s, d: D.simhash(_tokens(s, d)),
+        # changed round 11 (round-10 verdict item 8): every 7th row
+        # carries an undecodable payload, so the decode's NULL path —
+        # previously never exercised by the graded fixture — is in the
+        # hash alongside the healthy header round trip
         "media_meta": _shipped(
             lambda s, d: MM.decode_media_meta(
-                MM.attach_fake_media(_docs(s, d)), backend="fake"
+                MM.attach_fake_media(_docs(s, d), corrupt_mod=7),
+                backend="fake",
             )
         ),
         "media_features": _shipped(
@@ -1409,7 +1414,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-covered): pure per-row projections and salted sampling
         "doc_split": lambda s, d: TA.doc_split(_docs(s, d)),
         "shard_assign": lambda s, d: TA.shard_assign(_docs(s, d)),
-        "stratified_sample": lambda s, d: TA.stratified_sample(_docs(s, d)),
+        # changed round 11 (round-10 verdict item 8): graded with a
+        # fraction map that DROPS a stratum (de: 0.0) and routes an
+        # unlisted stratum (es) through the non-unit default — the two
+        # branches the all-listed default map never put in the hash
+        "stratified_sample": lambda s, d: TA.stratified_sample(
+            _docs(s, d),
+            fractions=TA.GRADED_SAMPLE_FRACTIONS,
+            default_fraction=TA.GRADED_SAMPLE_DEFAULT,
+        ),
         "dedup_exact": lambda s, d: D.exact_duplicates(_docs(s, d)),
         "dedup_embedding": lambda s, d: S.embedding_duplicates(_emb(s, d), min_cosine=0.3),
         "tfidf_top_terms": lambda s, d: TA.tfidf_top_terms(_docs(s, d), k=5),
@@ -1489,7 +1502,8 @@ def oracle_sql() -> dict[str, str]:
         "vocabulary": oracles.vocabulary_sql(),
         "tfidf_top_terms": oracles.tfidf_top_terms_sql(5),
         "stratified_sample": oracles.stratified_sample_sql(
-            TA.DEFAULT_SAMPLE_FRACTIONS
+            TA.GRADED_SAMPLE_FRACTIONS,
+            default_fraction=TA.GRADED_SAMPLE_DEFAULT,
         ),
         "mixture_plan": oracles.mixture_plan_sql(TA.DEFAULT_MIXTURE_TARGETS_BP),
         "mixture_resample": oracles.mixture_resample_sql(
@@ -1800,7 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": oracles.q18_large_orders_sql(),
         "q19_disjunctive_revenue": oracles.q19_disjunctive_revenue_sql(R.Q19_BANDS),
         "dedup_clusters": oracles.dedup_clusters_sql(0.7),
-        "media_meta": oracles.media_meta_sql(),
+        "media_meta": oracles.media_meta_sql(corrupt_mod=7),
         "media_features": oracles.media_features_sql(16),
         "media_frames": oracles.media_frames_sql(16, 2),
         "synthetic_corpus_stats": oracles.synthetic_corpus_stats_sql(),

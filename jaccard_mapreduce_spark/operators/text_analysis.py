@@ -296,6 +296,18 @@ DEFAULT_SAMPLE_FRACTIONS: dict[str, float] = {
     "en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 1.0,
 }
 
+# The fraction map the GRADED stratified_sample entry runs (round-10
+# verdict item 8: the default map lists every fixture lang with no
+# 0-fraction stratum, so the graded hash never exercised the
+# drop-a-stratum cutoff or the default-fraction branch). Here "de" is
+# dropped entirely (cutoff 0 — no bucket qualifies), "es" is absent
+# from the map so it takes the non-unit default, and the partial
+# fractions keep both sides of every stratum's cutoff populated.
+GRADED_SAMPLE_FRACTIONS: dict[str, float] = {
+    "en": 0.25, "de": 0.0, "fr": 0.5, "zh": 1.0,
+}
+GRADED_SAMPLE_DEFAULT = 0.3
+
 
 def vocabulary(
     documents: DataFrame,

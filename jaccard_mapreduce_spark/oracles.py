@@ -2466,16 +2466,32 @@ GROUP BY p_brand"""
 # ---------------------------------------------------------------------------
 
 
-def media_meta_sql() -> str:
+def media_meta_sql(corrupt_mod: int | None = None) -> str:
     # width/height/n_bytes are deterministic functions of doc_id by
     # construction (fake_media_bytes); the Spark side PARSES them back out
     # of the binary header via mapInPandas — matching values proves the
-    # whole binary round trip.
-    return """
+    # whole binary round trip. With corrupt_mod (round 11), rows with
+    # doc_id % corrupt_mod = 0 carry an undecodable payload
+    # (corrupt_media_bytes: wrong magic, 8 bytes shorter): the decode
+    # must yield NULL width/height while still reporting the byte
+    # length — the NULL path in the graded hash.
+    if corrupt_mod is None:
+        return """
 SELECT doc_id,
        CAST((doc_id % 48) * 16 + 64 AS BIGINT) AS width,
        CAST((doc_id % 27) * 16 + 64 AS BIGINT) AS height,
        CAST(15 + 16 * (doc_id % 4 + 1) AS BIGINT) AS n_bytes
+FROM documents"""
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {corrupt_mod} = 0 THEN NULL
+            ELSE CAST((doc_id % 48) * 16 + 64 AS BIGINT) END AS width,
+       CASE WHEN doc_id % {corrupt_mod} = 0 THEN NULL
+            ELSE CAST((doc_id % 27) * 16 + 64 AS BIGINT) END AS height,
+       CASE WHEN doc_id % {corrupt_mod} = 0
+            THEN CAST(7 + 16 * (doc_id % 4 + 1) AS BIGINT)
+            ELSE CAST(15 + 16 * (doc_id % 4 + 1) AS BIGINT)
+       END AS n_bytes
 FROM documents"""
 
 

@@ -152,3 +152,29 @@ def test_stream_bm25_serve_batching_is_invisible(spark):
             )
         )
         assert streamed == one_shot, f"n_input_files={n_files}"
+
+
+def test_regraded_fixtures_exercise_both_branches(spark):
+    """round-10 verdict item 8: the re-graded media_meta /
+    stratified_sample contracts must be NON-trivial at the driver
+    fixture — both branches of each new path populated, pinned here so
+    a fixture regeneration can't silently re-trivialize the grades."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    meta = qs["media_meta"](spark, SF_ORACLE)
+    n_null = meta.where(F.col("width").isNull()).count()
+    n_ok = meta.where(F.col("width").isNotNull()).count()
+    assert n_null > 0 and n_ok > 0, (n_null, n_ok)
+
+    samp = qs["stratified_sample"](spark, SF_ORACLE)
+    strata = {r["stratum"] for r in samp.select("stratum").distinct().collect()}
+    assert "de" not in strata  # the 0.0 cutoff drops the stratum
+    assert "es" in strata  # the unlisted stratum rides the default
+    # the default is non-unit: some es docs must have been dropped
+    n_es_all = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .where(F.col("lang") == "es")
+        .count()
+    )
+    assert 0 < samp.where(F.col("stratum") == "es").count() < n_es_all
