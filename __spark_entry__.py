@@ -1038,6 +1038,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scale_probe": lambda s, d: RT.bm25_scale_probe(
             _docs(s, d)
         ),
+        # new round 11: positional phrase search — exact multi-token
+        # SEQUENCE matching from positional postings (the Lucene
+        # PhraseQuery shape; adjacency is inexpressible in the set and
+        # tf tiers). Phrase batch = each query doc's leading bigram;
+        # score = verbatim occurrence count (integer, hash-graded)
+        "phrase_search": lambda s, d: RT.phrase_search(
+            _docs(s, d),
+            RT.leading_phrases(
+                _docs(s, d).where(F.col("doc_id") % 100 == 0)
+            ),
+        ),
+        # new round 11: the span-level face — every verbatim occurrence
+        # with its 0-based token offset (the contamination-span
+        # relation: WHICH docs quote a phrase and WHERE)
+        "phrase_occurrences": lambda s, d: RT.phrase_occurrences(
+            _docs(s, d),
+            RT.leading_phrases(
+                _docs(s, d).where(F.col("doc_id") % 100 == 0)
+            ),
+        ),
         # new round 10: tf-aware lexical ranking — the BM25 shape on
         # the integer-exact scoring discipline (tf saturation + length
         # normalization as one all-BIGINT expression; the set-semantics
@@ -1655,6 +1675,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scale_probe": oracles.bm25_scale_probe_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
+        "phrase_search": oracles.phrase_search_sql(),
+        "phrase_occurrences": oracles.phrase_occurrences_sql(),
         "bm25_topk": oracles.bm25_topk_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),

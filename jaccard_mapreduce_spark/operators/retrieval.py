@@ -623,3 +623,174 @@ def hybrid_recall_audit(
             for c in ("lex_hits", "bm25_hits", "vec_hits", "fused_hits")
         ],
     )
+
+
+# --- Positional phrase search (round 11) -----------------------------
+#
+# The retrieval tier the engine lacked: exact multi-token PHRASE
+# matching — "spark sql engine" as a sequence, not a bag. Neither the
+# set-semantics tier (token membership) nor BM25 (token frequency) can
+# express adjacency; production retrieval systems serve it from
+# positional postings (Lucene's PhraseQuery shape). Same hash-grade
+# discipline as the rest of the family: integer occurrence counts,
+# deterministic ranks.
+
+
+def doc_token_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings ``(doc_id, pos, token)`` — the non-dedup
+    tokenize with its 0-based ordinal (``posexplode``), the relation
+    phrase/adjacency queries need and ``doc_tokens``' set semantics
+    destroys."""
+    from jaccard_mapreduce_spark.functions.text import tokenize
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "token"),
+    )
+
+
+def phrase_terms(
+    phrases: DataFrame,
+    id_col: str = "phrase_id",
+    text_col: str = "phrase",
+) -> DataFrame:
+    """Per-phrase term relation ``(phrase_id, offset, term, n_terms)``
+    — the broadcastable probe side of :func:`phrase_search` (a phrase
+    batch is human-scale; the corpus is not)."""
+    from jaccard_mapreduce_spark.functions.text import tokenize
+
+    terms = phrases.select(
+        F.col(id_col).alias("phrase_id"),
+        F.posexplode(tokenize(text_col)).alias("offset", "term"),
+    )
+    return terms.withColumn(
+        "n_terms",
+        F.count(F.lit(1)).over(Window.partitionBy("phrase_id")),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact phrase top-``k``: per phrase, the documents containing
+    the token sequence verbatim, ranked by occurrence count —
+    ``(query_id, neighbor_id, score, rank)`` with ``score`` the number
+    of distinct start positions (so a doc repeating the phrase
+    outranks a single mention; all-integer, hash-gradable).
+
+    Plan shape (the family's): the phrase-term relation is BROADCAST
+    against the positional postings' token equi-join — only postings
+    of phrase terms survive the join, so candidate volume is bounded
+    by Σ df(term) over the phrase vocabularies, not the corpus. A
+    position ``p`` matching term-at-``offset`` votes for candidate
+    start ``p − offset``; a start where ALL ``n_terms`` offsets voted
+    is one verbatim occurrence (duplicate terms in a phrase are
+    handled for free: each offset casts its own vote, and a
+    (start, offset) pair can match at most once since positions are
+    unique). Both aggregations are map-side combinable integer counts;
+    the top-k is the shared ``WindowGroupLimit`` rank. A phrase doc
+    never matches itself when phrase_ids share the doc id space (the
+    self-exclusion every retrieval entry applies).
+
+    100 TB note: the stop-phrase hazard mirrors the lexical tier's
+    stop-word hazard — a phrase of only hot tokens fans out to their
+    full postings. The production mitigation is the same df prune
+    applied to the PHRASE batch upstream (refuse or re-rank phrases
+    whose rarest term exceeds max_df_ratio); it is left to the caller
+    because unlike single-token retrieval, dropping a phrase term
+    changes the query's meaning."""
+    terms = phrase_terms(phrases, id_col=phrase_id_col, text_col=phrase_col)
+    posts = doc_token_positions(docs, id_col=id_col, text_col=text_col)
+    votes = posts.join(
+        F.broadcast(terms), posts["token"] == terms["term"]
+    ).select(
+        "phrase_id",
+        "doc_id",
+        (F.col("pos") - F.col("offset")).alias("start"),
+        "n_terms",
+    )
+    occurrences = (
+        votes.where(F.col("start") >= 0)
+        .groupBy("phrase_id", "doc_id", "start", "n_terms")
+        .agg(F.count(F.lit(1)).alias("_n_matched"))
+        .where(F.col("_n_matched") == F.col("n_terms"))
+    )
+    scored = (
+        occurrences.where(F.col("phrase_id") != F.col("doc_id"))
+        .groupBy(
+            F.col("phrase_id").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    return _topk(scored, k)
+
+
+def leading_phrases(
+    docs: DataFrame,
+    n_terms: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic phrase batch for the graded entry: each doc's
+    first ``n_terms`` tokens as its phrase (docs with fewer tokens are
+    dropped — a shorter phrase would be a different query, not a
+    shorter match)."""
+    from jaccard_mapreduce_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("phrase_id"), tokenize(text_col).alias("_t")
+    )
+    return toks.where(F.size("_t") >= n_terms).select(
+        "phrase_id",
+        F.concat_ws(" ", F.slice("_t", 1, n_terms)).alias("phrase"),
+    )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """The span-level face of :func:`phrase_search`: every verbatim
+    occurrence as ``(query_id, neighbor_id, start)`` (0-based token
+    offset), self-matches excluded. This is the relation a
+    training-data pipeline needs when the phrase batch is a benchmark
+    prompt set and the question is contamination — WHICH documents
+    quote a phrase and WHERE, not just a ranked list. Same plan as the
+    ranked face minus the final top-k (broadcast phrase terms, one
+    token equi-join, map-side-combined start votes)."""
+    terms = phrase_terms(phrases, id_col=phrase_id_col, text_col=phrase_col)
+    posts = doc_token_positions(docs, id_col=id_col, text_col=text_col)
+    votes = posts.join(
+        F.broadcast(terms), posts["token"] == terms["term"]
+    ).select(
+        "phrase_id",
+        "doc_id",
+        (F.col("pos") - F.col("offset")).alias("start"),
+        "n_terms",
+    )
+    return (
+        votes.where(
+            (F.col("start") >= 0) & (F.col("phrase_id") != F.col("doc_id"))
+        )
+        .groupBy("phrase_id", "doc_id", "start", "n_terms")
+        .agg(F.count(F.lit(1)).alias("_n_matched"))
+        .where(F.col("_n_matched") == F.col("n_terms"))
+        .select(
+            F.col("phrase_id").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+            F.col("start").cast("long").alias("start"),
+        )
+    )

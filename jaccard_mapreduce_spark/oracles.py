@@ -3073,6 +3073,77 @@ FROM (
 ) WHERE rank <= {k}"""
 
 
+def phrase_search_sql(
+    n_terms: int = 2,
+    k: int = 10,
+    query_mod: int = 100,
+) -> str:
+    """Oracle for operators/retrieval.py::phrase_search over the
+    leading-``n_terms`` phrase batch — positional postings (parallel
+    unnests zip token with its 0-based ordinal), candidate starts
+    ``pos − offset``, a start with all offsets matched = one verbatim
+    occurrence, score = occurrence count, self-match excluded, rank
+    tie-broken on neighbor_id."""
+    return f"""WITH base AS (
+    SELECT doc_id, {TOKS_EXPR} AS toks FROM documents
+),
+ptok AS (
+    SELECT doc_id, unnest(toks) AS token,
+           unnest(range(len(toks))) AS pos
+    FROM base
+),
+pterms AS (
+    SELECT b.doc_id AS phrase_id, o.o AS off, b.toks[o.o + 1] AS term
+    FROM base b, (SELECT unnest(range({n_terms})) AS o) o
+    WHERE b.doc_id % {query_mod} = 0 AND len(b.toks) >= {n_terms}
+),
+occ AS (
+    SELECT t.phrase_id, p.doc_id, p.pos - t.off AS start
+    FROM ptok p JOIN pterms t ON p.token = t.term
+    WHERE p.pos - t.off >= 0
+    GROUP BY 1, 2, 3
+    HAVING count(*) = {n_terms}
+),
+scored AS (
+    SELECT phrase_id AS query_id, doc_id AS neighbor_id,
+           CAST(count(*) AS BIGINT) AS score
+    FROM occ WHERE phrase_id <> doc_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id)
+                  AS rank
+    FROM scored
+) WHERE rank <= {k}"""
+
+
+def phrase_occurrences_sql(n_terms: int = 2, query_mod: int = 100) -> str:
+    """Oracle for operators/retrieval.py::phrase_occurrences — the
+    span-level relation (every verbatim start position), the shared
+    positional-postings chain minus the ranking."""
+    return f"""WITH base AS (
+    SELECT doc_id, {TOKS_EXPR} AS toks FROM documents
+),
+ptok AS (
+    SELECT doc_id, unnest(toks) AS token,
+           unnest(range(len(toks))) AS pos
+    FROM base
+),
+pterms AS (
+    SELECT b.doc_id AS phrase_id, o.o AS off, b.toks[o.o + 1] AS term
+    FROM base b, (SELECT unnest(range({n_terms})) AS o) o
+    WHERE b.doc_id % {query_mod} = 0 AND len(b.toks) >= {n_terms}
+)
+SELECT t.phrase_id AS query_id, p.doc_id AS neighbor_id,
+       CAST(p.pos - t.off AS BIGINT) AS start
+FROM ptok p JOIN pterms t ON p.token = t.term
+WHERE p.pos - t.off >= 0 AND t.phrase_id <> p.doc_id
+GROUP BY 1, 2, 3
+HAVING count(*) = {n_terms}"""
+
+
 def replicated_ftok_ctes(factor: int, id_offset: int = 1_000_000) -> str:
     """``ftok`` CTE (NON-deduplicated tokenize — the BM25 chain's
     base relation) over the replicated corpus: replica ``r`` of a doc

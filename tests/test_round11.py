@@ -178,3 +178,50 @@ def test_regraded_fixtures_exercise_both_branches(spark):
         .count()
     )
     assert 0 < samp.where(F.col("stratum") == "es").count() < n_es_all
+
+
+def test_phrase_search_semantics(spark):
+    """Exact adjacency, occurrence-count scoring, duplicate-term
+    phrases, and self-exclusion — the semantics no bag-of-tokens tier
+    can express."""
+    from jaccard_mapreduce_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big dog sleeps"),
+            (2, "a big dog and a big dog again"),  # two occurrences
+            (3, "dog big"),  # reversed: tokens match, sequence doesn't
+            (4, "big cat dog"),  # gap: not adjacent
+            (5, "the big big dog"),  # duplicate-term phrase target
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(100, "big dog"), (200, "big big dog")],
+        "phrase_id long, phrase string",
+    )
+    out = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in phrase_search(docs, phrases).collect()
+    }
+    assert out[(100, 1)] == 1
+    assert out[(100, 2)] == 2  # repeated phrase outranks single mention
+    assert (100, 3) not in out  # order matters
+    assert (100, 4) not in out  # adjacency matters
+    assert out[(100, 5)] == 1  # "big [big dog]" contains one "big dog"
+    # duplicate-term phrase: each offset votes independently
+    assert out[(200, 5)] == 1
+    assert (200, 1) not in out
+
+
+def test_phrase_search_excludes_self_and_is_nonvacuous(spark):
+    """The graded entry (leading bigrams of the query docs) must be
+    non-vacuous at the tiny fixture and never match the phrase's own
+    doc."""
+    from tests.conftest import SF_SMALL
+    import __spark_entry__ as entry
+
+    res = entry.queries()["phrase_search"](spark, SF_SMALL)
+    rows = res.collect()
+    assert len(rows) > 0
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
