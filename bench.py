@@ -110,42 +110,49 @@ def main() -> None:
     # design round. Everything else rotates through the 4-round cohort,
     # so no key goes unbenched for more than N_BENCH_COHORTS rounds.
     bench_queries = [
-        # slowest-8 of the refreshed round-9 snapshot
-        # (docs/bench_detail_r9.json medians) not already in via
-        # new/changed below — the r8-sidecar slowest-15 rotated out:
-        # their current medians (stream_incremental_jaccard 3.45,
-        # dedup_representatives 4.88, ...) no longer dominate wall-clock
+        # slowest-12 of the round-10 committed snapshot
+        # (docs/bench_detail_r10.json medians) — includes the stored-ANN
+        # cluster the round-10 verdict flagged and round 11 adjudicated
+        # as host load (SCALE.md round 11): keeping them in the 3-rep
+        # core gives the adjudication a clean in-harness confirmation
         "sq8_rank_audit",
-        "ivf_recall_audit",
-        "lsh_fast_ranks",
-        "clustered_split_leakage",
-        "prepare_corpus_rules",
-        "prepare_corpus",
-        "dedup_clusters",
-        # round-10 new/changed — mirrors entry._NEW_OR_CHANGED
-        "hybrid_search",
-        "hybrid_index_search",
-        "hybrid_recall_audit",
         "stream_hybrid_serve",
-        "lexical_store_search",
-        "ivf_index_compact",
-        "events_approx_check",
+        "prepare_corpus",
+        "synthetic_corpus_stats",
+        "ann_sq8_topk",
+        "ivf_index_dist",
+        "effective_token_stats",
+        "lsh_index_upsert",
+        "lsh_index_retune",
+        "clustered_split_leakage",
+        "dedup_cluster_sizes",
+        "lsh_fast_ranks",
+        # round-10 verdict item 7: jaccard_formatted stays in the core
+        # one more round for a clean quiet 3-rep median (its only r10
+        # numbers are one quiet 6.9 s and one contaminated 21.5 s)
+        "jaccard_formatted",
+        # round-11 new/changed — mirrors entry._NEW_OR_CHANGED
+        "stream_bm25_serve",
+        "bm25_scale_probe",
+        "phrase_search",
+        "phrase_occurrences",
         "lexical_store_stats",
-        "lexical_store_compact",
-        "stream_lexical_ingest",
-        "lexical_scale_probe",
-        "hybrid_scale_probe",
-        "bm25_topk",
-        "lexical_store_bm25",
-        "hybrid_bm25_search",
+        "events_approx_check",
+        "media_meta",
+        "stratified_sample",
     ]
     # Queries measured at ONE rep even in the core (round-9 verdict
     # item 8): stream_hybrid_serve's ~26 s median is ~fixed Structured
     # Streaming trigger machinery (checkpointing, 4 micro-batches), not
     # data volume — its spread made it a flagged-noisy median anyway,
     # and the two freed reps buy ~50 s of budget for real coverage.
-    # stream_lexical_ingest pays the same per-trigger overhead.
-    single_rep = {"stream_hybrid_serve", "stream_lexical_ingest"}
+    # stream_lexical_ingest and stream_bm25_serve pay the same
+    # per-trigger overhead.
+    single_rep = {
+        "stream_hybrid_serve",
+        "stream_lexical_ingest",
+        "stream_bm25_serve",
+    }
     cohort = rotating_cohort(
         qs, set(bench_queries), set(), entry._WINDOW_DESIGN_ROUND
     )
@@ -176,7 +183,7 @@ def main() -> None:
         "ivf_index_compact",
         "lexical_store_search", "lexical_store_stats",
         "lexical_store_compact", "stream_lexical_ingest",
-        "lexical_store_bm25",
+        "lexical_store_bm25", "stream_bm25_serve",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]
