@@ -137,6 +137,7 @@ def main() -> None:
         "phrase_search",
         "phrase_occurrences",
         "lexical_store_stats",
+        "lexical_store_phrase",
         "events_approx_check",
         "media_meta",
         "stratified_sample",
@@ -184,6 +185,7 @@ def main() -> None:
         "lexical_store_search", "lexical_store_stats",
         "lexical_store_compact", "stream_lexical_ingest",
         "lexical_store_bm25", "stream_bm25_serve",
+        "lexical_store_phrase",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

@@ -671,6 +671,57 @@ def phrase_terms(
     )
 
 
+def _phrase_votes(
+    positions: DataFrame,
+    phrases: DataFrame,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Shared candidate-start relation over a POSITIONAL POSTINGS
+    relation ``(doc_id, pos, token)`` — used by the one-plan faces and
+    the persisted store's phrase serve so the matching arithmetic can
+    never drift between them. Broadcast phrase terms, one token
+    equi-join, a vote per (phrase, doc, start = pos − offset)."""
+    terms = phrase_terms(phrases, id_col=phrase_id_col, text_col=phrase_col)
+    return positions.join(
+        F.broadcast(terms), positions["token"] == terms["term"]
+    ).select(
+        "phrase_id",
+        "doc_id",
+        (F.col("pos") - F.col("offset")).alias("start"),
+        "n_terms",
+    )
+
+
+def phrase_probe(
+    positions: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Rank documents for a phrase batch against an existing positional
+    postings relation (the probe half of :func:`phrase_search`; the
+    persisted lexical store's phrase serve passes its stored positions
+    here)."""
+    votes = _phrase_votes(positions, phrases, phrase_id_col, phrase_col)
+    occurrences = (
+        votes.where(F.col("start") >= 0)
+        .groupBy("phrase_id", "doc_id", "start", "n_terms")
+        .agg(F.count(F.lit(1)).alias("_n_matched"))
+        .where(F.col("_n_matched") == F.col("n_terms"))
+    )
+    scored = (
+        occurrences.where(F.col("phrase_id") != F.col("doc_id"))
+        .groupBy(
+            F.col("phrase_id").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    return _topk(scored, k)
+
+
 def phrase_search(
     docs: DataFrame,
     phrases: DataFrame,
@@ -707,31 +758,13 @@ def phrase_search(
     whose rarest term exceeds max_df_ratio); it is left to the caller
     because unlike single-token retrieval, dropping a phrase term
     changes the query's meaning."""
-    terms = phrase_terms(phrases, id_col=phrase_id_col, text_col=phrase_col)
-    posts = doc_token_positions(docs, id_col=id_col, text_col=text_col)
-    votes = posts.join(
-        F.broadcast(terms), posts["token"] == terms["term"]
-    ).select(
-        "phrase_id",
-        "doc_id",
-        (F.col("pos") - F.col("offset")).alias("start"),
-        "n_terms",
+    return phrase_probe(
+        doc_token_positions(docs, id_col=id_col, text_col=text_col),
+        phrases,
+        k=k,
+        phrase_id_col=phrase_id_col,
+        phrase_col=phrase_col,
     )
-    occurrences = (
-        votes.where(F.col("start") >= 0)
-        .groupBy("phrase_id", "doc_id", "start", "n_terms")
-        .agg(F.count(F.lit(1)).alias("_n_matched"))
-        .where(F.col("_n_matched") == F.col("n_terms"))
-    )
-    scored = (
-        occurrences.where(F.col("phrase_id") != F.col("doc_id"))
-        .groupBy(
-            F.col("phrase_id").alias("query_id"),
-            F.col("doc_id").alias("neighbor_id"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("score"))
-    )
-    return _topk(scored, k)
 
 
 def leading_phrases(
@@ -771,15 +804,11 @@ def phrase_occurrences(
     quote a phrase and WHERE, not just a ranked list. Same plan as the
     ranked face minus the final top-k (broadcast phrase terms, one
     token equi-join, map-side-combined start votes)."""
-    terms = phrase_terms(phrases, id_col=phrase_id_col, text_col=phrase_col)
-    posts = doc_token_positions(docs, id_col=id_col, text_col=text_col)
-    votes = posts.join(
-        F.broadcast(terms), posts["token"] == terms["term"]
-    ).select(
-        "phrase_id",
-        "doc_id",
-        (F.col("pos") - F.col("offset")).alias("start"),
-        "n_terms",
+    votes = _phrase_votes(
+        doc_token_positions(docs, id_col=id_col, text_col=text_col),
+        phrases,
+        phrase_id_col,
+        phrase_col,
     )
     return (
         votes.where(

@@ -3407,7 +3407,8 @@ SELECT CAST((SELECT count(DISTINCT doc_id) FROM documents) AS BIGINT)
        CAST((SELECT max(df) FROM d) AS BIGINT) AS max_df,
        CAST((SELECT count(*) FROM ft) AS BIGINT) AS n_token_occurrences,
        CAST((SELECT count(DISTINCT doc_id) FROM tok) AS BIGINT)
-           AS n_distinct_docs"""
+           AS n_distinct_docs,
+       CAST((SELECT count(*) FROM ft) AS BIGINT) AS n_positions"""
 
 
 def lexical_scale_probe_sql(

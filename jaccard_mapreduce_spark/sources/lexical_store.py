@@ -24,6 +24,10 @@ Layout (three datasets under one directory, the vector-store shape):
                         facts, so they stay exact under any batch
                         split — the additive-merge contract extends to
                         the BM25 serve unchanged
+  ``<path>/positions``  (doc_id, pos, token) — positional postings
+                        (round 11: the phrase serve's dataset);
+                        per-document facts like tf/dl, appended by
+                        upserts, token-clustered like the postings
   ``<path>/df``         (token, df) — exact per-token document
                         frequency; REWRITTEN by upserts via the
                         tmp-write + rename swap (KBs–MBs: it is one row
@@ -94,6 +98,9 @@ def build_lexical_store(
     (doc, token), so df stays a plain row count per token), write the
     postings hash-distributed by token, aggregate the exact df
     relation, stamp the document count."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        doc_token_positions,
+    )
     from jaccard_mapreduce_spark.sources.vector_index import _fs_write_text
 
     spark = docs.sparkSession
@@ -101,6 +108,13 @@ def build_lexical_store(
     tok.repartition("token").write.mode("overwrite").parquet(
         f"{path}/postings"
     )
+    # positional postings (round 11 — the phrase serve's dataset):
+    # per-document facts like tf/dl, so they merge additively under
+    # upserts exactly like the postings; token-clustered for the same
+    # broadcast-probe locality
+    doc_token_positions(docs, id_col=id_col, text_col=text_col).repartition(
+        "token"
+    ).write.mode("overwrite").parquet(f"{path}/positions")
     # re-read: df must aggregate the WRITTEN postings, not recompute
     # the tokenize (one pass over the stored bytes, and the two
     # datasets can never disagree about what was tokenized)
@@ -172,6 +186,15 @@ def upsert_lexical_store(
         tok_total = tok.agg(F.sum("tf")).first()[0]
         tok.repartition("token").write.mode("append").parquet(
             f"{path}/postings"
+        )
+        from jaccard_mapreduce_spark.operators.retrieval import (
+            doc_token_positions,
+        )
+
+        doc_token_positions(
+            docs, id_col=id_col, text_col=text_col
+        ).repartition("token").write.mode("append").parquet(
+            f"{path}/positions"
         )
         merged = (
             spark.read.parquet(f"{path}/df")
@@ -283,8 +306,13 @@ def lexical_store_stats(spark: SparkSession, path: str) -> dict:
         "n_postings": int(pagg["n_postings"]),
         "n_distinct_docs": int(pagg["n_distinct_docs"]),
         "max_df": int(agg["max_df"]) if agg["max_df"] is not None else 0,
+        # round 11: the positions dataset's row count — on a healthy
+        # store it equals the Σtf marker (one row per token occurrence),
+        # binding the third dataset into the same drift-check family as
+        # n_distinct_docs vs the n_docs marker
+        "n_positions": spark.read.parquet(f"{path}/positions").count(),
     }
-    for name in ("postings", "df"):
+    for name in ("postings", "df", "positions"):
         fs, hpath = _hadoop_fs(spark, f"{path}/{name}")
         out[f"{name}_files"], _ = _count_parquet_files(spark, fs, hpath)
     return out
@@ -313,11 +341,11 @@ def compact_lexical_store(
     return _compact_datasets(
         spark,
         path,
-        ("postings",),
+        ("postings", "positions"),
         "a lexical store",
         n_files,
         target_file_bytes,
-        cluster_by={"postings": "token"},
+        cluster_by={"postings": "token", "positions": "token"},
     )
 
 
@@ -348,7 +376,7 @@ def upsert_lexical_store_stream(stream: DataFrame, path: str, checkpoint: str):
 # rebuilds all three session stores together — a per-site copy of the
 # tag is exactly how a warm session ends up probing a stale-schema
 # store (the round-10 review's finding).
-_LEX_STORE_SCHEMA = "tfv2"
+_LEX_STORE_SCHEMA = "posv3"
 
 
 def _ensure_lex_store(
@@ -380,7 +408,7 @@ def _ensure_lex_store(
         spark,
         sf_dir,
         suffix=suffix,
-        required_dirs=["postings", "df"],
+        required_dirs=["postings", "df", "positions"],
         build=build or _default_build,
         rebuild=rebuild,
         tag_extra=f"base_mod={base_mod}{tag_extra}:{_LEX_STORE_SCHEMA}",
@@ -429,6 +457,70 @@ def search_lexical_store_bm25(
         id_col=id_col,
         text_col=text_col,
     )
+
+
+def search_lexical_store_phrase(
+    spark: SparkSession,
+    path: str,
+    phrases: DataFrame,
+    k: int = 10,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Probe the store's positional postings with a phrase batch —
+    identical semantics to the one-plan :func:`~jaccard_mapreduce_spark.
+    operators.retrieval.phrase_search` over the stored corpus. The
+    positions are per-document facts (the tf/dl argument verbatim), so
+    the phrase serve after build-then-upsert is bit-identical to a
+    fresh full build — the additive-merge invisibility claim's third
+    scoring. The probe broadcasts the phrase-term relation against the
+    token-clustered positions; only phrase-term postings leave the
+    scan."""
+    from jaccard_mapreduce_spark.operators.retrieval import phrase_probe
+
+    return phrase_probe(
+        spark.read.parquet(f"{path}/positions"),
+        phrases,
+        k=k,
+        phrase_id_col=phrase_id_col,
+        phrase_col=phrase_col,
+    )
+
+
+def lexical_store_phrase_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    base_mod: int = 4,
+    query_mod: int = 100,
+    n_terms: int = 2,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the store-served phrase search (round 11):
+    the shared build-then-upsert store probed with the query docs'
+    leading bigrams must value-hash-match the one-plan
+    ``phrase_search`` oracle over the FULL corpus with no build filter
+    — positions are per-document facts, so the mutation path is
+    invisible to the adjacency scoring exactly as it is to the set and
+    tf scorings."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        leading_phrases,
+    )
+
+    base, docs = _ensure_lex_store(spark, sf_dir, base_mod, rebuild)
+    res = search_lexical_store_phrase(
+        spark,
+        base,
+        leading_phrases(
+            docs.where(F.col("doc_id") % query_mod == 0), n_terms=n_terms
+        ),
+        k=k,
+    )
+    # the family's vacuity guard
+    assert res.limit(1).count() > 0, (
+        "vacuous store phrase search: no query bigram recurs in the corpus"
+    )
+    return res
 
 
 def lexical_store_bm25_demo(
@@ -539,10 +631,12 @@ def lexical_store_stats_demo(
                 st["max_df"],
                 st["n_token_occurrences"],
                 st["n_distinct_docs"],
+                st["n_positions"],
             )
         ],
         "n_docs long, n_tokens long, n_postings long, max_df long,"
-        " n_token_occurrences long, n_distinct_docs long",
+        " n_token_occurrences long, n_distinct_docs long,"
+        " n_positions long",
     )
 
 

@@ -225,3 +225,51 @@ def test_phrase_search_excludes_self_and_is_nonvacuous(spark):
     rows = res.collect()
     assert len(rows) > 0
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_store_phrase_serve_matches_one_plan(spark, tmp_path):
+    """The store's third exact serve: positions merge additively, so
+    build-then-upsert phrase results equal the one-plan phrase_search
+    over the union — and compaction preserves the positions relation."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        leading_phrases,
+        phrase_search,
+    )
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        compact_lexical_store,
+        search_lexical_store_phrase,
+        upsert_lexical_store,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big dog sleeps big dog"),
+            (2, "a big dog"),
+            (3, "dog big cat"),
+            (4, "big dog big dog big dog"),
+            (100, "big dog reference query"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "store")
+    build_lexical_store(docs.where(F.col("doc_id") < 3), path)
+    upsert_lexical_store(spark, path, docs.where(F.col("doc_id") >= 3))
+    phrases = leading_phrases(docs.where(F.col("doc_id") == 100))
+    one_plan = sorted(map(tuple, phrase_search(docs, phrases).collect()))
+    served = sorted(
+        map(
+            tuple,
+            search_lexical_store_phrase(spark, path, phrases).collect(),
+        )
+    )
+    assert served == one_plan and len(served) > 0
+    # compaction is pure layout for positions too
+    compact_lexical_store(spark, path)
+    recompacted = sorted(
+        map(
+            tuple,
+            search_lexical_store_phrase(spark, path, phrases).collect(),
+        )
+    )
+    assert recompacted == one_plan
