@@ -61,7 +61,6 @@ from pyspark.sql import functions as F
 
 from jaccard_mapreduce_spark.operators.retrieval import (
     bm25_probe,
-    doc_term_freqs,
     lexical_probe,
 )
 
@@ -93,35 +92,33 @@ def build_lexical_store(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Materialize the store from scratch: tokenize once (term
-    frequencies and doc length included — one row per distinct
-    (doc, token), so df stays a plain row count per token), write the
-    postings hash-distributed by token, aggregate the exact df
-    relation, stamp the document count."""
+    """Materialize the store from scratch: tokenize ONCE into the
+    positional postings (round 11 — the root dataset the phrase serve
+    reads), then derive everything downstream from the WRITTEN bytes —
+    tf/dl postings from the stored positions, df from the stored
+    postings, Σtf marker from the positions count. One corpus tokenize
+    per build, and the datasets can never disagree about what was
+    tokenized (each is a pure aggregation of the one before it)."""
     from jaccard_mapreduce_spark.operators.retrieval import (
         doc_token_positions,
     )
     from jaccard_mapreduce_spark.sources.vector_index import _fs_write_text
+    from pyspark.sql import Window
 
     spark = docs.sparkSession
-    tok = doc_term_freqs(docs, id_col=id_col, text_col=text_col)
-    tok.repartition("token").write.mode("overwrite").parquet(
-        f"{path}/postings"
-    )
-    # positional postings (round 11 — the phrase serve's dataset):
-    # per-document facts like tf/dl, so they merge additively under
-    # upserts exactly like the postings; token-clustered for the same
-    # broadcast-probe locality
     doc_token_positions(docs, id_col=id_col, text_col=text_col).repartition(
         "token"
     ).write.mode("overwrite").parquet(f"{path}/positions")
-    # re-read: df must aggregate the WRITTEN postings, not recompute
-    # the tokenize (one pass over the stored bytes, and the two
-    # datasets can never disagree about what was tokenized)
+    pos = spark.read.parquet(f"{path}/positions")
+    tok = (
+        pos.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    )
+    tok.repartition("token").write.mode("overwrite").parquet(
+        f"{path}/postings"
+    )
     stored = spark.read.parquet(f"{path}/postings")
-    agg = stored.agg(
-        F.sum("tf").alias("total"),
-    ).first()
     (
         stored.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -131,10 +128,11 @@ def build_lexical_store(
     )
     n_docs = docs.select(id_col).distinct().count()
     _fs_write_text(spark, f"{path}/_n_docs", str(n_docs))
-    # total token count (Σ tf) — additive like n_docs, stamped as a
-    # marker so the BM25 serve derives its mean-length scalar from two
-    # KB reads instead of re-scanning the corpus-sized postings
-    _fs_write_text(spark, f"{path}/_n_tokens", str(int(agg["total"] or 0)))
+    # total token count (Σ tf = positions row count) — additive like
+    # n_docs, stamped as a marker so the BM25 serve derives its
+    # mean-length scalar from two KB reads instead of re-scanning the
+    # corpus-sized postings
+    _fs_write_text(spark, f"{path}/_n_tokens", str(pos.count()))
 
 
 def upsert_lexical_store(
@@ -178,23 +176,31 @@ def upsert_lexical_store(
     prev = _require_marker(spark, path, "_n_docs")
     prev_tok = _require_marker(spark, path, "_n_tokens")
 
-    # pinned: the batch tokenize feeds both the postings append and the
-    # df increment; released before returning (per-batch relation — the
-    # streaming-face cache-hygiene rule)
-    tok = pin(doc_term_freqs(docs, id_col=id_col, text_col=text_col))
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        doc_token_positions,
+    )
+    from pyspark.sql import Window
+
+    # pinned: the ONE batch tokenize (its positional form — the round-11
+    # root relation) feeds the positions append, the tf/dl postings
+    # append, the df increment, and the Σtf increment; released before
+    # returning (per-batch relation — the streaming-face cache-hygiene
+    # rule)
+    bpos = pin(doc_token_positions(docs, id_col=id_col, text_col=text_col))
     try:
-        tok_total = tok.agg(F.sum("tf")).first()[0]
+        tok_total = bpos.count()
+        bpos.repartition("token").write.mode("append").parquet(
+            f"{path}/positions"
+        )
+        tok = (
+            bpos.groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+            )
+        )
         tok.repartition("token").write.mode("append").parquet(
             f"{path}/postings"
-        )
-        from jaccard_mapreduce_spark.operators.retrieval import (
-            doc_token_positions,
-        )
-
-        doc_token_positions(
-            docs, id_col=id_col, text_col=text_col
-        ).repartition("token").write.mode("append").parquet(
-            f"{path}/positions"
         )
         merged = (
             spark.read.parquet(f"{path}/df")
@@ -221,7 +227,7 @@ def upsert_lexical_store(
             raise IOError(f"df swap failed: {tmp} -> {path}/df")
         fs.delete(old, True)
     finally:
-        tok.unpersist()
+        bpos.unpersist()
     n_new = docs.select(id_col).distinct().count()
     _fs_write_text(spark, f"{path}/_n_docs", str(prev + n_new))
     batch_tokens = int(tok_total or 0)
