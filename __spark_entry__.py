@@ -444,6 +444,14 @@ def _q_stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_bm25_serve(spark, sf_dir)
 
 
+def _q_stream_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.retrieval_serve import (
+        stream_phrase_serve,
+    )
+
+    return stream_phrase_serve(spark, sf_dir)
+
+
 def _q_lexical_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.lexical_store import (
         lexical_store_search_demo,
@@ -636,8 +644,9 @@ _NEW_OR_CHANGED = [
     # hash-graded 10x scale probe (round-10 verdict items 4-5)
     "stream_bm25_serve", "bm25_scale_probe",
     # new round 11: positional phrase search — exact token-sequence
-    # retrieval (ranked face + the span-level contamination relation)
-    "phrase_search", "phrase_occurrences",
+    # retrieval (ranked face + the span-level contamination relation +
+    # the streaming serve)
+    "phrase_search", "phrase_occurrences", "stream_phrase_serve",
     # changed round 11: n_distinct_docs joined the graded stats row
     # (the upsert id contract's drift check — round-10 verdict item 6)
     "lexical_store_stats",
@@ -661,7 +670,7 @@ _TRANSITIVE_EXEMPT: dict[str, str] = {}
 _R11_WINDOW = [
     # new or changed in round 11 (see _NEW_OR_CHANGED)
     "stream_bm25_serve", "bm25_scale_probe",
-    "phrase_search", "phrase_occurrences",
+    "phrase_search", "phrase_occurrences", "stream_phrase_serve",
     "lexical_store_stats", "lexical_store_phrase",
     "events_approx_check", "media_meta", "stratified_sample",
     # the remaining round-6-stale keys (the r10 window's eight
@@ -670,19 +679,19 @@ _R11_WINDOW = [
     # two of the eight that also changed this round)
     "fingerprints", "lang_id", "lineitem_unpivot",
     "part_brand_stats", "text_stats", "token_counts",
-    # the round-7-stale cohort (42 keys; the 35 below fill the window —
-    # the seven left out, boilerplate_scrub / chunk_documents /
-    # media_frames / pii_scrub / quality_filter / shard_assign /
-    # train_val_split, are per-row projections re-verified by the
-    # oracle-parity pytest sweep every run (media_frames additionally
-    # in test_multimodal) and tie on staleness with the cohort inside,
-    # so the guard holds)
+    # the round-7-stale cohort (42 keys; the 34 below fill the window —
+    # the eight left out, boilerplate_scrub / chunk_documents /
+    # media_features / media_frames / pii_scrub / quality_filter /
+    # shard_assign / train_val_split, are per-row projections
+    # re-verified by the oracle-parity pytest sweep every run (the two
+    # media keys additionally in test_multimodal) and tie on staleness
+    # with the cohort inside, so the guard holds)
     "asof_clicks_views", "bigram_surprise", "clustered_split",
     "clustered_split_leakage", "customer_year_setops",
     "dedup_incremental", "dedup_ngram", "effective_token_stats",
     "events_daily", "events_hopping", "events_interval_join",
     "jaccard_threshold", "jaccard_topk", "lineitem_quantiles",
-    "lsh_fast_ranks", "media_features",
+    "lsh_fast_ranks",
     "minhash_index_upsert", "minhash_signatures",
     "orders_above_customer_avg", "orders_rolling_stats",
     "pack_sequences", "packing_efficiency", "part_price_band_join",
@@ -1010,6 +1019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # store statistics + batch-decomposability of per-query
         # scoring) against the one-plan full-corpus bm25 oracle
         "stream_bm25_serve": _q_stream_bm25_serve,
+        # new round 11: the third serving symmetry — phrase adjacency
+        # served from the store's positions in micro-batches
+        "stream_phrase_serve": _q_stream_phrase_serve,
         # new round 9: the persisted lexical store — the fourth index
         # family, with EXACT incremental maintenance (df and n_docs
         # merge additively, so build-then-upsert ≡ build-over-union
@@ -1668,6 +1680,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_bm25_serve": oracles.bm25_topk_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
+        # the appended union over micro-batches ≡ the one-plan
+        # full-corpus phrase ranking (positions merge additively +
+        # per-phrase scoring is batch-decomposable)
+        "stream_phrase_serve": oracles.phrase_search_sql(),
         # store built on %4!=0, upserted with the rest — the oracle has
         # NO build filter (additive-merge exactness)
         "lexical_store_search": oracles.lexical_store_search_sql(

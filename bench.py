@@ -133,6 +133,7 @@ def main() -> None:
         "jaccard_formatted",
         # round-11 new/changed — mirrors entry._NEW_OR_CHANGED
         "stream_bm25_serve",
+        "stream_phrase_serve",
         "bm25_scale_probe",
         "phrase_search",
         "phrase_occurrences",
@@ -153,6 +154,7 @@ def main() -> None:
         "stream_hybrid_serve",
         "stream_lexical_ingest",
         "stream_bm25_serve",
+        "stream_phrase_serve",
     }
     cohort = rotating_cohort(
         qs, set(bench_queries), set(), entry._WINDOW_DESIGN_ROUND
@@ -185,7 +187,7 @@ def main() -> None:
         "lexical_store_search", "lexical_store_stats",
         "lexical_store_compact", "stream_lexical_ingest",
         "lexical_store_bm25", "stream_bm25_serve",
-        "lexical_store_phrase",
+        "lexical_store_phrase", "stream_phrase_serve",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]
