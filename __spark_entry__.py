@@ -647,6 +647,10 @@ _NEW_OR_CHANGED = [
     # retrieval (ranked face + the span-level contamination relation +
     # the streaming serve)
     "phrase_search", "phrase_occurrences", "stream_phrase_serve",
+    # new round 11: asymmetric n-gram containment (the GPT-3
+    # decontamination recipe's shape — Jaccard dedup can't see a short
+    # benchmark quoted inside a long document)
+    "ngram_contamination",
     # changed round 11: n_distinct_docs joined the graded stats row
     # (the upsert id contract's drift check — round-10 verdict item 6)
     "lexical_store_stats",
@@ -671,6 +675,7 @@ _R11_WINDOW = [
     # new or changed in round 11 (see _NEW_OR_CHANGED)
     "stream_bm25_serve", "bm25_scale_probe",
     "phrase_search", "phrase_occurrences", "stream_phrase_serve",
+    "ngram_contamination",
     "lexical_store_stats", "lexical_store_phrase",
     "events_approx_check", "media_meta", "stratified_sample",
     # the remaining round-6-stale keys (the r10 window's eight
@@ -679,13 +684,13 @@ _R11_WINDOW = [
     # two of the eight that also changed this round)
     "fingerprints", "lang_id", "lineitem_unpivot",
     "part_brand_stats", "text_stats", "token_counts",
-    # the round-7-stale cohort (42 keys; the 34 below fill the window —
-    # the eight left out, boilerplate_scrub / chunk_documents /
+    # the round-7-stale cohort (42 keys; the 33 below fill the window —
+    # the nine left out, boilerplate_scrub / chunk_documents /
     # media_features / media_frames / pii_scrub / quality_filter /
-    # shard_assign / train_val_split, are per-row projections
-    # re-verified by the oracle-parity pytest sweep every run (the two
-    # media keys additionally in test_multimodal) and tie on staleness
-    # with the cohort inside, so the guard holds)
+    # shard_assign / simhash / train_val_split, are per-row / per-doc
+    # projections re-verified by the oracle-parity pytest sweep every
+    # run (the two media keys additionally in test_multimodal) and tie
+    # on staleness with the cohort inside, so the guard holds)
     "asof_clicks_views", "bigram_surprise", "clustered_split",
     "clustered_split_leakage", "customer_year_setops",
     "dedup_incremental", "dedup_ngram", "effective_token_stats",
@@ -696,7 +701,7 @@ _R11_WINDOW = [
     "orders_above_customer_avg", "orders_rolling_stats",
     "pack_sequences", "packing_efficiency", "part_price_band_join",
     "q18_large_orders", "q19_disjunctive_revenue", "q7_nation_volume",
-    "simhash", "split_leakage_audit", "stream_dedup_events",
+    "split_leakage_audit", "stream_dedup_events",
     "stream_enrich_segments", "stream_latest_event", "stream_sessions",
     "stream_user_counts", "stream_windowed_hourly",
     "synthetic_stream_stats",
@@ -1439,6 +1444,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded transitively here.
         "packing_efficiency": lambda s, d: TA.packing_efficiency(_docs(s, d)),
         "dedup_ngram": lambda s, d: D.ngram_duplicates(_docs(s, d), n=3, threshold=0.8),
+        # new round 11: benchmark decontamination — ASYMMETRIC n-gram
+        # containment (a short eval prompt quoted inside a long doc
+        # sails under any Jaccard dedup threshold; this flags it at
+        # full strength). Benchmark side broadcast, integer counts
+        "ngram_contamination": lambda s, d: D.ngram_contamination(
+            _docs(s, d), _docs(s, d).where(F.col("doc_id") % 100 == 0)
+        ),
         "simhash": lambda s, d: D.simhash(_tokens(s, d)),
         # changed round 11 (round-10 verdict item 8): every 7th row
         # carries an undecodable payload, so the decode's NULL path —
@@ -1558,6 +1570,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": oracles.exact_duplicates_sql(),
         "dedup_ngram": oracles.ngram_duplicates_sql(3, 0.8),
+        "ngram_contamination": oracles.ngram_contamination_sql(),
         "minhash_signatures": oracles.minhash_signatures_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_dedup_sql(0.7),
         "pagerank_centrality": oracles.pagerank_centrality_sql(0.7),

@@ -134,6 +134,7 @@ def main() -> None:
         # round-11 new/changed — mirrors entry._NEW_OR_CHANGED
         "stream_bm25_serve",
         "stream_phrase_serve",
+        "ngram_contamination",
         "bm25_scale_probe",
         "phrase_search",
         "phrase_occurrences",

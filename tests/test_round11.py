@@ -273,3 +273,41 @@ def test_store_phrase_serve_matches_one_plan(spark, tmp_path):
         )
     )
     assert recompacted == one_plan
+
+
+def test_ngram_contamination_catches_what_jaccard_dedup_cannot(spark):
+    """The operator's reason to exist: a short benchmark prompt quoted
+    verbatim inside a long document is invisible to n-gram Jaccard
+    (tiny intersection/union ratio) but is full-strength containment."""
+    from jaccard_mapreduce_spark.operators.dedup import (
+        ngram_contamination,
+        ngram_duplicates,
+    )
+
+    bench_text = "solve the riddle of the sphinx"
+    long_doc = " ".join(
+        f"filler{i} word{i} pad{i}" for i in range(40)
+    ) + " " + bench_text + " " + " ".join(
+        f"tail{i} more{i}" for i in range(40)
+    )
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, "an unrelated document about nothing")],
+        "doc_id long, text string",
+    )
+    benchmarks = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    out = ngram_contamination(docs, benchmarks, n=3).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["bench_id"], row["doc_id"]) == (100, 1)
+    # the benchmark's 4 trigrams all appear verbatim in the long doc
+    assert row["n_shared"] == row["n_bench_ngrams"] == 4
+    # ...while Jaccard dedup at any sane threshold sees nothing
+    corpus = docs.unionByName(benchmarks)
+    assert (
+        ngram_duplicates(corpus, n=3, threshold=0.1)
+        .where((F.col("doc_a") == 1) | (F.col("doc_b") == 1))
+        .count()
+        == 0
+    )
