@@ -478,3 +478,64 @@ def test_halfup_pct_formula_matches_exact_decimal_rounding(u, data):
         )
     )
     assert pct == want, f"I={i} U={u}: formula {pct} != decimal {want}"
+
+
+def _py_token_list(text: str) -> list[str]:
+    """Order-preserving tokenizer twin (duplicates kept)."""
+    return [t for t in _TOKEN_RE.sub(" ", text.lower()).split() if t]
+
+
+def _py_phrase_occurrences(
+    doc_tokens: list[str], phrase_tokens: list[str]
+) -> int:
+    """Naive verbatim-occurrence count — the from-scratch reference
+    the positional start-vote trick must agree with."""
+    n = len(phrase_tokens)
+    if n == 0 or len(doc_tokens) < n:
+        return 0
+    return sum(
+        1
+        for s in range(len(doc_tokens) - n + 1)
+        if doc_tokens[s : s + n] == phrase_tokens
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc_text, min_size=1, max_size=6),
+    phrases=st.lists(_doc_text, min_size=1, max_size=3),
+)
+def test_phrase_search_matches_naive_python(spark, texts, phrases):
+    """The positional start-vote construction (operators/retrieval.py::
+    phrase_search) against a naive O(len·n) Python scan over random
+    corpora — duplicate tokens, empty docs, phrases longer than docs,
+    single-token phrases, everything the strategy generates. Scores
+    (occurrence counts) must match exactly; k is set above any possible
+    result size so top-k truncation is out of the comparison."""
+    from jaccard_mapreduce_spark.operators.retrieval import phrase_search
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    # phrase ids offset past doc ids (the self-exclusion is id-based)
+    pdocs = [(1000 + i, t) for i, t in enumerate(phrases)]
+    tok = {i: _py_token_list(t) for i, t in docs}
+    ptok = {i: _py_token_list(t) for i, t in pdocs}
+    expected = {}
+    for pid, pt in ptok.items():
+        if not pt:
+            continue  # empty phrase: no terms, no matches
+        for did, dt in tok.items():
+            c = _py_phrase_occurrences(dt, pt)
+            if c > 0:
+                expected[(pid, did)] = c
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pf = spark.createDataFrame(pdocs, "phrase_id long, phrase string")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in phrase_search(df, pf, k=10_000).collect()
+    }
+    assert got == expected
