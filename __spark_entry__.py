@@ -649,8 +649,9 @@ _NEW_OR_CHANGED = [
     "phrase_search", "phrase_occurrences", "stream_phrase_serve",
     # new round 11: asymmetric n-gram containment (the GPT-3
     # decontamination recipe's shape — Jaccard dedup can't see a short
-    # benchmark quoted inside a long document)
-    "ngram_contamination",
+    # benchmark quoted inside a long document) + its action half (the
+    # anti-join scrub)
+    "ngram_contamination", "contamination_scrub",
     # changed round 11: n_distinct_docs joined the graded stats row
     # (the upsert id contract's drift check — round-10 verdict item 6)
     "lexical_store_stats",
@@ -675,7 +676,7 @@ _R11_WINDOW = [
     # new or changed in round 11 (see _NEW_OR_CHANGED)
     "stream_bm25_serve", "bm25_scale_probe",
     "phrase_search", "phrase_occurrences", "stream_phrase_serve",
-    "ngram_contamination",
+    "ngram_contamination", "contamination_scrub",
     "lexical_store_stats", "lexical_store_phrase",
     "events_approx_check", "media_meta", "stratified_sample",
     # the remaining round-6-stale keys (the r10 window's eight
@@ -684,20 +685,22 @@ _R11_WINDOW = [
     # two of the eight that also changed this round)
     "fingerprints", "lang_id", "lineitem_unpivot",
     "part_brand_stats", "text_stats", "token_counts",
-    # the round-7-stale cohort (42 keys; the 33 below fill the window —
-    # the nine left out, boilerplate_scrub / chunk_documents /
-    # media_features / media_frames / pii_scrub / quality_filter /
-    # shard_assign / simhash / train_val_split, are per-row / per-doc
-    # projections re-verified by the oracle-parity pytest sweep every
-    # run (the two media keys additionally in test_multimodal) and tie
-    # on staleness with the cohort inside, so the guard holds)
+    # the round-7-stale cohort (42 keys; the 32 below fill the window —
+    # the ten left out, boilerplate_scrub / chunk_documents /
+    # media_features / media_frames / minhash_signatures / pii_scrub /
+    # quality_filter / shard_assign / simhash / train_val_split, are
+    # per-row / per-doc projections re-verified by the oracle-parity
+    # pytest sweep every run (the two media keys additionally in
+    # test_multimodal; the signature relations additionally via the
+    # minhash index faces that consume them) and tie on staleness with
+    # the cohort inside, so the guard holds)
     "asof_clicks_views", "bigram_surprise", "clustered_split",
     "clustered_split_leakage", "customer_year_setops",
     "dedup_incremental", "dedup_ngram", "effective_token_stats",
     "events_daily", "events_hopping", "events_interval_join",
     "jaccard_threshold", "jaccard_topk", "lineitem_quantiles",
     "lsh_fast_ranks",
-    "minhash_index_upsert", "minhash_signatures",
+    "minhash_index_upsert",
     "orders_above_customer_avg", "orders_rolling_stats",
     "pack_sequences", "packing_efficiency", "part_price_band_join",
     "q18_large_orders", "q19_disjunctive_revenue", "q7_nation_volume",
@@ -1451,6 +1454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": lambda s, d: D.ngram_contamination(
             _docs(s, d), _docs(s, d).where(F.col("doc_id") % 100 == 0)
         ),
+        # new round 11: the audit's action half — the corpus with
+        # contaminated docs anti-joined out (the flag set broadcasts;
+        # the corpus never shuffles)
+        "contamination_scrub": lambda s, d: D.contamination_scrub(
+            _docs(s, d), _docs(s, d).where(F.col("doc_id") % 100 == 0)
+        ),
         "simhash": lambda s, d: D.simhash(_tokens(s, d)),
         # changed round 11 (round-10 verdict item 8): every 7th row
         # carries an undecodable payload, so the decode's NULL path —
@@ -1571,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.exact_duplicates_sql(),
         "dedup_ngram": oracles.ngram_duplicates_sql(3, 0.8),
         "ngram_contamination": oracles.ngram_contamination_sql(),
+        "contamination_scrub": oracles.contamination_scrub_sql(),
         "minhash_signatures": oracles.minhash_signatures_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_dedup_sql(0.7),
         "pagerank_centrality": oracles.pagerank_centrality_sql(0.7),

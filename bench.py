@@ -135,6 +135,7 @@ def main() -> None:
         "stream_bm25_serve",
         "stream_phrase_serve",
         "ngram_contamination",
+        "contamination_scrub",
         "bm25_scale_probe",
         "phrase_search",
         "phrase_occurrences",

@@ -1664,3 +1664,41 @@ def ngram_contamination(
             F.col("n_bench_ngrams").cast("long").alias("n_bench_ngrams"),
         )
     )
+
+
+def contamination_scrub(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """The audit's action half: the corpus with contaminated documents
+    REMOVED — every doc sharing ≥ ``min_shared`` distinct word
+    n-grams with ANY benchmark item (per :func:`ngram_contamination`)
+    is dropped via a LEFT ANTI join; everything else passes through
+    with all its columns. ``min_shared`` is the published pipelines'
+    lever (1 = the strict GPT-3 shape at long n; higher tolerates
+    incidental short-gram collisions). The flagged-id relation is tiny
+    relative to the corpus (it is bounded by the docs that share
+    benchmark grams), so at 100 TB the anti-join plans as a broadcast
+    of the flag set against the corpus scan — the corpus itself never
+    shuffles."""
+    flagged = (
+        ngram_contamination(
+            corpus,
+            benchmarks,
+            n=n,
+            id_col=id_col,
+            text_col=text_col,
+            bench_id_col=bench_id_col,
+            bench_text_col=bench_text_col,
+        )
+        .where(F.col("n_shared") >= min_shared)
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

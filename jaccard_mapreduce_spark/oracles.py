@@ -3094,6 +3094,27 @@ SELECT h.bench_id, h.doc_id, h.n_shared,
 FROM hits h JOIN sizes s USING (bench_id)"""
 
 
+def contamination_scrub_sql(
+    n: int = 3, query_mod: int = 100, min_shared: int = 1
+) -> str:
+    """Oracle for operators/dedup.py::contamination_scrub — documents
+    minus the ids flagged by the contamination audit (anti-join
+    mirrored as NOT IN over the hits CTE)."""
+    return f"""WITH {_shingle_cte(n).strip().rstrip()},
+b AS (
+    SELECT doc_id AS bench_id, token FROM sh_tok
+    WHERE doc_id % {query_mod} = 0
+),
+flagged AS (
+    SELECT c.doc_id
+    FROM sh_tok c JOIN b ON c.token = b.token AND b.bench_id <> c.doc_id
+    GROUP BY c.doc_id, b.bench_id
+    HAVING count(*) >= {min_shared}
+)
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM flagged)"""
+
+
 def phrase_search_sql(
     n_terms: int = 2,
     k: int = 10,
