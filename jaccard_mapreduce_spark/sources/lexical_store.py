@@ -11,7 +11,7 @@ increments and the store after ``build(base); upsert(rest)`` is
 indistinguishable from ``build(base ∪ rest)``, bit-for-bit, with no
 staleness counter and no retune. The graded contract pins exactly that.
 
-Layout (three datasets under one directory, the vector-store shape):
+Layout (four datasets under one directory, the vector-store shape):
 
   ``<path>/postings``   (token, doc_id, tf, dl) — the inverted index
                         WITH term frequencies and the doc length
@@ -48,9 +48,10 @@ correct retrieval semantics (yesterday's discriminative token can be
 today's stop word).
 
 Honesty contract shared with the other stores' mutation paths:
-exactly-once is NOT claimed. The upsert appends postings, then swaps
-the df dataset, then bumps the marker — a crash between steps leaves a
-store whose df lags its postings until the upsert is retried;
+exactly-once is NOT claimed. The upsert appends positions, then
+postings, then swaps the df dataset, then bumps the markers — a crash
+between steps leaves a store whose later datasets lag its earlier
+ones until the upsert is retried;
 per-batch idempotence belongs upstream (the streaming faces' watermark
 dedup recipe)."""
 
@@ -175,6 +176,17 @@ def upsert_lexical_store(
     # path was protected by the _LEX_STORE_SCHEMA tag).
     prev = _require_marker(spark, path, "_n_docs")
     prev_tok = _require_marker(spark, path, "_n_tokens")
+    # Same precondition class for the posv3 positions dataset: a
+    # pre-posv3 store (markers present, no positions) must refuse —
+    # otherwise the append below CREATES a positions dir holding only
+    # this batch, and every later phrase serve silently misses the
+    # base corpus. Rebuild the store, don't mutate it.
+    fs0, pos_path = _hadoop_fs(spark, f"{path}/positions")
+    if not fs0.exists(pos_path):
+        raise ValueError(
+            f"{path} has no positions dataset: pre-posv3 lexical store "
+            "— rebuild with build_lexical_store instead of upserting"
+        )
 
     from jaccard_mapreduce_spark.operators.retrieval import (
         doc_token_positions,

@@ -311,3 +311,29 @@ def test_ngram_contamination_catches_what_jaccard_dedup_cannot(spark):
         .count()
         == 0
     )
+
+
+def test_upsert_refuses_a_store_without_positions(spark, tmp_path):
+    """posv3 twin of the marker precondition: upserting a pre-posv3
+    store (markers present, no positions dataset) must refuse before
+    any bytes land — an append would otherwise CREATE a positions dir
+    holding only the batch and every later phrase serve would silently
+    miss the base corpus."""
+    import shutil
+
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        upsert_lexical_store,
+    )
+
+    path = str(tmp_path / "store")
+    docs = _tiny_docs(spark)
+    build_lexical_store(docs.where(F.col("doc_id") <= 2), path)
+    shutil.rmtree(f"{path}/positions")
+    before = spark.read.parquet(f"{path}/postings").count()
+    with pytest.raises(ValueError, match="positions"):
+        upsert_lexical_store(spark, path, docs.where(F.col("doc_id") == 3))
+    assert spark.read.parquet(f"{path}/postings").count() == before
+    import os
+
+    assert not os.path.exists(f"{path}/positions")
