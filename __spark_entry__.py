@@ -1078,10 +1078,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PhraseQuery shape; adjacency is inexpressible in the set and
         # tf tiers). Phrase batch = each query doc's leading bigram;
         # score = verbatim occurrence count (integer, hash-graded)
+        # n_terms/query_mod pinned EXPLICITLY on both the query and its
+        # oracle (below) so the coupling is visible in this one file —
+        # the probe-factor lesson from the round-10 ADVICE
         "phrase_search": lambda s, d: RT.phrase_search(
             _docs(s, d),
             RT.leading_phrases(
-                _docs(s, d).where(F.col("doc_id") % 100 == 0)
+                _docs(s, d).where(F.col("doc_id") % 100 == 0), n_terms=2
             ),
         ),
         # new round 11: the span-level face — every verbatim occurrence
@@ -1090,7 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_occurrences": lambda s, d: RT.phrase_occurrences(
             _docs(s, d),
             RT.leading_phrases(
-                _docs(s, d).where(F.col("doc_id") % 100 == 0)
+                _docs(s, d).where(F.col("doc_id") % 100 == 0), n_terms=2
             ),
         ),
         # new round 10: tf-aware lexical ranking — the BM25 shape on
@@ -1452,13 +1455,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sails under any Jaccard dedup threshold; this flags it at
         # full strength). Benchmark side broadcast, integer counts
         "ngram_contamination": lambda s, d: D.ngram_contamination(
-            _docs(s, d), _docs(s, d).where(F.col("doc_id") % 100 == 0)
+            _docs(s, d),
+            _docs(s, d).where(F.col("doc_id") % 100 == 0),
+            n=3,
         ),
         # new round 11: the audit's action half — the corpus with
         # contaminated docs anti-joined out (the flag set broadcasts;
         # the corpus never shuffles)
         "contamination_scrub": lambda s, d: D.contamination_scrub(
-            _docs(s, d), _docs(s, d).where(F.col("doc_id") % 100 == 0)
+            _docs(s, d),
+            _docs(s, d).where(F.col("doc_id") % 100 == 0),
+            n=3,
+            min_shared=1,
         ),
         "simhash": lambda s, d: D.simhash(_tokens(s, d)),
         # changed round 11 (round-10 verdict item 8): every 7th row
@@ -1579,8 +1587,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": oracles.exact_duplicates_sql(),
         "dedup_ngram": oracles.ngram_duplicates_sql(3, 0.8),
-        "ngram_contamination": oracles.ngram_contamination_sql(),
-        "contamination_scrub": oracles.contamination_scrub_sql(),
+        "ngram_contamination": oracles.ngram_contamination_sql(
+            n=3, query_mod=100
+        ),
+        "contamination_scrub": oracles.contamination_scrub_sql(
+            n=3, query_mod=100, min_shared=1
+        ),
         "minhash_signatures": oracles.minhash_signatures_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_dedup_sql(0.7),
         "pagerank_centrality": oracles.pagerank_centrality_sql(0.7),
@@ -1706,7 +1718,9 @@ def oracle_sql() -> dict[str, str]:
         # the appended union over micro-batches ≡ the one-plan
         # full-corpus phrase ranking (positions merge additively +
         # per-phrase scoring is batch-decomposable)
-        "stream_phrase_serve": oracles.phrase_search_sql(),
+        "stream_phrase_serve": oracles.phrase_search_sql(
+            n_terms=2, query_mod=100
+        ),
         # store built on %4!=0, upserted with the rest — the oracle has
         # NO build filter (additive-merge exactness)
         "lexical_store_search": oracles.lexical_store_search_sql(
@@ -1729,8 +1743,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scale_probe": oracles.bm25_scale_probe_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
-        "phrase_search": oracles.phrase_search_sql(),
-        "phrase_occurrences": oracles.phrase_occurrences_sql(),
+        "phrase_search": oracles.phrase_search_sql(
+            n_terms=2, query_mod=100
+        ),
+        "phrase_occurrences": oracles.phrase_occurrences_sql(
+            n_terms=2, query_mod=100
+        ),
         "bm25_topk": oracles.bm25_topk_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
@@ -1741,7 +1759,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # store-served phrase search ≡ the one-plan full-corpus oracle
         # (positions merge additively like tf/dl)
-        "lexical_store_phrase": oracles.phrase_search_sql(),
+        "lexical_store_phrase": oracles.phrase_search_sql(
+            n_terms=2, query_mod=100
+        ),
         # the prune lives INSIDE the leg SQL — hybrid_search_sql raises
         # if a lex_leg_sql call also passes chain params it would ignore
         "hybrid_bm25_search": oracles.hybrid_search_sql(
