@@ -7,6 +7,9 @@ queries to a conf that existed only on session.py sessions, a failure mode
 tests/conftest.py's tuned fixture can never catch.
 
 Usage: python scripts/driver_sim.py [query ...]   (default: all)
+       python scripts/driver_sim.py --counts     (print the canonical
+       registry counts for round-close docs — round-11 verdict item 6:
+       SCALE.md's hand-typed "197" was wrong; print and paste instead)
 """
 
 from __future__ import annotations
@@ -35,6 +38,35 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                 lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
             )
     return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def counts() -> int:
+    """The canonical round-close registry counts, computed from the live
+    registry (never hand-typed into SCALE.md again)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    bench_only = entrymod.bench_only_queries()
+    print(
+        json.dumps(
+            {
+                "registry_keys": len(qs),
+                "oracle_backed": sum(1 for k in qs if k in oracles),
+                "keys_without_oracle": sorted(set(qs) - set(oracles)),
+                "bench_only_keys": sorted(bench_only),
+                "window_design_round": entrymod._WINDOW_DESIGN_ROUND,
+                "window_size": len(_window(entrymod)),
+            }
+        )
+    )
+    return 0
+
+
+def _window(entrymod):
+    return getattr(
+        entrymod, f"_R{entrymod._WINDOW_DESIGN_ROUND}_WINDOW"
+    )
 
 
 def main() -> int:
@@ -120,4 +152,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--counts"]:
+        sys.exit(counts())
     sys.exit(main())

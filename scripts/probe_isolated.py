@@ -36,10 +36,26 @@ def main() -> None:
         raise SystemExit("usage: probe_isolated.py KEY [KEY...]")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("PROBE_REPS", "3"))
-    spark = get_spark(app_name="probe")
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        # a mistyped key in an ad-hoc adjudication run should name its
+        # closest matches, not die with a bare KeyError (round-11 ADVICE)
+        import difflib
+
+        hints = {
+            k: difflib.get_close_matches(k, qs, n=3, cutoff=0.4)
+            for k in unknown
+        }
+        raise SystemExit(
+            f"unknown query keys: {unknown}; close matches: {hints}; "
+            f"{len(qs)} known keys — list them with "
+            "python -c \"import __spark_entry__ as e; "
+            "print(sorted(e.queries()))\""
+        )
+    spark = get_spark(app_name="probe")
     print(json.dumps({"loadavg_start": os.getloadavg()}))
     for key in keys:
         fn = qs[key]
