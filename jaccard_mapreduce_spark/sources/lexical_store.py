@@ -17,17 +17,31 @@ Layout (four datasets under one directory, the vector-store shape):
                         WITH term frequencies and the doc length
                         (round 10: one store serves both the
                         set-semantics probe, which ignores tf/dl, and
-                        the integer-BM25 probe); appended by upserts,
-                        hash-distributed by token so a probe's
-                        broadcast join streams each executor's slice
-                        without a shuffle. tf and dl are per-document
-                        facts, so they stay exact under any batch
-                        split — the additive-merge contract extends to
-                        the BM25 serve unchanged
+                        the integer-BM25 probe); appended by upserts.
+                        HASH-CLUSTERED BY doc_id since round 12 (tag
+                        docv4): every probe aggregates per
+                        (query, doc) after the broadcast token join,
+                        and doc clustering lets that partial
+                        aggregation combine each pair COMPLETELY
+                        map-side — the round-11 one-plan finding
+                        applied to the serve paths. Measured at
+                        sf0.1×10 (docs/SCALE.md round 12): the
+                        token-clustered serve ran 45.9 s lexical /
+                        11.8 s phrase, doc-clustered 6.4 / 5.8 s, and
+                        the token layout's claimed query-sliced-read
+                        advantage measured ZERO (small-batch probes
+                        0.93 vs 0.95 s — hash clustering yields no
+                        row-group pruning; the scan reads everything
+                        either way), while doc clustering also
+                        compresses 3.4× better (doc_id run-length
+                        encodes). tf and dl are per-document facts, so
+                        they stay exact under any batch split — the
+                        additive-merge contract extends to the BM25
+                        serve unchanged
   ``<path>/positions``  (doc_id, pos, token) — positional postings
                         (round 11: the phrase serve's dataset);
                         per-document facts like tf/dl, appended by
-                        upserts, token-clustered like the postings
+                        upserts, doc_id-clustered like the postings
   ``<path>/df``         (token, df) — exact per-token document
                         frequency; REWRITTEN by upserts via the
                         tmp-write + rename swap (KBs–MBs: it is one row
@@ -48,12 +62,14 @@ correct retrieval semantics (yesterday's discriminative token can be
 today's stop word).
 
 Honesty contract shared with the other stores' mutation paths:
-exactly-once is NOT claimed. The upsert appends positions, then
-postings, then swaps the df dataset, then bumps the markers — a crash
-between steps leaves a store whose later datasets lag its earlier
-ones until the upsert is retried;
-per-batch idempotence belongs upstream (the streaming faces' watermark
-dedup recipe)."""
+exactly-once is NOT claimed. The upsert STAGES the batch into tmp
+subdirectories and mutates the live store only in a final
+metadata-rename promote sequence (positions in, postings in, df swap,
+markers) — a crash before the promote leaves the store untouched
+(blind retry safe); a crash inside it leaves datasets ahead of the
+markers, visible to the stats face's drift checks (retry only after
+they pass — see :func:`upsert_lexical_store`). Per-batch idempotence
+belongs upstream (the streaming faces' watermark dedup recipe)."""
 
 from __future__ import annotations
 
@@ -64,6 +80,67 @@ from jaccard_mapreduce_spark.operators.retrieval import (
     bm25_probe,
     lexical_probe,
 )
+
+
+def _promote_staged_files(
+    spark: SparkSession, tmp_dir: str, live_dir: str, prefix: str
+) -> None:
+    """Move a staged batch's data files into the live dataset — one
+    metadata-only rename per file (round-11 ADVICE: the upsert used to
+    APPEND the batch directly, so a crash mid-write followed by the
+    recommended retry re-appended rows already written; staging the
+    write and promoting last shrinks the corruptible window from the
+    whole batch write to this rename loop). ``prefix`` carries the
+    pre-upsert n_docs marker for provenance; part-file names carry a
+    fresh UUID per write, so promoted names never collide."""
+    from jaccard_mapreduce_spark.sources.vector_index import _hadoop_fs
+
+    fs, tmp = _hadoop_fs(spark, tmp_dir)
+    for st in fs.listStatus(tmp):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+            continue
+        dest = _hadoop_fs(spark, f"{live_dir}/{prefix}{name}")[1]
+        if not fs.rename(st.getPath(), dest):
+            raise IOError(
+                f"staged promote failed: {name} -> {live_dir} (retry "
+                "ONLY after a lexical_store_stats drift check — see "
+                "upsert_lexical_store)"
+            )
+    fs.delete(tmp, True)
+
+
+def _parquet_footer_rows(spark: SparkSession, path: str) -> int:
+    """Exact row count of a parquet dataset from file FOOTERS only —
+    driver-side metadata reads, O(files), no executor scan of the data
+    pages (round-11 ADVICE: the stats face ran a dedicated full
+    count() over positions — the store's LARGEST dataset — on every
+    call; at upsert-per-minute cadence the footer walk costs what scan
+    planning already pays)."""
+    from jaccard_mapreduce_spark.sources.vector_index import _hadoop_fs
+
+    jvm = spark._jvm
+    fs, hpath = _hadoop_fs(spark, path)
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    stack = [hpath]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                stack.append(st.getPath())
+                continue
+            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                continue
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+                jvm.org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, conf)
+            )
+            try:
+                total += reader.getRecordCount()
+            finally:
+                reader.close()
+    return int(total)
 
 
 def _require_marker(spark: SparkSession, path: str, name: str) -> int:
@@ -107,8 +184,11 @@ def build_lexical_store(
     from pyspark.sql import Window
 
     spark = docs.sparkSession
+    # doc_id clustering (docv4 — see the module docstring's layout
+    # note): the serve paths' per-(query, doc) aggregation combines
+    # completely map-side only when a doc's rows share a partition
     doc_token_positions(docs, id_col=id_col, text_col=text_col).repartition(
-        "token"
+        "doc_id"
     ).write.mode("overwrite").parquet(f"{path}/positions")
     pos = spark.read.parquet(f"{path}/positions")
     tok = (
@@ -116,9 +196,10 @@ def build_lexical_store(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
     )
-    tok.repartition("token").write.mode("overwrite").parquet(
-        f"{path}/postings"
-    )
+    # the dl window's exchange already doc_id-clusters the tf relation
+    # (the round-11 finding's "why BM25 never had the problem"), so the
+    # postings write needs no further repartition
+    tok.write.mode("overwrite").parquet(f"{path}/postings")
     stored = spark.read.parquet(f"{path}/postings")
     (
         stored.groupBy("token")
@@ -160,7 +241,21 @@ def upsert_lexical_store(
     additive merge is exact only over a true union. Enforcing this
     in-path would anti-join every batch against the full postings
     doc-id set (a corpus-sized scan per batch); dedup belongs upstream
-    (the streaming faces' watermark recipe), same as replay dedup."""
+    (the streaming faces' watermark recipe), same as replay dedup.
+
+    CRASH/RETRY CONTRACT (round 12 — the round-11 ADVICE corruption
+    path): the batch is STAGED into tmp subdirectories first; the live
+    store mutates only in the final promote sequence (rename positions
+    files in, rename postings files in, swap df, bump markers — all
+    metadata operations), so a crash during the batch computation
+    leaves the store untouched and a blind retry is safe. A crash
+    INSIDE the promote sequence can still leave the datasets ahead of
+    the markers; a retry there would double-append, so: retry ONLY
+    after :func:`lexical_store_stats` shows no drift
+    (``n_positions == n_token_occurrences`` and
+    ``n_distinct_docs == n_docs``); on drift, rebuild the store —
+    exactly-once is still NOT claimed, but the corrupting-retry window
+    is now the rename loop, not the batch write."""
     from jaccard_mapreduce_spark.sources.vector_index import (
         _fs_delete,
         _fs_write_text,
@@ -193,27 +288,34 @@ def upsert_lexical_store(
     )
     from pyspark.sql import Window
 
-    # pinned: the ONE batch tokenize (its positional form — the round-11
-    # root relation) feeds the positions append, the tf/dl postings
-    # append, the df increment, and the Σtf increment; released before
-    # returning (per-batch relation — the streaming-face cache-hygiene
-    # rule)
-    bpos = pin(doc_token_positions(docs, id_col=id_col, text_col=text_col))
+    # STAGE everything first (round 12): the batch tokenize lands in
+    # positions__batch_tmp, the tf/dl postings derive from those STAGED
+    # bytes (the build path's written-bytes discipline — the datasets
+    # can never disagree about what was tokenized), the merged df lands
+    # in df__tmp. The live store is untouched until the promote
+    # sequence at the end.
+    pos_tmp = f"{path}/positions__batch_tmp"
+    post_tmp = f"{path}/postings__batch_tmp"
+    for tmp_dir in (pos_tmp, post_tmp):
+        fs0, p0 = _hadoop_fs(spark, tmp_dir)
+        if fs0.exists(p0):
+            fs0.delete(p0, True)
+    doc_token_positions(docs, id_col=id_col, text_col=text_col).repartition(
+        "doc_id"
+    ).write.mode("overwrite").parquet(pos_tmp)
+    staged_pos = spark.read.parquet(pos_tmp)
+    tok_total = staged_pos.count()
+    # pinned: the staged tf relation feeds the postings write AND the
+    # df increment; released before returning (per-batch relation —
+    # the streaming-face cache-hygiene rule). The dl window's exchange
+    # doc_id-clusters it (docv4 layout), so no further repartition.
+    tok = pin(
+        staged_pos.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    )
     try:
-        tok_total = bpos.count()
-        bpos.repartition("token").write.mode("append").parquet(
-            f"{path}/positions"
-        )
-        tok = (
-            bpos.groupBy("doc_id", "token")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .withColumn(
-                "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
-            )
-        )
-        tok.repartition("token").write.mode("append").parquet(
-            f"{path}/postings"
-        )
+        tok.write.mode("overwrite").parquet(post_tmp)
         merged = (
             spark.read.parquet(f"{path}/df")
             .unionByName(
@@ -225,6 +327,14 @@ def upsert_lexical_store(
         tmp = f"{path}/df__tmp"
         _fs_delete(spark, tmp)
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        n_new = docs.select(id_col).distinct().count()
+
+        # PROMOTE: metadata-only renames from here on (the crash/retry
+        # contract above) — positions, postings, df swap, markers
+        _promote_staged_files(spark, pos_tmp, f"{path}/positions",
+                              f"u{prev}-")
+        _promote_staged_files(spark, post_tmp, f"{path}/postings",
+                              f"u{prev}-")
         # two-rename swap with rollback (the retrain/compaction idiom) —
         # a delete-then-rename would open a window with NO df dataset at
         # all; here the old generation survives until the new one is live
@@ -239,8 +349,7 @@ def upsert_lexical_store(
             raise IOError(f"df swap failed: {tmp} -> {path}/df")
         fs.delete(old, True)
     finally:
-        bpos.unpersist()
-    n_new = docs.select(id_col).distinct().count()
+        tok.unpersist()
     _fs_write_text(spark, f"{path}/_n_docs", str(prev + n_new))
     batch_tokens = int(tok_total or 0)
     _fs_write_text(spark, f"{path}/_n_tokens", str(prev_tok + batch_tokens))
@@ -327,8 +436,10 @@ def lexical_store_stats(spark: SparkSession, path: str) -> dict:
         # round 11: the positions dataset's row count — on a healthy
         # store it equals the Σtf marker (one row per token occurrence),
         # binding the third dataset into the same drift-check family as
-        # n_distinct_docs vs the n_docs marker
-        "n_positions": spark.read.parquet(f"{path}/positions").count(),
+        # n_distinct_docs vs the n_docs marker. Round 12 (ADVICE): read
+        # from parquet FOOTERS, not a full scan — positions is the
+        # store's largest dataset and the count is pure metadata
+        "n_positions": _parquet_footer_rows(spark, f"{path}/positions"),
     }
     for name in ("postings", "df", "positions"):
         fs, hpath = _hadoop_fs(spark, f"{path}/{name}")
@@ -345,13 +456,14 @@ def compact_lexical_store(
     """Rewrite the append-fragmented postings dataset into fewer,
     size-targeted files — same contract as ``compact_lsh_index``
     (row-identical relation, tmp-write + two-rename swap, single-writer
-    maintenance window), with the rewrite hash-distributed by ``token``
-    so compaction PRESERVES the build path's token clustering (a plain
-    round-robin rewrite would silently scatter each token's postings
-    across every file). The df dataset is not rewritten: every upsert
-    already replaces it whole via the swap, so it is one generation of
-    coalesced files by construction. Returns per-dataset
-    ``(files_before, files_after)``."""
+    maintenance window), with the rewrite hash-distributed by
+    ``doc_id`` so compaction PRESERVES the build path's docv4
+    clustering (a plain round-robin rewrite would silently scatter each
+    doc's rows across every file and forfeit the serve paths' map-side
+    combine — the round-12 layout finding). The df dataset is not
+    rewritten: every upsert already replaces it whole via the swap, so
+    it is one generation of coalesced files by construction. Returns
+    per-dataset ``(files_before, files_after)``."""
     from jaccard_mapreduce_spark.sources.vector_index import (
         _compact_datasets,
     )
@@ -363,7 +475,7 @@ def compact_lexical_store(
         "a lexical store",
         n_files,
         target_file_bytes,
-        cluster_by={"postings": "token", "positions": "token"},
+        cluster_by={"postings": "doc_id", "positions": "doc_id"},
     )
 
 
@@ -393,8 +505,11 @@ def upsert_lexical_store_stream(stream: DataFrame, path: str, checkpoint: str):
 # One schema version string for EVERY demo store gate: bumping it here
 # rebuilds all three session stores together — a per-site copy of the
 # tag is exactly how a warm session ends up probing a stale-schema
-# store (the round-10 review's finding).
-_LEX_STORE_SCHEMA = "posv3"
+# store (the round-10 review's finding). docv4 = the round-12
+# doc_id-clustered layout (row-identical to posv3 — every hash is
+# layout-invariant — but serve timings are only comparable within one
+# generation).
+_LEX_STORE_SCHEMA = "docv4"
 
 
 def _ensure_lex_store(
@@ -484,6 +599,8 @@ def search_lexical_store_phrase(
     k: int = 10,
     phrase_id_col: str = "phrase_id",
     phrase_col: str = "phrase",
+    max_df_ratio: float | None = None,
+    on_hot: str = "refuse",
 ) -> DataFrame:
     """Probe the store's positional postings with a phrase batch —
     identical semantics to the one-plan :func:`~jaccard_mapreduce_spark.
@@ -492,10 +609,29 @@ def search_lexical_store_phrase(
     the phrase serve after build-then-upsert is bit-identical to a
     fresh full build — the additive-merge invisibility claim's third
     scoring. The probe broadcasts the phrase-term relation against the
-    token-clustered positions; only phrase-term postings leave the
-    scan."""
-    from jaccard_mapreduce_spark.operators.retrieval import phrase_probe
+    stored positions; only phrase-term postings leave the scan.
 
+    ``max_df_ratio`` arms the stop-phrase guard (round 12 — see
+    :func:`~jaccard_mapreduce_spark.operators.retrieval.
+    prune_hot_phrases`): on the store it costs TWO KB-SIZED READS (the
+    df dataset + the n_docs marker — exact set-semantics statistics
+    the store already maintains), so the 100 TB posture is enforceable
+    for free on the serving path."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        phrase_probe,
+        prune_hot_phrases,
+    )
+
+    if max_df_ratio is not None:
+        phrases = prune_hot_phrases(
+            spark.read.parquet(f"{path}/df"),
+            _require_marker(spark, path, "_n_docs"),
+            phrases,
+            max_df_ratio,
+            on_hot,
+            phrase_id_col,
+            phrase_col,
+        )
     return phrase_probe(
         spark.read.parquet(f"{path}/positions"),
         phrases,
@@ -537,6 +673,66 @@ def lexical_store_phrase_demo(
     # the family's vacuity guard
     assert res.limit(1).count() > 0, (
         "vacuous store phrase search: no query bigram recurs in the corpus"
+    )
+    return res
+
+
+def phrase_store_scale_probe_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    query_mod: int = 100,
+    n_terms: int = 2,
+    target_docs: int = 5_000,
+    rebuild: bool = False,
+) -> DataFrame:
+    """The store-served phrase path's 10× scale probe (round 12 —
+    round-11 verdict item 7: the one-plan phrase tier was measured at
+    sf0.1×10, but ``search_lexical_store_phrase`` probes the STORE's
+    positions relation, which that measurement never touched). Build
+    the store over the corpus replicated to ~``target_docs`` documents
+    (session-gated like every index demo), probe with the replicated
+    leading-bigram batch. Positions are per-replica-doc facts —
+    replica ``r`` of a doc carries the same token sequence under
+    ``doc_id + r·10⁶`` — so every occurrence count and rank is exactly
+    derivable from the replicated one-plan oracle (the
+    ``bm25_scale_probe`` replication-invariance argument extended to
+    the positions dataset), and the probe pays the real factor×
+    posting volume through the store's scan/join/vote machinery."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        leading_phrases,
+        probe_factor,
+        replicate_documents,
+    )
+
+    def _build(docs: DataFrame, base: str) -> None:
+        factor = probe_factor(
+            docs.select("doc_id").distinct().count(), target_docs
+        )
+        build_lexical_store(replicate_documents(docs, factor), base)
+
+    base, docs = _ensure_lex_store(
+        spark,
+        sf_dir,
+        rebuild=rebuild,
+        suffix="_lex_scale",
+        build=_build,
+        tag_extra=f":target={target_docs}",
+    )
+    factor = probe_factor(
+        docs.select("doc_id").distinct().count(), target_docs
+    )
+    phrases = leading_phrases(
+        replicate_documents(docs, factor).where(
+            F.col("doc_id") % query_mod == 0
+        ),
+        n_terms=n_terms,
+    )
+    res = search_lexical_store_phrase(spark, base, phrases, k=k)
+    # the family's vacuity guard
+    assert res.limit(1).count() > 0, (
+        "vacuous store phrase scale probe: no replicated query bigram "
+        "recurs in the replicated corpus"
     )
     return res
 

@@ -41,8 +41,11 @@ def test_bench_only_entries_stay_out_of_the_contract():
 
 def test_window_is_the_declared_rotation():
     window = list(entrymod.queries())[:50]
-    assert window == entrymod._R11_WINDOW
-    assert len(set(entrymod._R11_WINDOW)) == 50
+    declared = getattr(
+        entrymod, f"_R{entrymod._WINDOW_DESIGN_ROUND}_WINDOW"
+    )
+    assert window == declared
+    assert len(set(declared)) == 50
 
 
 def test_bench_rotation_covers_every_key_within_four_rounds():

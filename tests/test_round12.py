@@ -1,0 +1,265 @@
+"""Round-12 features: the planted-quote contamination fixture at n=8,
+the benchmark-side broadcast guard, and the enforceable stop-phrase
+guard (one-plan and store-served)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+# --- planted-quote contamination fixture (verdict item 4) -------------
+
+
+def test_planted_benchmarks_are_verbatim_midslice_quotes(spark):
+    from jaccard_mapreduce_spark.functions.text import tokenize
+    from jaccard_mapreduce_spark.operators.dedup import planted_benchmarks
+
+    docs = _docs(spark)
+    bench = planted_benchmarks(docs, quote_mod=50, start=3, length=12)
+    rows = bench.collect()
+    assert rows, "fixture produced no benchmark items"
+    src = {
+        r["doc_id"]: r["toks"]
+        for r in docs.where(F.col("doc_id") % 50 == 0)
+        .select("doc_id", tokenize("text").alias("toks"))
+        .collect()
+    }
+    for r in rows:
+        doc_id = r["doc_id"] - 10_000_000
+        assert doc_id in src, "bench id must be source doc id + offset"
+        # the quote is EXACTLY tokens 3..14 (1-based) of the source doc
+        assert r["text"].split(" ") == src[doc_id][2:14]
+    # short docs are dropped, never truncated
+    assert all(len(r["text"].split(" ")) == 12 for r in rows)
+
+
+def test_contamination_n8_flags_sources_and_leaves_cleans(spark):
+    """At n=8 over the small-vocabulary fixture, only verbatim quoting
+    separates contaminated from clean — every planted source doc must
+    be flagged at FULL containment (all 5 of the quote's 8-grams
+    shared) and most of the corpus must stay clean."""
+    from jaccard_mapreduce_spark.operators.dedup import (
+        contamination_scrub,
+        ngram_contamination,
+        planted_benchmarks,
+    )
+
+    docs = _docs(spark)
+    bench = planted_benchmarks(docs, quote_mod=50, start=3, length=12)
+    hits = ngram_contamination(docs, bench, n=8).collect()
+    flagged = {r["doc_id"] for r in hits}
+    sources = {
+        r["doc_id"] - 10_000_000 for r in bench.select("doc_id").collect()
+    }
+    assert sources <= flagged, "a planted source doc escaped the audit"
+    full = {
+        r["doc_id"]
+        for r in hits
+        if r["n_shared"] == r["n_bench_ngrams"]
+    }
+    assert sources <= full, "a source doc matched below full containment"
+    n_docs = docs.count()
+    assert len(flagged) < n_docs / 2, (
+        "n=8 should leave most of the corpus clean "
+        f"(flagged {len(flagged)} of {n_docs})"
+    )
+    # the scrub removes exactly the flagged ids
+    kept = {
+        r["doc_id"]
+        for r in contamination_scrub(docs, bench, n=8).select(
+            "doc_id"
+        ).collect()
+    }
+    assert kept == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    } - flagged
+
+
+def test_contamination_refuses_an_unbounded_benchmark_side(spark):
+    """round-11 ADVICE: the benchmark side is broadcast whole, so a
+    too-large batch must refuse with a named bound instead of an
+    opaque broadcast OOM — and refuse BEFORE any shingle work runs."""
+    from jaccard_mapreduce_spark.operators.dedup import (
+        contamination_scrub,
+        ngram_contamination,
+    )
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="max_bench_docs=3"):
+        ngram_contamination(docs, docs, n=8, max_bench_docs=3)
+    with pytest.raises(ValueError, match="max_bench_docs=3"):
+        contamination_scrub(docs, docs, n=8, max_bench_docs=3)
+    # None disables the guard (caller bounded the batch upstream)
+    out = ngram_contamination(
+        docs.limit(50), docs.limit(5), n=8, max_bench_docs=None
+    )
+    out.limit(1).collect()
+
+
+# --- the stop-phrase guard (verdict item 5) ---------------------------
+
+
+def _guard_fixture(spark):
+    """4 docs over a 3-token vocabulary: 'hot' appears in every doc
+    (df 4/4), 'warm' in two (df 2/4), 'rare' in one (df 1/4)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hot warm rare hot"),
+            (2, "hot warm hot"),
+            (3, "hot hot"),
+            (4, "hot"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [
+            (101, "hot hot"),      # rarest term df ratio 1.0 — hot
+            (102, "hot warm"),     # rarest term df ratio 0.5 — ok
+            (103, "rare hot"),     # rarest term df ratio 0.25 — ok
+            (104, "ghost hot"),    # absent term: df 0 — never hot
+        ],
+        "phrase_id long, phrase string",
+    )
+    return docs, phrases
+
+
+def test_prune_hot_phrases_refuse_names_the_offenders(spark):
+    from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        prune_hot_phrases,
+    )
+
+    docs, phrases = _guard_fixture(spark)
+    dfr = doc_tokens(docs).groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    with pytest.raises(ValueError, match=r"\[101\]"):
+        prune_hot_phrases(dfr, 4, phrases, max_df_ratio=0.5)
+    # drop mode keeps exactly the survivors (absent term ⇒ df 0 ⇒ kept)
+    kept = sorted(
+        r["phrase_id"]
+        for r in prune_hot_phrases(
+            dfr, 4, phrases, max_df_ratio=0.5, on_hot="drop"
+        ).collect()
+    )
+    assert kept == [102, 103, 104]
+    # a ratio admitting everything passes the batch through unchanged
+    assert prune_hot_phrases(dfr, 4, phrases, max_df_ratio=1.0).count() == 4
+
+
+def test_prune_hot_phrases_rejects_bad_arguments(spark):
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        prune_hot_phrases,
+    )
+
+    docs, phrases = _guard_fixture(spark)
+    dfr = spark.createDataFrame([("hot", 4)], "token string, df long")
+    with pytest.raises(ValueError, match="max_df_ratio"):
+        prune_hot_phrases(dfr, 4, phrases, max_df_ratio=0.001)
+    with pytest.raises(ValueError, match="on_hot"):
+        prune_hot_phrases(dfr, 4, phrases, 0.5, on_hot="ignore")
+
+
+def test_phrase_search_guard_matches_manual_prune(spark):
+    """Guarded one-plan search ≡ unguarded search over the manually
+    pruned batch — the guard gates queries, never rewrites them."""
+    from jaccard_mapreduce_spark.operators.retrieval import phrase_search
+
+    docs, phrases = _guard_fixture(spark)
+    guarded = phrase_search(
+        docs, phrases, max_df_ratio=0.5, on_hot="drop"
+    ).collect()
+    manual = phrase_search(
+        docs, phrases.where(F.col("phrase_id") != 101)
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, manual))
+    with pytest.raises(ValueError, match="stop-phrase"):
+        phrase_search(docs, phrases, max_df_ratio=0.5, on_hot="refuse")
+
+
+def test_upsert_stages_then_promotes(spark, tmp_path):
+    """round-11 ADVICE: the upsert must not append into the live
+    datasets directly — the batch lands staged and is PROMOTED by
+    renames, so the batch-write window can no longer corrupt a retried
+    store. Observable contract: promoted files carry the pre-upsert
+    marker prefix, no staging dirs survive, and the upserted store
+    still serves bit-identically to a fresh full build."""
+    import os
+
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        lexical_store_stats,
+        search_lexical_store,
+        upsert_lexical_store,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "store")
+    build_lexical_store(docs.where(F.col("doc_id") % 4 != 0), path)
+    prev = int(open(f"{path}/_n_docs").read())
+    upsert_lexical_store(spark, path, docs.where(F.col("doc_id") % 4 == 0))
+    for ds in ("positions", "postings"):
+        names = os.listdir(f"{path}/{ds}")
+        assert any(n.startswith(f"u{prev}-") for n in names), (
+            f"no promoted batch files in {ds}"
+        )
+        assert not os.path.exists(f"{path}/{ds}__batch_tmp")
+    # drift checks hold after the staged upsert (the retry contract's
+    # green state) and the serve matches a fresh full build exactly
+    st = lexical_store_stats(spark, path)
+    assert st["n_positions"] == st["n_token_occurrences"]
+    assert st["n_distinct_docs"] == st["n_docs"]
+    full = str(tmp_path / "full")
+    build_lexical_store(docs, full)
+    q = docs.where(F.col("doc_id") % 100 == 0)
+    a = search_lexical_store(spark, path, q, max_df_ratio=0.78).collect()
+    b = search_lexical_store(spark, full, q, max_df_ratio=0.78).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_stats_positions_count_comes_from_footers(spark, tmp_path):
+    """round-11 ADVICE: n_positions must equal the scan count while
+    costing only footer metadata reads."""
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        _parquet_footer_rows,
+        build_lexical_store,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "store")
+    build_lexical_store(docs, path)
+    scan = spark.read.parquet(f"{path}/positions").count()
+    assert _parquet_footer_rows(spark, f"{path}/positions") == scan
+
+
+def test_store_phrase_guard_uses_stored_statistics(spark, tmp_path):
+    """The store serve's guard reads the df dataset + n_docs marker
+    (KB-sized) — same refuse/drop semantics as the one-plan path."""
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        search_lexical_store_phrase,
+    )
+
+    docs, phrases = _guard_fixture(spark)
+    path = str(tmp_path / "store")
+    build_lexical_store(docs, path)
+    with pytest.raises(ValueError, match="stop-phrase"):
+        search_lexical_store_phrase(
+            spark, path, phrases, max_df_ratio=0.5
+        )
+    guarded = search_lexical_store_phrase(
+        spark, path, phrases, max_df_ratio=0.5, on_hot="drop"
+    ).collect()
+    unguarded = search_lexical_store_phrase(
+        spark, path, phrases.where(F.col("phrase_id") != 101)
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, unguarded))
