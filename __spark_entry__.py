@@ -665,6 +665,10 @@ _NEW_OR_CHANGED = [
     # path probed at 10x — replication-invariant counts, the
     # bm25_scale_probe argument extended to the positions dataset
     "phrase_store_scale_probe",
+    # new round 12: fusion with the phrase leg — the fusion tier's
+    # third scoring (RRF consumes only ranks, so the verbatim-sequence
+    # leg drops in exactly like BM25 and the stored vector serves did)
+    "hybrid_phrase_search",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -684,6 +688,7 @@ _R12_WINDOW = [
     # new or changed in round 12 (see _NEW_OR_CHANGED)
     "ngram_contamination", "contamination_scrub",
     "phrase_search_guarded", "phrase_store_scale_probe",
+    "hybrid_phrase_search",
     "lexical_store_search", "lexical_store_bm25", "lexical_store_phrase",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "stream_bm25_serve", "stream_phrase_serve",
@@ -692,17 +697,17 @@ _R12_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "media_features",
     "media_frames", "minhash_signatures", "pii_scrub", "quality_filter",
     "shard_assign", "simhash", "train_val_split",
-    # the round-8-stale cohort (43 keys; the 28 below fill the window —
+    # the round-8-stale cohort (43 keys; the 27 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The fifteen left out — boilerplate_span_stats,
-    # customer_trailing_spend, events_json_props, events_sessionize,
-    # formats_roundtrip, global_shuffle, gopher_quality_flags,
-    # key_skew_stats, prepare_corpus, q14_promo_revenue,
-    # repetition_stats, synthetic_corpus_stats, top_ngrams, user_funnel,
-    # zordered_events_summary — tie on staleness with the cohort inside
-    # (all r8) and stay re-verified by the oracle-parity pytest sweep
-    # every run, so the guard holds.)
+    # their correctness. The sixteen left out — boilerplate_span_stats,
+    # customer_order_gaps, customer_trailing_spend, events_json_props,
+    # events_sessionize, formats_roundtrip, global_shuffle,
+    # gopher_quality_flags, key_skew_stats, prepare_corpus,
+    # q14_promo_revenue, repetition_stats, synthetic_corpus_stats,
+    # top_ngrams, user_funnel, zordered_events_summary — tie on
+    # staleness with the cohort inside (all r8) and stay re-verified by
+    # the oracle-parity pytest sweep every run, so the guard holds.)
     "ann_sq8_topk", "sq8_rank_audit", "ann_cosine_topk",
     "ann_fast_ranks", "ann_recall_audit", "ivf_index_sq8",
     "quantize_embeddings",
@@ -715,7 +720,7 @@ _R12_WINDOW = [
     "stream_interval_join",
     "minhash_index_reband", "minhash_index_stats",
     "bloom_pruned_revenue", "bucketed_customer_revenue",
-    "cohort_retention", "customer_order_gaps",
+    "cohort_retention",
 ]
 
 
@@ -1138,6 +1143,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_bm25_search": lambda s, d: RT.hybrid_bm25_search(
             _docs(s, d), _emb(s, d),
             max_df_ratio=RT.GRADED_MAX_DF_RATIO,
+        ),
+        # new round 12: fusion with the PHRASE leg — the fusion tier's
+        # third scoring (quote-anchored triage: verbatim-sequence
+        # evidence meets semantic evidence; the oracle splices the
+        # phrase ranked SQL as its lexical leg)
+        "hybrid_phrase_search": lambda s, d: RT.hybrid_phrase_search(
+            _docs(s, d), _emb(s, d)
         ),
         # new round 10: the fusion-tier twin — BOTH corpora replicated
         # (docs verbatim under the 1e6 stride, vectors with the
@@ -1815,6 +1827,11 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_bm25_search": oracles.hybrid_search_sql(
             lex_leg_sql=oracles.bm25_topk_sql(
                 k=20, max_df_pct=_GRADED_MAX_DF_PCT
+            ),
+        ),
+        "hybrid_phrase_search": oracles.hybrid_search_sql(
+            lex_leg_sql=oracles.phrase_search_sql(
+                n_terms=2, query_mod=100, k=20
             ),
         ),
         # sf0.01 has 500 docs/vectors -> factor 10 -> 5,000 of each;

@@ -137,6 +137,7 @@ def main() -> None:
         "contamination_scrub",
         "phrase_search_guarded",
         "phrase_store_scale_probe",
+        "hybrid_phrase_search",
         "lexical_store_search",
         "lexical_store_bm25",
         "lexical_store_phrase",

@@ -580,6 +580,35 @@ def hybrid_bm25_search(
     return rrf_fuse(lex, vec, k=k, rrf_k=rrf_k)
 
 
+def hybrid_phrase_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    leg_k: int = 20,
+    query_mod: int = 100,
+    rrf_k: int = DEFAULT_RRF_K,
+    n_terms: int = 2,
+) -> DataFrame:
+    """RRF fusion with the PHRASE leg (round 12 — the fusion tier's
+    third scoring; set-semantics and BM25 legs landed rounds 9-10):
+    each query doc's leading bigram searched as a verbatim sequence,
+    fused with the exact cosine leg. This is the retrieval shape for
+    quote-anchored triage — a document that repeats the query's
+    opening phrase verbatim (lexical evidence BM25 dilutes across its
+    bag of words) meets documents that are semantically close with no
+    verbatim overlap, and the leg-rank columns say which evidence
+    found each neighbor. Queries whose doc is shorter than ``n_terms``
+    tokens simply have an empty phrase leg — the full-outer fusion
+    passes their vector evidence through, no special casing. Fused
+    SCORES stay hash-exact (RRF consumes only ranks)."""
+    phrases = leading_phrases(
+        docs.where(F.col("doc_id") % query_mod == 0), n_terms=n_terms
+    )
+    lex = phrase_search(docs, phrases, k=leg_k)
+    vec = _vector_topk(emb, F.col("vec_id") % query_mod == 0, k=leg_k)
+    return rrf_fuse(lex, vec, k=k, rrf_k=rrf_k)
+
+
 def hybrid_recall_audit(
     docs: DataFrame,
     emb: DataFrame,
