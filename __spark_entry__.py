@@ -669,6 +669,11 @@ _NEW_OR_CHANGED = [
     # third scoring (RRF consumes only ranks, so the verbatim-sequence
     # leg drops in exactly like BM25 and the stored vector serves did)
     "hybrid_phrase_search",
+    # new round 12: ordered proximity search (the Lucene sloppy-phrase
+    # shape; slop=0 degenerates exactly to phrase_search) and the
+    # decontamination report face (zero-hit items included, graded
+    # with reversed-slice clean decoys)
+    "proximity_search", "contamination_summary",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -687,8 +692,9 @@ _TRANSITIVE_EXEMPT: dict[str, str] = {}
 _R12_WINDOW = [
     # new or changed in round 12 (see _NEW_OR_CHANGED)
     "ngram_contamination", "contamination_scrub",
+    "contamination_summary",
     "phrase_search_guarded", "phrase_store_scale_probe",
-    "hybrid_phrase_search",
+    "hybrid_phrase_search", "proximity_search",
     "lexical_store_search", "lexical_store_bm25", "lexical_store_phrase",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "stream_bm25_serve", "stream_phrase_serve",
@@ -697,10 +703,11 @@ _R12_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "media_features",
     "media_frames", "minhash_signatures", "pii_scrub", "quality_filter",
     "shard_assign", "simhash", "train_val_split",
-    # the round-8-stale cohort (43 keys; the 27 below fill the window —
+    # the round-8-stale cohort (43 keys; the 25 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The sixteen left out — boilerplate_span_stats,
+    # their correctness. The eighteen left out — bloom_pruned_revenue,
+    # boilerplate_span_stats, bucketed_customer_revenue,
     # customer_order_gaps, customer_trailing_spend, events_json_props,
     # events_sessionize, formats_roundtrip, global_shuffle,
     # gopher_quality_flags, key_skew_stats, prepare_corpus,
@@ -719,7 +726,6 @@ _R12_WINDOW = [
     "stream_hopping", "stream_incremental_jaccard",
     "stream_interval_join",
     "minhash_index_reband", "minhash_index_stats",
-    "bloom_pruned_revenue", "bucketed_customer_revenue",
     "cohort_retention",
 ]
 
@@ -1151,6 +1157,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_phrase_search": lambda s, d: RT.hybrid_phrase_search(
             _docs(s, d), _emb(s, d)
         ),
+        # new round 12: ordered proximity (sloppy phrase) search — the
+        # Lucene slop shape: terms in order within p0 + (n-1) + slop,
+        # score = distinct anchors; slop=0 degenerates exactly to
+        # phrase_search (property-tested). Graded at n=3/slop=2 to
+        # exercise the general chained-join plan, params pinned both
+        # sides
+        "proximity_search": lambda s, d: RT.proximity_search(
+            _docs(s, d),
+            RT.leading_phrases(
+                _docs(s, d).where(F.col("doc_id") % 100 == 0), n_terms=3
+            ),
+            slop=2,
+            n_terms=3,
+        ),
         # new round 10: the fusion-tier twin — BOTH corpora replicated
         # (docs verbatim under the 1e6 stride, vectors with the
         # integer perturbation so replicas aren't cosine-1.0 ties) and
@@ -1516,6 +1536,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=8,
             min_shared=1,
         ),
+        # new round 12: the decontamination REPORT face — one row per
+        # benchmark item, zero-hit items included (reversed-slice
+        # decoys grade the clean branch: a reversed mid-document run
+        # shares no 8-gram with the corpus)
+        "contamination_summary": lambda s, d: D.contamination_summary(
+            _docs(s, d),
+            D.planted_benchmarks(
+                _docs(s, d), quote_mod=50, start=3, length=12
+            ).unionByName(
+                D.planted_benchmarks(
+                    _docs(s, d),
+                    quote_mod=50,
+                    start=3,
+                    length=12,
+                    phase=25,
+                    reverse=True,
+                    id_offset=20_000_000,
+                )
+            ),
+            n=8,
+            min_shared=1,
+        ),
         "simhash": lambda s, d: D.simhash(_tokens(s, d)),
         # changed round 11 (round-10 verdict item 8): every 7th row
         # carries an undecodable payload, so the decode's NULL path —
@@ -1640,6 +1682,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contamination_scrub": oracles.contamination_scrub_sql(
             n=8, quote_mod=50, start=3, length=12, min_shared=1
+        ),
+        "contamination_summary": oracles.contamination_summary_sql(
+            n=8, quote_mod=50, start=3, length=12,
+            decoy_phase=25, decoy_offset=20_000_000, min_shared=1,
         ),
         "minhash_signatures": oracles.minhash_signatures_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_dedup_sql(0.7),
@@ -1801,6 +1847,9 @@ def oracle_sql() -> dict[str, str]:
         # phrase > pct·n_docs ⇒ dropped before the vote join)
         "phrase_search_guarded": oracles.phrase_search_sql(
             n_terms=2, query_mod=100, guard_pct=_GRADED_MAX_DF_PCT
+        ),
+        "proximity_search": oracles.proximity_search_sql(
+            n_terms=3, slop=2, query_mod=100
         ),
         "bm25_topk": oracles.bm25_topk_sql(
             max_df_pct=_GRADED_MAX_DF_PCT

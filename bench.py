@@ -138,6 +138,8 @@ def main() -> None:
         "phrase_search_guarded",
         "phrase_store_scale_probe",
         "hybrid_phrase_search",
+        "proximity_search",
+        "contamination_summary",
         "lexical_store_search",
         "lexical_store_bm25",
         "lexical_store_phrase",

@@ -1619,6 +1619,8 @@ def planted_benchmarks(
     id_offset: int = 10_000_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    phase: int = 0,
+    reverse: bool = False,
 ) -> DataFrame:
     """Deterministic benchmark batch with PLANTED verbatim quotes — the
     fixture the long-gram contamination grade runs against (round-11
@@ -1634,17 +1636,27 @@ def planted_benchmarks(
     contains the quote — the planted ground truth) instead of being
     excluded as a self-pair. Documents shorter than
     ``start + length - 1`` tokens are dropped (a shorter quote would
-    be a different benchmark item, not a shorter match)."""
+    be a different benchmark item, not a shorter match).
+
+    ``phase`` selects ``doc_id % quote_mod == phase`` (disjoint decoy
+    cohorts); ``reverse=True`` REVERSES the token slice — a reversed
+    mid-document run shares no long n-gram with the corpus (verified
+    at the graded fixture: zero hits at n=8), so reversed items are
+    deterministic CLEAN decoys for grading the zero-hit branch of a
+    contamination report."""
     from jaccard_mapreduce_spark.functions.text import tokenize
 
     toks = (
-        docs.where(F.col(id_col) % quote_mod == 0)
+        docs.where(F.col(id_col) % quote_mod == phase)
         .select(F.col(id_col), tokenize(text_col).alias("_t"))
         .where(F.size("_t") >= start + length - 1)
     )
+    quote = F.slice("_t", start, length)
+    if reverse:
+        quote = F.reverse(quote)
     return toks.select(
         (F.col(id_col) + id_offset).alias(id_col),
-        F.concat_ws(" ", F.slice("_t", start, length)).alias(text_col),
+        F.concat_ws(" ", quote).alias(text_col),
     )
 
 
@@ -1760,3 +1772,68 @@ def contamination_scrub(
         .distinct()
     )
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def contamination_summary(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    max_bench_docs: int | None = 100_000,
+) -> DataFrame:
+    """Per-benchmark-item decontamination REPORT (round 12): one row
+    per benchmark item — ``(bench_id, n_bench_ngrams, n_flagged_docs,
+    max_shared)`` — with ZERO-HIT ITEMS INCLUDED (``n_flagged_docs=0,
+    max_shared=0``): a report that drops its clean rows cannot certify
+    a suite clean, and "which eval items leak and how hard" is the
+    question a decontamination run is FOR (the audit's per-pair
+    relation answers "which documents"; this face answers "which
+    benchmarks"). ``n_flagged_docs`` counts corpus docs sharing ≥
+    ``min_shared`` distinct n-grams with the item; ``max_shared`` is
+    the worst single document's shared-gram count (``==
+    n_bench_ngrams`` means some doc quotes the item in full). Items
+    shorter than ``n`` tokens report ``n_bench_ngrams = 0``. Same
+    broadcast scale shape and ``max_bench_docs`` guard as the audit —
+    the corpus-side relation is scanned once; everything else is
+    benchmark-sized."""
+    audit = ngram_contamination(
+        corpus,
+        benchmarks,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        bench_id_col=bench_id_col,
+        bench_text_col=bench_text_col,
+        max_bench_docs=max_bench_docs,
+    )
+    flagged = (
+        audit.where(F.col("n_shared") >= min_shared)
+        .groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged_docs"),
+            F.max("n_shared").alias("max_shared"),
+        )
+    )
+    sizes = (
+        shingles(benchmarks, n, bench_id_col, bench_text_col)
+        .groupBy(F.col("doc_id").alias("bench_id"))
+        .agg(F.count(F.lit(1)).alias("n_bench_ngrams"))
+    )
+    base = benchmarks.select(
+        F.col(bench_id_col).alias("bench_id")
+    ).distinct()
+    return (
+        base.join(sizes, "bench_id", "left")
+        .join(flagged, "bench_id", "left")
+        .select(
+            "bench_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ("n_bench_ngrams", "n_flagged_docs", "max_shared")
+            ],
+        )
+    )

@@ -918,6 +918,98 @@ def phrase_search(
     )
 
 
+def proximity_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    slop: int = 2,
+    k: int = 10,
+    n_terms: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Ordered PROXIMITY search (round 12 — the Lucene sloppy-phrase
+    shape): rank documents containing the phrase's terms IN ORDER
+    within a bounded window — ``(query_id, neighbor_id, score, rank)``
+    with ``score`` the number of distinct ANCHORS (positions of the
+    first term from which an increasing chain
+    ``p₀ < p₁ < … < p_{n−1} ≤ p₀ + (n−1) + slop`` exists, one position
+    per term in phrase order). ``slop`` is the total extra room the
+    chain may spread over; ``slop=0`` forces ``pᵢ = p₀ + i`` and the
+    scores DEGENERATE EXACTLY to :func:`phrase_search`'s verbatim
+    occurrence counts (property-tested), so the exact tier is this
+    operator's floor, not a separate semantics.
+
+    ``n_terms`` fixes the phrase length for the whole batch (the chain
+    is built as ``n_terms − 1`` joins at plan time); phrases of any
+    other length are dropped — batch by length upstream, the standard
+    proximity-query practice. All-integer scores, hash-gradable.
+
+    Plan shape: the positional relation is tokenized ONCE, pinned, and
+    doc_id-clustered (the round-11 combine lens — every chain join
+    keys on ``(phrase_id, doc_id)``, so doc clustering keeps the
+    chain's shuffles narrow); each term's postings are carved from the
+    pinned relation by a broadcast semi-join of that offset's terms.
+    Chain step ``i`` fans out by at most ``window − i`` positions per
+    candidate (the range predicate), so candidate volume stays bounded
+    by the FIRST term's df × a constant — never the corpus. The final
+    anchor-distinct + count aggregations are map-side combinable."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    if n_terms < 2:
+        raise ValueError(
+            f"n_terms must be >= 2 (got {n_terms}) — single-term "
+            "proximity is plain term search; use the lexical tier"
+        )
+    sc = docs.sparkSession.sparkContext
+    # pinned: the chain probes the positional relation n_terms times
+    pos = pin(
+        doc_token_positions(docs, id_col=id_col, text_col=text_col)
+        .repartition(sc.defaultParallelism, F.col("doc_id"))
+    )
+    terms = phrase_terms(
+        phrases, id_col=phrase_id_col, text_col=phrase_col
+    ).where(F.col("n_terms") == F.lit(n_terms))
+    window = n_terms - 1 + slop
+    t0 = terms.where(F.col("offset") == 0).select("phrase_id", "term")
+    cand = (
+        pos.join(F.broadcast(t0), pos["token"] == t0["term"])
+        .select(
+            "phrase_id",
+            "doc_id",
+            F.col("pos").alias("p0"),
+            F.col("pos").alias("last"),
+        )
+    )
+    for i in range(1, n_terms):
+        ti = terms.where(F.col("offset") == i).select(
+            F.col("phrase_id").alias("_pid"), "term"
+        )
+        nxt = pos.join(F.broadcast(ti), pos["token"] == ti["term"]).select(
+            F.col("_pid"),
+            F.col("doc_id").alias("_did"),
+            F.col("pos").alias("_p"),
+        )
+        cand = cand.join(
+            nxt,
+            (cand["phrase_id"] == nxt["_pid"])
+            & (cand["doc_id"] == nxt["_did"])
+            & (nxt["_p"] > cand["last"])
+            & (nxt["_p"] <= cand["p0"] + window),
+        ).select("phrase_id", "doc_id", "p0", F.col("_p").alias("last"))
+    anchors = cand.select("phrase_id", "doc_id", "p0").distinct()
+    scored = (
+        anchors.where(F.col("phrase_id") != F.col("doc_id"))
+        .groupBy(
+            F.col("phrase_id").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    return _topk(scored, k)
+
+
 def phrase_guard_demo(
     docs: DataFrame,
     k: int = 10,

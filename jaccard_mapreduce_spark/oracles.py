@@ -3228,6 +3228,121 @@ FROM (
 ) WHERE rank <= {k}"""
 
 
+def proximity_search_sql(
+    n_terms: int = 2,
+    slop: int = 2,
+    k: int = 10,
+    query_mod: int = 100,
+) -> str:
+    """Oracle for operators/retrieval.py::proximity_search — the
+    ordered-window chain mirrored as ``n_terms − 1`` range joins
+    (position strictly after the previous term's, at most
+    ``p0 + (n−1) + slop``), anchor-distinct count, self-match
+    excluded, rank tie-broken on neighbor_id."""
+    window = n_terms - 1 + slop
+    chain = """c0 AS (
+    SELECT t.phrase_id, p.doc_id, p.pos AS p0, p.pos AS last
+    FROM ptok p JOIN pterms t ON t.off = 0 AND p.token = t.term
+)"""
+    for i in range(1, n_terms):
+        chain += f""",
+c{i} AS (
+    SELECT c.phrase_id, c.doc_id, c.p0, p.pos AS last
+    FROM c{i - 1} c
+    JOIN pterms t ON t.phrase_id = c.phrase_id AND t.off = {i}
+    JOIN ptok p ON p.doc_id = c.doc_id AND p.token = t.term
+    WHERE p.pos > c.last AND p.pos <= c.p0 + {window}
+)"""
+    return f"""WITH base AS (
+    SELECT doc_id, {TOKS_EXPR} AS toks FROM documents
+),
+ptok AS (
+    SELECT doc_id, unnest(toks) AS token,
+           unnest(range(len(toks))) AS pos
+    FROM base
+),
+pterms AS (
+    SELECT b.doc_id AS phrase_id, o.o AS off, b.toks[o.o + 1] AS term
+    FROM base b, (SELECT unnest(range({n_terms})) AS o) o
+    WHERE b.doc_id % {query_mod} = 0 AND len(b.toks) >= {n_terms}
+),
+{chain},
+anchors AS (
+    SELECT DISTINCT phrase_id, doc_id, p0 FROM c{n_terms - 1}
+    WHERE phrase_id <> doc_id
+),
+scored AS (
+    SELECT phrase_id AS query_id, doc_id AS neighbor_id,
+           CAST(count(*) AS BIGINT) AS score
+    FROM anchors GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id)
+                  AS rank
+    FROM scored
+) WHERE rank <= {k}"""
+
+
+def contamination_summary_sql(
+    n: int = 8,
+    quote_mod: int = 50,
+    start: int = 3,
+    length: int = 12,
+    id_offset: int = 10_000_000,
+    decoy_phase: int = 25,
+    decoy_offset: int = 20_000_000,
+    min_shared: int = 1,
+) -> str:
+    """Oracle for operators/dedup.py::contamination_summary over the
+    planted-quote batch UNION the reversed-slice decoys — one row per
+    benchmark item with zero-hit items included (the decoys grade the
+    clean branch; reversed mid-document runs share no 8-gram with the
+    corpus)."""
+    bparts = ", ".join(f"btoks[i + {j}]" for j in range(n))
+    return f"""WITH {_shingle_cte(n).strip().rstrip()},
+bench AS (
+    SELECT doc_id + {id_offset} AS bench_id,
+           toks[{start}:{start + length - 1}] AS btoks
+    FROM (SELECT doc_id, {TOKS_EXPR} AS toks FROM documents)
+    WHERE doc_id % {quote_mod} = 0 AND len(toks) >= {start + length - 1}
+    UNION ALL
+    SELECT doc_id + {decoy_offset} AS bench_id,
+           list_reverse(toks[{start}:{start + length - 1}]) AS btoks
+    FROM (SELECT doc_id, {TOKS_EXPR} AS toks FROM documents)
+    WHERE doc_id % {quote_mod} = {decoy_phase}
+      AND len(toks) >= {start + length - 1}
+),
+b AS (
+    SELECT bench_id, unnest(list_distinct(
+        CASE WHEN len(btoks) >= {n}
+             THEN list_transform(range(1, len(btoks) - {n - 2}),
+                                 i -> concat_ws(' ', {bparts}))
+             ELSE []::VARCHAR[] END)) AS token
+    FROM bench
+),
+sizes AS (SELECT bench_id, count(*) AS n_bench_ngrams FROM b GROUP BY 1),
+hits AS (
+    SELECT b.bench_id, c.doc_id, count(*) AS n_shared
+    FROM sh_tok c JOIN b ON c.token = b.token AND b.bench_id <> c.doc_id
+    GROUP BY 1, 2
+),
+flagged AS (
+    SELECT bench_id, count(*) AS n_flagged_docs,
+           max(n_shared) AS max_shared
+    FROM hits WHERE n_shared >= {min_shared}
+    GROUP BY 1
+)
+SELECT be.bench_id,
+       CAST(coalesce(s.n_bench_ngrams, 0) AS BIGINT) AS n_bench_ngrams,
+       CAST(coalesce(f.n_flagged_docs, 0) AS BIGINT) AS n_flagged_docs,
+       CAST(coalesce(f.max_shared, 0) AS BIGINT) AS max_shared
+FROM (SELECT DISTINCT bench_id FROM bench) be
+LEFT JOIN sizes s USING (bench_id)
+LEFT JOIN flagged f USING (bench_id)"""
+
+
 def replicated_base_ctes(factor: int, id_offset: int = 1_000_000) -> str:
     """``base`` CTE (doc_id + token ARRAY — the phrase chain's root)
     over the :func:`~jaccard_mapreduce_spark.operators.retrieval.

@@ -241,6 +241,103 @@ def test_stats_positions_count_comes_from_footers(spark, tmp_path):
     assert _parquet_footer_rows(spark, f"{path}/positions") == scan
 
 
+# --- ordered proximity search (round-12 extension) --------------------
+
+
+def test_proximity_slop_zero_equals_exact_phrase_search(spark):
+    """slop=0 forces p_i = p0 + i, so anchor-distinct proximity counts
+    must equal phrase_search's verbatim occurrence counts exactly —
+    the exact tier is the operator's floor, not a separate
+    semantics."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        leading_phrases,
+        phrase_search,
+        proximity_search,
+    )
+
+    docs = _docs(spark)
+    phrases = leading_phrases(
+        docs.where(F.col("doc_id") % 100 == 0), n_terms=3
+    )
+    prox = proximity_search(
+        docs, phrases, slop=0, n_terms=3, k=10
+    ).collect()
+    exact = phrase_search(docs, phrases, k=10).collect()
+    assert sorted(map(tuple, prox)) == sorted(map(tuple, exact))
+
+
+def test_proximity_matches_naive_reference(spark):
+    """Anchor counts checked against a brute-force Python scan on a
+    hand-built corpus covering: gap inside the window, gap past the
+    window, out-of-order terms, repeated anchors."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x b"),        # a..b with one gap
+            (2, "a x x x b"),    # gap too wide for slop 2
+            (3, "b x a"),        # out of order — no match
+            (4, "a b y a x b"),  # two anchors (positions 0 and 3)
+            (5, "a a b"),        # two anchors (0 and 1) share one b
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(100, "a b")], "phrase_id long, phrase string"
+    )
+    got = {
+        (r["neighbor_id"]): r["score"]
+        for r in proximity_search(
+            docs, phrases, slop=2, n_terms=2, k=10
+        ).collect()
+    }
+    # window = (n-1) + slop = 3: b within 3 positions after a
+    assert got == {1: 1, 4: 2, 5: 2}
+
+    with pytest.raises(ValueError, match="slop"):
+        proximity_search(docs, phrases, slop=-1, n_terms=2)
+    with pytest.raises(ValueError, match="n_terms"):
+        proximity_search(docs, phrases, n_terms=1)
+    # wrong-length phrases are dropped, not mismatched
+    tri = spark.createDataFrame(
+        [(101, "a x b")], "phrase_id long, phrase string"
+    )
+    assert proximity_search(docs, tri, n_terms=2).count() == 0
+
+
+def test_contamination_summary_includes_clean_decoys(spark):
+    """The report face must carry zero-hit rows (reversed-slice decoys
+    match nothing at n=8) alongside fully-contained planted quotes."""
+    from jaccard_mapreduce_spark.operators.dedup import (
+        contamination_summary,
+        planted_benchmarks,
+    )
+
+    docs = _docs(spark)
+    bench = planted_benchmarks(docs, quote_mod=50).unionByName(
+        planted_benchmarks(
+            docs, quote_mod=50, phase=25, reverse=True,
+            id_offset=20_000_000,
+        )
+    )
+    rows = {r["bench_id"]: r for r in contamination_summary(
+        docs, bench, n=8
+    ).collect()}
+    planted = [r for b, r in rows.items() if b < 20_000_000]
+    decoys = [r for b, r in rows.items() if b >= 20_000_000]
+    assert planted and decoys, "fixture must carry both cohorts"
+    for r in planted:
+        assert r["n_flagged_docs"] >= 1
+        assert r["max_shared"] == r["n_bench_ngrams"], (
+            "a planted quote must be fully contained in its source doc"
+        )
+    for r in decoys:
+        assert r["n_flagged_docs"] == 0 and r["max_shared"] == 0
+        assert r["n_bench_ngrams"] > 0, "decoys still have n-grams"
+
+
 def test_store_phrase_guard_uses_stored_statistics(spark, tmp_path):
     """The store serve's guard reads the df dataset + n_docs marker
     (KB-sized) — same refuse/drop semantics as the one-plan path."""
