@@ -476,6 +476,26 @@ def _q_lexical_store_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_store_phrase_demo(spark, sf_dir)
 
 
+def _q_stream_proximity_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.retrieval_serve import (
+        stream_proximity_serve,
+    )
+
+    return stream_proximity_serve(spark, sf_dir)
+
+
+def _q_lexical_store_proximity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        lexical_store_proximity_demo,
+    )
+
+    return lexical_store_proximity_demo(spark, sf_dir)
+
+
 def _q_phrase_store_scale_probe(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -674,6 +694,10 @@ _NEW_OR_CHANGED = [
     # decontamination report face (zero-hit items included, graded
     # with reversed-slice clean decoys)
     "proximity_search", "contamination_summary",
+    # new round 12: proximity's store serve (the positions dataset's
+    # fourth scoring) and streaming serve — the full four-face
+    # symmetry every retrieval scoring carries
+    "lexical_store_proximity", "stream_proximity_serve",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -695,6 +719,7 @@ _R12_WINDOW = [
     "contamination_summary",
     "phrase_search_guarded", "phrase_store_scale_probe",
     "hybrid_phrase_search", "proximity_search",
+    "lexical_store_proximity", "stream_proximity_serve",
     "lexical_store_search", "lexical_store_bm25", "lexical_store_phrase",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "stream_bm25_serve", "stream_phrase_serve",
@@ -706,15 +731,16 @@ _R12_WINDOW = [
     # the round-8-stale cohort (43 keys; the 25 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The eighteen left out — bloom_pruned_revenue,
+    # their correctness. The twenty left out — bloom_pruned_revenue,
     # boilerplate_span_stats, bucketed_customer_revenue,
-    # customer_order_gaps, customer_trailing_spend, events_json_props,
-    # events_sessionize, formats_roundtrip, global_shuffle,
-    # gopher_quality_flags, key_skew_stats, prepare_corpus,
-    # q14_promo_revenue, repetition_stats, synthetic_corpus_stats,
-    # top_ngrams, user_funnel, zordered_events_summary — tie on
-    # staleness with the cohort inside (all r8) and stay re-verified by
-    # the oracle-parity pytest sweep every run, so the guard holds.)
+    # cohort_retention, customer_order_gaps, customer_trailing_spend,
+    # events_json_props, events_sessionize, formats_roundtrip,
+    # global_shuffle, gopher_quality_flags, key_skew_stats,
+    # minhash_index_stats, prepare_corpus, q14_promo_revenue,
+    # repetition_stats, synthetic_corpus_stats, top_ngrams,
+    # user_funnel, zordered_events_summary — tie on staleness with the
+    # cohort inside (all r8) and stay re-verified by the oracle-parity
+    # pytest sweep every run, so the guard holds.)
     "ann_sq8_topk", "sq8_rank_audit", "ann_cosine_topk",
     "ann_fast_ranks", "ann_recall_audit", "ivf_index_sq8",
     "quantize_embeddings",
@@ -725,8 +751,7 @@ _R12_WINDOW = [
     "pair_intersections",
     "stream_hopping", "stream_incremental_jaccard",
     "stream_interval_join",
-    "minhash_index_reband", "minhash_index_stats",
-    "cohort_retention",
+    "minhash_index_reband",
 ]
 
 
@@ -1081,6 +1106,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # facts, so the ranking is exactly the replicated one-plan
         # oracle's)
         "phrase_store_scale_probe": _q_phrase_store_scale_probe,
+        # new round 12: the store's FOURTH scoring — sloppy phrase
+        # served from the same positions dataset (mutation invisible
+        # to the window chain), and its streaming symmetry; both grade
+        # against the one-plan proximity oracle
+        "lexical_store_proximity": _q_lexical_store_proximity,
+        "stream_proximity_serve": _q_stream_proximity_serve,
         # new round 10: the retrieval-family scale probe (the
         # ann_scale_probe discipline) — 10x-replicated corpus through
         # the one-plan lexical top-k at the graded prune; replication
@@ -1849,6 +1880,15 @@ def oracle_sql() -> dict[str, str]:
             n_terms=2, query_mod=100, guard_pct=_GRADED_MAX_DF_PCT
         ),
         "proximity_search": oracles.proximity_search_sql(
+            n_terms=3, slop=2, query_mod=100
+        ),
+        # store-served and stream-served proximity ≡ the same one-plan
+        # oracle (positions merge additively; serving is
+        # batch-decomposable)
+        "lexical_store_proximity": oracles.proximity_search_sql(
+            n_terms=3, slop=2, query_mod=100
+        ),
+        "stream_proximity_serve": oracles.proximity_search_sql(
             n_terms=3, slop=2, query_mod=100
         ),
         "bm25_topk": oracles.bm25_topk_sql(

@@ -140,6 +140,8 @@ def main() -> None:
         "hybrid_phrase_search",
         "proximity_search",
         "contamination_summary",
+        "lexical_store_proximity",
+        "stream_proximity_serve",
         "lexical_store_search",
         "lexical_store_bm25",
         "lexical_store_phrase",
@@ -161,6 +163,7 @@ def main() -> None:
         "stream_lexical_ingest",
         "stream_bm25_serve",
         "stream_phrase_serve",
+        "stream_proximity_serve",
     }
     cohort = rotating_cohort(
         qs, set(bench_queries), set(), entry._WINDOW_DESIGN_ROUND
@@ -196,6 +199,7 @@ def main() -> None:
         "lexical_store_phrase", "stream_phrase_serve",
         "lexical_store_search", "lexical_store_bm25",
         "lexical_store_compact", "phrase_store_scale_probe",
+        "lexical_store_proximity", "stream_proximity_serve",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

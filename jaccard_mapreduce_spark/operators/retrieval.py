@@ -918,6 +918,75 @@ def phrase_search(
     )
 
 
+def proximity_probe(
+    positions: DataFrame,
+    phrases: DataFrame,
+    slop: int = 2,
+    k: int = 10,
+    n_terms: int = 2,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Probe a positional-postings relation ``(doc_id, pos, token)``
+    with an ordered proximity batch — the chain half of
+    :func:`proximity_search`, shared by the one-plan face, the
+    persisted store's serve, and the streaming serve so the window
+    arithmetic can never drift between them. The probe scans
+    ``positions`` once per phrase OFFSET (``n_terms`` carve-outs via
+    broadcast per-offset term joins); callers that pay for the scan —
+    the one-plan tokenize, a 24/7 serving session — pin the relation
+    first (the one-plan face and both serve faces do)."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    if n_terms < 2:
+        raise ValueError(
+            f"n_terms must be >= 2 (got {n_terms}) — single-term "
+            "proximity is plain term search; use the lexical tier"
+        )
+    terms = phrase_terms(
+        phrases, id_col=phrase_id_col, text_col=phrase_col
+    ).where(F.col("n_terms") == F.lit(n_terms))
+    window = n_terms - 1 + slop
+    t0 = terms.where(F.col("offset") == 0).select("phrase_id", "term")
+    cand = (
+        positions.join(F.broadcast(t0), positions["token"] == t0["term"])
+        .select(
+            "phrase_id",
+            "doc_id",
+            F.col("pos").alias("p0"),
+            F.col("pos").alias("last"),
+        )
+    )
+    for i in range(1, n_terms):
+        ti = terms.where(F.col("offset") == i).select(
+            F.col("phrase_id").alias("_pid"), "term"
+        )
+        nxt = positions.join(
+            F.broadcast(ti), positions["token"] == ti["term"]
+        ).select(
+            F.col("_pid"),
+            F.col("doc_id").alias("_did"),
+            F.col("pos").alias("_p"),
+        )
+        cand = cand.join(
+            nxt,
+            (cand["phrase_id"] == nxt["_pid"])
+            & (cand["doc_id"] == nxt["_did"])
+            & (nxt["_p"] > cand["last"])
+            & (nxt["_p"] <= cand["p0"] + window),
+        ).select("phrase_id", "doc_id", "p0", F.col("_p").alias("last"))
+    anchors = cand.select("phrase_id", "doc_id", "p0").distinct()
+    scored = (
+        anchors.where(F.col("phrase_id") != F.col("doc_id"))
+        .groupBy(
+            F.col("phrase_id").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    return _topk(scored, k)
+
+
 def proximity_search(
     docs: DataFrame,
     phrases: DataFrame,
@@ -955,59 +1024,21 @@ def proximity_search(
     candidate (the range predicate), so candidate volume stays bounded
     by the FIRST term's df × a constant — never the corpus. The final
     anchor-distinct + count aggregations are map-side combinable."""
-    if slop < 0:
-        raise ValueError(f"slop must be >= 0, got {slop}")
-    if n_terms < 2:
-        raise ValueError(
-            f"n_terms must be >= 2 (got {n_terms}) — single-term "
-            "proximity is plain term search; use the lexical tier"
-        )
     sc = docs.sparkSession.sparkContext
     # pinned: the chain probes the positional relation n_terms times
     pos = pin(
         doc_token_positions(docs, id_col=id_col, text_col=text_col)
         .repartition(sc.defaultParallelism, F.col("doc_id"))
     )
-    terms = phrase_terms(
-        phrases, id_col=phrase_id_col, text_col=phrase_col
-    ).where(F.col("n_terms") == F.lit(n_terms))
-    window = n_terms - 1 + slop
-    t0 = terms.where(F.col("offset") == 0).select("phrase_id", "term")
-    cand = (
-        pos.join(F.broadcast(t0), pos["token"] == t0["term"])
-        .select(
-            "phrase_id",
-            "doc_id",
-            F.col("pos").alias("p0"),
-            F.col("pos").alias("last"),
-        )
+    return proximity_probe(
+        pos,
+        phrases,
+        slop=slop,
+        k=k,
+        n_terms=n_terms,
+        phrase_id_col=phrase_id_col,
+        phrase_col=phrase_col,
     )
-    for i in range(1, n_terms):
-        ti = terms.where(F.col("offset") == i).select(
-            F.col("phrase_id").alias("_pid"), "term"
-        )
-        nxt = pos.join(F.broadcast(ti), pos["token"] == ti["term"]).select(
-            F.col("_pid"),
-            F.col("doc_id").alias("_did"),
-            F.col("pos").alias("_p"),
-        )
-        cand = cand.join(
-            nxt,
-            (cand["phrase_id"] == nxt["_pid"])
-            & (cand["doc_id"] == nxt["_did"])
-            & (nxt["_p"] > cand["last"])
-            & (nxt["_p"] <= cand["p0"] + window),
-        ).select("phrase_id", "doc_id", "p0", F.col("_p").alias("last"))
-    anchors = cand.select("phrase_id", "doc_id", "p0").distinct()
-    scored = (
-        anchors.where(F.col("phrase_id") != F.col("doc_id"))
-        .groupBy(
-            F.col("phrase_id").alias("query_id"),
-            F.col("doc_id").alias("neighbor_id"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("score"))
-    )
-    return _topk(scored, k)
 
 
 def phrase_guard_demo(

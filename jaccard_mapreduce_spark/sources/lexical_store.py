@@ -641,6 +641,102 @@ def search_lexical_store_phrase(
     )
 
 
+def search_lexical_store_proximity(
+    spark: SparkSession,
+    path: str,
+    phrases: DataFrame,
+    slop: int = 2,
+    k: int = 10,
+    n_terms: int = 2,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+    max_df_ratio: float | None = None,
+    on_hot: str = "refuse",
+) -> DataFrame:
+    """Probe the store's positional postings with an ordered PROXIMITY
+    batch (round 12 — the store's FOURTH scoring: set, tf, exact
+    phrase, and now sloppy phrase from the same positions dataset) —
+    identical semantics to the one-plan :func:`~jaccard_mapreduce_spark.
+    operators.retrieval.proximity_search` over the stored corpus.
+    Positions are per-document facts, so the serve after
+    build-then-upsert is bit-identical to a fresh full build — the
+    additive-merge invisibility claim extends to the window chain
+    unchanged. ``max_df_ratio`` arms the stop-phrase guard from the
+    stored statistics (two KB-sized reads), exactly as the phrase
+    serve does — a sloppy phrase of only hot terms fans out the same
+    way a verbatim one does."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        proximity_probe,
+        prune_hot_phrases,
+    )
+
+    if max_df_ratio is not None:
+        phrases = prune_hot_phrases(
+            spark.read.parquet(f"{path}/df"),
+            _require_marker(spark, path, "_n_docs"),
+            phrases,
+            max_df_ratio,
+            on_hot,
+            phrase_id_col,
+            phrase_col,
+        )
+    from jaccard_mapreduce_spark.operators._cache import pin
+
+    # pinned: the chain carves the stored positions once per offset —
+    # n_terms scans of the parquet dataset without the pin (the serve
+    # faces' 24/7 discipline: one scan, n cache reads)
+    positions = pin(spark.read.parquet(f"{path}/positions"))
+    return proximity_probe(
+        positions,
+        phrases,
+        slop=slop,
+        k=k,
+        n_terms=n_terms,
+        phrase_id_col=phrase_id_col,
+        phrase_col=phrase_col,
+    )
+
+
+def lexical_store_proximity_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    base_mod: int = 4,
+    query_mod: int = 100,
+    n_terms: int = 3,
+    slop: int = 2,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the store-served proximity search (round
+    12): the shared build-then-upsert store probed with the query
+    docs' leading trigrams at slop=2 must value-hash-match the
+    one-plan ``proximity_search`` oracle over the FULL corpus with no
+    build filter — the fourth scoring served from the same positions
+    dataset, with the mutation path invisible to the window chain
+    exactly as it is to adjacency."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        leading_phrases,
+    )
+
+    base, docs = _ensure_lex_store(spark, sf_dir, base_mod, rebuild)
+    res = search_lexical_store_proximity(
+        spark,
+        base,
+        leading_phrases(
+            docs.where(F.col("doc_id") % query_mod == 0), n_terms=n_terms
+        ),
+        slop=slop,
+        k=k,
+        n_terms=n_terms,
+    )
+    # the family's vacuity guard
+    assert res.limit(1).count() > 0, (
+        "vacuous store proximity search: no query trigram matches "
+        "within the window anywhere in the corpus"
+    )
+    return res
+
+
 def lexical_store_phrase_demo(
     spark: SparkSession,
     sf_dir: str,

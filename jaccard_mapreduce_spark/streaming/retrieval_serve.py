@@ -311,6 +311,114 @@ def stream_phrase_serve(
         positions.unpersist()
 
 
+def proximity_serve_stream(
+    stream: DataFrame,
+    positions: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    slop: int = 2,
+    k: int = 10,
+    n_terms: int = 2,
+):
+    """Wire a ``(phrase_id, phrase)`` query stream against a prepared
+    positional-postings relation under the ordered PROXIMITY scoring
+    (round 12 — the fourth serving symmetry: set → BM25 → phrase →
+    sloppy phrase), appending each micro-batch's ranked results to
+    ``out_path``. Same claims, same recipe as the phrase serve:
+    per-phrase scoring is batch-decomposable, the positions relation
+    is pinned ONCE by the caller (the chain carves it per offset, so
+    the pin is what keeps a 24/7 stream at one scan + cache reads),
+    exactly-once is NOT claimed."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        proximity_probe,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = pin(batch_df)
+        try:
+            proximity_probe(
+                positions,
+                b.select("phrase_id", "phrase"),
+                slop=slop,
+                k=k,
+                n_terms=n_terms,
+            ).write.mode("append").parquet(out_path)
+        finally:
+            b.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def stream_proximity_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    slop: int = 2,
+    k: int = 10,
+    query_mod: int = 100,
+    n_terms: int = 3,
+    n_input_files: int = 4,
+) -> DataFrame:
+    """Contract query for the streaming proximity serve (round 12):
+    the deterministic trigram batch split across ``n_input_files``
+    files, streamed one file per trigger against the shared
+    build-then-upsert store's positions, returning the union of
+    appended results. The graded hash composes the store's
+    additive-merge exactness (positions are per-document facts) with
+    batch-decomposability against the one-plan full-corpus
+    ``proximity_search`` oracle — the same oracle as the one-plan and
+    store-served faces, so all four proximity faces pin one
+    arithmetic."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        leading_phrases,
+    )
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        _ensure_lex_store,
+    )
+    from jaccard_mapreduce_spark.sources.vector_index import _scratch_dir
+
+    base, docs = _ensure_lex_store(spark, sf_dir)
+    positions = pin(spark.read.parquet(f"{base}/positions"))
+    scratch = _scratch_dir(spark, suffix="_prox_serve")
+    shutil.rmtree(scratch, ignore_errors=True)
+    in_dir = os.path.join(scratch, "in")
+    out_dir = os.path.join(scratch, "out")
+    leading_phrases(
+        docs.where(F.col("doc_id") % query_mod == 0), n_terms=n_terms
+    ).repartition(n_input_files).write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = proximity_serve_stream(
+        stream,
+        positions,
+        out_dir,
+        os.path.join(scratch, "ckpt"),
+        slop=slop,
+        k=k,
+        n_terms=n_terms,
+    ).start()
+    q.awaitTermination()
+    try:
+        out = spark.read.parquet(out_dir)
+        # the family's vacuity guard
+        assert out.limit(1).count() > 0, (
+            "vacuous proximity serve: no query trigram matches within "
+            "the window anywhere in the corpus"
+        )
+        return out
+    finally:
+        positions.unpersist()
+
+
 def stream_hybrid_serve(
     spark: SparkSession,
     sf_dir: str,

@@ -307,6 +307,34 @@ def test_proximity_matches_naive_reference(spark):
     assert proximity_search(docs, tri, n_terms=2).count() == 0
 
 
+def test_store_proximity_serves_the_one_plan_ranking(spark, tmp_path):
+    """The store's fourth scoring: sloppy-phrase serve over the stored
+    positions must equal the one-plan proximity ranking, and the
+    stop-phrase guard applies from the stored statistics."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        proximity_search,
+    )
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        search_lexical_store_proximity,
+    )
+
+    docs, phrases = _guard_fixture(spark)
+    path = str(tmp_path / "store")
+    build_lexical_store(docs, path)
+    served = search_lexical_store_proximity(
+        spark, path, phrases, slop=2, n_terms=2
+    ).collect()
+    one_plan = proximity_search(
+        docs, phrases, slop=2, n_terms=2
+    ).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, one_plan))
+    with pytest.raises(ValueError, match="stop-phrase"):
+        search_lexical_store_proximity(
+            spark, path, phrases, slop=2, n_terms=2, max_df_ratio=0.5
+        )
+
+
 def test_contamination_summary_includes_clean_decoys(spark):
     """The report face must carry zero-hit rows (reversed-slice decoys
     match nothing at n=8) alongside fully-contained planted quotes."""
