@@ -918,6 +918,47 @@ def phrase_search(
     )
 
 
+def proximity_carve(
+    positions: DataFrame,
+    phrases: DataFrame,
+    n_terms: int,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Carve a positional-postings relation ``(doc_id, pos, token)``
+    down to the proximity batch's VOCABULARY — a broadcast semi-join
+    against the distinct terms of the batch's length-``n_terms``
+    phrases. The carve is what makes :func:`proximity_probe`'s
+    ``n_terms`` scans pinnable at any corpus size: its row count is
+    bounded by Σ df over the batch vocabulary (query-shaped, never
+    corpus-shaped), so callers pin THIS — one scan of the source
+    relation, then ``n_terms`` cache reads of a df-bounded carve —
+    instead of the corpus-sized positions, which a 100 TB store could
+    not hold in cache at all. Rows outside the vocabulary can never
+    survive the probe's per-offset equi-joins, so carving first is a
+    pure plan improvement, not a semantics change.
+
+    ``num_partitions`` optionally re-clusters the carve by ``doc_id``
+    (the round-11 combine lens); the one-plan face uses it because a
+    freshly exploded relation inherits the scan's split count, while
+    the store's positions are already doc_id-clustered on disk."""
+    vocab = (
+        phrase_terms(phrases, id_col=phrase_id_col, text_col=phrase_col)
+        .where(F.col("n_terms") == F.lit(n_terms))
+        .select("term")
+        .distinct()
+    )
+    carved = positions.join(
+        F.broadcast(vocab),
+        positions["token"] == vocab["term"],
+        "left_semi",
+    )
+    if num_partitions:
+        carved = carved.repartition(num_partitions, F.col("doc_id"))
+    return carved
+
+
 def proximity_probe(
     positions: DataFrame,
     phrases: DataFrame,
@@ -934,8 +975,11 @@ def proximity_probe(
     arithmetic can never drift between them. The probe scans
     ``positions`` once per phrase OFFSET (``n_terms`` carve-outs via
     broadcast per-offset term joins); callers that pay for the scan —
-    the one-plan tokenize, a 24/7 serving session — pin the relation
-    first (the one-plan face and both serve faces do)."""
+    the one-plan tokenize, a 24/7 serving session — pass the
+    :func:`proximity_carve` of their relation, PINNED (all three faces
+    do): one source scan, then ``n_terms`` cache reads of a
+    Σ-df-bounded carve. An uncarved relation is accepted and gives
+    identical results — it just re-scans the source per offset."""
     if slop < 0:
         raise ValueError(f"slop must be >= 0, got {slop}")
     if n_terms < 2:
@@ -1015,20 +1059,30 @@ def proximity_search(
     other length are dropped — batch by length upstream, the standard
     proximity-query practice. All-integer scores, hash-gradable.
 
-    Plan shape: the positional relation is tokenized ONCE, pinned, and
-    doc_id-clustered (the round-11 combine lens — every chain join
-    keys on ``(phrase_id, doc_id)``, so doc clustering keeps the
-    chain's shuffles narrow); each term's postings are carved from the
-    pinned relation by a broadcast semi-join of that offset's terms.
-    Chain step ``i`` fans out by at most ``window − i`` positions per
-    candidate (the range predicate), so candidate volume stays bounded
-    by the FIRST term's df × a constant — never the corpus. The final
-    anchor-distinct + count aggregations are map-side combinable."""
+    Plan shape: the corpus is tokenized ONCE, carved to the batch
+    vocabulary (:func:`proximity_carve` — Σ df rows, query-shaped),
+    and the CARVE is pinned and doc_id-clustered (the round-11 combine
+    lens — every chain join keys on ``(phrase_id, doc_id)``, so doc
+    clustering keeps the chain's shuffles narrow); each offset's
+    postings are then cache reads of the carve, never re-scans of the
+    corpus. Chain step ``i`` fans out by at most ``window − i``
+    positions per candidate (the range predicate), so candidate volume
+    stays bounded by the FIRST term's df × a constant — never the
+    corpus. The final anchor-distinct + count aggregations are
+    map-side combinable."""
     sc = docs.sparkSession.sparkContext
-    # pinned: the chain probes the positional relation n_terms times
+    # pinned: the chain probes the carve n_terms times; pin AFTER the
+    # vocabulary carve so the cached relation is Σdf-bounded, not
+    # corpus-sized
     pos = pin(
-        doc_token_positions(docs, id_col=id_col, text_col=text_col)
-        .repartition(sc.defaultParallelism, F.col("doc_id"))
+        proximity_carve(
+            doc_token_positions(docs, id_col=id_col, text_col=text_col),
+            phrases,
+            n_terms,
+            phrase_id_col=phrase_id_col,
+            phrase_col=phrase_col,
+            num_partitions=sc.defaultParallelism,
+        )
     )
     return proximity_probe(
         pos,

@@ -666,6 +666,7 @@ def search_lexical_store_proximity(
     serve does — a sloppy phrase of only hot terms fans out the same
     way a verbatim one does."""
     from jaccard_mapreduce_spark.operators.retrieval import (
+        proximity_carve,
         proximity_probe,
         prune_hot_phrases,
     )
@@ -682,10 +683,21 @@ def search_lexical_store_proximity(
         )
     from jaccard_mapreduce_spark.operators._cache import pin
 
-    # pinned: the chain carves the stored positions once per offset —
-    # n_terms scans of the parquet dataset without the pin (the serve
-    # faces' 24/7 discipline: one scan, n cache reads)
-    positions = pin(spark.read.parquet(f"{path}/positions"))
+    # pinned: the chain probes the positions n_terms times, so pin the
+    # VOCABULARY CARVE (Σ df rows — query-shaped), never the stored
+    # dataset itself (corpus-shaped; a 100 TB store cannot be cached).
+    # One parquet scan builds the carve; the chain then does n cache
+    # reads. No re-clustering: the stored positions are already
+    # doc_id-clustered on disk and the carve preserves that order.
+    positions = pin(
+        proximity_carve(
+            spark.read.parquet(f"{path}/positions"),
+            phrases,
+            n_terms,
+            phrase_id_col=phrase_id_col,
+            phrase_col=phrase_col,
+        )
+    )
     return proximity_probe(
         positions,
         phrases,

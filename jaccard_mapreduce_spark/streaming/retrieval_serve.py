@@ -324,12 +324,18 @@ def proximity_serve_stream(
     positional-postings relation under the ordered PROXIMITY scoring
     (round 12 — the fourth serving symmetry: set → BM25 → phrase →
     sloppy phrase), appending each micro-batch's ranked results to
-    ``out_path``. Same claims, same recipe as the phrase serve:
-    per-phrase scoring is batch-decomposable, the positions relation
-    is pinned ONCE by the caller (the chain carves it per offset, so
-    the pin is what keeps a 24/7 stream at one scan + cache reads),
-    exactly-once is NOT claimed."""
+    ``out_path``. Same claims as the phrase serve — per-phrase scoring
+    is batch-decomposable, exactly-once is NOT claimed — but a
+    different cache recipe, because the proximity chain scans its
+    positional relation ``n_terms`` times where the phrase vote scans
+    once: each micro-batch pins the Σ-df-bounded VOCABULARY CARVE of
+    ``positions`` (query-shaped) and unpersists it after the append,
+    so a 24/7 stream holds bounded cache regardless of store size.
+    ``positions`` itself may be a raw parquet read (a store too large
+    to cache — one scan per batch builds the carve) or a relation the
+    caller pinned once (the carve then reads the cache)."""
     from jaccard_mapreduce_spark.operators.retrieval import (
+        proximity_carve,
         proximity_probe,
     )
 
@@ -337,15 +343,21 @@ def proximity_serve_stream(
         if batch_df.isEmpty():
             return
         b = pin(batch_df)
+        carve = pin(
+            proximity_carve(
+                positions, b.select("phrase_id", "phrase"), n_terms
+            )
+        )
         try:
             proximity_probe(
-                positions,
+                carve,
                 b.select("phrase_id", "phrase"),
                 slop=slop,
                 k=k,
                 n_terms=n_terms,
             ).write.mode("append").parquet(out_path)
         finally:
+            carve.unpersist()
             b.unpersist()
 
     return (
