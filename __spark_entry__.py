@@ -468,6 +468,24 @@ def _q_lexical_store_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_store_bm25_demo(spark, sf_dir)
 
 
+def _q_lexical_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        lexical_store_delete_demo,
+    )
+
+    return lexical_store_delete_demo(spark, sf_dir)
+
+
+def _q_lexical_store_delete_bm25(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        lexical_store_delete_bm25_demo,
+    )
+
+    return lexical_store_delete_bm25_demo(spark, sf_dir)
+
+
 def _q_lexical_store_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.lexical_store import (
         lexical_store_phrase_demo,
@@ -698,6 +716,10 @@ _NEW_OR_CHANGED = [
     # fourth scoring) and streaming serve — the full four-face
     # symmetry every retrieval scoring carries
     "lexical_store_proximity", "stream_proximity_serve",
+    # new round 12: MERGE-ON-READ deletion (the mutation lifecycle's
+    # missing verb) — tombstone masking + eager statistics correction,
+    # graded for both scorings against survivors-only oracles
+    "lexical_store_delete", "lexical_store_delete_bm25",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -720,6 +742,7 @@ _R12_WINDOW = [
     "phrase_search_guarded", "phrase_store_scale_probe",
     "hybrid_phrase_search", "proximity_search",
     "lexical_store_proximity", "stream_proximity_serve",
+    "lexical_store_delete", "lexical_store_delete_bm25",
     "lexical_store_search", "lexical_store_bm25", "lexical_store_phrase",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "stream_bm25_serve", "stream_phrase_serve",
@@ -728,19 +751,20 @@ _R12_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "media_features",
     "media_frames", "minhash_signatures", "pii_scrub", "quality_filter",
     "shard_assign", "simhash", "train_val_split",
-    # the round-8-stale cohort (43 keys; the 25 below fill the window —
+    # the round-8-stale cohort (43 keys; the 23 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The twenty left out — bloom_pruned_revenue,
+    # their correctness. The twenty-two left out — bloom_pruned_revenue,
     # boilerplate_span_stats, bucketed_customer_revenue,
     # cohort_retention, customer_order_gaps, customer_trailing_spend,
     # events_json_props, events_sessionize, formats_roundtrip,
     # global_shuffle, gopher_quality_flags, key_skew_stats,
-    # minhash_index_stats, prepare_corpus, q14_promo_revenue,
-    # repetition_stats, synthetic_corpus_stats, top_ngrams,
-    # user_funnel, zordered_events_summary — tie on staleness with the
-    # cohort inside (all r8) and stay re-verified by the oracle-parity
-    # pytest sweep every run, so the guard holds.)
+    # minhash_index_reband, minhash_index_stats, prepare_corpus,
+    # q14_promo_revenue, repetition_stats, stream_interval_join,
+    # synthetic_corpus_stats, top_ngrams, user_funnel,
+    # zordered_events_summary — tie on staleness with the cohort inside
+    # (all r8) and stay re-verified by the oracle-parity pytest sweep
+    # every run, so the guard holds.)
     "ann_sq8_topk", "sq8_rank_audit", "ann_cosine_topk",
     "ann_fast_ranks", "ann_recall_audit", "ivf_index_sq8",
     "quantize_embeddings",
@@ -750,8 +774,6 @@ _R12_WINDOW = [
     "jaccard_pairs", "doc_tokens", "doc_sizes", "doc_split",
     "pair_intersections",
     "stream_hopping", "stream_incremental_jaccard",
-    "stream_interval_join",
-    "minhash_index_reband",
 ]
 
 
@@ -1100,6 +1122,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-document facts, so build-then-upsert is invisible to the
         # adjacency scoring too (one store, three exact serves)
         "lexical_store_phrase": _q_lexical_store_phrase,
+        # new round 12: MERGE-ON-READ deletion — build-then-upsert-
+        # then-DELETE must equal a fresh build over the survivors:
+        # tombstones mask the corpus-sized datasets at serve time
+        # (never rewritten), df/markers corrected eagerly; the BM25
+        # face additionally pins the decremented mean-length markers
+        "lexical_store_delete": _q_lexical_store_delete,
+        "lexical_store_delete_bm25": _q_lexical_store_delete_bm25,
         # new round 12: the store-served phrase path at ~10x — the
         # store is built over the replicated corpus and probed with
         # the replicated bigram batch (positions are per-replica-doc
@@ -1860,6 +1889,15 @@ def oracle_sql() -> dict[str, str]:
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         "stream_lexical_ingest": oracles.lexical_store_search_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT
+        ),
+        # delete: the oracle recomputes the WHOLE chain over the
+        # surviving corpus only (n_docs, every df, the prune threshold,
+        # and for BM25 the mean length all shrink with the deletions)
+        "lexical_store_delete": oracles.lexical_store_delete_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT
+        ),
+        "lexical_store_delete_bm25": oracles.lexical_store_delete_bm25_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         "lexical_scale_probe": oracles.lexical_scale_probe_sql(

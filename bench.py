@@ -142,6 +142,8 @@ def main() -> None:
         "contamination_summary",
         "lexical_store_proximity",
         "stream_proximity_serve",
+        "lexical_store_delete",
+        "lexical_store_delete_bm25",
         "lexical_store_search",
         "lexical_store_bm25",
         "lexical_store_phrase",
@@ -200,6 +202,7 @@ def main() -> None:
         "lexical_store_search", "lexical_store_bm25",
         "lexical_store_compact", "phrase_store_scale_probe",
         "lexical_store_proximity", "stream_proximity_serve",
+        "lexical_store_delete", "lexical_store_delete_bm25",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

@@ -3018,6 +3018,7 @@ def bm25_topk_sql(
     max_df_pct: int = 50,
     ftok_ctes: str | None = None,
     n_docs_factor: int = 1,
+    docs_rel: str = "documents",
 ) -> str:
     """Oracle for operators/retrieval.py::bm25_topk — the integer BM25
     mirrored term-for-term: tf over the NON-deduplicated tokenize, dl =
@@ -3028,7 +3029,9 @@ def bm25_topk_sql(
 
     ``ftok_ctes`` / ``n_docs_factor`` swap the base tokenize for a
     replicated one (the ``bm25_scale_probe`` oracle — the
-    ``_lex_ranked_sql`` convention)."""
+    ``_lex_ranked_sql`` convention); ``docs_rel`` names the corpus
+    relation the document count reads (the delete oracle's survivors
+    CTE)."""
     ftok = ftok_ctes or f"""ftok AS (
     SELECT doc_id, unnest({TOKS_EXPR}) AS token FROM documents
 )"""
@@ -3038,7 +3041,7 @@ tf AS (
 ),
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
 nd AS (SELECT count(DISTINCT doc_id) * {n_docs_factor} AS n_docs
-       FROM documents),
+       FROM {docs_rel}),
 cst AS (
     SELECT (SELECT sum(tf) FROM tf) // (SELECT n_docs FROM nd) AS a
 ),
@@ -3565,16 +3568,19 @@ def _lex_scored_ctes(
     max_df_pct: int,
     tok_ctes: str | None = None,
     n_docs_factor: int = 1,
+    docs_rel: str = "documents",
 ) -> str:
     """The ONE copy of the set-semantics lexical scoring chain
     (tokenize → n_docs → df-pruned integer weights → per-(query, doc)
     exact sum) — shared by the store-search oracle, the scale-probe
     oracle, and the hybrid chain so a prune or weight change can never
     silently diverge between them (the 'derived, not retyped'
-    discipline applied to the SQL itself)."""
+    discipline applied to the SQL itself). ``docs_rel`` names the
+    corpus relation the document count reads — the delete oracle
+    passes its survivors CTE so n_docs shrinks with the corpus."""
     return f"""{(tok_ctes or TOK_CTE).strip()},
 nd AS (SELECT count(DISTINCT doc_id) * {n_docs_factor} AS n_docs
-       FROM documents),
+       FROM {docs_rel}),
 w AS (
     SELECT token, n_docs // df AS w
     FROM (SELECT token, count(*) AS df FROM tok GROUP BY token)
@@ -3598,11 +3604,12 @@ def _lex_ranked_sql(
     max_df_pct: int,
     tok_ctes: str | None = None,
     n_docs_factor: int = 1,
+    docs_rel: str = "documents",
 ) -> str:
     """Complete ranked SELECT over :func:`_lex_scored_ctes` — scores in
     the projection (exact integer sums; DuckDB's HUGEINT cast back to
     BIGINT to match Spark's long)."""
-    return f"""WITH {_lex_scored_ctes(query_mod, max_df_pct, tok_ctes, n_docs_factor)}
+    return f"""WITH {_lex_scored_ctes(query_mod, max_df_pct, tok_ctes, n_docs_factor, docs_rel)}
 SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
 FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -3622,6 +3629,68 @@ def lexical_store_search_sql(
     filter: a store built on a slice and upserted with the rest must be
     indistinguishable because df and n_docs merge additively."""
     return _lex_ranked_sql(k, query_mod, max_df_pct)
+
+
+def _live_docs_cte(del_mod: int, del_rem: int) -> str:
+    """``live`` CTE — the corpus minus the deleted slice, mirror of
+    the delete demo's ``doc_id % del_mod == del_rem`` batch."""
+    return f"""live AS (
+    SELECT * FROM documents WHERE doc_id % {del_mod} <> {del_rem}
+)"""
+
+
+def lexical_store_delete_sql(
+    k: int = 10,
+    query_mod: int = 100,
+    max_df_pct: int = 50,
+    del_mod: int = 10,
+    del_rem: int = 3,
+) -> str:
+    """Oracle for sources/lexical_store.py::lexical_store_delete_demo —
+    the one-plan lexical top-k over the SURVIVING corpus only: a store
+    built, upserted, and then DELETED from must be indistinguishable
+    from a fresh build over the survivors. The whole scoring chain
+    recomputes from the filtered corpus — n_docs shrinks, every df
+    loses its deleted contributions (the prune threshold moves with
+    both), deleted docs vanish as neighbors — so the graded hash pins
+    the merge-on-read masking AND the eager statistics correction at
+    once; a stale df or an unmasked posting shifts a score."""
+    tok_ctes = f"""{_live_docs_cte(del_mod, del_rem)},
+tok AS (
+    SELECT doc_id, unnest(list_distinct({TOKS_EXPR})) AS token
+    FROM live
+)"""
+    return _lex_ranked_sql(
+        k, query_mod, max_df_pct, tok_ctes=tok_ctes, docs_rel="live"
+    )
+
+
+def lexical_store_delete_bm25_sql(
+    k: int = 10,
+    query_mod: int = 100,
+    max_df_pct: int = 50,
+    del_mod: int = 10,
+    del_rem: int = 3,
+) -> str:
+    """Oracle for the BM25 face of the delete contract
+    (sources/lexical_store.py::lexical_store_delete_bm25_demo): the
+    integer BM25 recomputed over the surviving corpus. Beyond the
+    set-semantics face this pins the MARKER corrections — the mean
+    length ``A = Σtf // n_docs`` derives from both decremented markers,
+    so an uncorrected ``_n_tokens`` (or a dead doc's tf leaking into a
+    neighbor sum) shifts the saturation arithmetic and fails the
+    hash."""
+    ftok_ctes = f"""{_live_docs_cte(del_mod, del_rem)},
+ftok AS (
+    SELECT doc_id, unnest({TOKS_EXPR}) AS token FROM live
+)"""
+    return bm25_topk_sql(
+        k,
+        query_mod,
+        max_df_pct,
+        ftok_ctes=ftok_ctes,
+        docs_rel="live",
+    )
 
 
 def lexical_store_stats_sql() -> str:

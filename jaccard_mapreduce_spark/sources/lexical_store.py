@@ -52,6 +52,16 @@ Layout (four datasets under one directory, the vector-store shape):
                         n_docs; the BM25 serve derives its integer
                         mean-length scalar from it instead of scanning
                         the postings
+  ``<path>/tombstones`` (doc_id) — docs DELETED but not yet physically
+                        removed (round 12, merge-on-read: the
+                        corpus-sized datasets are never rewritten on
+                        delete; every serve anti-joins these away and
+                        compaction folds them in). Absent on a store
+                        that never deleted — zero read overhead
+  ``<path>/_n_dead_tokens``  token occurrences belonging to tombstoned
+                        docs still physically present — closes the
+                        stats invariant ``n_positions == _n_tokens +
+                        _n_dead_tokens``; zeroed by compaction
 
 Weights are derived at PROBE time from the stored statistics
 (``w = n_docs div df`` over tokens surviving the caller's
@@ -235,10 +245,14 @@ def upsert_lexical_store(
     hashing.
 
     ID CONTRACT (the vector stores' note, mirrored): batch doc ids
-    must be DISJOINT from the stored set. Re-upserting a stored doc_id
-    appends duplicate ``(token, doc_id)`` postings and double-counts
-    its df and n_docs contributions, silently inflating scores — the
-    additive merge is exact only over a true union. Enforcing this
+    must be DISJOINT from the stored set — INCLUDING tombstoned ids
+    (:func:`delete_from_lexical_store`): a re-inserted deleted id's
+    new rows would be masked by its own tombstone, silently vanishing;
+    re-insertion requires a compaction first (which clears the
+    tombstones). Re-upserting a stored doc_id appends duplicate
+    ``(token, doc_id)`` postings and double-counts its df and n_docs
+    contributions, silently inflating scores — the additive merge is
+    exact only over a true union. Enforcing this
     in-path would anti-join every batch against the full postings
     doc-id set (a corpus-sized scan per batch); dedup belongs upstream
     (the streaming faces' watermark recipe), same as replay dedup.
@@ -356,6 +370,200 @@ def upsert_lexical_store(
     return n_new
 
 
+def _swap_dataset(spark: SparkSession, path: str, name: str, tmp: str) -> None:
+    """Publish a staged dataset generation via the two-rename swap (the
+    upsert's df-swap idiom, factored for the delete path): live →
+    ``__old``, tmp → live, delete ``__old`` — the previous generation
+    survives until the new one is live, so no crash point leaves the
+    store without the dataset. Tolerates a missing live dataset (the
+    first delete creates ``tombstones`` from nothing)."""
+    from jaccard_mapreduce_spark.sources.vector_index import _hadoop_fs
+
+    fs, live = _hadoop_fs(spark, f"{path}/{name}")
+    old = _hadoop_fs(spark, f"{path}/{name}__old")[1]
+    if fs.exists(old):  # leftover from a crashed prior swap
+        fs.delete(old, True)
+    if fs.exists(live) and not fs.rename(live, old):
+        raise IOError(f"dataset swap failed: {path}/{name} -> __old")
+    if not fs.rename(_hadoop_fs(spark, tmp)[1], live):
+        fs.rename(old, live)  # put the previous generation back
+        raise IOError(f"dataset swap failed: {tmp} -> {path}/{name}")
+    if fs.exists(old):
+        fs.delete(old, True)
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The store's tombstone relation ``(doc_id)`` — doc ids deleted
+    but not yet physically removed by compaction — or ``None`` when no
+    delete has ever run (the common case: zero overhead on stores that
+    never delete)."""
+    from jaccard_mapreduce_spark.sources.vector_index import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{path}/tombstones")
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(f"{path}/tombstones")
+
+
+def _read_live(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Read a corpus-side dataset (postings / positions) with deleted
+    documents MASKED: an anti-join against the tombstones, the store's
+    merge-on-read contract (the Delta deletion-vector shape re-expressed
+    relationally — a 100 TB store cannot rewrite its postings per
+    delete, so deletes write the small side and reads subtract it).
+    Deliberately NOT hint-broadcast: AQE broadcasts a small tombstone
+    set on its own, and a forced hint would hard-fail a store whose
+    tombstones outgrew the broadcast limit instead of degrading to a
+    shuffle join (the ``ngram_contamination`` ADVICE lesson). Stores
+    with no tombstones read the dataset untouched — plan-identical to
+    the pre-delete engine."""
+    rel = spark.read.parquet(f"{path}/{name}")
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return rel
+    return rel.join(tomb, "doc_id", "left_anti")
+
+
+def _dead_tokens_marker(spark: SparkSession, path: str) -> int:
+    """The ``_n_dead_tokens`` marker — token occurrences belonging to
+    tombstoned docs, still physically present until compaction. Absent
+    marker + absent tombstones = a store that never deleted (0);
+    tombstones WITHOUT the marker means a foreign mutation — refuse,
+    the drift-check discipline."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _fs_read_text,
+        _hadoop_fs,
+    )
+
+    raw = _fs_read_text(spark, f"{path}/_n_dead_tokens")
+    fs, p = _hadoop_fs(spark, f"{path}/tombstones")
+    if raw is None:
+        if fs.exists(p):
+            raise ValueError(
+                f"{path} has tombstones but no _n_dead_tokens marker: "
+                "not written by this engine's delete path — rebuild"
+            )
+        return 0
+    return int(raw.strip() or 0)
+
+
+def delete_from_lexical_store(
+    spark: SparkSession,
+    path: str,
+    doc_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Delete a document batch from the store — the mutation
+    lifecycle's missing verb (build → upsert → compact → DELETE) —
+    MERGE-ON-READ: the corpus-sized postings/positions are never
+    rewritten (at 100 TB that write is the whole store); instead the
+    batch lands in a ``tombstones`` dataset that every serve anti-joins
+    away, while the SMALL exact statistics are corrected eagerly so
+    the weights stay exact: df = stored df − the deleted docs' per-token
+    contributions (tokens reaching 0 drop out — a token all of whose
+    docs died retires completely), ``_n_docs`` −= deleted docs,
+    ``_n_tokens`` −= their Σ tf, and a new ``_n_dead_tokens`` marker
+    accumulates the physically-present-but-dead occurrence count so the
+    stats face's positions invariant stays checkable
+    (``n_positions == _n_tokens + _n_dead_tokens``). Physical removal
+    is :func:`compact_lexical_store`'s job (it folds the tombstones in
+    and clears them).
+
+    Returns the number of documents actually deleted. UNLIKE upsert,
+    delete is IDEMPOTENT: the batch is anti-joined against existing
+    tombstones first (tombstones are a set, increments are not), so a
+    replayed delete is a counted no-op — the one mutation that is safe
+    to blindly retry after a full success. The per-token contribution
+    scan broadcasts the delete batch against the postings (delete
+    batches are human-scale; the docv4 doc_id clustering gives the scan
+    row-group pruning on the join key). Ids absent from the postings
+    (never stored, or already deleted) contribute nothing and are not
+    tombstoned.
+
+    CRASH CONTRACT (the upsert's honesty, one grade better): both new
+    generations (tombstones, df) are fully staged before the promote
+    sequence (swap tombstones, swap df, rewrite markers). A crash
+    before the promote leaves the store untouched; a crash inside it
+    leaves the tombstones ahead of the statistics — every serve still
+    MASKS the deleted docs correctly (the anti-join needs only the
+    tombstones), but scores may use the stale df until the drift is
+    repaired, and the stats face shows it
+    (``n_distinct_docs < n_docs`` marker). Repair = rebuild, as with
+    upsert drift; exactly-once is still NOT claimed."""
+    from jaccard_mapreduce_spark.operators._cache import pin
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _fs_delete,
+        _fs_write_text,
+        _hadoop_fs,
+    )
+
+    prev = _require_marker(spark, path, "_n_docs")
+    prev_tok = _require_marker(spark, path, "_n_tokens")
+    prev_dead = _dead_tokens_marker(spark, path)
+    fs0, pos_path = _hadoop_fs(spark, f"{path}/positions")
+    if not fs0.exists(pos_path):
+        raise ValueError(
+            f"{path} has no positions dataset: pre-posv3 lexical store "
+            "— rebuild with build_lexical_store instead of deleting"
+        )
+
+    batch = doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        batch = batch.join(tomb, "doc_id", "left_anti")
+    df_tmp = f"{path}/df__tmp"
+    tomb_tmp = f"{path}/tombstones__tmp"
+    # pinned: the deleted docs' postings slice feeds the totals, the
+    # per-token df decrement, AND the tombstone ids; released before
+    # the promote (per-batch relation — the cache-hygiene rule)
+    hit = pin(
+        spark.read.parquet(f"{path}/postings").join(
+            F.broadcast(batch), "doc_id"
+        )
+    )
+    try:
+        totals = hit.agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("nt"),
+        ).first()
+        n_del, tok_del = int(totals["nd"]), int(totals["nt"])
+        if n_del == 0:
+            return 0
+        dec = hit.groupBy("token").agg(F.count(F.lit(1)).alias("dec"))
+        new_df = (
+            spark.read.parquet(f"{path}/df")
+            .join(dec, "token", "left")
+            .select(
+                "token",
+                (F.col("df") - F.coalesce(F.col("dec"), F.lit(0)))
+                .cast("long")
+                .alias("df"),
+            )
+            .where(F.col("df") > 0)
+        )
+        _fs_delete(spark, df_tmp)
+        new_df.coalesce(1).write.mode("overwrite").parquet(df_tmp)
+        present = hit.select("doc_id").distinct()
+        new_tomb = (
+            present if tomb is None else tomb.unionByName(present)
+        )
+        _fs_delete(spark, tomb_tmp)
+        new_tomb.coalesce(1).write.mode("overwrite").parquet(tomb_tmp)
+    finally:
+        hit.unpersist()
+
+    # PROMOTE: tombstones first (masking is correct from this instant,
+    # statistics follow), then df, then markers
+    _swap_dataset(spark, path, "tombstones", tomb_tmp)
+    _swap_dataset(spark, path, "df", df_tmp)
+    _fs_write_text(spark, f"{path}/_n_docs", str(prev - n_del))
+    _fs_write_text(spark, f"{path}/_n_tokens", str(prev_tok - tok_del))
+    _fs_write_text(
+        spark, f"{path}/_n_dead_tokens", str(prev_dead + tok_del)
+    )
+    return n_del
+
+
 def search_lexical_store(
     spark: SparkSession,
     path: str,
@@ -380,7 +588,7 @@ def search_lexical_store(
     w = df_weights(
         spark.read.parquet(f"{path}/df"), n_docs, max_df_ratio
     )
-    index = spark.read.parquet(f"{path}/postings").join(
+    index = _read_live(spark, path, "postings").join(
         F.broadcast(w.select("token", "w")), "token"
     )
     return lexical_probe(
@@ -418,14 +626,23 @@ def lexical_store_stats(spark: SparkSession, path: str) -> dict:
     agg = dfr.agg(
         F.count(F.lit(1)).alias("n_tokens"), F.max("df").alias("max_df")
     ).first()
+    # LIVE postings (tombstones masked): the marker agreements below
+    # are stated over the logical store, so the aggregates must see
+    # what a serve sees. On a store that never deleted this is the raw
+    # dataset, plan-identical to before the delete path existed.
     pagg = (
-        spark.read.parquet(f"{path}/postings")
+        _read_live(spark, path, "postings")
         .agg(
             F.count(F.lit(1)).alias("n_postings"),
             F.count_distinct("doc_id").alias("n_distinct_docs"),
         )
         .first()
     )
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _hadoop_fs as _hfs,
+    )
+
+    fs_t, tomb_path = _hfs(spark, f"{path}/tombstones")
     out = {
         "n_docs": _require_marker(spark, path, "_n_docs"),
         "n_token_occurrences": _require_marker(spark, path, "_n_tokens"),
@@ -433,13 +650,24 @@ def lexical_store_stats(spark: SparkSession, path: str) -> dict:
         "n_postings": int(pagg["n_postings"]),
         "n_distinct_docs": int(pagg["n_distinct_docs"]),
         "max_df": int(agg["max_df"]) if agg["max_df"] is not None else 0,
-        # round 11: the positions dataset's row count — on a healthy
-        # store it equals the Σtf marker (one row per token occurrence),
+        # round 11: the positions dataset's PHYSICAL row count — on a
+        # healthy store it equals _n_tokens + _n_dead_tokens (one row
+        # per token occurrence, live marker + tombstoned-but-present),
         # binding the third dataset into the same drift-check family as
         # n_distinct_docs vs the n_docs marker. Round 12 (ADVICE): read
         # from parquet FOOTERS, not a full scan — positions is the
         # store's largest dataset and the count is pure metadata
         "n_positions": _parquet_footer_rows(spark, f"{path}/positions"),
+        # the delete path's observability: tombstoned doc count (what a
+        # compaction will physically remove) and the dead-occurrence
+        # marker closing the positions invariant above; both 0 on a
+        # store that never deleted
+        "n_tombstones": (
+            _parquet_footer_rows(spark, f"{path}/tombstones")
+            if fs_t.exists(tomb_path)
+            else 0
+        ),
+        "n_dead_token_occurrences": _dead_tokens_marker(spark, path),
     }
     for name in ("postings", "df", "positions"):
         fs, hpath = _hadoop_fs(spark, f"{path}/{name}")
@@ -463,12 +691,33 @@ def compact_lexical_store(
     combine — the round-12 layout finding). The df dataset is not
     rewritten: every upsert already replaces it whole via the swap, so
     it is one generation of coalesced files by construction. Returns
-    per-dataset ``(files_before, files_after)``."""
+    per-dataset ``(files_before, files_after)``.
+
+    Compaction is also the PHYSICAL-REMOVAL half of the merge-on-read
+    delete contract (:func:`delete_from_lexical_store`): when the
+    store carries tombstones, the rewrite folds them in (anti-join per
+    dataset inside the swap protocol), then clears the tombstones and
+    zeroes the ``_n_dead_tokens`` marker. Every crash point stays
+    serving-correct: a tombstone masking a doc that no longer exists
+    is a no-op anti-join, so datasets compacted before the clear serve
+    the same rows — only the stats invariants drift (stale dead
+    marker), and re-running compaction repairs exactly that."""
     from jaccard_mapreduce_spark.sources.vector_index import (
         _compact_datasets,
+        _fs_write_text,
+        _hadoop_fs,
     )
 
-    return _compact_datasets(
+    tomb = _read_tombstones(spark, path)
+    transform = (
+        None
+        if tomb is None
+        else {
+            "postings": lambda rel: rel.join(tomb, "doc_id", "left_anti"),
+            "positions": lambda rel: rel.join(tomb, "doc_id", "left_anti"),
+        }
+    )
+    out = _compact_datasets(
         spark,
         path,
         ("postings", "positions"),
@@ -476,7 +725,13 @@ def compact_lexical_store(
         n_files,
         target_file_bytes,
         cluster_by={"postings": "doc_id", "positions": "doc_id"},
+        transform=transform,
     )
+    if tomb is not None:
+        fs, p = _hadoop_fs(spark, f"{path}/tombstones")
+        fs.delete(p, True)
+        _fs_write_text(spark, f"{path}/_n_dead_tokens", "0")
+    return out
 
 
 def upsert_lexical_store_stream(stream: DataFrame, path: str, checkpoint: str):
@@ -577,7 +832,7 @@ def search_lexical_store_bm25(
     # statistics (df + markers) and joins ONLY the query-matched
     # posting slices, the same amortization the set-semantics probe has
     total = _require_marker(spark, path, "_n_tokens")
-    posts = spark.read.parquet(f"{path}/postings")
+    posts = _read_live(spark, path, "postings")
     w = df_weights(
         spark.read.parquet(f"{path}/df"), n_docs, max_df_ratio
     )
@@ -633,7 +888,7 @@ def search_lexical_store_phrase(
             phrase_col,
         )
     return phrase_probe(
-        spark.read.parquet(f"{path}/positions"),
+        _read_live(spark, path, "positions"),
         phrases,
         k=k,
         phrase_id_col=phrase_id_col,
@@ -691,7 +946,7 @@ def search_lexical_store_proximity(
     # doc_id-clustered on disk and the carve preserves that order.
     positions = pin(
         proximity_carve(
-            spark.read.parquet(f"{path}/positions"),
+            _read_live(spark, path, "positions"),
             phrases,
             n_terms,
             phrase_id_col=phrase_id_col,
@@ -913,6 +1168,138 @@ def lexical_store_search_demo(
     assert res.limit(1).count() > 0, (
         "vacuous lexical store search: no query doc matched a "
         "surviving token (round-9 verdict regression guard)"
+    )
+    return res
+
+
+def _ensure_deleted_lex_store(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int,
+    del_mod: int,
+    del_rem: int,
+    rebuild: bool,
+) -> tuple[str, DataFrame]:
+    """Session-scoped store for the DELETE contract faces: build on
+    the base slice, upsert the rest (the full mutation prologue), then
+    delete the ``doc_id % del_mod == del_rem`` slice. The build also
+    asserts the delete path's own invariants once per store build —
+    idempotence (a replayed delete is a counted no-op) and the stats
+    drift checks (live distinct == marker; physical positions ==
+    live + dead markers) — so every graded serve over this store sits
+    on a verified mutation history."""
+
+    def _build(docs: DataFrame, base: str) -> None:
+        build_lexical_store(docs.where(F.col("doc_id") % base_mod != 0), base)
+        upsert_lexical_store(
+            spark, base, docs.where(F.col("doc_id") % base_mod == 0)
+        )
+        victims = docs.where(F.col("doc_id") % del_mod == del_rem).select(
+            "doc_id"
+        )
+        n = delete_from_lexical_store(spark, base, victims)
+        assert n > 0, "vacuous delete fixture: no doc in the slice"
+        # idempotence: tombstones are a set — the replayed batch
+        # anti-joins to nothing and every statistic stays untouched
+        assert delete_from_lexical_store(spark, base, victims) == 0
+        st = lexical_store_stats(spark, base)
+        assert st["n_distinct_docs"] == st["n_docs"], st
+        assert st["n_positions"] == (
+            st["n_token_occurrences"] + st["n_dead_token_occurrences"]
+        ), st
+        assert st["n_tombstones"] == n, st
+
+    return _ensure_lex_store(
+        spark,
+        sf_dir,
+        base_mod,
+        rebuild,
+        suffix="_lex_store_del",
+        build=_build,
+        tag_extra=f":del{del_mod}-{del_rem}",
+    )
+
+
+def lexical_store_delete_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    base_mod: int = 4,
+    query_mod: int = 100,
+    del_mod: int = 10,
+    del_rem: int = 3,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for MERGE-ON-READ deletion (round 12 — the
+    mutation lifecycle's missing verb): build-then-upsert-then-DELETE,
+    probed with the surviving query docs, must value-hash-match the
+    one-plan lexical oracle over the SURVIVING corpus only — scores
+    included. The hash pins both halves of the delete at once: the
+    tombstone masking (a deleted doc surfacing as a neighbor shifts a
+    rank) and the eager statistics correction (a stale df or n_docs
+    shifts the integer weights and the prune threshold — the weights
+    recompute from n_docs // df on both sides)."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+    )
+
+    base, docs = _ensure_deleted_lex_store(
+        spark, sf_dir, base_mod, del_mod, del_rem, rebuild
+    )
+    res = search_lexical_store(
+        spark,
+        base,
+        docs.where(
+            (F.col("doc_id") % query_mod == 0)
+            & (F.col("doc_id") % del_mod != del_rem)
+        ),
+        k=k,
+        max_df_ratio=GRADED_MAX_DF_RATIO,
+    )
+    assert res.limit(1).count() > 0, (
+        "vacuous delete-store search: no surviving query doc matched a "
+        "surviving token"
+    )
+    return res
+
+
+def lexical_store_delete_bm25_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    base_mod: int = 4,
+    query_mod: int = 100,
+    del_mod: int = 10,
+    del_rem: int = 3,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the delete contract's BM25 face: the same
+    deleted store probed under the tf-aware score must match the
+    one-plan BM25 oracle over the survivors. Beyond the set-semantics
+    face this pins the MARKER corrections: the integer mean length
+    ``A = _n_tokens // _n_docs`` derives from both decremented
+    markers, so an uncorrected Σtf leaks into every saturation term
+    and fails the hash even where the ranking happens to agree."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+    )
+
+    base, docs = _ensure_deleted_lex_store(
+        spark, sf_dir, base_mod, del_mod, del_rem, rebuild
+    )
+    res = search_lexical_store_bm25(
+        spark,
+        base,
+        docs.where(
+            (F.col("doc_id") % query_mod == 0)
+            & (F.col("doc_id") % del_mod != del_rem)
+        ),
+        k=k,
+        max_df_ratio=GRADED_MAX_DF_RATIO,
+    )
+    assert res.limit(1).count() > 0, (
+        "vacuous delete-store BM25 search: no surviving query doc "
+        "matched a surviving token"
     )
     return res
 

@@ -855,6 +855,7 @@ def _compact_datasets(
     partition_by: dict[str, str] | None = None,
     pre_swap: dict | None = None,
     cluster_by: dict[str, str] | None = None,
+    transform: dict | None = None,
 ) -> dict[str, tuple[int, int]]:
     """Shared size-targeted compaction over an index's append-heavy
     datasets (see :func:`compact_lsh_index` for the contract). A
@@ -872,10 +873,15 @@ def _compact_datasets(
     parquet re-read drops and that must be present the instant the
     rename publishes the new generation, not re-stamped after it (a
     crash between swap and re-stamp would leave the dataset without
-    its authoritative marker)."""
+    its authoritative marker). A dataset named in ``transform`` has
+    its relation mapped through the callback before the rewrite — the
+    lexical store's tombstone fold (compaction is the physical-removal
+    half of merge-on-read deletes), which must happen per-dataset
+    inside the swap protocol, not before it."""
     partition_by = partition_by or {}
     cluster_by = cluster_by or {}
     pre_swap = pre_swap or {}
+    transform = transform or {}
     out: dict[str, tuple[int, int]] = {}
     for name in names:
         ds = f"{path}/{name}"
@@ -891,6 +897,8 @@ def _compact_datasets(
             n_out = n_files
         tmp = f"{path}/{name}__compacting"
         rel = spark.read.parquet(ds)
+        if name in transform:
+            rel = transform[name](rel)
         if name in partition_by:
             # repartition BY the partition column: a plain round-robin
             # repartition would put every partition value in every

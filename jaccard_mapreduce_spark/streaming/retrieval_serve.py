@@ -165,6 +165,7 @@ def stream_bm25_serve(
     )
     from jaccard_mapreduce_spark.sources.lexical_store import (
         _ensure_lex_store,
+        _read_live,
         _require_marker,
     )
     from jaccard_mapreduce_spark.sources.vector_index import _scratch_dir
@@ -178,7 +179,7 @@ def stream_bm25_serve(
         spark.read.parquet(f"{base}/df"), n_docs, max_df_ratio
     )
     bm25_idx = pin(
-        spark.read.parquet(f"{base}/postings").join(
+        _read_live(spark, base, "postings").join(
             F.broadcast(w.select("token", "w")), "token"
         )
     )
@@ -274,11 +275,12 @@ def stream_phrase_serve(
     )
     from jaccard_mapreduce_spark.sources.lexical_store import (
         _ensure_lex_store,
+        _read_live,
     )
     from jaccard_mapreduce_spark.sources.vector_index import _scratch_dir
 
     base, docs = _ensure_lex_store(spark, sf_dir)
-    positions = pin(spark.read.parquet(f"{base}/positions"))
+    positions = pin(_read_live(spark, base, "positions"))
     scratch = _scratch_dir(spark, suffix="_phrase_serve")
     shutil.rmtree(scratch, ignore_errors=True)
     in_dir = os.path.join(scratch, "in")
@@ -391,11 +393,12 @@ def stream_proximity_serve(
     )
     from jaccard_mapreduce_spark.sources.lexical_store import (
         _ensure_lex_store,
+        _read_live,
     )
     from jaccard_mapreduce_spark.sources.vector_index import _scratch_dir
 
     base, docs = _ensure_lex_store(spark, sf_dir)
-    positions = pin(spark.read.parquet(f"{base}/positions"))
+    positions = pin(_read_live(spark, base, "positions"))
     scratch = _scratch_dir(spark, suffix="_prox_serve")
     shutil.rmtree(scratch, ignore_errors=True)
     in_dir = os.path.join(scratch, "in")

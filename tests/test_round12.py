@@ -388,3 +388,144 @@ def test_store_phrase_guard_uses_stored_statistics(spark, tmp_path):
         spark, path, phrases.where(F.col("phrase_id") != 101)
     ).collect()
     assert sorted(map(tuple, guarded)) == sorted(map(tuple, unguarded))
+
+
+# --- merge-on-read deletion (the mutation lifecycle's missing verb) ---
+
+
+def _lex_store_imports():
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        compact_lexical_store,
+        delete_from_lexical_store,
+        lexical_store_stats,
+        search_lexical_store,
+        search_lexical_store_phrase,
+        search_lexical_store_proximity,
+        upsert_lexical_store,
+    )
+
+    return (
+        build_lexical_store,
+        compact_lexical_store,
+        delete_from_lexical_store,
+        lexical_store_stats,
+        search_lexical_store,
+        search_lexical_store_phrase,
+        search_lexical_store_proximity,
+        upsert_lexical_store,
+    )
+
+
+def test_delete_masks_phrase_and_proximity_serves(spark, tmp_path):
+    """Serve-after-delete must equal a fresh build over the survivors
+    for the positional scorings too (the set/BM25 faces are
+    driver-graded against the survivors-only oracle; this pins the
+    positions masking the graded faces don't touch)."""
+    from jaccard_mapreduce_spark.operators.retrieval import leading_phrases
+
+    (build, _compact, delete, _stats, _search, phrase, proximity,
+     _upsert) = _lex_store_imports()
+    docs = _docs(spark).where(F.col("doc_id") < 300)
+    victims = docs.where(F.col("doc_id") % 7 == 1).select("doc_id")
+    survivors = docs.where(F.col("doc_id") % 7 != 1)
+    path, fresh = str(tmp_path / "store"), str(tmp_path / "fresh")
+    build(docs, path)
+    assert delete(spark, path, victims) == victims.count()
+    build(survivors, fresh)
+    phrases = leading_phrases(
+        survivors.where(F.col("doc_id") % 20 == 0), n_terms=2
+    )
+    served = phrase(spark, path, phrases).collect()
+    want = phrase(spark, fresh, phrases).collect()
+    assert served and sorted(map(tuple, served)) == sorted(map(tuple, want))
+    served = proximity(spark, path, phrases, slop=1, n_terms=2).collect()
+    want = proximity(spark, fresh, phrases, slop=1, n_terms=2).collect()
+    assert served and sorted(map(tuple, served)) == sorted(map(tuple, want))
+
+
+def test_compact_folds_tombstones_physically(spark, tmp_path):
+    """Compaction is the physical-removal half of merge-on-read: the
+    dead rows leave the datasets, the tombstones and dead marker
+    clear, the serve is unchanged — and a second compaction (no
+    tombstones) is a plain rewrite."""
+    (build, compact, delete, stats, search, _phrase, _prox,
+     _upsert) = _lex_store_imports()
+    docs = _docs(spark).where(F.col("doc_id") < 300)
+    queries = docs.where(
+        (F.col("doc_id") % 20 == 0) & (F.col("doc_id") % 7 != 1)
+    )
+    path = str(tmp_path / "store")
+    build(docs, path)
+    n = delete(spark, path, docs.where(F.col("doc_id") % 7 == 1)
+               .select("doc_id"))
+    assert n > 0
+    before = stats(spark, path)
+    assert before["n_tombstones"] == n
+    assert before["n_dead_token_occurrences"] > 0
+    # physical rows still present pre-compaction (merge-on-read)
+    assert before["n_positions"] == (
+        before["n_token_occurrences"]
+        + before["n_dead_token_occurrences"]
+    )
+    res_before = search(spark, path, queries).collect()
+    compact(spark, path)
+    after = stats(spark, path)
+    assert after["n_tombstones"] == 0
+    assert after["n_dead_token_occurrences"] == 0
+    assert after["n_positions"] == after["n_token_occurrences"]
+    assert after["n_postings"] == before["n_postings"]
+    assert after["n_docs"] == before["n_docs"]
+    res_after = search(spark, path, queries).collect()
+    assert sorted(map(tuple, res_before)) == sorted(map(tuple, res_after))
+    compact(spark, path)  # tombstone-free compaction still fine
+    assert sorted(map(tuple, search(spark, path, queries).collect())) == \
+        sorted(map(tuple, res_before))
+
+
+def test_delete_then_upsert_interleaves_exactly(spark, tmp_path):
+    """delete(B); upsert(C) ≡ fresh build over A ∪ C (ids of C
+    disjoint from A AND from the tombstoned B — the documented
+    contract: re-inserting a deleted id needs compaction first)."""
+    (build, _compact, delete, stats, search, _phrase, _prox,
+     upsert) = _lex_store_imports()
+    docs = _docs(spark)
+    a = docs.where(F.col("doc_id") < 200)
+    b = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 250))
+    c = docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 300))
+    path, fresh = str(tmp_path / "store"), str(tmp_path / "fresh")
+    build(a.unionByName(b), path)
+    assert delete(spark, path, b.select("doc_id")) == b.count()
+    upsert(spark, path, c)
+    build(a.unionByName(c), fresh)
+    queries = a.where(F.col("doc_id") % 20 == 0)
+    got = search(spark, path, queries).collect()
+    want = search(spark, fresh, queries).collect()
+    assert got and sorted(map(tuple, got)) == sorted(map(tuple, want))
+    st, stf = stats(spark, path), stats(spark, fresh)
+    for key in ("n_docs", "n_token_occurrences", "n_tokens",
+                "n_postings", "n_distinct_docs", "max_df"):
+        assert st[key] == stf[key], (key, st[key], stf[key])
+
+
+def test_delete_guards(spark, tmp_path):
+    """Unknown ids are a counted no-op; tombstones without their
+    marker refuse (foreign mutation)."""
+    import os
+
+    (build, _compact, delete, stats, _search, _phrase, _prox,
+     _upsert) = _lex_store_imports()
+    docs, _ = _guard_fixture(spark)
+    path = str(tmp_path / "store")
+    build(docs, path)
+    ghosts = spark.createDataFrame([(99,), (100,)], "doc_id long")
+    assert delete(spark, path, ghosts) == 0
+    # a real delete, then strip the marker: the store must refuse
+    assert delete(spark, path, docs.where(F.col("doc_id") == 1)
+                  .select("doc_id")) == 1
+    os.remove(os.path.join(path, "_n_dead_tokens"))
+    with pytest.raises(ValueError, match="_n_dead_tokens"):
+        delete(spark, path, docs.where(F.col("doc_id") == 2)
+               .select("doc_id"))
+    with pytest.raises(ValueError, match="_n_dead_tokens"):
+        stats(spark, path)
