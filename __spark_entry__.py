@@ -468,6 +468,16 @@ def _q_lexical_store_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_store_bm25_demo(spark, sf_dir)
 
 
+def _q_stream_contamination_scrub(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jaccard_mapreduce_spark.streaming.decontam import (
+        stream_contamination_scrub,
+    )
+
+    return stream_contamination_scrub(spark, sf_dir)
+
+
 def _q_lexical_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.lexical_store import (
         lexical_store_delete_demo,
@@ -720,6 +730,10 @@ _NEW_OR_CHANGED = [
     # missing verb) — tombstone masking + eager statistics correction,
     # graded for both scorings against survivors-only oracles
     "lexical_store_delete", "lexical_store_delete_bm25",
+    # new round 12: streaming decontamination ingest — the scrub is
+    # per-document, so batch boundaries are invisible and the union
+    # of scrubbed micro-batches hashes against the one-shot oracle
+    "stream_contamination_scrub",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -738,7 +752,7 @@ _TRANSITIVE_EXEMPT: dict[str, str] = {}
 _R12_WINDOW = [
     # new or changed in round 12 (see _NEW_OR_CHANGED)
     "ngram_contamination", "contamination_scrub",
-    "contamination_summary",
+    "contamination_summary", "stream_contamination_scrub",
     "phrase_search_guarded", "phrase_store_scale_probe",
     "hybrid_phrase_search", "proximity_search",
     "lexical_store_proximity", "stream_proximity_serve",
@@ -751,20 +765,20 @@ _R12_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "media_features",
     "media_frames", "minhash_signatures", "pii_scrub", "quality_filter",
     "shard_assign", "simhash", "train_val_split",
-    # the round-8-stale cohort (43 keys; the 23 below fill the window —
+    # the round-8-stale cohort (43 keys; the 22 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The twenty-two left out — bloom_pruned_revenue,
-    # boilerplate_span_stats, bucketed_customer_revenue,
-    # cohort_retention, customer_order_gaps, customer_trailing_spend,
-    # events_json_props, events_sessionize, formats_roundtrip,
-    # global_shuffle, gopher_quality_flags, key_skew_stats,
-    # minhash_index_reband, minhash_index_stats, prepare_corpus,
-    # q14_promo_revenue, repetition_stats, stream_interval_join,
-    # synthetic_corpus_stats, top_ngrams, user_funnel,
-    # zordered_events_summary — tie on staleness with the cohort inside
-    # (all r8) and stay re-verified by the oracle-parity pytest sweep
-    # every run, so the guard holds.)
+    # their correctness. The twenty-three left out —
+    # bloom_pruned_revenue, boilerplate_span_stats,
+    # bucketed_customer_revenue, cohort_retention, customer_order_gaps,
+    # customer_trailing_spend, events_json_props, events_sessionize,
+    # formats_roundtrip, global_shuffle, gopher_quality_flags,
+    # key_skew_stats, minhash_index_reband, minhash_index_stats,
+    # prepare_corpus, q14_promo_revenue, repetition_stats,
+    # stream_hopping, stream_interval_join, synthetic_corpus_stats,
+    # top_ngrams, user_funnel, zordered_events_summary — tie on
+    # staleness with the cohort inside (all r8) and stay re-verified by
+    # the oracle-parity pytest sweep every run, so the guard holds.)
     "ann_sq8_topk", "sq8_rank_audit", "ann_cosine_topk",
     "ann_fast_ranks", "ann_recall_audit", "ivf_index_sq8",
     "quantize_embeddings",
@@ -773,7 +787,7 @@ _R12_WINDOW = [
     "contamination_check",
     "jaccard_pairs", "doc_tokens", "doc_sizes", "doc_split",
     "pair_intersections",
-    "stream_hopping", "stream_incremental_jaccard",
+    "stream_incremental_jaccard",
 ]
 
 
@@ -1122,6 +1136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-document facts, so build-then-upsert is invisible to the
         # adjacency scoring too (one store, three exact serves)
         "lexical_store_phrase": _q_lexical_store_phrase,
+        # new round 12: streaming decontamination ingest — the corpus
+        # streamed in micro-batches against the pinned planted-quote
+        # suite; contamination is per-document, so the scrubbed union
+        # hashes against the ONE-SHOT scrub oracle (same fixture, same
+        # SQL as the batch face)
+        "stream_contamination_scrub": _q_stream_contamination_scrub,
         # new round 12: MERGE-ON-READ deletion — build-then-upsert-
         # then-DELETE must equal a fresh build over the survivors:
         # tombstones mask the corpus-sized datasets at serve time
@@ -1741,6 +1761,11 @@ def oracle_sql() -> dict[str, str]:
             n=8, quote_mod=50, start=3, length=12
         ),
         "contamination_scrub": oracles.contamination_scrub_sql(
+            n=8, quote_mod=50, start=3, length=12, min_shared=1
+        ),
+        # streamed scrub ≡ the one-shot scrub (per-document
+        # decomposability; same fixture parameters pinned both sides)
+        "stream_contamination_scrub": oracles.contamination_scrub_sql(
             n=8, quote_mod=50, start=3, length=12, min_shared=1
         ),
         "contamination_summary": oracles.contamination_summary_sql(

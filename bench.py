@@ -140,6 +140,7 @@ def main() -> None:
         "hybrid_phrase_search",
         "proximity_search",
         "contamination_summary",
+        "stream_contamination_scrub",
         "lexical_store_proximity",
         "stream_proximity_serve",
         "lexical_store_delete",
@@ -166,6 +167,7 @@ def main() -> None:
         "stream_bm25_serve",
         "stream_phrase_serve",
         "stream_proximity_serve",
+        "stream_contamination_scrub",
     }
     cohort = rotating_cohort(
         qs, set(bench_queries), set(), entry._WINDOW_DESIGN_ROUND
