@@ -486,6 +486,14 @@ def _q_lexical_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_store_delete_demo(spark, sf_dir)
 
 
+def _q_stream_lexical_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        stream_lexical_delete_demo,
+    )
+
+    return stream_lexical_delete_demo(spark, sf_dir)
+
+
 def _q_lexical_store_delete_bm25(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -734,6 +742,10 @@ _NEW_OR_CHANGED = [
     # per-document, so batch boundaries are invisible and the union
     # of scrubbed micro-batches hashes against the one-shot oracle
     "stream_contamination_scrub",
+    # new round 12: streaming deletes — tombstones are a set, so a
+    # delete arriving in n micro-batches equals the delete arriving
+    # whole (same survivors-only oracle as the one-shot face)
+    "stream_lexical_delete",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -757,6 +769,7 @@ _R12_WINDOW = [
     "hybrid_phrase_search", "proximity_search",
     "lexical_store_proximity", "stream_proximity_serve",
     "lexical_store_delete", "lexical_store_delete_bm25",
+    "stream_lexical_delete",
     "lexical_store_search", "lexical_store_bm25", "lexical_store_phrase",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "stream_bm25_serve", "stream_phrase_serve",
@@ -765,27 +778,28 @@ _R12_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "media_features",
     "media_frames", "minhash_signatures", "pii_scrub", "quality_filter",
     "shard_assign", "simhash", "train_val_split",
-    # the round-8-stale cohort (43 keys; the 22 below fill the window —
+    # the round-8-stale cohort (43 keys; the 21 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The twenty-three left out —
+    # their correctness. The twenty-four left out —
     # bloom_pruned_revenue, boilerplate_span_stats,
     # bucketed_customer_revenue, cohort_retention, customer_order_gaps,
-    # customer_trailing_spend, events_json_props, events_sessionize,
-    # formats_roundtrip, global_shuffle, gopher_quality_flags,
-    # key_skew_stats, minhash_index_reband, minhash_index_stats,
-    # prepare_corpus, q14_promo_revenue, repetition_stats,
-    # stream_hopping, stream_interval_join, synthetic_corpus_stats,
-    # top_ngrams, user_funnel, zordered_events_summary — tie on
-    # staleness with the cohort inside (all r8) and stay re-verified by
-    # the oracle-parity pytest sweep every run, so the guard holds.)
+    # customer_trailing_spend, doc_split, events_json_props,
+    # events_sessionize, formats_roundtrip, global_shuffle,
+    # gopher_quality_flags, key_skew_stats, minhash_index_reband,
+    # minhash_index_stats, prepare_corpus, q14_promo_revenue,
+    # repetition_stats, stream_hopping, stream_interval_join,
+    # synthetic_corpus_stats, top_ngrams, user_funnel,
+    # zordered_events_summary — tie on staleness with the cohort inside
+    # (all r8) and stay re-verified by the oracle-parity pytest sweep
+    # every run, so the guard holds.)
     "ann_sq8_topk", "sq8_rank_audit", "ann_cosine_topk",
     "ann_fast_ranks", "ann_recall_audit", "ivf_index_sq8",
     "quantize_embeddings",
     "dedup_clusters", "dedup_cluster_sizes", "dedup_representatives",
     "dedup_simhash", "dedup_cross_corpus", "containment_pairs",
     "contamination_check",
-    "jaccard_pairs", "doc_tokens", "doc_sizes", "doc_split",
+    "jaccard_pairs", "doc_tokens", "doc_sizes",
     "pair_intersections",
     "stream_incremental_jaccard",
 ]
@@ -1149,6 +1163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # face additionally pins the decremented mean-length markers
         "lexical_store_delete": _q_lexical_store_delete,
         "lexical_store_delete_bm25": _q_lexical_store_delete_bm25,
+        # new round 12: the delete's streaming symmetry — n micro-batch
+        # deletes ≡ one delete (tombstones are a set; the decrements
+        # compute from not-yet-tombstoned rows), graded against the
+        # SAME survivors-only oracle
+        "stream_lexical_delete": _q_stream_lexical_delete,
         # new round 12: the store-served phrase path at ~10x — the
         # store is built over the replicated corpus and probed with
         # the replicated bigram batch (positions are per-replica-doc
@@ -1923,6 +1942,11 @@ def oracle_sql() -> dict[str, str]:
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         "lexical_store_delete_bm25": oracles.lexical_store_delete_bm25_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT
+        ),
+        # the streaming delete reuses the one-shot delete's oracle
+        # (batch boundaries invisible to a set of tombstones)
+        "stream_lexical_delete": oracles.lexical_store_delete_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         "lexical_scale_probe": oracles.lexical_scale_probe_sql(

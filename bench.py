@@ -145,6 +145,7 @@ def main() -> None:
         "stream_proximity_serve",
         "lexical_store_delete",
         "lexical_store_delete_bm25",
+        "stream_lexical_delete",
         "lexical_store_search",
         "lexical_store_bm25",
         "lexical_store_phrase",
@@ -168,6 +169,7 @@ def main() -> None:
         "stream_phrase_serve",
         "stream_proximity_serve",
         "stream_contamination_scrub",
+        "stream_lexical_delete",
     }
     cohort = rotating_cohort(
         qs, set(bench_queries), set(), entry._WINDOW_DESIGN_ROUND
@@ -205,6 +207,7 @@ def main() -> None:
         "lexical_store_compact", "phrase_store_scale_probe",
         "lexical_store_proximity", "stream_proximity_serve",
         "lexical_store_delete", "lexical_store_delete_bm25",
+        "stream_lexical_delete",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

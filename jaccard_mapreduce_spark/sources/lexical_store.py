@@ -757,6 +757,111 @@ def upsert_lexical_store_stream(stream: DataFrame, path: str, checkpoint: str):
     )
 
 
+def delete_from_lexical_store_stream(
+    stream: DataFrame, path: str, checkpoint: str
+):
+    """Streaming face of the DELETE path (the
+    ``upsert_lexical_store_stream`` symmetry): each micro-batch of
+    ``(doc_id)`` rows tombstones its documents and merges the exact
+    statistic decrements via :func:`delete_from_lexical_store` — the
+    store stays probe-able while it shrinks. Because tombstones are a
+    SET and the decrements are computed from rows not yet tombstoned,
+    the final store is identical whatever the batch boundaries were —
+    and, unlike the ingest stream, a REPLAYED batch is a counted no-op
+    (delete's idempotence), so this is the one streaming mutation face
+    where at-least-once delivery needs no upstream dedup at all.
+    Returns the unstarted writer."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delete_from_lexical_store(batch_df.sparkSession, path, batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def stream_lexical_delete_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    base_mod: int = 4,
+    query_mod: int = 100,
+    del_mod: int = 10,
+    del_rem: int = 3,
+    n_input_files: int = 3,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the streaming delete face: build on the base
+    slice, upsert the rest (the full mutation prologue), then stream
+    the delete batch split across ``n_input_files`` files (one
+    micro-batch per trigger) and search the surviving query docs —
+    must hash-match the SAME survivors-only oracle as the one-shot
+    ``lexical_store_delete``: batch boundaries are invisible to the
+    tombstone set and the additive decrements, so a delete arriving in
+    n pieces equals the delete arriving whole."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+    )
+
+    def _build(docs: DataFrame, base: str) -> None:
+        import os
+
+        build_lexical_store(docs.where(F.col("doc_id") % base_mod != 0), base)
+        upsert_lexical_store(
+            spark, base, docs.where(F.col("doc_id") % base_mod == 0)
+        )
+        victims = docs.where(F.col("doc_id") % del_mod == del_rem).select(
+            "doc_id"
+        )
+        in_dir = os.path.join(base, "_del_stream_in")
+        victims.repartition(n_input_files).write.parquet(in_dir)
+        schema = spark.read.parquet(in_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = delete_from_lexical_store_stream(
+            stream, base, os.path.join(base, "_del_stream_ckpt")
+        ).start()
+        q.awaitTermination()
+        st = lexical_store_stats(spark, base)
+        assert st["n_tombstones"] > 0, "vacuous streaming delete"
+        assert st["n_distinct_docs"] == st["n_docs"], st
+        assert st["n_positions"] == (
+            st["n_token_occurrences"] + st["n_dead_token_occurrences"]
+        ), st
+
+    base, docs = _ensure_lex_store(
+        spark,
+        sf_dir,
+        base_mod,
+        rebuild,
+        suffix="_lex_del_stream",
+        build=_build,
+        tag_extra=f":sdel{del_mod}-{del_rem}x{n_input_files}",
+    )
+    res = search_lexical_store(
+        spark,
+        base,
+        docs.where(
+            (F.col("doc_id") % query_mod == 0)
+            & (F.col("doc_id") % del_mod != del_rem)
+        ),
+        k=k,
+        max_df_ratio=GRADED_MAX_DF_RATIO,
+    )
+    assert res.limit(1).count() > 0, (
+        "vacuous stream-deleted store search: no surviving query doc "
+        "matched a surviving token"
+    )
+    return res
+
+
 # One schema version string for EVERY demo store gate: bumping it here
 # rebuilds all three session stores together — a per-site copy of the
 # tag is exactly how a warm session ends up probing a stale-schema
