@@ -486,6 +486,14 @@ def _q_lexical_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_store_delete_demo(spark, sf_dir)
 
 
+def _q_lexical_store_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        lexical_store_prefix_demo,
+    )
+
+    return lexical_store_prefix_demo(spark, sf_dir)
+
+
 def _q_stream_lexical_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.lexical_store import (
         stream_lexical_delete_demo,
@@ -746,6 +754,10 @@ _NEW_OR_CHANGED = [
     # delete arriving in n micro-batches equals the delete arriving
     # whole (same survivors-only oracle as the one-shot face)
     "stream_lexical_delete",
+    # new round 12: the wildcard tier — prefix queries expanded on the
+    # VOCABULARY (the store's df dataset = a KB-sized expansion read),
+    # max_expansion gating hopeless prefixes before the fan-out
+    "prefix_search", "lexical_store_prefix",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -767,6 +779,7 @@ _R12_WINDOW = [
     "contamination_summary", "stream_contamination_scrub",
     "phrase_search_guarded", "phrase_store_scale_probe",
     "hybrid_phrase_search", "proximity_search",
+    "prefix_search", "lexical_store_prefix",
     "lexical_store_proximity", "stream_proximity_serve",
     "lexical_store_delete", "lexical_store_delete_bm25",
     "stream_lexical_delete",
@@ -778,28 +791,28 @@ _R12_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "media_features",
     "media_frames", "minhash_signatures", "pii_scrub", "quality_filter",
     "shard_assign", "simhash", "train_val_split",
-    # the round-8-stale cohort (43 keys; the 21 below fill the window —
+    # the round-8-stale cohort (43 keys; the 19 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The twenty-four left out —
+    # their correctness. The twenty-six left out —
     # bloom_pruned_revenue, boilerplate_span_stats,
     # bucketed_customer_revenue, cohort_retention, customer_order_gaps,
-    # customer_trailing_spend, doc_split, events_json_props,
-    # events_sessionize, formats_roundtrip, global_shuffle,
-    # gopher_quality_flags, key_skew_stats, minhash_index_reband,
-    # minhash_index_stats, prepare_corpus, q14_promo_revenue,
-    # repetition_stats, stream_hopping, stream_interval_join,
-    # synthetic_corpus_stats, top_ngrams, user_funnel,
-    # zordered_events_summary — tie on staleness with the cohort inside
-    # (all r8) and stay re-verified by the oracle-parity pytest sweep
-    # every run, so the guard holds.)
+    # customer_trailing_spend, doc_sizes, doc_split, doc_tokens,
+    # events_json_props, events_sessionize, formats_roundtrip,
+    # global_shuffle, gopher_quality_flags, key_skew_stats,
+    # minhash_index_reband, minhash_index_stats, prepare_corpus,
+    # q14_promo_revenue, repetition_stats, stream_hopping,
+    # stream_interval_join, synthetic_corpus_stats, top_ngrams,
+    # user_funnel, zordered_events_summary — tie on staleness with the
+    # cohort inside (all r8) and stay re-verified by the oracle-parity
+    # pytest sweep every run, so the guard holds.)
     "ann_sq8_topk", "sq8_rank_audit", "ann_cosine_topk",
     "ann_fast_ranks", "ann_recall_audit", "ivf_index_sq8",
     "quantize_embeddings",
     "dedup_clusters", "dedup_cluster_sizes", "dedup_representatives",
     "dedup_simhash", "dedup_cross_corpus", "containment_pairs",
     "contamination_check",
-    "jaccard_pairs", "doc_tokens", "doc_sizes",
+    "jaccard_pairs",
     "pair_intersections",
     "stream_incremental_jaccard",
 ]
@@ -1168,6 +1181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compute from not-yet-tombstoned rows), graded against the
         # SAME survivors-only oracle
         "stream_lexical_delete": _q_stream_lexical_delete,
+        # new round 12: the wildcard tier served — the expansion
+        # vocabulary IS the store's df dataset (KB-sized read); same
+        # one-plan oracle (additive merge covers df and postings)
+        "lexical_store_prefix": _q_lexical_store_prefix,
         # new round 12: the store-served phrase path at ~10x — the
         # store is built over the replicated corpus and probed with
         # the replicated bigram batch (positions are per-replica-doc
@@ -1269,6 +1286,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             slop=2,
             n_terms=3,
+        ),
+        # new round 12: the wildcard tier — each query doc's leading
+        # 4-char prefix expanded against the corpus VOCABULARY (the
+        # max_expansion guard bounds the broadcast), score = distinct
+        # matching terms (the constant-score rewrite's integer analog)
+        "prefix_search": lambda s, d: RT.prefix_search(
+            _docs(s, d),
+            RT.leading_prefixes(
+                _docs(s, d).where(F.col("doc_id") % 100 == 0), length=4
+            ),
         ),
         # new round 10: the fusion-tier twin — BOTH corpora replicated
         # (docs verbatim under the 1e6 stride, vectors with the
@@ -1968,6 +1995,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "proximity_search": oracles.proximity_search_sql(
             n_terms=3, slop=2, query_mod=100
+        ),
+        # the wildcard tier: one-plan and store-served grade against
+        # the one oracle (the df dataset and postings merge additively,
+        # so the served expansion ≡ the fresh vocabulary's)
+        "prefix_search": oracles.prefix_search_sql(
+            query_mod=100, prefix_len=4
+        ),
+        "lexical_store_prefix": oracles.prefix_search_sql(
+            query_mod=100, prefix_len=4
         ),
         # store-served and stream-served proximity ≡ the same one-plan
         # oracle (positions merge additively; serving is

@@ -139,6 +139,8 @@ def main() -> None:
         "phrase_store_scale_probe",
         "hybrid_phrase_search",
         "proximity_search",
+        "prefix_search",
+        "lexical_store_prefix",
         "contamination_summary",
         "stream_contamination_scrub",
         "lexical_store_proximity",
@@ -207,7 +209,7 @@ def main() -> None:
         "lexical_store_compact", "phrase_store_scale_probe",
         "lexical_store_proximity", "stream_proximity_serve",
         "lexical_store_delete", "lexical_store_delete_bm25",
-        "stream_lexical_delete",
+        "stream_lexical_delete", "lexical_store_prefix",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

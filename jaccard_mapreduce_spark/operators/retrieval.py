@@ -1140,6 +1140,158 @@ def phrase_guard_demo(
     )
 
 
+def expand_prefixes(
+    vocab: DataFrame,
+    prefixes: DataFrame,
+    max_expansion: int = 1000,
+    on_hot: str = "refuse",
+    query_id_col: str = "query_id",
+    prefix_col: str = "prefix",
+) -> DataFrame:
+    """Expand a prefix batch against a VOCABULARY relation — the
+    Lucene prefix-query rewrite re-expressed relationally: each
+    ``(query_id, prefix)`` row becomes ``(query_id, token)`` rows for
+    every distinct vocabulary term starting with the prefix. The
+    expansion runs on the vocabulary (one row per distinct term —
+    KB-to-MB even for a 100 TB corpus; the persisted store's df
+    dataset serves it as a KB-sized read), never the corpus, and the
+    result is what bounds everything downstream: the probe broadcasts
+    the expansion, so its size must be capped.
+
+    ``max_expansion`` is that cap — the ``maxBooleanClauses`` posture:
+    a prefix matching more distinct terms than this (``a*`` is a
+    corpus scan in disguise) either refuses, naming the offending
+    query ids, or drops those queries (``on_hot="drop"``, the batch
+    posture) — the :func:`prune_hot_phrases` gate semantics: a query
+    is gated whole, never silently truncated to its first N terms
+    (truncation would change which documents match). The guard costs
+    one extra vocabulary-scan aggregate; the expansion is NOT pinned
+    (vocabulary-scan-sized — the recompute is what the phrase guard
+    pays too)."""
+    if max_expansion < 1:
+        raise ValueError(f"max_expansion must be >= 1, got {max_expansion}")
+    if on_hot not in ("refuse", "drop"):
+        raise ValueError(f"on_hot must be 'refuse' or 'drop', got {on_hot!r}")
+    p = prefixes.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(prefix_col).alias("prefix"),
+    )
+    exp = (
+        vocab.select("token")
+        .distinct()
+        .join(F.broadcast(p), F.col("token").startswith(F.col("prefix")))
+        .select("query_id", "token")
+        .distinct()
+    )
+    counts = exp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    hot = counts.where(F.col("_n") > max_expansion).select("query_id")
+    if on_hot == "refuse":
+        # the prefix batch is human-scale by contract, so a bounded
+        # collect of offender ids is the right diagnostic
+        ids = [r[0] for r in hot.limit(20).collect()]
+        if ids:
+            raise ValueError(
+                f"prefix expansion guard: queries {ids} expand past "
+                f"max_expansion={max_expansion} distinct terms — a "
+                "too-short prefix is a corpus scan in disguise; "
+                "lengthen the prefix or pass on_hot='drop' to skip "
+                "those queries"
+            )
+        return exp
+    return exp.join(F.broadcast(hot), "query_id", "left_anti")
+
+
+def prefix_probe(
+    index: DataFrame,
+    expansion: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Score a distinct ``(doc_id, token)`` index relation against a
+    prefix expansion: score(q, d) = number of DISTINCT expanded terms
+    the document contains — the hash-gradable integer analog of
+    Lucene's constant-score prefix rewrite (expanding idf over
+    thousands of rewritten terms is noise; coverage of the expanded
+    vocabulary is the signal). Both inputs are distinct per
+    (id, token), so a plain count IS the distinct-term count — no
+    count_distinct expansion in the aggregation, which keeps the
+    per-(query, doc) partial map-side combinable. The expansion rides
+    a broadcast (bounded by ``max_expansion`` × batch size — the
+    guard is what makes this hint safe)."""
+    scored = (
+        index.join(F.broadcast(expansion), "token")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    return _topk(scored, k)
+
+
+def prefix_search(
+    docs: DataFrame,
+    prefixes: DataFrame,
+    k: int = 10,
+    max_expansion: int = 1000,
+    on_hot: str = "refuse",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    prefix_col: str = "prefix",
+) -> DataFrame:
+    """One-plan PREFIX search (round 12 — the wildcard tier: Lucene's
+    ``pre*`` term queries): rank documents by how many distinct
+    corpus terms starting with the query's prefix they contain —
+    ``(query_id, neighbor_id, score, rank)``, all-integer. The
+    expansion happens on the corpus VOCABULARY (distinct terms — the
+    relation that stays KB-to-MB at any corpus size), the expanded
+    term set broadcasts against the token index, and ``max_expansion``
+    gates hopeless prefixes before the fan-out join is planned (see
+    :func:`expand_prefixes`). Candidate volume is bounded by Σ df over
+    the expanded terms — never the corpus."""
+    sc = docs.sparkSession.sparkContext
+    # pinned: the token relation feeds the vocabulary (expansion +
+    # guard) AND the index join side — the lexical_index discipline,
+    # doc_id-clustered for the map-side combine
+    tok = pin(
+        doc_tokens(docs, id_col=id_col, text_col=text_col).repartition(
+            sc.defaultParallelism, F.col("doc_id")
+        )
+    )
+    exp = expand_prefixes(
+        tok,
+        prefixes,
+        max_expansion=max_expansion,
+        on_hot=on_hot,
+        query_id_col=query_id_col,
+        prefix_col=prefix_col,
+    )
+    return prefix_probe(tok, exp, k=k)
+
+
+def leading_prefixes(
+    docs: DataFrame,
+    length: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic prefix batch for the graded entry: the first
+    ``length`` characters of each doc's FIRST token as its prefix
+    (docs whose first token is shorter are dropped — a shorter prefix
+    would be a different, broader query, not a shorter match)."""
+    from jaccard_mapreduce_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("query_id"), tokenize(text_col).alias("toks")
+    )
+    return (
+        toks.where(F.size("toks") >= 1)
+        .select("query_id", F.col("toks")[0].alias("_t0"))
+        .where(F.length("_t0") >= length)
+        .select(
+            "query_id", F.substring("_t0", 1, length).alias("prefix")
+        )
+    )
+
+
 def leading_phrases(
     docs: DataFrame,
     n_terms: int = 2,

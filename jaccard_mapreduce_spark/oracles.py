@@ -3631,6 +3631,46 @@ def lexical_store_search_sql(
     return _lex_ranked_sql(k, query_mod, max_df_pct)
 
 
+def prefix_search_sql(
+    k: int = 10,
+    query_mod: int = 100,
+    prefix_len: int = 4,
+) -> str:
+    """Oracle for operators/retrieval.py::prefix_search (and the
+    store-served ``lexical_store_prefix`` — additive merge makes the
+    store face identical): each query doc's leading ``prefix_len``
+    characters expanded against the corpus vocabulary; score = number
+    of DISTINCT matching terms the neighbor contains (the
+    constant-score prefix rewrite's integer analog), rank tie-broken
+    on neighbor_id. Docs whose first token is shorter than the prefix
+    length are dropped from the batch — mirror of
+    ``leading_prefixes``. The LIKE pattern is safe by construction:
+    tokenize emits only [a-z0-9] characters, so no metacharacter can
+    reach the pattern."""
+    return f"""WITH {TOK_CTE.strip()},
+pf AS (
+    SELECT doc_id AS query_id, substr(toks[1], 1, {prefix_len}) AS prefix
+    FROM (SELECT doc_id, {TOKS_EXPR} AS toks FROM documents)
+    WHERE doc_id % {query_mod} = 0
+      AND len(toks) >= 1 AND length(toks[1]) >= {prefix_len}
+),
+prefscored AS (
+    SELECT q.query_id, d.doc_id AS neighbor_id,
+           CAST(count(*) AS BIGINT) AS score
+    FROM pf q
+    JOIN tok d ON d.token LIKE q.prefix || '%'
+              AND q.query_id <> d.doc_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id)
+                  AS rank
+    FROM prefscored
+) WHERE rank <= {k}"""
+
+
 def _live_docs_cte(del_mod: int, del_rem: int) -> str:
     """``live`` CTE — the corpus minus the deleted slice, mirror of
     the delete demo's ``doc_id % del_mod == del_rem`` batch."""

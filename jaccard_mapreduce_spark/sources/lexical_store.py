@@ -1069,6 +1069,83 @@ def search_lexical_store_proximity(
     )
 
 
+def search_lexical_store_prefix(
+    spark: SparkSession,
+    path: str,
+    prefixes: DataFrame,
+    k: int = 10,
+    max_expansion: int = 1000,
+    on_hot: str = "refuse",
+    query_id_col: str = "query_id",
+    prefix_col: str = "prefix",
+) -> DataFrame:
+    """Probe the store with a PREFIX batch (round 12 — the wildcard
+    tier served: Lucene's ``pre*`` queries) — identical semantics to
+    the one-plan :func:`~jaccard_mapreduce_spark.operators.retrieval.
+    prefix_search` over the stored corpus. This is where the store
+    earns the tier: the expansion vocabulary IS the df dataset (one
+    row per distinct token, KB-sized read), so a prefix query never
+    touches the corpus until the bounded expanded term set broadcasts
+    against the postings. The df dataset is eagerly corrected by
+    deletes (tokens whose last doc died are dropped), so an expansion
+    can never resurrect a deleted-only term, and the postings read is
+    tombstone-masked like every serve."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        expand_prefixes,
+        prefix_probe,
+    )
+
+    exp = expand_prefixes(
+        spark.read.parquet(f"{path}/df"),
+        prefixes,
+        max_expansion=max_expansion,
+        on_hot=on_hot,
+        query_id_col=query_id_col,
+        prefix_col=prefix_col,
+    )
+    return prefix_probe(
+        _read_live(spark, path, "postings").select("doc_id", "token"),
+        exp,
+        k=k,
+    )
+
+
+def lexical_store_prefix_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    base_mod: int = 4,
+    query_mod: int = 100,
+    prefix_len: int = 4,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for the store-served prefix search: the shared
+    build-then-upsert store probed with each query doc's leading
+    4-character prefix must value-hash-match the one-plan
+    ``prefix_search`` oracle over the FULL corpus — the df dataset
+    (the expansion vocabulary) and the postings both merge additively,
+    so the mutation path is invisible to the wildcard tier too."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        leading_prefixes,
+    )
+
+    base, docs = _ensure_lex_store(spark, sf_dir, base_mod, rebuild)
+    res = search_lexical_store_prefix(
+        spark,
+        base,
+        leading_prefixes(
+            docs.where(F.col("doc_id") % query_mod == 0), length=prefix_len
+        ),
+        k=k,
+    )
+    # the family's vacuity guard
+    assert res.limit(1).count() > 0, (
+        "vacuous store prefix search: no query prefix matched a "
+        "vocabulary term"
+    )
+    return res
+
+
 def lexical_store_proximity_demo(
     spark: SparkSession,
     sf_dir: str,

@@ -529,3 +529,87 @@ def test_delete_guards(spark, tmp_path):
                .select("doc_id"))
     with pytest.raises(ValueError, match="_n_dead_tokens"):
         stats(spark, path)
+
+
+# --- the wildcard (prefix) tier ---------------------------------------
+
+
+def test_prefix_search_matches_naive_reference(spark):
+    """Score = number of distinct corpus terms starting with the
+    prefix that the neighbor contains, computed naively in Python."""
+    from jaccard_mapreduce_spark.operators.retrieval import prefix_search
+
+    docs = _docs(spark).where(F.col("doc_id") < 120)
+    prefixes = spark.createDataFrame(
+        [(1001, "th"), (1002, "qu")], "query_id long, prefix string"
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in prefix_search(docs, prefixes, k=1000).collect()
+    }
+    from jaccard_mapreduce_spark.functions.text import tokenize
+
+    toksets = {
+        r["doc_id"]: set(r["toks"])
+        for r in docs.select(
+            "doc_id", tokenize("text").alias("toks")
+        ).collect()
+    }
+    want = {}
+    for qid, pref in [(1001, "th"), (1002, "qu")]:
+        for did, toks in toksets.items():
+            n = len({t for t in toks if t.startswith(pref)})
+            if n > 0 and did != qid:
+                want[(qid, did)] = n
+    assert got == want
+
+
+def test_prefix_expansion_guard_branches(spark):
+    """A hopeless prefix refuses naming the query, or drops under the
+    batch posture; surviving queries are untouched."""
+    from jaccard_mapreduce_spark.operators.retrieval import prefix_search
+
+    docs = _docs(spark).where(F.col("doc_id") < 120)
+    prefixes = spark.createDataFrame(
+        # "s" expands to 6 fixture terms; "zzzz" to none; "que" to 1
+        [(1, "s"), (2, "zzzz"), (3, "que")],
+        "query_id long, prefix string",
+    )
+    with pytest.raises(ValueError, match="prefix expansion guard"):
+        prefix_search(docs, prefixes, max_expansion=2)
+    dropped = prefix_search(
+        docs, prefixes, max_expansion=2, on_hot="drop"
+    ).collect()
+    assert dropped == prefix_search(
+        docs, prefixes.where(F.col("query_id") == 3), max_expansion=2
+    ).collect()
+    assert {r["query_id"] for r in dropped} <= {3}
+
+
+def test_store_prefix_respects_deletes(spark, tmp_path):
+    """The served expansion reads the delete-corrected df dataset and
+    the masked postings: serve-after-delete ≡ fresh build over the
+    survivors for the wildcard tier too."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        leading_prefixes,
+    )
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        build_lexical_store,
+        delete_from_lexical_store,
+        search_lexical_store_prefix,
+    )
+
+    docs = _docs(spark).where(F.col("doc_id") < 300)
+    survivors = docs.where(F.col("doc_id") % 7 != 1)
+    path, fresh = str(tmp_path / "store"), str(tmp_path / "fresh")
+    build_lexical_store(docs, path)
+    delete_from_lexical_store(
+        spark, path, docs.where(F.col("doc_id") % 7 == 1).select("doc_id")
+    )
+    build_lexical_store(survivors, fresh)
+    prefixes = leading_prefixes(
+        survivors.where(F.col("doc_id") % 20 == 0), length=3
+    )
+    got = search_lexical_store_prefix(spark, path, prefixes).collect()
+    want = search_lexical_store_prefix(spark, fresh, prefixes).collect()
+    assert got and sorted(map(tuple, got)) == sorted(map(tuple, want))
