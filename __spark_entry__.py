@@ -332,6 +332,14 @@ def _q_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_compact_demo(spark, sf_dir)
 
 
+def _q_lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        lsh_index_delete_demo,
+    )
+
+    return lsh_index_delete_demo(spark, sf_dir)
+
+
 def _q_lsh_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.vector_index import (
         lsh_index_serve_demo,
@@ -758,6 +766,10 @@ _NEW_OR_CHANGED = [
     # VOCABULARY (the store's df dataset = a KB-sized expansion read),
     # max_expansion gating hopeless prefixes before the fan-out
     "prefix_search", "lexical_store_prefix",
+    # new round 12: the delete lens on the vector side — tombstones
+    # are the whole mutation (no statistics to correct), compaction
+    # and retune both fold them
+    "lsh_index_delete",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -782,7 +794,7 @@ _R12_WINDOW = [
     "prefix_search", "lexical_store_prefix",
     "lexical_store_proximity", "stream_proximity_serve",
     "lexical_store_delete", "lexical_store_delete_bm25",
-    "stream_lexical_delete",
+    "stream_lexical_delete", "lsh_index_delete",
     "lexical_store_search", "lexical_store_bm25", "lexical_store_phrase",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "stream_bm25_serve", "stream_phrase_serve",
@@ -791,21 +803,21 @@ _R12_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "media_features",
     "media_frames", "minhash_signatures", "pii_scrub", "quality_filter",
     "shard_assign", "simhash", "train_val_split",
-    # the round-8-stale cohort (43 keys; the 19 below fill the window —
+    # the round-8-stale cohort (43 keys; the 18 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The twenty-six left out —
+    # their correctness. The twenty-seven left out —
     # bloom_pruned_revenue, boilerplate_span_stats,
     # bucketed_customer_revenue, cohort_retention, customer_order_gaps,
     # customer_trailing_spend, doc_sizes, doc_split, doc_tokens,
     # events_json_props, events_sessionize, formats_roundtrip,
     # global_shuffle, gopher_quality_flags, key_skew_stats,
-    # minhash_index_reband, minhash_index_stats, prepare_corpus,
-    # q14_promo_revenue, repetition_stats, stream_hopping,
-    # stream_interval_join, synthetic_corpus_stats, top_ngrams,
-    # user_funnel, zordered_events_summary — tie on staleness with the
-    # cohort inside (all r8) and stay re-verified by the oracle-parity
-    # pytest sweep every run, so the guard holds.)
+    # minhash_index_reband, minhash_index_stats, pair_intersections,
+    # prepare_corpus, q14_promo_revenue, repetition_stats,
+    # stream_hopping, stream_interval_join, synthetic_corpus_stats,
+    # top_ngrams, user_funnel, zordered_events_summary — tie on
+    # staleness with the cohort inside (all r8) and stay re-verified by
+    # the oracle-parity pytest sweep every run, so the guard holds.)
     "ann_sq8_topk", "sq8_rank_audit", "ann_cosine_topk",
     "ann_fast_ranks", "ann_recall_audit", "ivf_index_sq8",
     "quantize_embeddings",
@@ -813,7 +825,6 @@ _R12_WINDOW = [
     "dedup_simhash", "dedup_cross_corpus", "containment_pairs",
     "contamination_check",
     "jaccard_pairs",
-    "pair_intersections",
     "stream_incremental_jaccard",
 ]
 
@@ -1352,6 +1363,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # amortized path must serve exactly the batch's rows of the
         # full self-search)
         "lsh_index_serve": _q_lsh_index_serve,
+        # new round 12: merge-on-read delete on the vector side — the
+        # whole mutation is the tombstone set (sign-bit hashing keeps
+        # no statistics); search-after-delete ≡ the one-plan oracle
+        # over the surviving vectors, exact rerank
+        "lsh_index_delete": _q_lsh_index_delete,
         # round 6: O1/O19 graded in-contract — the reference text format
         # written through the distributed sink and re-read through the
         # O1–O3 scan/filter/split chain, mismatch counters pinned to 0
@@ -1882,6 +1898,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_index_stats": oracles.minhash_index_stats_sql(base_mod=6),
         "lsh_index_serve": oracles.ann_lsh_topk_sql(
             10, S.lsh_tables(64), query_where="a.vec_id % 10 = 0"
+        ),
+        # merge-on-read delete: the oracle's v/n base keeps only the
+        # survivors, so candidates, rerank vectors, and the query pool
+        # all shrink with the deletions (sig derives from n)
+        "lsh_index_delete": oracles.ann_lsh_topk_sql(
+            10,
+            S.lsh_tables(64),
+            query_where="a.vec_id % 10 = 0",
+            vec_ctes=oracles.deleted_vec_ctes(7, 1),
         ),
         # the IVF batch-serving twin: the cell join's query side
         # filtered to the batch, residents stay the full corpus

@@ -1723,6 +1723,21 @@ def _lsh_sig_cte(tables: list[list[list[float]]]) -> str:
     return f"sig AS (\n{branches}\n)"
 
 
+def deleted_vec_ctes(del_mod: int, del_rem: int) -> str:
+    """``v``/``n`` CTEs over the SURVIVING vectors only — the LSH
+    delete oracle's base (mirror of the demo's
+    ``vec_id % del_mod == del_rem`` delete batch): candidates, rerank
+    vectors, and the query pool all shrink with the deletions."""
+    return f"""
+v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    WHERE vec_id % {del_mod} <> {del_rem}
+),
+n AS (
+    SELECT vec_id, vec, list_dot_product(vec, vec) AS norm2 FROM v
+)"""
+
+
 def replicated_vec_ctes(factor: int, id_stride: int, dim: int = 64) -> str:
     """``v``/``n`` CTEs over the :func:`~jaccard_mapreduce_spark.
     operators.similarity.replicate_embeddings` corpus — same formula,

@@ -372,24 +372,14 @@ def upsert_lexical_store(
 
 def _swap_dataset(spark: SparkSession, path: str, name: str, tmp: str) -> None:
     """Publish a staged dataset generation via the two-rename swap (the
-    upsert's df-swap idiom, factored for the delete path): live →
-    ``__old``, tmp → live, delete ``__old`` — the previous generation
-    survives until the new one is live, so no crash point leaves the
-    store without the dataset. Tolerates a missing live dataset (the
-    first delete creates ``tombstones`` from nothing)."""
-    from jaccard_mapreduce_spark.sources.vector_index import _hadoop_fs
+    upsert's df-swap idiom, factored for the delete paths) — the shared
+    implementation lives next to the other FS helpers in
+    ``sources/vector_index.py``, where the LSH delete uses it too."""
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _swap_dataset as _swap,
+    )
 
-    fs, live = _hadoop_fs(spark, f"{path}/{name}")
-    old = _hadoop_fs(spark, f"{path}/{name}__old")[1]
-    if fs.exists(old):  # leftover from a crashed prior swap
-        fs.delete(old, True)
-    if fs.exists(live) and not fs.rename(live, old):
-        raise IOError(f"dataset swap failed: {path}/{name} -> __old")
-    if not fs.rename(_hadoop_fs(spark, tmp)[1], live):
-        fs.rename(old, live)  # put the previous generation back
-        raise IOError(f"dataset swap failed: {tmp} -> {path}/{name}")
-    if fs.exists(old):
-        fs.delete(old, True)
+    _swap(spark, path, name, tmp)
 
 
 def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:

@@ -527,6 +527,101 @@ def ivf_index_stats(spark: SparkSession, path: str) -> dict:
     return out
 
 
+def _swap_dataset(spark: SparkSession, path: str, name: str, tmp: str) -> None:
+    """Publish a staged dataset generation via the two-rename swap
+    (live → ``__old``, tmp → live, delete ``__old`` — the previous
+    generation survives until the new one is live). Tolerates a
+    missing live dataset (a first delete creates ``tombstones`` from
+    nothing). Shared by the lexical store's and the vector indexes'
+    mutation paths."""
+    fs, live = _hadoop_fs(spark, f"{path}/{name}")
+    old = _hadoop_fs(spark, f"{path}/{name}__old")[1]
+    if fs.exists(old):  # leftover from a crashed prior swap
+        fs.delete(old, True)
+    if fs.exists(live) and not fs.rename(live, old):
+        raise IOError(f"dataset swap failed: {path}/{name} -> __old")
+    if not fs.rename(_hadoop_fs(spark, tmp)[1], live):
+        fs.rename(old, live)  # put the previous generation back
+        raise IOError(f"dataset swap failed: {tmp} -> {path}/{name}")
+    if fs.exists(old):
+        fs.delete(old, True)
+
+
+def _read_lsh_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The LSH index's tombstone relation ``(vec_id)`` — vectors
+    deleted but not yet physically removed — or ``None`` when no
+    delete has ever run (zero overhead on stores that never delete)."""
+    fs, p = _hadoop_fs(spark, f"{path}/tombstones")
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(f"{path}/tombstones")
+
+
+def _lsh_live(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Read an LSH dataset (vectors / signatures) with deleted vectors
+    MASKED — the lexical store's merge-on-read recipe on the vector
+    side: anti-join the tombstones (no forced broadcast; AQE
+    broadcasts small sets and a grown set degrades to a shuffle join
+    instead of hard-failing)."""
+    rel = spark.read.parquet(f"{path}/{name}")
+    tomb = _read_lsh_tombstones(spark, path)
+    if tomb is None:
+        return rel
+    return rel.join(tomb, "vec_id", "left_anti")
+
+
+def delete_from_lsh_index(
+    spark: SparkSession,
+    path: str,
+    vec_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Delete a vector batch from the persisted LSH index —
+    MERGE-ON-READ, and even simpler than the lexical store's delete
+    because sign-bit hashing keeps NO corpus statistics: there is no
+    df to decrement and no marker to correct, so the whole mutation is
+    the tombstone set (every search anti-joins it away from both the
+    signatures and the rerank vectors; the auto-rerank occupancy
+    estimate counts LIVE vectors). Physical removal happens at
+    :func:`compact_lsh_index` (tombstone fold) or
+    :func:`retune_lsh_index` (a retune rebuilds from the live rows and
+    the whole-directory swap drops the tombstones with the old
+    generation). IDEMPOTENT like the lexical delete: the batch
+    anti-joins existing tombstones, so a replay is a counted no-op.
+    Ids absent from the index contribute nothing and are not
+    tombstoned. Returns the number of vectors actually deleted.
+
+    ID CONTRACT addendum (mirrors the lexical store): re-upserting a
+    tombstoned vec_id would have its new rows masked by its own
+    tombstone — compact or retune first."""
+    batch = vec_ids.select(F.col(id_col).alias("vec_id")).distinct()
+    tomb = _read_lsh_tombstones(spark, path)
+    if tomb is not None:
+        batch = batch.join(tomb, "vec_id", "left_anti")
+    from jaccard_mapreduce_spark.operators._cache import pin
+
+    # pinned: the present set feeds the count AND the new tombstone
+    # generation; released before the swap
+    present = pin(
+        spark.read.parquet(f"{path}/vectors")
+        .select("vec_id")
+        .join(F.broadcast(batch), "vec_id", "left_semi")
+        .distinct()
+    )
+    try:
+        n_del = present.count()
+        if n_del == 0:
+            return 0
+        new_tomb = present if tomb is None else tomb.unionByName(present)
+        tmp = f"{path}/tombstones__tmp"
+        _fs_delete(spark, tmp)
+        new_tomb.coalesce(1).write.mode("overwrite").parquet(tmp)
+    finally:
+        present.unpersist()
+    _swap_dataset(spark, path, "tombstones", tmp)
+    return n_del
+
+
 def lsh_index_stats(spark: SparkSession, path: str) -> dict:
     """Operational snapshot of a persisted LSH index: the stored table
     geometry (read from the planes dataset — the index file is the
@@ -545,8 +640,10 @@ def lsh_index_stats(spark: SparkSession, path: str) -> dict:
     unlike the IVF face there is no staleness counter to report — what
     drifts here is occupancy, and this snapshot IS its measurement."""
     tables = _stored_lsh_tables(spark, path)
+    # LIVE relations (tombstones masked): occupancy is what searches
+    # pay, and a search never sees a dead row
     occ = (
-        spark.read.parquet(f"{path}/signatures")
+        _lsh_live(spark, path, "signatures")
         .groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
@@ -555,12 +652,16 @@ def lsh_index_stats(spark: SparkSession, path: str) -> dict:
         )
         .first()
     )
+    tomb = _read_lsh_tombstones(spark, path)
     out = {
         "n_tables": len(tables),
         "n_planes": len(tables[0]) if tables else 0,
-        "n_vectors": spark.read.parquet(f"{path}/vectors").count(),
+        "n_vectors": _lsh_live(spark, path, "vectors").count(),
         "n_bucket_groups": int(occ["groups"]),
         "max_bucket_vectors": int(occ["mx"]) if occ["mx"] is not None else 0,
+        # the delete path's observability (0 on a store that never
+        # deleted): what the next compaction/retune will fold away
+        "n_tombstones": 0 if tomb is None else tomb.count(),
     }
     for name in ("planes", "vectors", "signatures"):
         fs, hpath = _hadoop_fs(spark, f"{path}/{name}")
@@ -715,7 +816,11 @@ def retune_lsh_index(
     the index was retuned to."""
     from jaccard_mapreduce_spark.operators.similarity import lsh_params_for
 
-    stored = spark.read.parquet(f"{path}/vectors").select("vec_id", "vec")
+    # LIVE rows only: a retune is a rebuild, so it naturally FOLDS
+    # merge-on-read deletes — the rebuilt generation contains no dead
+    # rows and the whole-directory swap drops the tombstones dataset
+    # with the old generation
+    stored = _lsh_live(spark, path, "vectors").select("vec_id", "vec")
     if n_planes is None:
         n_planes = lsh_params_for(stored.count())
     tmp = f"{path}__retuning"
@@ -756,7 +861,12 @@ def upsert_lsh_index(
     is bucket OCCUPANCY, and the rebuild trigger for that is
     :func:`~jaccard_mapreduce_spark.operators.similarity.
     lsh_params_for`'s occupancy math over the new corpus size.
-    Returns the number of vectors appended."""
+    Returns the number of vectors appended.
+
+    ID CONTRACT addendum (merge-on-read deletes): batch ids must also
+    be disjoint from TOMBSTONED ids — a re-inserted deleted vec_id's
+    new rows would be masked by its own tombstone; compact or retune
+    first (both clear the tombstones)."""
     from jaccard_mapreduce_spark.operators.similarity import (
         _lsh_signature_expr,
     )
@@ -809,15 +919,38 @@ def compact_lsh_index(
     single-writer maintenance windows are the operating assumption, the
     same one every non-transactional parquet layout (including the
     upsert path's appends) already makes. Returns per-dataset
-    ``(files_before, files_after)``."""
-    return _compact_datasets(
+    ``(files_before, files_after)``.
+
+    Like the lexical store's compaction, this is also the
+    physical-removal half of merge-on-read deletes
+    (:func:`delete_from_lsh_index`): tombstoned rows are folded out of
+    both datasets inside the swap protocol, then the tombstones are
+    cleared — every crash point stays serving-correct (a tombstone
+    masking an already-removed row is a no-op anti-join)."""
+    tomb = _read_lsh_tombstones(spark, path)
+    transform = (
+        None
+        if tomb is None
+        else {
+            "vectors": lambda rel: rel.join(tomb, "vec_id", "left_anti"),
+            "signatures": lambda rel: rel.join(
+                tomb, "vec_id", "left_anti"
+            ),
+        }
+    )
+    out = _compact_datasets(
         spark,
         path,
         ("vectors", "signatures"),
         "an LSH index",
         n_files,
         target_file_bytes,
+        transform=transform,
     )
+    if tomb is not None:
+        fs, p = _hadoop_fs(spark, f"{path}/tombstones")
+        fs.delete(p, True)
+    return out
 
 
 def compact_ivf_index(
@@ -1100,9 +1233,12 @@ def search_lsh_index(
     sig_q = qv.select(
         "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
     ).select("vec_id", "s.tbl", "s.bucket")
-    sig_i = spark.read.parquet(f"{path}/signatures")
+    # tombstone-masked reads (merge-on-read deletes): every rerank
+    # tier consumes these two relations, so masking here covers all
+    # branches; a store that never deleted reads them untouched
+    sig_i = _lsh_live(spark, path, "signatures")
     _integral_types = ("tinyint", "smallint", "int", "bigint")
-    stored_v = spark.read.parquet(f"{path}/vectors")
+    stored_v = _lsh_live(spark, path, "vectors")
     q_type = queries.schema[id_col].dataType.simpleString()
     s_type = stored_v.schema["vec_id"].dataType.simpleString()
     _check_rerank(rerank, allowed=("auto", "exact", "fast", "dist"))
@@ -1366,6 +1502,65 @@ def lsh_index_search_demo(
     :func:`lsh_index_serve_demo` pins that serving shape's semantics."""
     base, emb = _ensure_lsh_index(spark, sf_dir, rebuild)
     return search_lsh_index(spark, base, emb)
+
+
+def lsh_index_delete_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int = 5,
+    query_mod: int = 10,
+    del_mod: int = 7,
+    del_rem: int = 1,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for MERGE-ON-READ deletion on the vector side
+    (round 12 — the lexical store's delete lens applied to the LSH
+    index, where it is even cleaner: sign-bit hashing keeps no corpus
+    statistics, so the whole mutation is the tombstone set):
+    build-then-upsert-then-DELETE, searched with the surviving query
+    batch under the exact rerank, must value-hash-match the one-plan
+    LSH oracle over the SURVIVING vectors only — a dead vector
+    surfacing as a candidate OR as a rerank neighbor shifts a rank.
+    The build also asserts delete idempotence and the stats face's
+    tombstone count once per store build."""
+
+    def _build(emb: DataFrame, path: str) -> None:
+        build_lsh_index(emb.where(F.col("vec_id") % base_mod != 0), path)
+        upsert_lsh_index(
+            spark, path, emb.where(F.col("vec_id") % base_mod == 0)
+        )
+        victims = emb.where(F.col("vec_id") % del_mod == del_rem).select(
+            "vec_id"
+        )
+        n = delete_from_lsh_index(spark, path, victims)
+        assert n > 0, "vacuous delete fixture: no vector in the slice"
+        # idempotence: tombstones are a set
+        assert delete_from_lsh_index(spark, path, victims) == 0
+        assert lsh_index_stats(spark, path)["n_tombstones"] == n
+
+    base, emb = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_lsh_del",
+        required_dirs=["planes", "vectors", "signatures"],
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"del{del_mod}-{del_rem}",
+    )
+    res = search_lsh_index(
+        spark,
+        base,
+        emb.where(
+            (F.col("vec_id") % query_mod == 0)
+            & (F.col("vec_id") % del_mod != del_rem)
+        ),
+        rerank="exact",
+    )
+    assert res.limit(1).count() > 0, (
+        "vacuous deleted-index search: no surviving query found a "
+        "surviving neighbor"
+    )
+    return res
 
 
 def lsh_index_serve_demo(

@@ -613,3 +613,69 @@ def test_store_prefix_respects_deletes(spark, tmp_path):
     got = search_lexical_store_prefix(spark, path, prefixes).collect()
     want = search_lexical_store_prefix(spark, fresh, prefixes).collect()
     assert got and sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+# --- merge-on-read deletion, vector side (LSH) ------------------------
+
+
+def test_lsh_delete_masks_compacts_and_retunes(spark, tmp_path):
+    """Search-after-delete equals a fresh build over the survivors
+    (sign-bit hashing is parameter-deterministic, so same defaults =
+    same planes); compaction folds the tombstones physically; a retune
+    rebuilds from live rows and drops the tombstones with the old
+    generation."""
+    from jaccard_mapreduce_spark.operators.similarity import (
+        DEFAULT_PLANES,
+    )
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_lsh_index,
+        compact_lsh_index,
+        delete_from_lsh_index,
+        lsh_index_stats,
+        retune_lsh_index,
+        search_lsh_index,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .where(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    victims = emb.where(F.col("vec_id") % 6 == 2).select("vec_id")
+    survivors = emb.where(F.col("vec_id") % 6 != 2)
+    path, fresh = str(tmp_path / "idx"), str(tmp_path / "fresh")
+    build_lsh_index(emb, path)
+    n = delete_from_lsh_index(spark, path, victims)
+    assert n == victims.count()
+    assert delete_from_lsh_index(spark, path, victims) == 0  # idempotent
+    assert lsh_index_stats(spark, path)["n_tombstones"] == n
+    build_lsh_index(survivors, fresh)
+    queries = survivors.where(F.col("vec_id") % 15 == 0)
+    got = search_lsh_index(spark, path, queries, rerank="exact").collect()
+    want = search_lsh_index(
+        spark, fresh, queries, rerank="exact"
+    ).collect()
+    assert got and sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # compaction: physical fold, tombstones cleared, search unchanged
+    compact_lsh_index(spark, path)
+    st = lsh_index_stats(spark, path)
+    assert st["n_tombstones"] == 0
+    assert st["n_vectors"] == survivors.count()
+    after = search_lsh_index(spark, path, queries, rerank="exact").collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, got))
+    # retune fold on a separate deleted index: same width + seed =
+    # same planes, so the rebuilt-from-live search is unchanged, and
+    # the whole-directory swap drops the tombstones dataset
+    import os
+
+    path2 = str(tmp_path / "idx2")
+    build_lsh_index(emb, path2)
+    delete_from_lsh_index(spark, path2, victims)
+    before = search_lsh_index(
+        spark, path2, queries, rerank="exact"
+    ).collect()
+    retune_lsh_index(spark, path2, n_planes=DEFAULT_PLANES)
+    assert not os.path.exists(os.path.join(path2, "tombstones"))
+    assert lsh_index_stats(spark, path2)["n_vectors"] == survivors.count()
+    post = search_lsh_index(spark, path2, queries, rerank="exact").collect()
+    assert sorted(map(tuple, post)) == sorted(map(tuple, before))
