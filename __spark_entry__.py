@@ -388,6 +388,14 @@ def _q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_index_upsert_demo(spark, sf_dir)
 
 
+def _q_minhash_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        minhash_index_delete_demo,
+    )
+
+    return minhash_index_delete_demo(spark, sf_dir)
+
+
 def _q_minhash_index_reband(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.signature_index import (
         reband_minhash_index_demo,
@@ -770,6 +778,10 @@ _NEW_OR_CHANGED = [
     # are the whole mutation (no statistics to correct), compaction
     # and retune both fold them
     "lsh_index_delete",
+    # new round 12: the delete lens's third index family (the dedup
+    # signature store) — dead docs masked from candidate buckets and
+    # the signature fetch
+    "minhash_index_delete",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -795,6 +807,7 @@ _R12_WINDOW = [
     "lexical_store_proximity", "stream_proximity_serve",
     "lexical_store_delete", "lexical_store_delete_bm25",
     "stream_lexical_delete", "lsh_index_delete",
+    "minhash_index_delete",
     "lexical_store_search", "lexical_store_bm25", "lexical_store_phrase",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "stream_bm25_serve", "stream_phrase_serve",
@@ -803,26 +816,27 @@ _R12_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "media_features",
     "media_frames", "minhash_signatures", "pii_scrub", "quality_filter",
     "shard_assign", "simhash", "train_val_split",
-    # the round-8-stale cohort (43 keys; the 18 below fill the window —
+    # the round-8-stale cohort (43 keys; the 17 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The twenty-seven left out —
+    # their correctness. The twenty-eight left out —
     # bloom_pruned_revenue, boilerplate_span_stats,
     # bucketed_customer_revenue, cohort_retention, customer_order_gaps,
-    # customer_trailing_spend, doc_sizes, doc_split, doc_tokens,
-    # events_json_props, events_sessionize, formats_roundtrip,
-    # global_shuffle, gopher_quality_flags, key_skew_stats,
-    # minhash_index_reband, minhash_index_stats, pair_intersections,
-    # prepare_corpus, q14_promo_revenue, repetition_stats,
-    # stream_hopping, stream_interval_join, synthetic_corpus_stats,
-    # top_ngrams, user_funnel, zordered_events_summary — tie on
-    # staleness with the cohort inside (all r8) and stay re-verified by
-    # the oracle-parity pytest sweep every run, so the guard holds.)
+    # customer_trailing_spend, dedup_cross_corpus, doc_sizes,
+    # doc_split, doc_tokens, events_json_props, events_sessionize,
+    # formats_roundtrip, global_shuffle, gopher_quality_flags,
+    # key_skew_stats, minhash_index_reband, minhash_index_stats,
+    # pair_intersections, prepare_corpus, q14_promo_revenue,
+    # repetition_stats, stream_hopping, stream_interval_join,
+    # synthetic_corpus_stats, top_ngrams, user_funnel,
+    # zordered_events_summary — tie on staleness with the cohort inside
+    # (all r8) and stay re-verified by the oracle-parity pytest sweep
+    # every run, so the guard holds.)
     "ann_sq8_topk", "sq8_rank_audit", "ann_cosine_topk",
     "ann_fast_ranks", "ann_recall_audit", "ivf_index_sq8",
     "quantize_embeddings",
     "dedup_clusters", "dedup_cluster_sizes", "dedup_representatives",
-    "dedup_simhash", "dedup_cross_corpus", "containment_pairs",
+    "dedup_simhash", "containment_pairs",
     "contamination_check",
     "jaccard_pairs",
     "stream_incremental_jaccard",
@@ -1347,6 +1361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch; must equal the same probe against a one-shot store
         # over the full corpus (seed-derived data-independent hashing)
         "minhash_index_upsert": _q_minhash_index_upsert,
+        # new round 12: the delete lens's third index family — dead
+        # docs masked from buckets AND signature fetch; compact clears
+        # tombstones (both datasets), reband folds buckets only
+        "minhash_index_delete": _q_minhash_index_delete,
         # new round 8: the in-place band retune graded — a store built
         # at a mistuned banding (4) rebands to the bands_for-derived 8
         # and the post-reband dedup must hash-match a FRESH build at
@@ -1886,6 +1904,14 @@ def oracle_sql() -> dict[str, str]:
         # store after upsert = the FULL corpus; probe batch = % 10 = 0
         "minhash_index_upsert": oracles.dedup_incremental_sql(
             0.7, store_where="TRUE", batch_where="a.doc_id % 10 = 0"
+        ),
+        # merge-on-read delete on the dedup store: the STORE side keeps
+        # only survivors (batch filtered to survivors too — the demo's
+        # probe set)
+        "minhash_index_delete": oracles.dedup_incremental_sql(
+            0.7,
+            store_where="b.doc_id % 9 <> 2",
+            batch_where="a.doc_id % 10 = 0 AND a.doc_id % 9 <> 2",
         ),
         # post-reband dedup must equal a FRESH build at the
         # bands_for-derived banding (store = % 3 != 0, batch = rest)

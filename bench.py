@@ -149,6 +149,7 @@ def main() -> None:
         "lexical_store_delete_bm25",
         "stream_lexical_delete",
         "lsh_index_delete",
+        "minhash_index_delete",
         "lexical_store_search",
         "lexical_store_bm25",
         "lexical_store_phrase",
@@ -211,7 +212,7 @@ def main() -> None:
         "lexical_store_proximity", "stream_proximity_serve",
         "lexical_store_delete", "lexical_store_delete_bm25",
         "stream_lexical_delete", "lexical_store_prefix",
-        "lsh_index_delete",
+        "lsh_index_delete", "minhash_index_delete",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

@@ -135,7 +135,12 @@ def upsert_minhash_index(
     data-independent — nothing retrains and no stored row changes — so
     build-base-then-upsert equals a from-scratch build over the union
     (the ``minhash_index_upsert`` graded contract). Returns the number
-    of appended documents."""
+    of appended documents.
+
+    ID CONTRACT addendum (merge-on-read deletes): batch ids must be
+    disjoint from the stored set AND from tombstoned ids
+    (:func:`delete_from_minhash_index`) — a re-inserted deleted id's
+    new rows would be masked by its own tombstone; compact first."""
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
     p = _stored_params(spark, path)
@@ -156,6 +161,81 @@ def upsert_minhash_index(
     finally:
         sigs.unpersist()
     return n_new
+
+
+def _sig_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The signature store's tombstone relation ``(doc_id)`` — or
+    ``None`` when no delete has ever run (zero overhead then)."""
+    from jaccard_mapreduce_spark.sources.vector_index import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{path}/tombstones")
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(f"{path}/tombstones")
+
+
+def _sig_live(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Read a store dataset (signatures / buckets) with deleted docs
+    MASKED — the merge-on-read recipe shared with the lexical store
+    and the LSH index (anti-join, no forced broadcast: AQE handles
+    small sets, large ones degrade to a shuffle join)."""
+    rel = spark.read.parquet(f"{path}/{name}")
+    tomb = _sig_tombstones(spark, path)
+    if tomb is None:
+        return rel
+    return rel.join(tomb, "doc_id", "left_anti")
+
+
+def delete_from_minhash_index(
+    spark: SparkSession,
+    path: str,
+    doc_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Delete a document batch from the signature store —
+    MERGE-ON-READ like the LSH index's delete (MinHash params are
+    seed-derived, so there are no corpus statistics to correct): the
+    batch lands in a tombstone set that every probe anti-joins away
+    from both the buckets (candidate generation) and the signatures
+    (estimate fetch). IDEMPOTENT (the batch anti-joins existing
+    tombstones). Physical removal: :func:`compact_minhash_index`
+    rewrites BOTH datasets and clears the tombstones;
+    :func:`reband_minhash_index` folds them out of the rebuilt buckets
+    but keeps the tombstones (the signatures dataset still carries the
+    dead rows until a compaction). Ids absent from the store
+    contribute nothing and are not tombstoned. Returns the number of
+    documents actually deleted.
+
+    ID CONTRACT addendum: re-upserting a tombstoned doc_id would have
+    its new rows masked by its own tombstone — compact first."""
+    from jaccard_mapreduce_spark.operators._cache import pin as _pin
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        _fs_delete,
+        _swap_dataset,
+    )
+
+    batch = doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
+    tomb = _sig_tombstones(spark, path)
+    if tomb is not None:
+        batch = batch.join(tomb, "doc_id", "left_anti")
+    present = _pin(
+        spark.read.parquet(f"{path}/signatures")
+        .select("doc_id")
+        .join(F.broadcast(batch), "doc_id", "left_semi")
+        .distinct()
+    )
+    try:
+        n_del = present.count()
+        if n_del == 0:
+            return 0
+        new_tomb = present if tomb is None else tomb.unionByName(present)
+        tmp = f"{path}/tombstones__tmp"
+        _fs_delete(spark, tmp)
+        new_tomb.coalesce(1).write.mode("overwrite").parquet(tmp)
+    finally:
+        present.unpersist()
+    _swap_dataset(spark, path, "tombstones", tmp)
+    return n_del
 
 
 def dedup_incremental(
@@ -233,7 +313,9 @@ def _dedup_incremental_plan(
     new_buckets = lsh_buckets(
         new_sigs.withColumnRenamed("new_id", "doc_id"), bands, k // bands
     ).withColumnRenamed("doc_id", "new_id")
-    stored_buckets = spark.read.parquet(f"{path}/buckets")
+    # tombstone-masked (merge-on-read deletes): a dead doc must not
+    # surface as a dedup partner
+    stored_buckets = _sig_live(spark, path, "buckets")
     # mixed id types (string batch ids against a long-id store, or the
     # reverse) would make the self-pair exclusion an ANSI cast throw —
     # same hazard the LSH index search guards; compare canonical
@@ -273,7 +355,7 @@ def _dedup_incremental_plan(
     # store-scale relation is pruned without a shuffle; past the gate
     # this degrades to a keyed shuffle like every other join here
     hit_sigs = (
-        spark.read.parquet(f"{path}/signatures")
+        _sig_live(spark, path, "signatures")
         .join(
             bc_cand(cand.select("stored_id").distinct()),
             F.col("doc_id") == F.col("stored_id"),
@@ -410,7 +492,10 @@ def reband_minhash_index(
             f"new_bands={new_bands} must be >= 1 and divide"
             f" k={p['k']} evenly"
         )
-    sigs = spark.read.parquet(f"{path}/signatures")
+    # LIVE signatures only: a reband folds merge-on-read deletes out
+    # of the rebuilt buckets (the tombstones stay — the signatures
+    # dataset still carries the dead rows until a compaction)
+    sigs = _sig_live(spark, path, "signatures")
     tmp = f"{path}/buckets__rebanding"
     (
         lsh_buckets(sigs, new_bands, p["k"] // new_bands)
@@ -464,9 +549,12 @@ def minhash_index_stats(spark: SparkSession, path: str) -> dict:
 
     p = _stored_params(spark, path)
     out = dict(p)
-    out["n_docs"] = spark.read.parquet(f"{path}/signatures").count()
+    # LIVE relations (tombstones masked): occupancy is what probes pay
+    out["n_docs"] = _sig_live(spark, path, "signatures").count()
+    tomb = _sig_tombstones(spark, path)
+    out["n_tombstones"] = 0 if tomb is None else tomb.count()
     occ = (
-        spark.read.parquet(f"{path}/buckets")
+        _sig_live(spark, path, "buckets")
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
@@ -509,7 +597,21 @@ def compact_minhash_index(
     # dataset has no authoritative marker and a stale _params could
     # silently band-mismatch every later dedup into zero results.
     p = _stored_params(spark, path)
-    return _compact_datasets(
+    # tombstone fold (merge-on-read deletes): both datasets are
+    # rewritten here, so this is the one maintenance op that clears
+    # the tombstones completely (a reband folds only the buckets)
+    tomb = _sig_tombstones(spark, path)
+    transform = (
+        None
+        if tomb is None
+        else {
+            "signatures": lambda rel: rel.join(
+                tomb, "doc_id", "left_anti"
+            ),
+            "buckets": lambda rel: rel.join(tomb, "doc_id", "left_anti"),
+        }
+    )
+    out = _compact_datasets(
         spark,
         path,
         ("signatures", "buckets"),
@@ -522,7 +624,14 @@ def compact_minhash_index(
                 spark, f"{tmp}/_banding", str(p["bands"])
             )
         },
+        transform=transform,
     )
+    if tomb is not None:
+        from jaccard_mapreduce_spark.sources.vector_index import _hadoop_fs
+
+        fs, pt = _hadoop_fs(spark, f"{path}/tombstones")
+        fs.delete(pt, True)
+    return out
 
 
 def _ensure_doc_index(
@@ -705,3 +814,59 @@ def minhash_index_upsert_demo(
     return dedup_incremental(
         spark, base, docs.where(F.col("doc_id") % batch_mod == 0), threshold
     )
+
+
+def minhash_index_delete_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.7,
+    base_mod: int = 7,
+    batch_mod: int = 10,
+    del_mod: int = 9,
+    del_rem: int = 2,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for MERGE-ON-READ deletion on the dedup store
+    (round 12 — the delete lens's third index family):
+    build-then-upsert-then-DELETE, probed with the surviving batch,
+    must hash-match the one-shot oracle whose STORE side keeps only
+    the survivors — a dead document surfacing as a dedup partner (from
+    an unmasked bucket OR an unmasked signature fetch) adds a directed
+    pair and fails the hash. The build asserts delete idempotence and
+    the stats tombstone count once per store build."""
+
+    def _build(docs: DataFrame, path: str) -> None:
+        build_minhash_index(docs.where(F.col("doc_id") % base_mod != 0), path)
+        upsert_minhash_index(
+            spark, path, docs.where(F.col("doc_id") % base_mod == 0)
+        )
+        victims = docs.where(F.col("doc_id") % del_mod == del_rem).select(
+            "doc_id"
+        )
+        n = delete_from_minhash_index(spark, path, victims)
+        assert n > 0, "vacuous delete fixture: no doc in the slice"
+        assert delete_from_minhash_index(spark, path, victims) == 0
+        assert minhash_index_stats(spark, path)["n_tombstones"] == n
+
+    base, docs = _ensure_doc_index(
+        spark,
+        sf_dir,
+        suffix="_mh_del",
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"base_mod={base_mod}:del{del_mod}-{del_rem}",
+    )
+    res = dedup_incremental(
+        spark,
+        base,
+        docs.where(
+            (F.col("doc_id") % batch_mod == 0)
+            & (F.col("doc_id") % del_mod != del_rem)
+        ),
+        threshold,
+    )
+    assert res.limit(1).count() > 0, (
+        "vacuous deleted-store dedup: no surviving batch doc found a "
+        "surviving near-duplicate"
+    )
+    return res

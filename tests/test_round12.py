@@ -679,3 +679,50 @@ def test_lsh_delete_masks_compacts_and_retunes(spark, tmp_path):
     assert lsh_index_stats(spark, path2)["n_vectors"] == survivors.count()
     post = search_lsh_index(spark, path2, queries, rerank="exact").collect()
     assert sorted(map(tuple, post)) == sorted(map(tuple, before))
+
+
+def test_minhash_delete_masks_compacts_and_rebands(spark, tmp_path):
+    """Dedup-after-delete equals a fresh build over the survivors
+    (seed-derived hashing); compaction clears the tombstones (both
+    datasets rewritten); a reband folds the BUCKETS but keeps the
+    tombstones (the signatures still carry dead rows)."""
+    import os
+
+    from jaccard_mapreduce_spark.sources.signature_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        dedup_incremental,
+        delete_from_minhash_index,
+        minhash_index_stats,
+        reband_minhash_index,
+    )
+
+    docs = _docs(spark).where(F.col("doc_id") < 300)
+    victims = docs.where(F.col("doc_id") % 6 == 2).select("doc_id")
+    survivors = docs.where(F.col("doc_id") % 6 != 2)
+    batch = survivors.where(F.col("doc_id") % 15 == 0)
+    path, fresh = str(tmp_path / "idx"), str(tmp_path / "fresh")
+    build_minhash_index(docs, path)
+    n = delete_from_minhash_index(spark, path, victims)
+    assert n == victims.count()
+    assert delete_from_minhash_index(spark, path, victims) == 0
+    assert minhash_index_stats(spark, path)["n_tombstones"] == n
+    build_minhash_index(survivors, fresh)
+    got = dedup_incremental(spark, path, batch, 0.5).collect()
+    want = dedup_incremental(spark, fresh, batch, 0.5).collect()
+    assert got and sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # reband folds buckets only: tombstones survive, results unchanged
+    reband_minhash_index(spark, path, 4)
+    reband_minhash_index(spark, fresh, 4)
+    assert os.path.exists(os.path.join(path, "tombstones"))
+    after_reband = dedup_incremental(spark, path, batch, 0.5).collect()
+    want_reband = dedup_incremental(spark, fresh, batch, 0.5).collect()
+    assert sorted(map(tuple, after_reband)) == sorted(map(tuple, want_reband))
+    # compaction rewrites both datasets and clears the tombstones
+    compact_minhash_index(spark, path)
+    st = minhash_index_stats(spark, path)
+    assert st["n_tombstones"] == 0
+    assert st["n_docs"] == survivors.count()
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    after = dedup_incremental(spark, path, batch, 0.5).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, want_reband))
