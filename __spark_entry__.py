@@ -270,6 +270,14 @@ def _q_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_upsert_demo(spark, sf_dir)
 
 
+def _q_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        ivf_index_delete_demo,
+    )
+
+    return ivf_index_delete_demo(spark, sf_dir)
+
+
 def _q_ivf_index_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jaccard_mapreduce_spark.sources.vector_index import (
         ivf_index_sq8_demo,
@@ -782,6 +790,10 @@ _NEW_OR_CHANGED = [
     # signature store) — dead docs masked from candidate buckets and
     # the signature fetch
     "minhash_index_delete",
+    # new round 12: the fourth and last mutable family — IVF delete
+    # under the held-fixed codebook; retrain doubles as delete
+    # recovery
+    "ivf_index_delete",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -807,7 +819,7 @@ _R12_WINDOW = [
     "lexical_store_proximity", "stream_proximity_serve",
     "lexical_store_delete", "lexical_store_delete_bm25",
     "stream_lexical_delete", "lsh_index_delete",
-    "minhash_index_delete",
+    "minhash_index_delete", "ivf_index_delete",
     "lexical_store_search", "lexical_store_bm25", "lexical_store_phrase",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "stream_bm25_serve", "stream_phrase_serve",
@@ -816,28 +828,27 @@ _R12_WINDOW = [
     "boilerplate_scrub", "chunk_documents", "media_features",
     "media_frames", "minhash_signatures", "pii_scrub", "quality_filter",
     "shard_assign", "simhash", "train_val_split",
-    # the round-8-stale cohort (43 keys; the 17 below fill the window —
+    # the round-8-stale cohort (43 keys; the 16 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The twenty-eight left out —
+    # their correctness. The twenty-nine left out —
     # bloom_pruned_revenue, boilerplate_span_stats,
-    # bucketed_customer_revenue, cohort_retention, customer_order_gaps,
-    # customer_trailing_spend, dedup_cross_corpus, doc_sizes,
-    # doc_split, doc_tokens, events_json_props, events_sessionize,
-    # formats_roundtrip, global_shuffle, gopher_quality_flags,
-    # key_skew_stats, minhash_index_reband, minhash_index_stats,
-    # pair_intersections, prepare_corpus, q14_promo_revenue,
-    # repetition_stats, stream_hopping, stream_interval_join,
-    # synthetic_corpus_stats, top_ngrams, user_funnel,
-    # zordered_events_summary — tie on staleness with the cohort inside
-    # (all r8) and stay re-verified by the oracle-parity pytest sweep
-    # every run, so the guard holds.)
+    # bucketed_customer_revenue, cohort_retention, contamination_check,
+    # customer_order_gaps, customer_trailing_spend, dedup_cross_corpus,
+    # doc_sizes, doc_split, doc_tokens, events_json_props,
+    # events_sessionize, formats_roundtrip, global_shuffle,
+    # gopher_quality_flags, key_skew_stats, minhash_index_reband,
+    # minhash_index_stats, pair_intersections, prepare_corpus,
+    # q14_promo_revenue, repetition_stats, stream_hopping,
+    # stream_interval_join, synthetic_corpus_stats, top_ngrams,
+    # user_funnel, zordered_events_summary — tie on staleness with the
+    # cohort inside (all r8) and stay re-verified by the oracle-parity
+    # pytest sweep every run, so the guard holds.)
     "ann_sq8_topk", "sq8_rank_audit", "ann_cosine_topk",
     "ann_fast_ranks", "ann_recall_audit", "ivf_index_sq8",
     "quantize_embeddings",
     "dedup_clusters", "dedup_cluster_sizes", "dedup_representatives",
     "dedup_simhash", "containment_pairs",
-    "contamination_check",
     "jaccard_pairs",
     "stream_incremental_jaccard",
 ]
@@ -1086,6 +1097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-plan union search with the training CTE filtered to the
         # base slice (mutation changes where vectors land, not answers)
         "ivf_index_upsert": _q_ivf_index_upsert,
+        # new round 12: the delete lens's fourth mutable family —
+        # merge-on-read under the held-fixed codebook (the upsert
+        # contract's mirror); retrain = delete recovery
+        "ivf_index_delete": _q_ivf_index_delete,
         # new round 8: the SQ8 serving path — rerank against the
         # STORED 1-byte codes (written at build/upsert time); must
         # hash-match the one-plan ann_sq8_topk over the same codebook,
@@ -2109,6 +2124,15 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_upsert": oracles.ann_ivf_topk_sql(
             10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
             train_where="WHERE vec_id % 5 != 0",
+        ),
+        # delete: codebook still trains on the base slice of the RAW
+        # corpus (deletes hold it fixed), assignment/search see only
+        # survivors, query side filtered to the surviving batch
+        "ivf_index_delete": oracles.ann_ivf_topk_sql(
+            10, S.DEFAULT_IVF_CELLS, S.DEFAULT_IVF_PROBE,
+            train_where="WHERE vec_id % 5 != 0",
+            query_where="a.vec_id % 10 = 0",
+            vec_ctes=oracles.deleted_vec_ctes(7, 1),
         ),
         # compaction is invisible: same base-trained-codebook oracle as
         # the upsert face it runs after

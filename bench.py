@@ -124,10 +124,11 @@ def main() -> None:
         "prepare_corpus",
         "effective_token_stats",
         "lsh_fast_ranks",
+        # (dedup_cluster_sizes / dedup_minhash_lsh / bigram_surprise
+        # rotate OUT this round — mid-pack ~3-5 s keys displaced by the
+        # delete-family additions under the 40-key core cap; they stay
+        # covered by the rotating cohort and the oracle-parity sweep)
         "lsh_index_upsert",
-        "dedup_cluster_sizes",
-        "dedup_minhash_lsh",
-        "bigram_surprise",
         "lsh_index_serve",
         "lsh_index_retune",
         # the adjudication's second key (committed 3.42 vs probed 1.73)
@@ -150,6 +151,7 @@ def main() -> None:
         "stream_lexical_delete",
         "lsh_index_delete",
         "minhash_index_delete",
+        "ivf_index_delete",
         "lexical_store_search",
         "lexical_store_bm25",
         "lexical_store_phrase",
@@ -212,7 +214,7 @@ def main() -> None:
         "lexical_store_proximity", "stream_proximity_serve",
         "lexical_store_delete", "lexical_store_delete_bm25",
         "stream_lexical_delete", "lexical_store_prefix",
-        "lsh_index_delete", "minhash_index_delete",
+        "lsh_index_delete", "minhash_index_delete", "ivf_index_delete",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

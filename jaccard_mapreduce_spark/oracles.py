@@ -1802,7 +1802,13 @@ def ann_ivf_topk_sql(
     dim: int = 64,
     train_where: str = "",
     query_where: str = "",
+    vec_ctes: str | None = None,
 ) -> str:
+    # vec_ctes swaps the ASSIGNMENT/SEARCH base (e.g. deleted_vec_ctes
+    # for the ivf_index_delete oracle: the codebook still trains on
+    # train_where's slice of the raw table — deletes hold it fixed,
+    # the upsert contract's mirror — while assignment and the cell
+    # join see only the survivors).
     # mirrors operators/similarity.py::ann_ivf_topk exactly: codebook =
     # the integer-exact kmeans_int8 chain's final centroids (ints as
     # double coordinates), cosine cell assignment with
@@ -1824,7 +1830,7 @@ def ann_ivf_topk_sql(
     )
     return _ranked_sql(
         f"""WITH {_kmeans_int8_ctes(n_cells, iters, dim, train_where)},
-{_VEC_CTES.strip()},
+{(vec_ctes or _VEC_CTES).strip()},
 cents AS (
     SELECT cluster AS cell_id,
            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,

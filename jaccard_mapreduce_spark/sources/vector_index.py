@@ -222,7 +222,9 @@ def search_ivf_index(
     graded ``ivf_index_sq8`` contract. Scores carry quantization error
     by design; ``sq8_rank_audit`` measures what that costs."""
     cents = spark.read.parquet(f"{path}/centroids")
-    cells = spark.read.parquet(f"{path}/cells")
+    # tombstone-masked (merge-on-read deletes): every rerank tier
+    # consumes this relation, so masking here covers all branches
+    cells = _vec_live(spark, path, "cells")
     qv = vectors(queries, id_col, vec_col)
     # The explicit (cell_id, vec_id) repartition is the load-bearing
     # line: the assignment's rank-window exchange hash-partitions by
@@ -384,7 +386,12 @@ def upsert_ivf_index(
     count of upserted vectors is accumulated in ``<path>/_staleness``
     (see :func:`index_staleness`) so callers can trigger a retrain at
     a measured threshold instead of guessing. Returns the number of
-    vectors appended."""
+    vectors appended.
+
+    ID CONTRACT addendum (merge-on-read deletes): batch ids must be
+    disjoint from TOMBSTONED ids (:func:`delete_from_ivf_index`) — a
+    re-inserted deleted id's new rows would be masked by its own
+    tombstone; compact or retrain first."""
     cents = spark.read.parquet(f"{path}/centroids")
     v = vectors(new_vectors, id_col, vec_col)
     # appended rows carry the same stored SQ8 columns as the build
@@ -446,7 +453,11 @@ def retrain_ivf_index(
     if min_staleness > 0 and index_staleness(path, spark) < min_staleness:
         return False
     cents_live = spark.read.parquet(f"{path}/centroids")
-    stored = spark.read.parquet(f"{path}/cells").select("vec_id", "vec")
+    # LIVE rows only: a retrain rebuilds from the survivors and its
+    # whole-directory swap drops the tombstones with the old
+    # generation — delete recovery and staleness recovery are one
+    # mechanism
+    stored = _vec_live(spark, path, "cells").select("vec_id", "vec")
     if n_cells is None:
         n_cells = cents_live.count()
     tmp = f"{path}__retraining"
@@ -503,8 +514,10 @@ def ivf_index_stats(spark: SparkSession, path: str) -> dict:
     as the MinHash store's occupancy snapshot. ``cells_files`` feeds the
     compaction trigger (:func:`compact_ivf_index`)."""
     n_cells = spark.read.parquet(f"{path}/centroids").count()
+    # LIVE cells (tombstones masked): occupancy is what searches pay
+    tomb = _read_vec_tombstones(spark, path)
     occ = (
-        spark.read.parquet(f"{path}/cells")
+        _vec_live(spark, path, "cells")
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
@@ -520,6 +533,9 @@ def ivf_index_stats(spark: SparkSession, path: str) -> dict:
         "n_occupied_cells": int(occ["groups"]),
         "max_cell_vectors": int(occ["mx"]) if occ["mx"] is not None else 0,
         "staleness": index_staleness(path, spark),
+        # the delete path's observability (0 on a store that never
+        # deleted): what the next compaction/retrain will fold away
+        "n_tombstones": 0 if tomb is None else tomb.count(),
     }
     for name in ("centroids", "cells"):
         fs, hpath = _hadoop_fs(spark, f"{path}/{name}")
@@ -547,27 +563,70 @@ def _swap_dataset(spark: SparkSession, path: str, name: str, tmp: str) -> None:
         fs.delete(old, True)
 
 
-def _read_lsh_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
-    """The LSH index's tombstone relation ``(vec_id)`` — vectors
+def _read_vec_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """A vector index's tombstone relation ``(vec_id)`` — vectors
     deleted but not yet physically removed — or ``None`` when no
-    delete has ever run (zero overhead on stores that never delete)."""
+    delete has ever run (zero overhead on stores that never delete).
+    Shared by the LSH and IVF indexes (both key on ``vec_id``)."""
     fs, p = _hadoop_fs(spark, f"{path}/tombstones")
     if not fs.exists(p):
         return None
     return spark.read.parquet(f"{path}/tombstones")
 
 
-def _lsh_live(spark: SparkSession, path: str, name: str) -> DataFrame:
-    """Read an LSH dataset (vectors / signatures) with deleted vectors
-    MASKED — the lexical store's merge-on-read recipe on the vector
-    side: anti-join the tombstones (no forced broadcast; AQE
-    broadcasts small sets and a grown set degrades to a shuffle join
-    instead of hard-failing)."""
+def _vec_live(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Read a vector-index dataset (LSH vectors/signatures, IVF cells)
+    with deleted vectors MASKED — the lexical store's merge-on-read
+    recipe on the vector side: anti-join the tombstones (no forced
+    broadcast; AQE broadcasts small sets and a grown set degrades to a
+    shuffle join instead of hard-failing)."""
     rel = spark.read.parquet(f"{path}/{name}")
-    tomb = _read_lsh_tombstones(spark, path)
+    tomb = _read_vec_tombstones(spark, path)
     if tomb is None:
         return rel
     return rel.join(tomb, "vec_id", "left_anti")
+
+
+def _tombstone_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str,
+    source_dataset: str,
+) -> int:
+    """The shared merge-on-read delete engine: distinct the batch,
+    anti-join existing tombstones (IDEMPOTENCE — a replay is a counted
+    no-op), keep only ids actually present in ``source_dataset``,
+    publish old ∪ present as the new tombstone generation via the
+    two-rename swap. Returns the number of rows actually deleted.
+    Used by the LSH and IVF indexes (``vec_id``); the signature
+    store's ``doc_id``-keyed delete mirrors it."""
+    from jaccard_mapreduce_spark.operators._cache import pin
+
+    batch = ids.select(F.col(id_col).alias("vec_id")).distinct()
+    tomb = _read_vec_tombstones(spark, path)
+    if tomb is not None:
+        batch = batch.join(tomb, "vec_id", "left_anti")
+    # pinned: the present set feeds the count AND the new tombstone
+    # generation; released before the swap
+    present = pin(
+        spark.read.parquet(f"{path}/{source_dataset}")
+        .select("vec_id")
+        .join(F.broadcast(batch), "vec_id", "left_semi")
+        .distinct()
+    )
+    try:
+        n_del = present.count()
+        if n_del == 0:
+            return 0
+        new_tomb = present if tomb is None else tomb.unionByName(present)
+        tmp = f"{path}/tombstones__tmp"
+        _fs_delete(spark, tmp)
+        new_tomb.coalesce(1).write.mode("overwrite").parquet(tmp)
+    finally:
+        present.unpersist()
+    _swap_dataset(spark, path, "tombstones", tmp)
+    return n_del
 
 
 def delete_from_lsh_index(
@@ -594,32 +653,33 @@ def delete_from_lsh_index(
     ID CONTRACT addendum (mirrors the lexical store): re-upserting a
     tombstoned vec_id would have its new rows masked by its own
     tombstone — compact or retune first."""
-    batch = vec_ids.select(F.col(id_col).alias("vec_id")).distinct()
-    tomb = _read_lsh_tombstones(spark, path)
-    if tomb is not None:
-        batch = batch.join(tomb, "vec_id", "left_anti")
-    from jaccard_mapreduce_spark.operators._cache import pin
+    return _tombstone_delete(spark, path, vec_ids, id_col, "vectors")
 
-    # pinned: the present set feeds the count AND the new tombstone
-    # generation; released before the swap
-    present = pin(
-        spark.read.parquet(f"{path}/vectors")
-        .select("vec_id")
-        .join(F.broadcast(batch), "vec_id", "left_semi")
-        .distinct()
-    )
-    try:
-        n_del = present.count()
-        if n_del == 0:
-            return 0
-        new_tomb = present if tomb is None else tomb.unionByName(present)
-        tmp = f"{path}/tombstones__tmp"
-        _fs_delete(spark, tmp)
-        new_tomb.coalesce(1).write.mode("overwrite").parquet(tmp)
-    finally:
-        present.unpersist()
-    _swap_dataset(spark, path, "tombstones", tmp)
-    return n_del
+
+def delete_from_ivf_index(
+    spark: SparkSession,
+    path: str,
+    vec_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Delete a vector batch from the persisted IVF index —
+    MERGE-ON-READ under the HELD-FIXED codebook (the upsert contract's
+    mirror: an upsert appends under the stored centroids, a delete
+    masks under them — neither retrains): the batch lands in the
+    tombstone set every search anti-joins away from the cells scan
+    (one masking site covers all rerank tiers including the stored-SQ8
+    path), the auto-rerank occupancy estimate counts LIVE residents,
+    and the centroids are untouched. Physical removal:
+    :func:`compact_ivf_index` folds the tombstones into the cells
+    rewrite and clears them; :func:`retrain_ivf_index` rebuilds from
+    live rows and its whole-directory swap drops the tombstones with
+    the old generation (a retrain after deletes therefore equals a
+    fresh build over the survivors — staleness recovery and delete
+    recovery are the same mechanism). IDEMPOTENT; absent ids are a
+    counted no-op; a tombstoned id must be compacted/retrained away
+    before re-upsert. Returns the number of vectors actually
+    deleted."""
+    return _tombstone_delete(spark, path, vec_ids, id_col, "cells")
 
 
 def lsh_index_stats(spark: SparkSession, path: str) -> dict:
@@ -643,7 +703,7 @@ def lsh_index_stats(spark: SparkSession, path: str) -> dict:
     # LIVE relations (tombstones masked): occupancy is what searches
     # pay, and a search never sees a dead row
     occ = (
-        _lsh_live(spark, path, "signatures")
+        _vec_live(spark, path, "signatures")
         .groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
@@ -652,11 +712,11 @@ def lsh_index_stats(spark: SparkSession, path: str) -> dict:
         )
         .first()
     )
-    tomb = _read_lsh_tombstones(spark, path)
+    tomb = _read_vec_tombstones(spark, path)
     out = {
         "n_tables": len(tables),
         "n_planes": len(tables[0]) if tables else 0,
-        "n_vectors": _lsh_live(spark, path, "vectors").count(),
+        "n_vectors": _vec_live(spark, path, "vectors").count(),
         "n_bucket_groups": int(occ["groups"]),
         "max_bucket_vectors": int(occ["mx"]) if occ["mx"] is not None else 0,
         # the delete path's observability (0 on a store that never
@@ -699,7 +759,7 @@ def read_index_cells(
     partition filter on the cells dataset (the scan reads ONLY those
     directories — plan-asserted). The serving-path shape when the
     probe set is known up front (e.g. re-scoring one cluster)."""
-    return spark.read.parquet(f"{path}/cells").where(
+    return _vec_live(spark, path, "cells").where(
         F.col("cell_id").isin([int(c) for c in cell_ids])
     )
 
@@ -820,7 +880,7 @@ def retune_lsh_index(
     # merge-on-read deletes — the rebuilt generation contains no dead
     # rows and the whole-directory swap drops the tombstones dataset
     # with the old generation
-    stored = _lsh_live(spark, path, "vectors").select("vec_id", "vec")
+    stored = _vec_live(spark, path, "vectors").select("vec_id", "vec")
     if n_planes is None:
         n_planes = lsh_params_for(stored.count())
     tmp = f"{path}__retuning"
@@ -927,7 +987,7 @@ def compact_lsh_index(
     both datasets inside the swap protocol, then the tombstones are
     cleared — every crash point stays serving-correct (a tombstone
     masking an already-removed row is a no-op anti-join)."""
-    tomb = _read_lsh_tombstones(spark, path)
+    tomb = _read_vec_tombstones(spark, path)
     transform = (
         None
         if tomb is None
@@ -966,16 +1026,31 @@ def compact_ivf_index(
     :func:`compact_lsh_index` (row-identical, tmp-write + two-rename
     swap); the rewrite hash-distributes ``cell_id`` so compaction
     cannot fan files back out across partition dirs. The centroids
-    dataset is codebook-sized and never appended to — not rewritten."""
-    return _compact_datasets(
+    dataset is codebook-sized and never appended to — not rewritten.
+
+    Also the physical-removal half of merge-on-read deletes
+    (:func:`delete_from_ivf_index`): tombstoned rows are folded out of
+    the cells rewrite, then the tombstones are cleared."""
+    tomb = _read_vec_tombstones(spark, path)
+    transform = (
+        None
+        if tomb is None
+        else {"cells": lambda rel: rel.join(tomb, "vec_id", "left_anti")}
+    )
+    out = _compact_datasets(
         spark,
         path,
         ("cells",),
         "an IVF index",
         n_files,
         target_file_bytes,
+        transform=transform,
         partition_by={"cells": "cell_id"},
     )
+    if tomb is not None:
+        fs, pt = _hadoop_fs(spark, f"{path}/tombstones")
+        fs.delete(pt, True)
+    return out
 
 
 def _compact_datasets(
@@ -1236,9 +1311,9 @@ def search_lsh_index(
     # tombstone-masked reads (merge-on-read deletes): every rerank
     # tier consumes these two relations, so masking here covers all
     # branches; a store that never deleted reads them untouched
-    sig_i = _lsh_live(spark, path, "signatures")
+    sig_i = _vec_live(spark, path, "signatures")
     _integral_types = ("tinyint", "smallint", "int", "bigint")
-    stored_v = _lsh_live(spark, path, "vectors")
+    stored_v = _vec_live(spark, path, "vectors")
     q_type = queries.schema[id_col].dataType.simpleString()
     s_type = stored_v.schema["vec_id"].dataType.simpleString()
     _check_rerank(rerank, allowed=("auto", "exact", "fast", "dist"))
@@ -1768,6 +1843,64 @@ def ivf_index_retrain_demo(
         tag_extra=f"base_mod={base_mod}",
     )
     return search_ivf_index(spark, base, emb)
+
+
+def ivf_index_delete_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    base_mod: int = 5,
+    query_mod: int = 10,
+    del_mod: int = 7,
+    del_rem: int = 1,
+    rebuild: bool = False,
+) -> DataFrame:
+    """Contract query for MERGE-ON-READ deletion under a HELD-FIXED
+    codebook (round 12 — the delete lens's fourth and last mutable
+    index family): build on the base slice, upsert the rest, DELETE a
+    slice, then search the surviving query batch under the exact
+    rerank. The oracle trains its codebook on the base slice of the
+    RAW corpus (deletes don't retrain — the upsert contract's mirror)
+    but assigns and searches only the SURVIVORS, so a dead vector
+    surfacing as a cell resident shifts a rank and fails the hash.
+    The build asserts delete idempotence and the stats tombstone
+    count once per store build."""
+
+    def _build(emb: DataFrame, path: str) -> None:
+        build_ivf_index(emb.where(F.col("vec_id") % base_mod != 0), path)
+        upsert_ivf_index(
+            spark, path, emb.where(F.col("vec_id") % base_mod == 0)
+        )
+        victims = emb.where(F.col("vec_id") % del_mod == del_rem).select(
+            "vec_id"
+        )
+        n = delete_from_ivf_index(spark, path, victims)
+        assert n > 0, "vacuous delete fixture: no vector in the slice"
+        assert delete_from_ivf_index(spark, path, victims) == 0
+        assert ivf_index_stats(spark, path)["n_tombstones"] == n
+
+    base, emb = _ensure_index(
+        spark,
+        sf_dir,
+        suffix="_ivf_del",
+        required_dirs=["centroids", "cells"],
+        build=_build,
+        rebuild=rebuild,
+        tag_extra=f"base_mod={base_mod}:del{del_mod}-{del_rem}",
+    )
+    res = search_ivf_index(
+        spark,
+        base,
+        emb.where(
+            (F.col("vec_id") % query_mod == 0)
+            & (F.col("vec_id") % del_mod != del_rem)
+        ),
+        rerank="exact",
+    )
+    assert res.limit(1).count() > 0, (
+        "vacuous deleted-index search: no surviving query found a "
+        "surviving neighbor"
+    )
+    return res
 
 
 def ivf_index_upsert_demo(

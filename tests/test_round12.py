@@ -726,3 +726,62 @@ def test_minhash_delete_masks_compacts_and_rebands(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "tombstones"))
     after = dedup_incremental(spark, path, batch, 0.5).collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, want_reband))
+
+
+def test_ivf_delete_masks_compacts_and_retrains(spark, tmp_path):
+    """Search-after-delete under the held-fixed codebook equals the
+    same index rebuilt... cannot equal a fresh build (the codebook
+    would retrain), so the reference is the SAME deleted index
+    compacted — and a retrain folds the deletes and clears the
+    tombstones via the whole-directory swap."""
+    import os
+
+    from jaccard_mapreduce_spark.sources.vector_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_index_stats,
+        retrain_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .where(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    victims = emb.where(F.col("vec_id") % 6 == 2).select("vec_id")
+    survivors = emb.where(F.col("vec_id") % 6 != 2)
+    queries = survivors.where(F.col("vec_id") % 15 == 0)
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path)
+    n = delete_from_ivf_index(spark, path, victims)
+    assert n == victims.count()
+    assert delete_from_ivf_index(spark, path, victims) == 0
+    st = ivf_index_stats(spark, path)
+    assert st["n_tombstones"] == n
+    assert st["n_vectors"] == survivors.count()  # live occupancy
+    got = search_ivf_index(spark, path, queries, rerank="exact").collect()
+    # no dead vector may appear as a neighbor
+    dead = {r["vec_id"] for r in victims.collect()}
+    assert got and not (dead & {r["neighbor_id"] for r in got})
+    # compaction: physical fold, tombstones cleared, search unchanged
+    compact_ivf_index(spark, path)
+    st = ivf_index_stats(spark, path)
+    assert st["n_tombstones"] == 0
+    assert st["n_vectors"] == survivors.count()
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    after = search_ivf_index(spark, path, queries, rerank="exact").collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, got))
+    # retrain on a second deleted index: rebuilds from live rows and
+    # drops the tombstones with the old generation — equal to a fresh
+    # build over the survivors (the retrain contract extended)
+    path2, fresh = str(tmp_path / "idx2"), str(tmp_path / "fresh")
+    build_ivf_index(emb, path2)
+    delete_from_ivf_index(spark, path2, victims)
+    assert retrain_ivf_index(spark, path2)
+    assert not os.path.exists(os.path.join(path2, "tombstones"))
+    build_ivf_index(survivors, fresh)
+    got2 = search_ivf_index(spark, path2, queries, rerank="exact").collect()
+    want2 = search_ivf_index(spark, fresh, queries, rerank="exact").collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
