@@ -564,6 +564,14 @@ def _q_lexical_store_proximity(
     return lexical_store_proximity_demo(spark, sf_dir)
 
 
+def _q_delete_scale_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jaccard_mapreduce_spark.sources.lexical_store import (
+        delete_scale_probe_demo,
+    )
+
+    return delete_scale_probe_demo(spark, sf_dir)
+
+
 def _q_phrase_store_scale_probe(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -794,6 +802,10 @@ _NEW_OR_CHANGED = [
     # under the held-fixed codebook; retrain doubles as delete
     # recovery
     "ivf_index_delete",
+    # new round 12: the delete path's ~10x probe — the tombstone mask
+    # + eager df correction served at replicated scale (victim slice
+    # replica-closed, so one modulo filter expresses it both sides)
+    "delete_scale_probe",
     # changed round 12 (round-11 verdict item 2): the persisted store's
     # datasets re-clustered by doc_id (the round-11 one-plan finding's
     # lens applied to the serve paths — measured at sf0.1x10 in
@@ -820,6 +832,7 @@ _R12_WINDOW = [
     "lexical_store_delete", "lexical_store_delete_bm25",
     "stream_lexical_delete", "lsh_index_delete",
     "minhash_index_delete", "ivf_index_delete",
+    "delete_scale_probe",
     "lexical_store_search", "lexical_store_bm25", "lexical_store_phrase",
     "lexical_store_stats", "lexical_store_compact",
     "stream_lexical_ingest", "stream_bm25_serve", "stream_phrase_serve",
@@ -831,24 +844,25 @@ _R12_WINDOW = [
     # the round-8-stale cohort (43 keys; the 16 below fill the window —
     # led by ann_sq8_topk and sq8_rank_audit, the adjudicated perf
     # cluster, so the round that clears the weak flag also re-grades
-    # their correctness. The twenty-nine left out —
+    # their correctness. The thirty left out —
     # bloom_pruned_revenue, boilerplate_span_stats,
-    # bucketed_customer_revenue, cohort_retention, contamination_check,
-    # customer_order_gaps, customer_trailing_spend, dedup_cross_corpus,
-    # doc_sizes, doc_split, doc_tokens, events_json_props,
-    # events_sessionize, formats_roundtrip, global_shuffle,
-    # gopher_quality_flags, key_skew_stats, minhash_index_reband,
-    # minhash_index_stats, pair_intersections, prepare_corpus,
-    # q14_promo_revenue, repetition_stats, stream_hopping,
-    # stream_interval_join, synthetic_corpus_stats, top_ngrams,
-    # user_funnel, zordered_events_summary — tie on staleness with the
-    # cohort inside (all r8) and stay re-verified by the oracle-parity
-    # pytest sweep every run, so the guard holds.)
+    # bucketed_customer_revenue, cohort_retention, containment_pairs,
+    # contamination_check, customer_order_gaps,
+    # customer_trailing_spend, dedup_cross_corpus, doc_sizes,
+    # doc_split, doc_tokens, events_json_props, events_sessionize,
+    # formats_roundtrip, global_shuffle, gopher_quality_flags,
+    # key_skew_stats, minhash_index_reband, minhash_index_stats,
+    # pair_intersections, prepare_corpus, q14_promo_revenue,
+    # repetition_stats, stream_hopping, stream_interval_join,
+    # synthetic_corpus_stats, top_ngrams, user_funnel,
+    # zordered_events_summary — tie on staleness with the cohort inside
+    # (all r8) and stay re-verified by the oracle-parity pytest sweep
+    # every run, so the guard holds.)
     "ann_sq8_topk", "sq8_rank_audit", "ann_cosine_topk",
     "ann_fast_ranks", "ann_recall_audit", "ivf_index_sq8",
     "quantize_embeddings",
     "dedup_clusters", "dedup_cluster_sizes", "dedup_representatives",
-    "dedup_simhash", "containment_pairs",
+    "dedup_simhash",
     "jaccard_pairs",
     "stream_incremental_jaccard",
 ]
@@ -1231,6 +1245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # facts, so the ranking is exactly the replicated one-plan
         # oracle's)
         "phrase_store_scale_probe": _q_phrase_store_scale_probe,
+        # new round 12: the delete path at ~10x — replica-closed victim
+        # slice deleted from the replicated store, served through the
+        # tombstone mask + eagerly corrected weights
+        "delete_scale_probe": _q_delete_scale_probe,
         # new round 12: the store's FOURTH scoring — sloppy phrase
         # served from the same positions dataset (mutation invisible
         # to the window chain), and its streaming symmetry; both grade
@@ -2043,6 +2061,9 @@ def oracle_sql() -> dict[str, str]:
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         "lexical_scale_probe": oracles.lexical_scale_probe_sql(
+            max_df_pct=_GRADED_MAX_DF_PCT
+        ),
+        "delete_scale_probe": oracles.delete_scale_probe_sql(
             max_df_pct=_GRADED_MAX_DF_PCT
         ),
         "bm25_scale_probe": oracles.bm25_scale_probe_sql(

@@ -152,6 +152,7 @@ def main() -> None:
         "lsh_index_delete",
         "minhash_index_delete",
         "ivf_index_delete",
+        "delete_scale_probe",
         "lexical_store_search",
         "lexical_store_bm25",
         "lexical_store_phrase",
@@ -215,6 +216,7 @@ def main() -> None:
         "lexical_store_delete", "lexical_store_delete_bm25",
         "stream_lexical_delete", "lexical_store_prefix",
         "lsh_index_delete", "minhash_index_delete", "ivf_index_delete",
+        "delete_scale_probe",
         "dedup_incremental", "minhash_index_upsert",
         "minhash_index_reband", "minhash_index_stats",
     ]

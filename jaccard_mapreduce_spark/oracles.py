@@ -3780,6 +3780,49 @@ SELECT CAST((SELECT count(DISTINCT doc_id) FROM documents) AS BIGINT)
        CAST((SELECT count(*) FROM ft) AS BIGINT) AS n_positions"""
 
 
+def delete_scale_probe_sql(
+    factor: int = 10,
+    id_offset: int = 1_000_000,
+    k: int = 10,
+    query_mod: int = 100,
+    max_df_pct: int = 78,
+    del_mod: int = 10,
+    del_rem: int = 3,
+) -> str:
+    """Oracle for the delete path's ~10× probe
+    (sources/lexical_store.py::delete_scale_probe_demo): the lexical
+    ranking over the replicated corpus MINUS the victims' replica set.
+    ``id_offset % del_mod == 0`` makes the victim set replica-closed
+    (every replica of a victim doc is itself a victim), so one modulo
+    filter on the replicated relation expresses the delete exactly;
+    n_docs, every df, and the prune threshold all shrink to the
+    surviving replicas — what the store serves through its tombstone
+    mask after a replicated-slice delete."""
+    if id_offset % del_mod != 0:
+        raise ValueError(
+            f"id_offset={id_offset} must be a multiple of "
+            f"del_mod={del_mod} (the victim set must be replica-closed)"
+        )
+    tok_ctes = f"""
+tok0 AS (
+    SELECT doc_id, unnest(list_distinct({TOKS_EXPR})) AS token
+    FROM documents
+),
+tokr AS (
+    SELECT t.doc_id + r.r * {id_offset} AS doc_id, t.token
+    FROM tok0 t CROSS JOIN (SELECT unnest(range({factor})) AS r) r
+),
+tok AS (SELECT * FROM tokr WHERE doc_id % {del_mod} <> {del_rem}),
+livedocs AS (SELECT DISTINCT doc_id FROM tok)"""
+    return _lex_ranked_sql(
+        k,
+        query_mod,
+        max_df_pct,
+        tok_ctes=tok_ctes,
+        docs_rel="livedocs",
+    )
+
+
 def lexical_scale_probe_sql(
     factor: int = 10,
     id_offset: int = 1_000_000,

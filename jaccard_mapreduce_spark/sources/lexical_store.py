@@ -1212,6 +1212,76 @@ def lexical_store_phrase_demo(
     return res
 
 
+def delete_scale_probe_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    query_mod: int = 100,
+    target_docs: int = 5_000,
+    del_mod: int = 10,
+    del_rem: int = 3,
+    rebuild: bool = False,
+) -> DataFrame:
+    """The DELETE path's ~10× scale probe (round 12 — the tombstone
+    mask measured through the family's scale-probe discipline, not
+    argued): build the store over the corpus replicated to
+    ~``target_docs`` documents, DELETE the victims' replica set (the
+    replication ``id_offset`` is a multiple of ``del_mod``, so the
+    victim slice is REPLICA-CLOSED — every replica of a victim is a
+    victim, and one modulo filter expresses the delete on both sides),
+    then serve the surviving replicated query batch through the
+    tombstone-masked postings at the graded prune. The probe pays the
+    real factor× posting volume through the anti-join mask PLUS the
+    eager df-correction's shrunken weights — the full merge-on-read
+    read path at scale, hash-graded against the survivors-only
+    replicated oracle."""
+    from jaccard_mapreduce_spark.operators.retrieval import (
+        GRADED_MAX_DF_RATIO,
+        probe_factor,
+        replicate_documents,
+    )
+
+    def _build(docs: DataFrame, base: str) -> None:
+        factor = probe_factor(
+            docs.select("doc_id").distinct().count(), target_docs
+        )
+        rep = replicate_documents(docs, factor)
+        build_lexical_store(rep, base)
+        n = delete_from_lexical_store(
+            spark,
+            base,
+            rep.where(F.col("doc_id") % del_mod == del_rem).select(
+                "doc_id"
+            ),
+        )
+        assert n > 0, "vacuous delete fixture: no replica in the slice"
+
+    base, docs = _ensure_lex_store(
+        spark,
+        sf_dir,
+        rebuild=rebuild,
+        suffix="_lex_del_scale",
+        build=_build,
+        tag_extra=f":target={target_docs}:del{del_mod}-{del_rem}",
+    )
+    factor = probe_factor(
+        docs.select("doc_id").distinct().count(), target_docs
+    )
+    queries = replicate_documents(docs, factor).where(
+        (F.col("doc_id") % query_mod == 0)
+        & (F.col("doc_id") % del_mod != del_rem)
+    )
+    res = search_lexical_store(
+        spark, base, queries, k=k, max_df_ratio=GRADED_MAX_DF_RATIO
+    )
+    # the family's vacuity guard
+    assert res.limit(1).count() > 0, (
+        "vacuous delete scale probe: no surviving replicated query "
+        "matched a surviving token"
+    )
+    return res
+
+
 def phrase_store_scale_probe_demo(
     spark: SparkSession,
     sf_dir: str,
