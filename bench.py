@@ -266,6 +266,11 @@ def main() -> None:
     extra_reps = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2")))
 
     timed_seconds = 0.0
+    query_load: dict[str, float] = {}
+    load_suspect: list[str] = []
+    load_suspect_threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_SUSPECT_LOAD", "4.0")
+    )
 
     def _noisy(samples: list[float]) -> bool:
         # Two conditions, either one flags (round-11 verdict item 1:
@@ -278,11 +283,19 @@ def main() -> None:
             samples[0] > 0 and samples[-1] / samples[0] >= 2.0
         )
 
-    def timed(fn, n_reps=None) -> tuple[float, float, float, bool]:
+    def timed(fn, n_reps=None) -> tuple[float, float, float, bool, float]:
         nonlocal timed_seconds
         n_reps = reps if n_reps is None else n_reps
         samples = []
+        # the contamination signal is RESIDUAL load at rep START (the
+        # previous queries' lingering 32-thread bursts — what inflated
+        # the r10/r11/r12 single-rep readings), NOT the load during the
+        # rep, which is legitimately the query's own work on a 32-core
+        # box. Track the minimum start load across reps: the
+        # best-conditioned rep is the one min-of-reps reads anyway.
+        load_start_min = _load1()
         for _ in range(n_reps):
+            load_start_min = min(load_start_min, _load1())
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
@@ -290,6 +303,7 @@ def main() -> None:
         samples.sort()
         grants = extra_reps if n_reps > 1 else 0
         while _noisy(samples) and grants > 0:
+            load_start_min = min(load_start_min, _load1())
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
@@ -302,6 +316,7 @@ def main() -> None:
             round(samples[0], 3),
             round(samples[-1], 3),
             _noisy(samples),
+            load_start_min,
         )
 
     def cleanup() -> None:
@@ -330,13 +345,14 @@ def main() -> None:
 
     # Reference-parity pipeline on the reference's own largest dataset —
     # the direct apples-to-apples number vs BASELINE.md (1DN local mode).
-    med, lo, hi, noisy = timed(
+    med, lo, hi, noisy, load_at = timed(
         lambda: _force(
             run_reference_pipeline(spark, "/root/reference/datasets/large.txt")
         )
     )
     timings["jaccard_ref_large"] = med
     spread["jaccard_ref_large"] = [lo, hi]
+    query_load["jaccard_ref_large"] = load_at
     if noisy:
         noisy_queries.append("jaccard_ref_large")
 
@@ -362,7 +378,7 @@ def main() -> None:
         watchdog.daemon = True
         watchdog.start()
         try:
-            med, lo, hi, noisy = timed(
+            med, lo, hi, noisy, load_at = timed(
                 lambda: _force(qs[name](spark, sf_dir)), n_reps
             )
         except Exception as exc:  # noqa: BLE001 - survey, not control flow
@@ -373,8 +389,18 @@ def main() -> None:
             watchdog.cancel()
         timings[name] = med
         spread[name] = [lo, hi]
+        query_load[name] = load_at
         if noisy:
             noisy_queries.append(name)
+        # A SINGLE-REP measurement taken under heavy ambient load is
+        # the one reading no heuristic can rescue (min-of-reps and the
+        # noisy flag both need a second sample): the r10 ivf_index_dist,
+        # r11 ann_sq8_topk, and r12 ivf_index_sq8 contaminations were
+        # all exactly this class. Flag it at measurement time so the
+        # committed artifact self-documents which numbers need the
+        # isolated-probe adjudication instead of leaving it forensic.
+        if n_reps == 1 and load_at > load_suspect_threshold:
+            load_suspect.append(name)
         cleanup()
 
     loadavg.append(_load1())
@@ -395,6 +421,14 @@ def main() -> None:
         # the ratio condition closes the gap a 2.2× spread slipped
         # through in r11)
         "noisy_queries": sorted(noisy_queries),
+        # minimum 1-min loadavg at any rep's START (residual load from
+        # prior queries — the actual contaminator), and the
+        # SINGLE-REP entries whose start load crossed the threshold —
+        # their numbers need the isolated-probe adjudication
+        # (scripts/probe_isolated.py) before being read as plan deltas
+        "query_loadavg": {k: round(v, 2) for k, v in query_load.items()},
+        "load_suspect_queries": sorted(load_suspect),
+        "load_suspect_threshold": load_suspect_threshold,
         # queries that errored this run (absent from queries_median);
         # empty on a clean run
         "errors": errors,
