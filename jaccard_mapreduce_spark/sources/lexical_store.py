@@ -506,10 +506,12 @@ def delete_from_lexical_store(
     # pinned: the deleted docs' postings slice feeds the totals, the
     # per-token df decrement, AND the tombstone ids; released before
     # the promote (per-batch relation — the cache-hygiene rule)
+    # no broadcast hint on the batch (the ngram_contamination ADVICE
+    # lesson): AQE broadcasts a human-scale delete batch on its own,
+    # and a bulk delete degrades to a shuffle join instead of an
+    # opaque executor OOM
     hit = pin(
-        spark.read.parquet(f"{path}/postings").join(
-            F.broadcast(batch), "doc_id"
-        )
+        spark.read.parquet(f"{path}/postings").join(batch, "doc_id")
     )
     try:
         totals = hit.agg(

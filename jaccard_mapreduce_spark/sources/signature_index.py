@@ -218,10 +218,12 @@ def delete_from_minhash_index(
     tomb = _sig_tombstones(spark, path)
     if tomb is not None:
         batch = batch.join(tomb, "doc_id", "left_anti")
+    # no broadcast hint: AQE broadcasts a human-scale batch; a bulk
+    # delete degrades to a shuffle join instead of an executor OOM
     present = _pin(
         spark.read.parquet(f"{path}/signatures")
         .select("doc_id")
-        .join(F.broadcast(batch), "doc_id", "left_semi")
+        .join(batch, "doc_id", "left_semi")
         .distinct()
     )
     try:

@@ -608,11 +608,15 @@ def _tombstone_delete(
     if tomb is not None:
         batch = batch.join(tomb, "vec_id", "left_anti")
     # pinned: the present set feeds the count AND the new tombstone
-    # generation; released before the swap
+    # generation; released before the swap. The batch join is NOT
+    # hint-broadcast (the ngram_contamination ADVICE lesson applied to
+    # the write side too): AQE broadcasts a human-scale batch on its
+    # own, and a bulk delete past the broadcast limit degrades to a
+    # shuffle join instead of an opaque executor OOM.
     present = pin(
         spark.read.parquet(f"{path}/{source_dataset}")
         .select("vec_id")
-        .join(F.broadcast(batch), "vec_id", "left_semi")
+        .join(batch, "vec_id", "left_semi")
         .distinct()
     )
     try:
