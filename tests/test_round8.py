@@ -133,15 +133,17 @@ def test_ivf_sq8_search_prunes_float_vectors_from_the_scan(spark):
     """The SQ8 serving path's whole point: the stored-side rerank reads
     the 1-byte codes + scalars, never the float64 vectors — the scan of
     the cells dataset must prune ``vec`` and ``norm2`` and keep
-    ``qcode``. Also: the quantized score is pure column arithmetic, no
-    Python anywhere in the plan."""
+    ``qcode``. Since the round-12 optimization the rerank runs in the
+    cell-local Arrow kernel (FlatMapGroupsInPandas — hash-exact by the
+    order-free integer dot), so the plan asserts the kernel IS present;
+    the scan-pruning contract (the 8× bandwidth claim) is unchanged."""
     from jaccard_mapreduce_spark.sources.vector_index import (
         ivf_index_sq8_demo,
     )
 
     df = ivf_index_sq8_demo(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan
+    assert "FlatMapGroupsInPandas" in plan
     cells_scans = [
         line
         for line in plan.splitlines()
@@ -150,9 +152,12 @@ def test_ivf_sq8_search_prunes_float_vectors_from_the_scan(spark):
     assert cells_scans, "expected a FileScan over the cells dataset"
     import re
 
-    for line in cells_scans:
-        rs = line.split("ReadSchema:", 1)[1]
-        assert re.search(r"[<,]qcode:", rs)
+    # ≥1 scan must read the codes; NO scan may read the float vectors
+    # (a partition-column-only metadata scan — ReadSchema struct<> —
+    # is fine and carries no data bytes)
+    schemas = [line.split("ReadSchema:", 1)[1] for line in cells_scans]
+    assert any(re.search(r"[<,]qcode:", rs) for rs in schemas)
+    for rs in schemas:
         assert not re.search(r"[<,]vec:", rs)
         assert not re.search(r"[<,]norm2:", rs)
 

@@ -30,11 +30,19 @@ def test_auto_rerank_threshold_math():
 
 
 def test_auto_resolves_exact_small_and_dist_past_threshold(spark):
-    """The default rerank='auto' must route a small corpus to the exact
-    relational rerank (no pandas kernel in the plan) and, once the
-    occupancy estimate passes the threshold, to the distributed kernel
-    (FlatMapGroupsInPandas present)."""
-    from jaccard_mapreduce_spark.operators.similarity import ann_lsh_topk
+    """The default rerank='auto' still routes by the occupancy
+    estimate. Since the round-12 optimization BOTH resolved tiers run
+    the bucket-local group kernel (exact = hash-exact fold arithmetic,
+    dist = einsum), so the routing itself is asserted on _auto_rerank
+    and both plans must carry the kernel (the only join left in the
+    kernel path is the broadcast hot-bucket override join)."""
+    from jaccard_mapreduce_spark.operators.similarity import (
+        _auto_rerank,
+        ann_lsh_topk,
+    )
+
+    assert _auto_rerank(1_000, 16_000_000) == "exact"
+    assert _auto_rerank(1e9, 16_000_000) == "dist"
 
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
 
@@ -42,7 +50,8 @@ def test_auto_resolves_exact_small_and_dist_past_threshold(spark):
         return df._jdf.queryExecution().executedPlan().toString()
 
     small = plan(ann_lsh_topk(emb, k=5))
-    assert "FlatMapGroupsInPandas" not in small
+    assert "FlatMapGroupsInPandas" in small
+    assert "SortMergeJoin" not in small
     routed = plan(ann_lsh_topk(emb, k=5, auto_dist_pairs=1000))
     assert "FlatMapGroupsInPandas" in routed
 
