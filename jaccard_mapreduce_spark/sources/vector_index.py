@@ -877,7 +877,6 @@ def build_lsh_index(
         DEFAULT_PLANES,
         DEFAULT_SEED,
         DEFAULT_TABLES,
-        _lsh_signature_expr,
         lsh_tables,
     )
 
@@ -898,13 +897,12 @@ def build_lsh_index(
     v = vectors(embeddings, id_col, vec_col)
     v.write.mode("overwrite").parquet(f"{path}/vectors")
     stored = spark.read.parquet(f"{path}/vectors")
-    sig_structs = ", ".join(
-        f"struct({t} AS tbl, {_lsh_signature_expr('vec', planes)} AS bucket)"
-        for t, planes in enumerate(tables)
+    # signatures via the vectorized kernel (optimization round 12 —
+    # bit-identical bucket strings to the expression form, pinned by
+    # tests/test_opt_r12.py)
+    sig = _lsh_sigs_kernel(stored, tables).select(
+        "vec_id", F.posexplode("sigs").alias("tbl", "bucket")
     )
-    sig = stored.select(
-        "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
-    ).select("vec_id", "s.tbl", "s.bucket")
     sig.write.mode("overwrite").parquet(f"{path}/signatures")
 
 
@@ -985,24 +983,16 @@ def upsert_lsh_index(
     be disjoint from TOMBSTONED ids — a re-inserted deleted vec_id's
     new rows would be masked by its own tombstone; compact or retune
     first (both clear the tombstones)."""
-    from jaccard_mapreduce_spark.operators.similarity import (
-        _lsh_signature_expr,
-    )
-
     tables = _stored_lsh_tables(spark, path)
     v = vectors(new_vectors, id_col, vec_col)
     v = v.persist()
     try:
         n_new = v.count()
         v.write.mode("append").parquet(f"{path}/vectors")
-        sig_structs = ", ".join(
-            f"struct({t} AS tbl, {_lsh_signature_expr('vec', planes)}"
-            " AS bucket)"
-            for t, planes in enumerate(tables)
+        # kernel signatures — bit-identical to the expression form
+        sig = _lsh_sigs_kernel(v, tables).select(
+            "vec_id", F.posexplode("sigs").alias("tbl", "bucket")
         )
-        sig = v.select(
-            "vec_id", F.explode(F.expr(f"array({sig_structs})")).alias("s")
-        ).select("vec_id", "s.tbl", "s.bucket")
         sig.write.mode("append").parquet(f"{path}/signatures")
     finally:
         v.unpersist()
