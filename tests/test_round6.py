@@ -151,10 +151,14 @@ def test_streaming_upsert_appends_each_microbatch(spark, emb, tmp_path):
 
 
 def test_index_search_parallelism_survives_aqe(spark, emb):
-    """The scored join's probe side must NOT be a bare ENSURE_REQUIREMENTS
-    exchange (AQE would coalesce it to one partition and serialize the
-    cosine rerank — the round-5 perf-weak finding). The explicit
-    user-numbered repartition must survive in the plan."""
+    """The rerank must not serialize onto one task (the round-5
+    perf-weak finding: AQE coalesced the probe side to one partition).
+    Since the round-12 optimization the exact store search runs in the
+    cell-local kernel, whose anti-serialization mechanism is the
+    block-grid group shuffle: work is keyed by (tbl, bucket, gq, gi),
+    so a hot cell decomposes into bounded block-pair groups that hash
+    across partitions instead of pair-expanding inside one task. The
+    plan must carry the group kernel and its grid-keyed partitioning."""
     from jaccard_mapreduce_spark.sources.vector_index import (
         build_ivf_index,
         search_ivf_index,
@@ -168,7 +172,8 @@ def test_index_search_parallelism_survives_aqe(spark, emb):
             .sparkPlan()
             .toString()
         )
-    assert "REPARTITION_BY_NUM" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "gq" in plan and "gi" in plan
 
 
 def test_containment_recall_audit_pruned_subset_of_exact(spark):
