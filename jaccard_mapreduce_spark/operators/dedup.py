@@ -841,7 +841,21 @@ def dedup_clusters(
     # contraction join are separate consumers of a pair producer (e.g.
     # the full LSH candidate join + verify) that must not run twice —
     # measured ~10 s of pure recompute at sf0.1's 5M-pair graph.
-    dup_pairs = _pin(dup_pairs.select("doc_a", "doc_b"))
+    # The select is CONDITIONAL (round 13): a caller that already
+    # passes a pinned two-column pair relation (clustered_split_
+    # leakage's shared pin) must not get a second 5M-row cache copy —
+    # a no-op Project changes the analyzed plan, so CacheManager would
+    # treat it as a distinct relation and cache the bytes twice. When
+    # the pin is the CALLER's, the early release below must not touch
+    # it (the caller still reads it after this returns).
+    lvl = dup_pairs.storageLevel
+    caller_pinned = (
+        (lvl.useMemory or lvl.useDisk)
+        and dup_pairs.columns == ["doc_a", "doc_b"]
+    )
+    if dup_pairs.columns != ["doc_a", "doc_b"]:
+        dup_pairs = dup_pairs.select("doc_a", "doc_b")
+    dup_pairs = _pin(dup_pairs)
 
     # Phase 1: l0(v) = min(v, min smaller-neighbor). One row per doc; the
     # min of each component keeps its own id (its neighbors are all
@@ -878,7 +892,6 @@ def dedup_clusters(
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
     )
     # One guarded collect replaces the count()+collect() pair: fetch at
     # most gate+1 rows — if the remnant fits the gate (the overwhelmingly
@@ -886,14 +899,22 @@ def dedup_clusters(
     # saved; one extra row means the remnant overflows and the exact
     # count runs only on that pathological path. The pair pin is held
     # until the overflow decision is made so the fallback's full cedges
-    # materialization never recomputes the LSH subtree.
+    # materialization never recomputes the LSH subtree. cedges is only
+    # persisted ON that pathological path (round 13): the common paths
+    # consume it exactly once right here, so the old unconditional
+    # persist wrote a cache nobody read back.
     remnant_rows = cedges.limit(local_finish_max_edges + 1).collect()
     n_remnant = len(remnant_rows)
     if n_remnant > local_finish_max_edges:
+        cedges = cedges.persist()
         n_remnant = cedges.count()  # full materialization for phase 2
     # both passes over the pair data are done — release the pin now
-    # instead of holding it through remnant resolution (ADVICE r2)
-    dup_pairs.unpersist()
+    # instead of holding it through remnant resolution (ADVICE r2),
+    # unless it is the caller's pin (round 13: unpersisting a shared
+    # pin here would silently force the caller's later consumers to
+    # recompute the whole pair producer)
+    if not caller_pinned:
+        dup_pairs.unpersist()
     if n_remnant == 0:
         # every component was a star/clique: l0 is already the answer.
         # Hand the caller a materialized copy and release the cache —
